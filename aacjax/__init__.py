@@ -1,0 +1,15 @@
+"""aacjax — a TPU-native AAC-LC decoding framework.
+
+Host side (aacjax.host): serial bitstream demux/parse (ADTS, ASC, Huffman,
+syntactic elements) producing dense per-frame tensors.  Device side
+(aacjax.kernels): batched JAX/Pallas spectral processing — dequantization,
+stereo tools, TNS, IMDCT synthesis — compiled once and shared across all
+streams.  aacjax.runtime batches frames across concurrent streams and shards
+them over a jax.sharding.Mesh.
+
+Public API mirrors the reference decoder's surface (aac.js: decoder.js,
+adts_demuxer.js): see aacjax.api.
+"""
+from aacjax.api import AACDecoder, StreamConfig, decode_adts, probe  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,106 @@
+"""ADTS transport parsing: probe, header parse, frame segmentation, cookie.
+
+Reproduces the behavior of the reference adts_demuxer.js:
+  - probe scans 16-bit words for the 0xFFFx syncword without moving the
+    stream position (adts_demuxer.js:7-20),
+  - readHeader parses the 7/9-byte header (adts_demuxer.js:28-52),
+  - a 2-byte AudioSpecificConfig "magic cookie" is synthesized from the
+    header fields (adts_demuxer.js:66-70).
+
+Additionally provides frame segmentation (split a byte stream into ADTS
+frames by walking frameLength), which the reference delegates to the decoder
+re-reading headers inline (decoder.js:128-130) — our batched runtime needs
+explicit frame boundaries up front.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from aacjax.host.bitio import BitReader, BitstreamError
+
+
+@dataclass(frozen=True)
+class ADTSHeader:
+    profile: int           # MPEG-4 audioObjectType (profile bits + 1)
+    sampling_index: int
+    chan_config: int
+    frame_length: int      # whole ADTS frame incl. header, bytes
+    num_frames: int        # raw_data_blocks in frame (usually 1)
+    protection_absent: bool
+    header_bytes: int      # 7 or 9
+
+
+def probe(data: bytes) -> bool:
+    """True if an ADTS syncword appears on any 16-bit-aligned scan position.
+
+    Mirrors adts_demuxer.js:7-20: scans consecutive u16 reads (i.e. even
+    byte offsets) for (word & 0xfff6) == 0xfff0.
+    """
+    for i in range(0, len(data) - 1, 2):
+        word = (data[i] << 8) | data[i + 1]
+        if (word & 0xFFF6) == 0xFFF0:
+            return True
+    return False
+
+
+def read_header(stream: BitReader) -> ADTSHeader:
+    """Parse one ADTS header at the current position (adts_demuxer.js:28-52)."""
+    if stream.read(12) != 0xFFF:
+        raise BitstreamError("Invalid ADTS header.")
+    stream.advance(3)                       # MPEG version + layer
+    protection_absent = bool(stream.read(1))
+    profile = stream.read(2) + 1
+    sampling_index = stream.read(4)
+    stream.advance(1)                       # private
+    chan_config = stream.read(3)
+    stream.advance(4)                       # original/copy, home, (c), (c) start
+    frame_length = stream.read(13)
+    stream.advance(11)                      # buffer fullness
+    num_frames = stream.read(2) + 1
+    if not protection_absent:
+        stream.advance(16)                  # CRC
+    return ADTSHeader(
+        profile=profile,
+        sampling_index=sampling_index,
+        chan_config=chan_config,
+        frame_length=frame_length,
+        num_frames=num_frames,
+        protection_absent=protection_absent,
+        header_bytes=7 if protection_absent else 9,
+    )
+
+
+def synthesize_cookie(header: ADTSHeader) -> bytes:
+    """2-byte AudioSpecificConfig from ADTS fields (adts_demuxer.js:66-70)."""
+    b0 = ((header.profile << 3) | ((header.sampling_index >> 1) & 7)) & 0xFF
+    b1 = (((header.sampling_index & 1) << 7) | (header.chan_config << 3)) & 0xFF
+    return bytes([b0, b1])
+
+
+def split_frames(data: bytes, start: int = 0) -> list[tuple[ADTSHeader, int, int]]:
+    """Segment `data` into ADTS frames.
+
+    Returns a list of (header, payload_start, payload_end) byte ranges, where
+    the payload is the raw_data_block bytes (header/CRC stripped).  Resyncs
+    to the next syncword on malformed lengths, which the reference does not
+    attempt (its probe scan is the only sync logic — SURVEY.md §5).
+    """
+    frames = []
+    pos = start
+    n = len(data)
+    while pos + 7 <= n:
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xF6) == 0xF0):
+            pos += 1  # resync scan
+            continue
+        stream = BitReader(memoryview(data)[pos:pos + 9])
+        try:
+            header = read_header(stream)
+        except BitstreamError:
+            pos += 1
+            continue
+        end = pos + header.frame_length
+        if header.frame_length < header.header_bytes or end > n:
+            break  # truncated trailing frame
+        frames.append((header, pos + header.header_bytes, end))
+        pos = end
+    return frames

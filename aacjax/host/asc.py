@@ -1,0 +1,130 @@
+"""AudioSpecificConfig ("magic cookie") parsing -> StreamConfig.
+
+Reproduces the reference setCookie semantics (decoder.js:53-113): profile
+escape codes, explicit 24-bit sample rate, GASpecificConfig with
+frameLengthFlag / dependsOnCoreCoder / extensionFlag handling, and the same
+unsupported-feature errors (frameLengthFlag, PCE, non-LC profiles).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from aacjax import tables
+from aacjax.host.bitio import BitReader
+
+AOT_AAC_MAIN = 1
+AOT_AAC_LC = 2
+AOT_AAC_LTP = 4
+AOT_ESCAPE = 31
+
+CHANNEL_CONFIG_NONE = 0
+
+
+class UnsupportedError(Exception):
+    """Feature present in the bitstream that this profile build rejects."""
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Frozen per-stream configuration (reference `this.config`)."""
+    profile: int
+    sample_index: int
+    sample_rate: int
+    chan_config: int
+    frame_length: int = 1024
+    section_data_resilience: bool = False
+    scalefactor_resilience: bool = False
+    spectral_data_resilience: bool = False
+
+    @property
+    def channels(self) -> int:
+        # chanConfig 7 is reserved; 8 means 7.1 in the reference's mapping
+        # (decoder.js:40-47).  chanConfig directly equals the channel count
+        # for 1..6; config 8 carries 8 channels.
+        return self.chan_config
+
+    @property
+    def swb_offsets_long(self) -> np.ndarray:
+        return tables.SWB_OFFSET_1024[self.sample_index]
+
+    @property
+    def swb_offsets_short(self) -> np.ndarray:
+        return tables.SWB_OFFSET_128[self.sample_index]
+
+    @property
+    def swb_count_long(self) -> int:
+        return int(tables.SWB_LONG_WINDOW_COUNT[self.sample_index])
+
+    @property
+    def swb_count_short(self) -> int:
+        return int(tables.SWB_SHORT_WINDOW_COUNT[self.sample_index])
+
+
+def parse_asc(cookie: bytes) -> StreamConfig:
+    """Parse an AudioSpecificConfig buffer (decoder.js:53-113)."""
+    stream = BitReader(cookie)
+
+    profile = stream.read(5)
+    if profile == AOT_ESCAPE:
+        profile = 32 + stream.read(6)
+
+    sample_index = stream.read(4)
+    if sample_index == 0x0F:
+        sample_rate = stream.read(24)
+        for i, r in enumerate(tables.SAMPLE_RATES):
+            if int(r) == sample_rate:
+                sample_index = i
+                break
+        else:
+            raise UnsupportedError(f"unknown sample rate {sample_rate}")
+    else:
+        if sample_index >= len(tables.SAMPLE_RATES):
+            raise UnsupportedError(f"invalid sample index {sample_index}")
+        sample_rate = int(tables.SAMPLE_RATES[sample_index])
+
+    chan_config = stream.read(4)
+
+    sect_res = sf_res = spec_res = False
+    if profile in (AOT_AAC_MAIN, AOT_AAC_LC, AOT_AAC_LTP):
+        if stream.read(1):  # frameLengthFlag => 960-sample frames
+            raise UnsupportedError("frameLengthFlag not supported")
+        if stream.read(1):  # dependsOnCoreCoder
+            stream.advance(14)  # coreCoderDelay
+        if stream.read(1):  # extensionFlag
+            if profile > 16:  # error-resilient profile
+                sect_res = bool(stream.read(1))
+                sf_res = bool(stream.read(1))
+                spec_res = bool(stream.read(1))
+            stream.advance(1)
+        if chan_config == CHANNEL_CONFIG_NONE:
+            stream.advance(4)  # element_instance_tag
+            raise UnsupportedError("PCE unimplemented")
+    else:
+        raise UnsupportedError(f"AAC profile {profile} not supported.")
+
+    return StreamConfig(
+        profile=profile,
+        sample_index=sample_index,
+        sample_rate=sample_rate,
+        chan_config=chan_config,
+        frame_length=1024,
+        section_data_resilience=sect_res,
+        scalefactor_resilience=sf_res,
+        spectral_data_resilience=spec_res,
+    )
+
+
+def make_asc(profile: int, sample_index: int, chan_config: int) -> bytes:
+    """Build a minimal 2-byte ASC (inverse of parse_asc for LC streams)."""
+    from aacjax.host.bitio import BitWriter
+    w = BitWriter()
+    w.write(profile, 5)
+    w.write(sample_index, 4)
+    w.write(chan_config, 4)
+    w.write(0, 1)  # frameLengthFlag
+    w.write(0, 1)  # dependsOnCoreCoder
+    w.write(0, 1)  # extensionFlag
+    w.align()
+    return w.getvalue()

@@ -1,0 +1,288 @@
+"""The batched device decode pipeline (JAX/XLA, TPU-first).
+
+One jitted function processes a dense batch of channel-frames shaped
+[C, T, 1024] — C channel slots (across all concurrent streams) by T
+consecutive frames — through the full spectral tail of AAC-LC decoding:
+
+  dequant -> M/S -> intensity -> coupling -> TNS -> IMDCT filterbank -> OLA
+
+Design notes (vs the reference's per-sample JS loops, SURVEY.md §2.9):
+  * The IMDCT is a single MXU matmul against a precomputed [1024, 2048]
+    cosine matrix (closed form == the reference's twiddle+FFT pipeline,
+    mdct.js:62-115; verified in tests/test_tables.py).  EIGHT_SHORT frames
+    use a batched [128, 256] matmul over 8 sub-windows.  Both paths are
+    computed for every frame and selected per-element — branch-free, and
+    the extra FLOPs are negligible next to MXU throughput.
+  * Windowing + overlap-add are per-bin multiplies against window rows
+    gathered by (window_sequence, window_shape) index — no control flow.
+  * The cross-frame overlap-add recurrence is resolved with one shifted
+    add along the T axis (SURVEY.md §5.7): pcm[t] = first[t] + second[t-1].
+  * TNS is the one true sequential recurrence (order <= 20 along <= 1024
+    bins).  It runs as two lax.scan passes (forward + reversed filters)
+    batched over the whole [C*T] mega-batch, with per-bin tap masking so
+    filter regions and orders vary per element with no recompilation.
+  * M/S, intensity, and coupling are row gathers + masked elementwise ops;
+    pair/coupling indices address the C axis.
+
+Everything is static-shaped; host-side packing (aacjax.runtime.pack) pads
+C, T and filter/pair/coupling counts to fixed sizes.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aacjax.kernels import windows as W
+
+FRAME = 1024
+TNS_SLOTS = 8
+TNS_ORDER = 20
+
+
+@dataclass(frozen=True)
+class PipelineFlags:
+    """Static specialization flags (each combination is a separate XLA
+    program; the host picks the cheapest variant that covers the batch)."""
+    has_stereo: bool = True
+    has_tns: bool = False
+    has_cce: bool = False
+
+
+@functools.lru_cache(maxsize=None)
+def _consts():
+    """Device-resident constant tables."""
+    return dict(
+        m_long=jnp.asarray(W.imdct_long_matrix()),          # [1024, 2048]
+        m_short=jnp.asarray(W.imdct_short_matrix()),        # [128, 256]
+        f_table=jnp.asarray(W.first_half_windows()),        # [8, 1024]
+        s_table=jnp.asarray(W.second_half_windows()),       # [8, 1024]
+        rise=jnp.asarray(W.short_rise()),                   # [2, 128]
+        fall=jnp.asarray(W.short_fall()),                   # [2, 128]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+def dequantize(quant: jax.Array, scale: jax.Array, noise: jax.Array) -> jax.Array:
+    """spec = sign(q) * |q|^(4/3) * scale + noise.
+
+    Reference fuses this into the Huffman loop via an 8191-entry table
+    (ics.js:250-254); here it is one VPU elementwise pass over the batch,
+    computed directly so escape values beyond the table range are exact
+    (SURVEY.md §7 quirk 5).
+    """
+    q = quant.astype(jnp.float32)
+    mag = jnp.power(jnp.abs(q), jnp.float32(4.0 / 3.0))
+    return jnp.sign(q) * mag * scale + noise
+
+
+def stereo(spec: jax.Array, pair_l: jax.Array, pair_r: jax.Array,
+           ms_mask: jax.Array, is_scale: jax.Array) -> jax.Array:
+    """M/S butterfly + intensity stereo on channel pairs.
+
+    spec [C,T,F]; pair_l/pair_r [P] channel indices; ms_mask [P,T,F]
+    (0/1); is_scale [P,T,F] — nonzero where intensity applies; its value is
+    the signed scale c * 2^(-pos/4) including the ms_used sign flip
+    (decoder.js:337-404 semantics, expanded per-bin by the host packer).
+    """
+    l = spec[pair_l]
+    r = spec[pair_r]
+    m = ms_mask
+    l2 = jnp.where(m != 0, l + r, l)
+    r2 = jnp.where(m != 0, l - r, r)
+    r3 = jnp.where(is_scale != 0, l2 * is_scale, r2)
+    return spec.at[pair_l].set(l2).at[pair_r].set(r3)
+
+
+def _tns_directional_scan(x: jax.Array, lpc: jax.Array, start: jax.Array,
+                          end: jax.Array) -> jax.Array:
+    """All-pole (AR) TNS filtering along the bin axis, batched.
+
+    x [B, F]; lpc [B, S, 20]; start/end [B, S] bin ranges (disjoint per
+    element).  Implements y[n] = x[n] - sum_i lpc[i] * y[n-1-i] with taps
+    masked to stay inside the active filter's range — exactly the
+    spec-correct sequential recurrence (ISO/IEC 14496-3 §4.6.9.3; the
+    reference's equivalent loop at tns.js:156-161 never executes due to
+    the NaN-region bug, see SURVEY.md §7 quirk 2).
+    """
+    B, F = x.shape
+
+    def step(hist, inputs):
+        # hist: [B, 20] previous outputs, hist[:, i] = y[n-1-i]
+        xn, n = inputs
+        active = (start <= n) & (n < end)                  # [B, S]
+        lpc_n = jnp.einsum('bs,bso->bo', active.astype(x.dtype), lpc)
+        start_n = jnp.sum(jnp.where(active, start, 0), axis=1)  # [B]
+        lags = jnp.arange(1, TNS_ORDER + 1, dtype=jnp.int32)
+        tap_ok = (n - lags[None, :]) >= start_n[:, None]   # [B, 20]
+        acc = jnp.sum(lpc_n * hist * tap_ok.astype(x.dtype), axis=1)
+        yn = xn - acc
+        hist = jnp.concatenate([yn[:, None], hist[:, :-1]], axis=1)
+        return hist, yn
+
+    ns = jnp.arange(F, dtype=jnp.int32)
+    hist0 = jnp.zeros((B, TNS_ORDER), x.dtype)
+    _, ys = jax.lax.scan(step, hist0, (x.T, ns))
+    return ys.T
+
+
+def tns(spec: jax.Array, fwd_lpc, fwd_start, fwd_end,
+        rev_lpc, rev_start, rev_end) -> jax.Array:
+    """Apply TNS filters; reversed-direction filters run on the flipped
+    spectrum with host-transformed coordinates (start' = F - end).
+
+    spec [C,T,F]; filters [C,T,S,20] / [C,T,S].  Filter regions are
+    disjoint within an element, so the passes combine by region masking.
+    """
+    C, T, F = spec.shape
+    x = spec.reshape(C * T, F)
+
+    def flat(a):
+        return a.reshape((C * T,) + a.shape[2:])
+
+    y_f = _tns_directional_scan(x, flat(fwd_lpc), flat(fwd_start), flat(fwd_end))
+    xr = x[:, ::-1]
+    y_r = _tns_directional_scan(xr, flat(rev_lpc), flat(rev_start),
+                                flat(rev_end))[:, ::-1]
+
+    ns = jnp.arange(F, dtype=jnp.int32)[None, None, :]
+    fwd_cover = jnp.any((flat(fwd_start)[:, :, None] <= ns)
+                        & (ns < flat(fwd_end)[:, :, None]), axis=1)
+    rev_s = F - flat(rev_end)
+    rev_e = F - flat(rev_start)
+    rev_cover = jnp.any((rev_s[:, :, None] <= ns) & (ns < rev_e[:, :, None]),
+                        axis=1)
+    out = jnp.where(fwd_cover, y_f, x)
+    out = jnp.where(rev_cover, y_r, out)
+    return out.reshape(C, T, F)
+
+
+def filterbank(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
+               shape_idx: jax.Array, prev_shape_idx: jax.Array,
+               is_short: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """IMDCT + windowing for every frame; returns (first, second) halves
+    [C,T,1024] each.  first is this frame's direct contribution; second is
+    the overlap carried into the next frame (filter_bank.js:88-204
+    semantics for all four window sequences, linearized — see module doc).
+    """
+    c = _consts()
+    C, T, F = spec.shape
+
+    # Long path: one MXU matmul for IMDCT(2048).
+    long_out = jnp.einsum('ctk,kn->ctn', spec, c['m_long'],
+                          precision=jax.lax.Precision.HIGHEST)  # [C,T,2048]
+
+    # Short path: 8 x IMDCT(256).
+    blocks = jnp.einsum('ctwk,kn->ctwn', spec.reshape(C, T, 8, 128),
+                        c['m_short'],
+                        precision=jax.lax.Precision.HIGHEST)    # [C,T,8,256]
+    rise_cur = c['rise'][shape_idx]                             # [C,T,128]
+    rise_prev = c['rise'][prev_shape_idx]
+    fall_cur = c['fall'][shape_idx]
+    # Block 0's rising half uses the previous frame's window shape
+    # (filter_bank.js:154: shortWindowsPrev).
+    rises = jnp.concatenate(
+        [rise_prev[:, :, None, :],
+         jnp.broadcast_to(rise_cur[:, :, None, :], (C, T, 7, 128))], axis=2)
+    wb = jnp.concatenate([blocks[..., :128] * rises,
+                          blocks[..., 128:] * fall_cur[:, :, None, :]],
+                         axis=-1)                               # [C,T,8,256]
+    t_short = jnp.zeros((C, T, 2 * F), spec.dtype)
+    for w in range(8):
+        off = W.MID + 128 * w
+        t_short = t_short.at[..., off:off + 256].add(wb[..., w, :])
+
+    f_win = c['f_table'][f_idx]                                 # [C,T,1024]
+    s_win = c['s_table'][s_idx]
+    first_long = long_out[..., :F] * f_win
+    second_long = long_out[..., F:] * s_win
+
+    sel = is_short[..., None]
+    first = jnp.where(sel, t_short[..., :F], first_long)
+    second = jnp.where(sel, t_short[..., F:], second_long)
+    return first, second
+
+
+def overlap_add(first: jax.Array, second: jax.Array, overlap_in: jax.Array,
+                last_valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Resolve the cross-frame OLA chain with one shifted add along T
+    (SURVEY.md §5.7): pcm[t] = first[t] + second[t-1].
+
+    last_valid [C]: index of the last real (non-padding) frame per channel,
+    or -1 if the channel received no frames this chunk.  The carried-out
+    overlap is taken at last_valid so trailing padding cannot corrupt
+    stream state; a -1 channel keeps its incoming overlap untouched.
+    """
+    prev = jnp.concatenate([overlap_in[:, None, :], second[:, :-1, :]], axis=1)
+    c_idx = jnp.arange(second.shape[0])
+    carried = second[c_idx, jnp.maximum(last_valid, 0), :]
+    new_overlap = jnp.where((last_valid >= 0)[:, None], carried, overlap_in)
+    return first + prev, new_overlap
+
+
+def couple_spectral(spec: jax.Array, src: jax.Array, dst: jax.Array,
+                    gain: jax.Array) -> jax.Array:
+    """Dependent coupling FMA: spec[dst] += gain * spec[src]
+    (cce.js:130-158, with the spec-correct band bound — SURVEY.md §7
+    quirk 3).  src/dst [Q]; gain [Q,T,F] (zero-padded slots are no-ops)."""
+    return spec.at[dst].add(gain * spec[src])
+
+
+def couple_time(pcm: jax.Array, src: jax.Array, dst: jax.Array,
+                gain: jax.Array) -> jax.Array:
+    """Independent coupling on time samples after the filterbank:
+    pcm[dst] += gain * pcm[src]; gain [Q,T,1] scalar per frame."""
+    return pcm.at[dst].add(gain * pcm[src])
+
+
+# ---------------------------------------------------------------------------
+# Full step
+# ---------------------------------------------------------------------------
+def decode_step(batch: dict, overlap_in: jax.Array,
+                flags: PipelineFlags) -> tuple[jax.Array, jax.Array]:
+    """Decode T frames for C channel slots.  Returns (pcm [C,T,1024] in the
+    reference's 1/32768 float scale, new overlap [C,1024])."""
+    spec = dequantize(batch['quant'], batch['scale'], batch['noise'])
+
+    if flags.has_stereo:
+        spec = stereo(spec, batch['pair_l'], batch['pair_r'],
+                      batch['ms_mask'], batch['is_scale'])
+
+    if flags.has_cce:
+        spec = couple_spectral(spec, batch['cce_src_pre'],
+                               batch['cce_dst_pre'], batch['cce_gain_pre'])
+
+    if flags.has_tns:
+        spec = tns(spec, batch['tns_fwd_lpc'], batch['tns_fwd_start'],
+                   batch['tns_fwd_end'], batch['tns_rev_lpc'],
+                   batch['tns_rev_start'], batch['tns_rev_end'])
+
+    if flags.has_cce:
+        spec = couple_spectral(spec, batch['cce_src_post'],
+                               batch['cce_dst_post'], batch['cce_gain_post'])
+
+    first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
+                               batch['shape_idx'], batch['prev_shape_idx'],
+                               batch['is_short'])
+    pcm, new_overlap = overlap_add(first, second, overlap_in,
+                                   batch['last_valid'])
+
+    if flags.has_cce:
+        pcm = couple_time(pcm, batch['cce_src_time'], batch['cce_dst_time'],
+                          batch['cce_gain_time'])
+
+    # Output scale matches the reference's interleave loop (decoder.js:211).
+    return pcm * jnp.float32(1.0 / 32768.0), new_overlap
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_decode_step(flags: PipelineFlags):
+    """Compiled decode step; overlap buffer is donated (updated in place)."""
+    def fn(batch, overlap_in):
+        return decode_step(batch, overlap_in, flags)
+    return jax.jit(fn, donate_argnums=(1,))

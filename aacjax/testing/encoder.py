@@ -1,0 +1,388 @@
+"""Test-corpus generation: a syntax-level AAC-LC bitstream writer.
+
+The reference ships no tests or fixtures (SURVEY.md §4), and this
+environment has no ffmpeg/fdk encoder, so we generate conformant
+raw_data_blocks ourselves from explicit per-band specifications
+(window sequence/shape/grouping, band types, scalefactors, quantized
+coefficients, TNS filters, M/S masks, PNS and intensity bands...).  The
+decoder's expected output is computed independently by the fp64 model
+decoder in tests/model_decoder.py.
+
+This is an *encoder of syntax*, not a rate-controlled perceptual encoder:
+encode_pcm() does a real forward MDCT + mid-tread quantization so bench
+streams carry realistic coefficient statistics, but makes no psychoacoustic
+decisions.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from aacjax import tables
+from aacjax.host.bitio import BitWriter
+from aacjax.host import huffman
+from aacjax.host.asc import StreamConfig
+
+FRAME = 1024
+
+# band "books": 0 = zero, 1..11 = spectral codebooks, 13 = PNS noise,
+# 14/15 = intensity
+ZERO, NOISE, INTENSITY2, INTENSITY = 0, 13, 14, 15
+
+# max absolute value encodable per book (escape book handles any magnitude)
+BOOK_LAV = {1: 1, 2: 1, 3: 2, 4: 2, 5: 4, 6: 4, 7: 7, 8: 7, 9: 12, 10: 12,
+            11: 8191}
+
+
+@dataclass
+class TnsFilterSpec:
+    length_bands: int
+    order: int
+    direction: int = 0
+    coef_res: int = 0          # 0 = 3-bit, 1 = 4-bit
+    coef_compress: int = 0
+    coef_indices: list[int] = field(default_factory=list)  # table indices
+
+
+@dataclass
+class ChannelSpec:
+    """Everything needed to emit one individual_channel_stream."""
+    window_sequence: int = 0
+    window_shape: int = 0
+    max_sfb: int = 0
+    grouping: list[int] | None = None      # EIGHT_SHORT group lengths, sum 8
+    global_gain: int = 121
+    band_books: np.ndarray | None = None   # [group_count*max_sfb]
+    band_sf: np.ndarray | None = None      # absolute sf / noise offset / is pos
+    quant: np.ndarray | None = None        # [1024] in grouped layout
+    tns: list[list[TnsFilterSpec]] | None = None  # per window
+    pulse: tuple[int, list[int], list[int]] | None = None  # (swb, offsets, amps)
+
+    @property
+    def group_count(self) -> int:
+        return len(self.grouping) if self.grouping else 1
+
+    def group_lengths(self) -> list[int]:
+        return list(self.grouping) if self.grouping else [1]
+
+
+@dataclass
+class CPESpec:
+    left: ChannelSpec
+    right: ChannelSpec
+    common_window: bool = True
+    ms_type: int = 0                       # 0 none, 1 per-band, 2 all
+    ms_used: np.ndarray | None = None      # [group_count*max_sfb] for type 1
+
+
+def _swb_offsets(config: StreamConfig, spec: ChannelSpec) -> np.ndarray:
+    if spec.window_sequence == 2:
+        return config.swb_offsets_short
+    return config.swb_offsets_long
+
+
+def write_ics_info(w: BitWriter, spec: ChannelSpec) -> None:
+    w.write(0, 1)  # ics_reserved
+    w.write(spec.window_sequence, 2)
+    w.write(spec.window_shape, 1)
+    if spec.window_sequence == 2:
+        w.write(spec.max_sfb, 4)
+        # grouping bits: 7 bits; 1 = same group continues
+        bits = []
+        for glen in spec.group_lengths():
+            bits.extend([1] * (glen - 1))
+            bits.append(0)
+        bits = bits[:-1] if bits else []  # last group has no terminator
+        # exactly 7 bits describe windows 1..7
+        assert len(bits) == 7, f"grouping {spec.grouping} must cover 8 windows"
+        for b in bits:
+            w.write(b, 1)
+    else:
+        w.write(spec.max_sfb, 6)
+        w.write(0, 1)  # predictor_data_present
+
+
+def write_section_data(w: BitWriter, spec: ChannelSpec) -> None:
+    bits = 3 if spec.window_sequence == 2 else 5
+    escape = (1 << bits) - 1
+    books = spec.band_books
+    idx = 0
+    for _g in range(spec.group_count):
+        sfb = 0
+        while sfb < spec.max_sfb:
+            book = int(books[idx])
+            run = 1
+            while (sfb + run < spec.max_sfb
+                   and int(books[idx + run]) == book):
+                run += 1
+            w.write(book, 4)
+            r = run
+            while r >= escape:
+                w.write(escape, bits)
+                r -= escape
+            w.write(r, bits)
+            sfb += run
+            idx += run
+
+
+def write_scale_factors(w: BitWriter, spec: ChannelSpec) -> None:
+    books = spec.band_books
+    sfs = spec.band_sf
+    offset = [spec.global_gain, spec.global_gain - 90, 0]
+    noise_flag = True
+    idx = 0
+    for _g in range(spec.group_count):
+        for _sfb in range(spec.max_sfb):
+            book = int(books[idx])
+            if book == ZERO:
+                pass
+            elif book in (INTENSITY, INTENSITY2):
+                delta = int(sfs[idx]) - offset[2]
+                assert -60 <= delta <= 60
+                huffman.encode_scalefactor(w, delta + 60)
+                offset[2] += delta
+            elif book == NOISE:
+                delta = int(sfs[idx]) - offset[1]
+                if noise_flag:
+                    assert -256 <= delta <= 255
+                    w.write(delta + 256, 9)
+                    noise_flag = False
+                else:
+                    assert -60 <= delta <= 60
+                    huffman.encode_scalefactor(w, delta + 60)
+                offset[1] += delta
+            else:
+                delta = int(sfs[idx]) - offset[0]
+                assert -60 <= delta <= 60, f"sf delta {delta} out of range"
+                huffman.encode_scalefactor(w, delta + 60)
+                offset[0] += delta
+                assert 0 <= offset[0] <= 255
+            idx += 1
+
+
+def write_tns(w: BitWriter, spec: ChannelSpec) -> None:
+    short = spec.window_sequence == 2
+    nfilt_bits, len_bits, ord_bits = (1, 4, 3) if short else (2, 6, 5)
+    n_windows = 8 if short else 1
+    tns = spec.tns or [[] for _ in range(n_windows)]
+    for wdw in range(n_windows):
+        filts = tns[wdw] if wdw < len(tns) else []
+        w.write(len(filts), nfilt_bits)
+        if not filts:
+            continue
+        coef_res = filts[0].coef_res
+        w.write(coef_res, 1)
+        for f in filts:
+            assert f.coef_res == coef_res
+            w.write(f.length_bands, len_bits)
+            w.write(f.order, ord_bits)
+            if f.order:
+                w.write(f.direction, 1)
+                w.write(f.coef_compress, 1)
+                coef_len = coef_res + 3 - f.coef_compress
+                assert len(f.coef_indices) == f.order
+                for ci in f.coef_indices:
+                    assert 0 <= ci < (1 << coef_len)
+                    w.write(ci, coef_len)
+
+
+def write_spectral_data(w: BitWriter, spec: ChannelSpec,
+                        config: StreamConfig) -> None:
+    offsets = _swb_offsets(config, spec)
+    books = spec.band_books
+    quant = spec.quant if spec.quant is not None else np.zeros(FRAME, np.int64)
+    idx = 0
+    group_off = 0
+    for glen in spec.group_lengths():
+        for sfb in range(spec.max_sfb):
+            book = int(books[idx])
+            if book in (ZERO, NOISE, INTENSITY, INTENSITY2):
+                idx += 1
+                continue
+            off0 = group_off + int(offsets[sfb])
+            width = int(offsets[sfb + 1]) - int(offsets[sfb])
+            num = 2 if book >= 5 else 4
+            off = off0
+            for _wdw in range(glen):
+                for k in range(0, width, num):
+                    vals = [int(quant[off + k + j]) for j in range(num)]
+                    huffman.encode_spectral(w, book, vals)
+                off += 128
+            idx += 1
+        group_off += glen * 128
+
+
+def write_ics(w: BitWriter, spec: ChannelSpec, config: StreamConfig,
+              common_window: bool) -> None:
+    w.write(spec.global_gain, 8)
+    if not common_window:
+        write_ics_info(w, spec)
+    write_section_data(w, spec)
+    write_scale_factors(w, spec)
+    if spec.pulse is not None:
+        w.write(1, 1)
+        swb, poffs, pamps = spec.pulse
+        w.write(len(poffs) - 1, 2)
+        w.write(swb, 6)
+        prev = None
+        for i, (po, pa) in enumerate(zip(poffs, pamps)):
+            w.write(po, 5)
+            w.write(pa, 4)
+    else:
+        w.write(0, 1)
+    if spec.tns is not None and any(spec.tns):
+        w.write(1, 1)
+        write_tns(w, spec)
+    else:
+        w.write(0, 1)
+    w.write(0, 1)  # gain control
+    write_spectral_data(w, spec, config)
+
+
+def write_sce(w: BitWriter, spec: ChannelSpec, config: StreamConfig,
+              instance: int = 0, lfe: bool = False) -> None:
+    w.write(3 if lfe else 0, 3)
+    w.write(instance, 4)
+    write_ics(w, spec, config, common_window=False)
+
+
+def write_cpe(w: BitWriter, spec: CPESpec, config: StreamConfig,
+              instance: int = 0) -> None:
+    w.write(1, 3)
+    w.write(instance, 4)
+    w.write(1 if spec.common_window else 0, 1)
+    if spec.common_window:
+        write_ics_info(w, spec.left)
+        w.write(spec.ms_type, 2)
+        if spec.ms_type == 1:
+            n = spec.left.group_count * spec.left.max_sfb
+            for i in range(n):
+                w.write(int(spec.ms_used[i]), 1)
+    write_ics(w, spec.left, config, common_window=spec.common_window)
+    write_ics(w, spec.right, config, common_window=spec.common_window)
+
+
+def write_fil(w: BitWriter, count_bytes: int) -> None:
+    """Filler element (decoder.js:187-193 skip path)."""
+    w.write(6, 3)
+    if count_bytes >= 15:
+        w.write(15, 4)
+        w.write(count_bytes - 14, 8)
+    else:
+        w.write(count_bytes, 4)
+    for _ in range(count_bytes):
+        w.write(0xA5, 8)
+
+
+def write_dse(w: BitWriter, payload: bytes, align: bool = True,
+              instance: int = 0) -> None:
+    """Data stream element (decoder.js:167-179 skip path)."""
+    w.write(4, 3)
+    w.write(instance, 4)
+    w.write(1 if align else 0, 1)
+    count = len(payload)
+    if count >= 255:
+        w.write(255, 8)
+        w.write(count - 255, 8)
+    else:
+        w.write(count, 8)
+    if align:
+        w.align()
+    for b in payload:
+        w.write(b, 8)
+
+
+def end_frame(w: BitWriter) -> bytes:
+    w.write(7, 3)  # END
+    w.align()
+    return w.getvalue()
+
+
+def adts_frame(payload: bytes, config: StreamConfig) -> bytes:
+    """Wrap a raw_data_block in a 7-byte ADTS header."""
+    w = BitWriter()
+    length = len(payload) + 7
+    w.write(0xFFF, 12)
+    w.write(0b0001, 4)       # MPEG-4, layer 00, protection absent
+    w.write(config.profile - 1, 2)
+    w.write(config.sample_index, 4)
+    w.write(0, 1)            # private
+    w.write(config.chan_config, 3)
+    w.write(0, 4)            # original/home/(c)/(c)start
+    w.write(length, 13)
+    w.write(0x7FF, 11)       # fullness
+    w.write(0, 2)            # numFrames - 1
+    return w.getvalue() + payload
+
+
+# ---------------------------------------------------------------------------
+# A minimal real encoder (forward MDCT + quantization) for bench corpora
+# ---------------------------------------------------------------------------
+def analysis_matrix(n: int) -> np.ndarray:
+    """Forward MDCT matrix [n, n//2]: X = x_windowed @ analysis_matrix.
+    The *n scale makes windowed 50%-OLA with tables.imdct_matrix an exact
+    perfect-reconstruction pair (verified in test_tables.py)."""
+    return tables.imdct_matrix(n).T * float(n)
+
+
+def quantize_band(x: np.ndarray, sf: int) -> np.ndarray:
+    gain = tables.scalefactor_gain(sf - 100 + tables.SF_OFFSET)
+    q = np.sign(x) * np.floor(np.power(np.abs(x) / gain, 0.75) + 0.4054)
+    return q.astype(np.int64)
+
+
+def encode_pcm(pcm: np.ndarray, config: StreamConfig,
+               target_sf: int = 140) -> bytes:
+    """Encode PCM [n_samples, channels] (float, reference's 32768 scale)
+    into an ADTS stream: ONLY_LONG windows, sine shape, book-11 bands.
+
+    Not rate-controlled — intended to produce realistic coefficient
+    statistics for benchmarks and round-trip SNR tests.
+    """
+    nch = config.channels
+    assert pcm.ndim == 2 and pcm.shape[1] == nch
+    n_frames = pcm.shape[0] // FRAME
+    window = tables.long_window(0)
+    wfull = np.concatenate([window, window[::-1]])
+    amat = analysis_matrix(2048)
+    offsets = config.swb_offsets_long
+    max_sfb = config.swb_count_long
+
+    # pad one frame of lookahead for the final MDCT
+    padded = np.concatenate([np.zeros((FRAME, nch)), pcm,
+                             np.zeros((2 * FRAME, nch))], axis=0)
+    out = bytearray()
+    for f in range(n_frames + 1):
+        w = BitWriter()
+        specs = []
+        for ch in range(nch):
+            seg = padded[f * FRAME:(f + 2) * FRAME, ch]
+            coefs = (seg * wfull) @ amat
+            books = np.zeros(max_sfb, np.int64)
+            sfs = np.zeros(max_sfb, np.int64)
+            quant = np.zeros(FRAME, np.int64)
+            for sfb in range(max_sfb):
+                a, b = int(offsets[sfb]), int(offsets[sfb + 1])
+                band = coefs[a:b]
+                if np.max(np.abs(band)) < 1e-3:
+                    continue
+                sf = target_sf
+                q = quantize_band(band, sf)
+                if not np.any(q):
+                    continue
+                books[sfb] = 11
+                sfs[sfb] = sf
+                quant[a:b] = q
+            spec = ChannelSpec(window_sequence=0, window_shape=0,
+                               max_sfb=max_sfb, global_gain=target_sf,
+                               band_books=books, band_sf=sfs, quant=quant)
+            specs.append(spec)
+        if nch == 2:
+            write_cpe(w, CPESpec(left=specs[0], right=specs[1],
+                                 common_window=True, ms_type=0), config)
+        else:
+            for i, spec in enumerate(specs):
+                write_sce(w, spec, config, instance=i)
+        out += adts_frame(end_frame(w), config)
+    return bytes(out)
