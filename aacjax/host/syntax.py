@@ -534,6 +534,12 @@ def decode_cce(stream: BitReader, config: StreamConfig) -> CCEData:
             ch_select[i] = 2
     coupling_point += stream.read(1)
     coupling_point |= coupling_point >> 1
+    # Normalize the ind_sw encoding {0,1,3} -> {BEFORE_TNS, AFTER_TNS,
+    # AFTER_IMDCT}.  (The reference leaves the value at 3, which matches
+    # none of its coupling points, so its independently-switched coupling
+    # silently never applies — cce.js:69-70 vs cce.js:35.)
+    if coupling_point == 3:
+        coupling_point = AFTER_IMDCT
 
     sign = stream.read(1)
     scale = CCE_SCALE[stream.read(2)]

@@ -54,14 +54,15 @@ class PipelineFlags:
 
 @functools.lru_cache(maxsize=None)
 def _consts():
-    """Device-resident constant tables."""
+    """Constant tables (numpy; embedded as XLA constants at trace time so
+    they are safe to cache across jit traces)."""
     return dict(
-        m_long=jnp.asarray(W.imdct_long_matrix()),          # [1024, 2048]
-        m_short=jnp.asarray(W.imdct_short_matrix()),        # [128, 256]
-        f_table=jnp.asarray(W.first_half_windows()),        # [8, 1024]
-        s_table=jnp.asarray(W.second_half_windows()),       # [8, 1024]
-        rise=jnp.asarray(W.short_rise()),                   # [2, 128]
-        fall=jnp.asarray(W.short_fall()),                   # [2, 128]
+        m_long=W.imdct_long_matrix(),          # [1024, 2048]
+        m_short=W.imdct_short_matrix(),        # [128, 256]
+        f_table=W.first_half_windows(),        # [8, 1024]
+        s_table=W.second_half_windows(),       # [8, 1024]
+        rise=W.short_rise(),                   # [2, 128]
+        fall=W.short_fall(),                   # [2, 128]
     )
 
 
@@ -170,7 +171,8 @@ def filterbank(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
     the overlap carried into the next frame (filter_bank.js:88-204
     semantics for all four window sequences, linearized — see module doc).
     """
-    c = _consts()
+    # fresh jnp constants per trace (cached numpy underneath)
+    c = {k: jnp.asarray(v) for k, v in _consts().items()}
     C, T, F = spec.shape
 
     # Long path: one MXU matmul for IMDCT(2048).

@@ -1,0 +1,81 @@
+"""Multi-chip sharding of the decode pipeline (SURVEY.md §2.10, §5.7-5.8).
+
+Parallel axes:
+  * 'stream' — data parallelism over channel slots (concurrent streams).
+    All per-channel math is slot-local; M/S + intensity pair gathers are
+    stream-local so they never cross shards when whole streams land on one
+    shard (the packer allocates slots contiguously per stream).
+  * 'frame'  — sequence parallelism over the frame axis.  Every frame's
+    IMDCT is independent; the only cross-frame coupling is the overlap-add
+    carry pcm[t] = first[t] + second[t-1], a shifted add along T whose
+    halo is one 1024-sample row per shard boundary — GSPMD lowers it to a
+    single collective-permute over ICI, the analog of ring-attention's
+    block handoff.
+
+Scaling streams across hosts needs no cross-host communication at all
+(each host's streams are self-contained); within a pod, ICI carries the
+frame-axis halo and any residual pair traffic.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aacjax.kernels.pipeline import PipelineFlags, decode_step
+
+
+def make_mesh(n_stream: int, n_frame: int = 1,
+              devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_stream * n_frame, (
+        f"need {n_stream * n_frame} devices, have {devices.size}")
+    grid = devices[: n_stream * n_frame].reshape(n_stream, n_frame)
+    return Mesh(grid, ("stream", "frame"))
+
+
+def batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    """PartitionSpecs for every batch array."""
+    spec3 = P("stream", "frame", None)
+    spec2 = P("stream", "frame")
+    out = {}
+    for k, v in batch.items():
+        if k in ("pair_l", "pair_r"):
+            out[k] = NamedSharding(mesh, P(None))
+        elif k in ("ms_mask", "is_scale"):
+            out[k] = NamedSharding(mesh, P(None, "frame", None))
+        elif k.startswith("cce_src") or k.startswith("cce_dst"):
+            out[k] = NamedSharding(mesh, P(None))
+        elif k.startswith("cce_gain"):
+            out[k] = NamedSharding(mesh, P(None, "frame", None))
+        elif k == "last_valid":
+            out[k] = NamedSharding(mesh, P("stream"))
+        elif v.ndim >= 3:
+            out[k] = NamedSharding(mesh, spec3)
+        else:
+            out[k] = NamedSharding(mesh, spec2)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_decode_step(flags: PipelineFlags, mesh: Mesh):
+    """jit-compiled decode step with explicit input/output shardings over
+    the ('stream', 'frame') mesh."""
+    overlap_sharding = NamedSharding(mesh, P("stream", None))
+    pcm_sharding = NamedSharding(mesh, P("stream", "frame", None))
+
+    def fn(batch, overlap_in):
+        return decode_step(batch, overlap_in, flags)
+
+    return jax.jit(
+        fn,
+        donate_argnums=(1,),
+        out_shardings=(pcm_sharding, overlap_sharding),
+    )
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    shardings = batch_shardings(mesh, batch)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

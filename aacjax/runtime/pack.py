@@ -77,7 +77,8 @@ class ChunkBuilder:
         self._cce: dict[str, list] = {'pre': [], 'post': [], 'time': []}
 
     # -- channels ----------------------------------------------------------
-    def add_channel_frame(self, slot: int, t: int, ch: ChannelStream) -> None:
+    def add_channel_frame(self, slot: int, t: int, ch: ChannelStream,
+                          include_tns: bool = True) -> None:
         info = ch.info
         self.quant[slot, t] = ch.quant
         self.scale[slot, t] = ch.scale_bin
@@ -89,7 +90,7 @@ class ChunkBuilder:
         self.prev_shape_idx[slot, t] = info.prev_window_shape
         self.is_short[slot, t] = seq == 2
         self.last_valid[slot] = max(self.last_valid[slot], t)
-        if ch.tns_filters:
+        if include_tns and ch.tns_filters:
             self.has_tns = True
             nf = nr = 0
             for f in ch.tns_filters:
@@ -154,9 +155,11 @@ class ChunkBuilder:
     # -- coupling ----------------------------------------------------------
     def add_cce_frame(self, cce_slot: int, t: int, cce: CCEData,
                       targets: list[tuple[int, int, int]]) -> None:
-        """targets: list of (dst_slot, gain_index, n_slots_or...) resolved by
-        the caller via resolve_cce_targets()."""
-        self.add_channel_frame(cce_slot, t, cce.ics)
+        """targets: list of (dst_slot, gain_index) resolved by the caller
+        via resolve_cce_targets().  The coupling channel's own TNS side
+        info is not applied, matching the reference (which never runs
+        TNS.process on a CCE's ICStream)."""
+        self.add_channel_frame(cce_slot, t, cce.ics, include_tns=False)
         for dst_slot, gain_idx in targets:
             if cce.coupling_point == AFTER_IMDCT:
                 g = float(cce.gain[gain_idx][0])

@@ -263,6 +263,55 @@ def write_cpe(w: BitWriter, spec: CPESpec, config: StreamConfig,
     write_ics(w, spec.right, config, common_window=spec.common_window)
 
 
+@dataclass
+class CCESpec:
+    """Coupling channel element (cce.js syntax)."""
+    ics: ChannelSpec
+    coupling_point: int = 0                # 0 BEFORE_TNS, 1 AFTER_TNS, 2 AFTER_IMDCT
+    targets: list[tuple[int, int, int]] = field(default_factory=list)
+    # (channel_pair, id_select, ch_select); ch_select meaningful for pairs
+    sign: int = 0
+    scale_idx: int = 1
+    # per extra gain list: (cge, common_gain_delta, per_band_deltas)
+    gain_lists: list[tuple[int, int, list[int]]] = field(default_factory=list)
+
+
+def write_cce(w: BitWriter, spec: CCESpec, config: StreamConfig,
+              instance: int = 0) -> None:
+    w.write(2, 3)  # CCE element
+    w.write(instance, 4)
+    ind_sw = 1 if spec.coupling_point == 2 else 0
+    w.write(ind_sw, 1)
+    w.write(len(spec.targets) - 1, 3)
+    gain_count = 0
+    for pair, idsel, chsel in spec.targets:
+        gain_count += 1
+        w.write(pair, 1)
+        w.write(idsel, 4)
+        if pair:
+            w.write(chsel, 2)
+            if chsel == 3:
+                gain_count += 1
+    w.write(spec.coupling_point & 1, 1)
+    w.write(spec.sign, 1)
+    w.write(spec.scale_idx, 2)
+    write_ics(w, spec.ics, config, common_window=False)
+    # gain element lists: first is implicit (gain 1); others per gain_lists
+    n_coded_bands = int(np.count_nonzero(spec.ics.band_books))
+    for i in range(1, gain_count):
+        cge, common_delta, band_deltas = spec.gain_lists[i - 1]
+        if spec.coupling_point == 2:
+            cge = 1
+        else:
+            w.write(cge, 1)
+        if cge:
+            huffman.encode_scalefactor(w, common_delta + 60)
+        else:
+            assert len(band_deltas) >= n_coded_bands
+            for d in band_deltas[:n_coded_bands]:
+                huffman.encode_scalefactor(w, d + 60)
+
+
 def write_fil(w: BitWriter, count_bytes: int) -> None:
     """Filler element (decoder.js:187-193 skip path)."""
     w.write(6, 3)

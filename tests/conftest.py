@@ -1,13 +1,19 @@
-"""Test configuration: run JAX on CPU with 8 virtual devices so sharding
-tests exercise a multi-chip mesh without TPU hardware (SURVEY.md §4,
-"multi-node without a cluster").  Must run before jax is imported."""
+"""Test configuration.
+
+The container's sitecustomize imports jax and registers the TPU backend at
+interpreter *startup*, before any conftest/test code runs, so the platform
+cannot be chosen from inside Python.  Tests therefore run on whatever
+backend the environment provides:
+
+  * plain `python -m pytest tests/ -x -q`      -> the configured backend
+    (single real TPU chip under axon, or CPU elsewhere); mesh tests that
+    need 8 devices auto-skip.
+  * `scripts/test_cpu.sh`                      -> CPU with 8 virtual
+    devices (XLA_FLAGS=--xla_force_host_platform_device_count=8), the
+    full suite including the ('stream','frame') mesh sharding tests —
+    "multi-node without a cluster" (SURVEY.md §4).
+"""
 import os
 import sys
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

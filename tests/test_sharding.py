@@ -1,0 +1,51 @@
+"""Multi-device sharding tests on an 8-virtual-device CPU mesh.
+
+Run via scripts/test_cpu.sh (sets XLA_FLAGS for 8 virtual devices);
+auto-skips on single-device backends — the driver validates the
+multi-chip path separately through __graft_entry__.dryrun_multichip.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+import __graft_entry__ as graft
+from aacjax.runtime import mesh as meshlib
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (use scripts/test_cpu.sh)")
+
+
+@needs_mesh
+def test_sharded_matches_single_device():
+    """Decode the same chunk on a ('stream','frame') mesh and on one
+    device; results must agree to f32 tolerance."""
+    batch, overlap, flags = graft._example_chunk(n_streams=4, T=4)
+
+    from aacjax.kernels.pipeline import jitted_decode_step
+    pcm_single, ov_single = jitted_decode_step(flags)(batch, overlap.copy())
+
+    m = meshlib.make_mesh(4, 2)
+    step = meshlib.sharded_decode_step(flags, m)
+    sharded = meshlib.shard_batch(m, batch)
+    ov = jax.device_put(overlap.copy(), jax.sharding.NamedSharding(
+        m, jax.sharding.PartitionSpec("stream", None)))
+    pcm_mesh, ov_mesh = step(sharded, ov)
+
+    scale = max(1.0, float(np.abs(np.asarray(pcm_single)).max()))
+    np.testing.assert_allclose(np.asarray(pcm_mesh),
+                               np.asarray(pcm_single), atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(ov_mesh), np.asarray(ov_single),
+                               atol=1e-5 * scale)
+
+
+@needs_mesh
+def test_dryrun_multichip():
+    graft.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    fn, args = graft.entry()
+    pcm, ov = jax.jit(fn)(*args)
+    assert pcm.shape[-1] == 1024
+    assert bool(jax.numpy.isfinite(pcm).all())
