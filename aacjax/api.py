@@ -117,7 +117,9 @@ def decode_adts(data: bytes, chunk_frames: int = 64,
     out = []
     for i in range(0, len(payloads), chunk_frames):
         group = payloads[i:i + chunk_frames]
-        parsed = dec.parse_stream_frames(0, group)
-        pcm = dec.step([parsed])
+        pcm = dec.step_raw([group])
+        if dec.streams[0].failed:
+            raise UnsupportedError(
+                f"stream failed: {dec.streams[0].last_error}")
         out.append(dec.stream_pcm(pcm, 0, len(group)))
     return np.concatenate(out, axis=0), config.sample_rate

