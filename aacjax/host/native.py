@@ -51,6 +51,13 @@ def _load():
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.aacparse_batch_spec.restype = ctypes.c_int
+    lib.aacparse_batch_spec.argtypes = [ctypes.c_void_p] * 7 + [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
     lib.aacparse_chunk.restype = ctypes.c_int
     lib.aacparse_chunk.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # payloads, offsets, n_frames
@@ -111,6 +118,62 @@ class ChunkArrays:
                   self.tns_lpc, self.tns_range, self.ms_mask, self.is_scale,
                   self.pair_slots, self.flags):
             a.fill(0)
+
+
+class SpecBatchArrays:
+    """Dense outputs for the fused host-prep path, whole batch at once."""
+
+    def __init__(self, C: int, T: int):
+        self.C, self.T = C, T
+        self.spec = np.zeros((C, T, FRAME), np.float32)
+        self.meta = np.zeros((C, T, 6), np.int32)
+        self.tns_lpc = np.zeros((C, T, 2, TNS_SLOTS, TNS_ORDER), np.float32)
+        self.tns_range = np.zeros((C, T, 2, TNS_SLOTS, 2), np.int32)
+
+
+def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
+                     sample_indices: np.ndarray, chan_configs: np.ndarray,
+                     base_slots: np.ndarray, n_slots: np.ndarray,
+                     prev_shapes: np.ndarray,
+                     out: SpecBatchArrays) -> tuple[np.ndarray, bool]:
+    """One C call parsing every stream's chunk into final f32 spectra.
+
+    Returns (stream_status [n_streams] int32, has_tns).  Status 0 = ok,
+    3 = needs Python fallback (CCE), other nonzero = stream failed (its
+    decoded-so-far frames remain valid; see aacparse.cc)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native parser not built (make -C native)")
+    n_streams = len(payloads_per_stream)
+    parts: list[bytes] = []
+    frame_lens: list[int] = []
+    stream_frame_start = np.zeros(n_streams + 1, np.int32)
+    for i, payloads in enumerate(payloads_per_stream):
+        payloads = payloads or []
+        parts.extend(payloads)
+        frame_lens.extend(len(p) for p in payloads)
+        stream_frame_start[i + 1] = len(parts)
+    blob = b"".join(parts)
+    frame_offsets = np.zeros(len(parts) + 1, np.int64)
+    np.cumsum(frame_lens, out=frame_offsets[1:])
+    buf = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+
+    status = np.zeros(n_streams, np.int32)
+    has_tns = np.zeros(1, np.int32)
+    errbuf = ctypes.create_string_buffer(256)
+    code = lib.aacparse_batch_spec(
+        _ptr(buf), _ptr(frame_offsets), _ptr(stream_frame_start),
+        _ptr(np.ascontiguousarray(sample_indices, np.int32)),
+        _ptr(np.ascontiguousarray(chan_configs, np.int32)),
+        _ptr(np.ascontiguousarray(base_slots, np.int32)),
+        _ptr(np.ascontiguousarray(n_slots, np.int32)),
+        n_streams, out.C, out.T,
+        _ptr(prev_shapes),
+        _ptr(out.spec), _ptr(out.meta), _ptr(out.tns_lpc), _ptr(out.tns_range),
+        _ptr(status), _ptr(has_tns), errbuf, len(errbuf))
+    if code != ERR_OK:
+        raise NativeParseError(code, errbuf.value.decode(), -1)
+    return status, bool(has_tns[0])
 
 
 def parse_chunk(payloads: list[bytes], sample_index: int, chan_config: int,

@@ -295,3 +295,33 @@ def jitted_decode_step(flags: PipelineFlags):
     def fn(batch, overlap_in):
         return decode_step(batch, overlap_in, flags)
     return jax.jit(fn, donate_argnums=(1,))
+
+
+def decode_spec_step(batch: dict, overlap_in: jax.Array,
+                     flags: PipelineFlags) -> tuple[jax.Array, jax.Array]:
+    """Host-prep decode step: the native parser has already fused
+    dequantization, PNS, M/S and intensity into final float32 spectra
+    (native/aacparse.cc aacparse_batch_spec), quartering the host->device
+    transfer.  The device runs the FLOP-heavy tail: TNS + IMDCT matmuls +
+    windowed overlap-add (+ int16 PCM conversion)."""
+    spec = batch['spec']
+    if flags.has_tns:
+        spec = tns(spec, batch['tns_fwd_lpc'], batch['tns_fwd_start'],
+                   batch['tns_fwd_end'], batch['tns_rev_lpc'],
+                   batch['tns_rev_start'], batch['tns_rev_end'])
+    first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
+                               batch['shape_idx'], batch['prev_shape_idx'],
+                               batch['is_short'])
+    pcm, new_overlap = overlap_add(first, second, overlap_in,
+                                   batch['last_valid'])
+    if flags.out_int16:
+        out = jnp.clip(jnp.round(pcm), -32768.0, 32767.0).astype(jnp.int16)
+        return out, new_overlap
+    return pcm * jnp.float32(1.0 / 32768.0), new_overlap
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_decode_spec_step(flags: PipelineFlags):
+    def fn(batch, overlap_in):
+        return decode_spec_step(batch, overlap_in, flags)
+    return jax.jit(fn, donate_argnums=(1,))

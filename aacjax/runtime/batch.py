@@ -14,7 +14,6 @@ other streams are unaffected (per-stream error isolation, SURVEY.md §5).
 """
 from __future__ import annotations
 
-import concurrent.futures
 import os
 from dataclasses import dataclass, field
 
@@ -26,7 +25,8 @@ from aacjax.host import native
 from aacjax.host.asc import StreamConfig
 from aacjax.host.bitio import BitReader
 from aacjax.host.syntax import CPEData, Frame, SCEData, decode_frame
-from aacjax.kernels.pipeline import PipelineFlags, jitted_decode_step
+from aacjax.kernels.pipeline import (PipelineFlags, jitted_decode_spec_step,
+                                     jitted_decode_step)
 from aacjax.runtime.pack import pack_frames
 
 FRAME = 1024
@@ -67,8 +67,24 @@ class BatchDecoder:
         self.use_native = (native.available() if use_native is None
                            else use_native)
         self._parse_workers = parse_workers or min(os.cpu_count() or 1, 16)
-        self._pool = None
-        self._buffers: dict[str, np.ndarray] | None = None
+        # one shared window-shape history; StreamStates view into it so the
+        # native batch call can update everything in place
+        self.prev_shapes = np.zeros(c, np.int32)
+        for st in self.streams:
+            st.prev_shapes = self.prev_shapes[
+                st.base_slot:st.base_slot + st.n_slots]
+        self._sample_indices = np.array(
+            [st.config.sample_index for st in self.streams], np.int32)
+        self._chan_configs = np.array(
+            [st.config.chan_config for st in self.streams], np.int32)
+        self._base_slots = np.array(
+            [st.base_slot for st in self.streams], np.int32)
+        self._n_slots = np.array(
+            [st.n_slots for st in self.streams], np.int32)
+        self._spec_buffers: native.SpecBatchArrays | None = None
+        from aacjax.runtime.stats import DecodeStats
+        self.stats = DecodeStats(
+            sample_rate=configs[0].sample_rate if configs else 44100)
 
     # -- host parse ---------------------------------------------------------
     def parse_stream_frames(self, stream_idx: int,
@@ -125,157 +141,81 @@ class BatchDecoder:
             block.reshape(nch, n_frames * FRAME).T)
 
     # -- native raw-bytes fast path ------------------------------------------
-    def _ensure_buffers(self) -> dict[str, np.ndarray]:
-        if self._buffers is None:
-            C, T = self.C, self.T
-            n_streams = len(self.streams)
-            P = n_streams * MAX_PAIRS_PER_STREAM
-            self._buffers = dict(
-                quant=np.zeros((C, T, FRAME), np.int32),
-                scale=np.zeros((C, T, FRAME), np.float32),
-                noise=np.zeros((C, T, FRAME), np.float32),
-                meta=np.zeros((C, T, 6), np.int32),
-                tns_lpc=np.zeros((C, T, 2, 8, 20), np.float32),
-                tns_range=np.zeros((C, T, 2, 8, 2), np.int32),
-                ms_mask=np.zeros((P, T, FRAME), np.float32),
-                is_scale=np.zeros((P, T, FRAME), np.float32),
-                pair_slots=np.zeros((P, 2), np.int32),
-                flags=np.zeros((n_streams, 4), np.int32),
-            )
-        return self._buffers
-
-    def _stream_views(self, i: int) -> native.ChunkArrays:
-        b = self._ensure_buffers()
-        st = self.streams[i]
-        lo, hi = st.base_slot, st.base_slot + st.n_slots
-        plo = i * MAX_PAIRS_PER_STREAM
-        phi = plo + MAX_PAIRS_PER_STREAM
-        return native.ChunkArrays(
-            st.n_slots, self.T, MAX_PAIRS_PER_STREAM,
-            views=dict(
-                quant=b['quant'][lo:hi], scale=b['scale'][lo:hi],
-                noise=b['noise'][lo:hi], meta=b['meta'][lo:hi],
-                tns_lpc=b['tns_lpc'][lo:hi], tns_range=b['tns_range'][lo:hi],
-                ms_mask=b['ms_mask'][plo:phi], is_scale=b['is_scale'][plo:phi],
-                pair_slots=b['pair_slots'][plo:phi], flags=b['flags'][i]))
-
     def step_raw(self, payloads_per_stream: list[list[bytes] | None],
-                 out_int16: bool = False) -> np.ndarray:
+                 out_int16: bool = False, materialize: bool = True):
         """Decode one chunk directly from raw_data_block payload bytes.
 
-        Uses the native C++ parser when built (parallel across streams,
-        GIL released); falls back to the Python parse+pack path for the
-        whole chunk when a stream needs features the native path defers
-        (CCE).  Per-stream bitstream errors are isolated: the failing
-        stream's remaining frames are dropped and marked failed, other
+        Native path: ONE C call parses every stream and emits final f32
+        spectra (dequant + PNS + M/S + intensity fused on host,
+        native/aacparse.cc), then one jitted device program runs TNS +
+        IMDCT + overlap-add.  Falls back to the Python parse+pack path
+        for the whole chunk when any stream needs CCE coupling.
+
+        Per-stream bitstream errors are isolated: the failing stream's
+        remaining frames are dropped and it is marked failed; other
         streams are unaffected.
+
+        materialize=False returns the device array without blocking so
+        callers can overlap the next chunk's host parse with this chunk's
+        device work and D2H.
         """
         if not self.use_native:
             return self._step_python_raw(payloads_per_stream)
-        self._out_int16 = out_int16
 
-        b = self._ensure_buffers()
-        for a in b.values():
-            a.fill(0)
-        shape_snapshots = [st.prev_shapes.copy() for st in self.streams]
+        if self._spec_buffers is None:
+            self._spec_buffers = native.SpecBatchArrays(self.C, self.T)
+        out = self._spec_buffers
+        shape_snapshot = self.prev_shapes.copy()
 
-        def parse_one(i: int):
-            payloads = payloads_per_stream[i]
-            if not payloads:
-                return None
-            st = self.streams[i]
-            out = self._stream_views(i)
-            info = native.parse_chunk(
-                payloads, st.config.sample_index, st.config.chan_config,
-                st.prev_shapes, out)
-            st.frames_decoded += len(payloads)
-            return info
+        self.stats.start_step()
+        status, has_tns = native.parse_batch_spec(
+            payloads_per_stream, self._sample_indices, self._chan_configs,
+            self._base_slots, self._n_slots, self.prev_shapes, out)
+        self.stats.end_parse()
 
-        if self._pool is None:
-            self._pool = concurrent.futures.ThreadPoolExecutor(
-                self._parse_workers)
-        futures = {i: self._pool.submit(parse_one, i)
-                   for i in range(len(self.streams))
-                   if payloads_per_stream[i]}
-        fallback = False
-        for i, fut in futures.items():
-            try:
-                fut.result()
-            except native.NeedsPythonFallback:
-                fallback = True
-            except native.NativeParseError as e:
-                st = self.streams[i]
-                st.failed = True
-                st.last_error = str(e)
-                # frames before e.frame already landed in the buffers and
-                # their meta valid-flags are set; later ones stay zero.
-        if fallback:
-            for st, snap in zip(self.streams, shape_snapshots):
-                st.prev_shapes[:] = snap
-            for a in b.values():
-                a.fill(0)
+        if (status == native.ERR_FALLBACK).any():
+            self.prev_shapes[:] = shape_snapshot
             return self._step_python_raw(payloads_per_stream)
-        return self._run_native_step(b)
 
-    def _run_native_step(self, b: dict[str, np.ndarray]) -> np.ndarray:
-        meta = b['meta']
-        valid = meta[:, :, 5] != 0                      # [C,T]
-        any_valid = valid.any(axis=1)
+        for i, st in enumerate(self.streams):
+            code = int(status[i])
+            if code not in (0, native.ERR_FALLBACK):
+                st.failed = True
+                st.last_error = f"native parse error code {code}"
+            elif payloads_per_stream[i]:
+                st.frames_decoded += len(payloads_per_stream[i])
+
+        meta = out.meta
+        valid = meta[:, :, 5] != 0
         last_valid = np.where(
-            any_valid,
+            valid.any(axis=1),
             (self.T - 1) - np.argmax(valid[:, ::-1], axis=1),
             -1).astype(np.int32)
-
-        # compact pair lists (slots with registered pairs)
-        used = (b['pair_slots'][:, 0] != 0) | (b['pair_slots'][:, 1] != 0)
-        # pair (0,1) of stream 0 has slots (0,1) -> not detectable by != 0;
-        # use the per-stream pair counts from flags instead
-        idxs = []
-        for i, st in enumerate(self.streams):
-            n_pairs = int(b['flags'][i][0])
-            for p in range(n_pairs):
-                idxs.append(i * MAX_PAIRS_PER_STREAM + p)
-        del used
-        if idxs:
-            sel = np.asarray(idxs, np.int64)
-            bases = np.asarray(
-                [self.streams[i // MAX_PAIRS_PER_STREAM].base_slot
-                 for i in idxs], np.int32)
-            pair_l = b['pair_slots'][sel, 0] + bases
-            pair_r = b['pair_slots'][sel, 1] + bases
-            ms_mask = b['ms_mask'][sel]
-            is_scale = b['is_scale'][sel]
-        else:
-            pair_l = np.zeros(1, np.int32)
-            pair_r = np.zeros(1, np.int32)
-            ms_mask = np.zeros((1, self.T, FRAME), np.float32)
-            is_scale = np.zeros((1, self.T, FRAME), np.float32)
-
-        has_tns = bool(b['flags'][:, 1].any())
         batch = dict(
-            quant=b['quant'], scale=b['scale'], noise=b['noise'],
+            spec=out.spec,
             f_idx=np.ascontiguousarray(meta[:, :, 0]),
             s_idx=np.ascontiguousarray(meta[:, :, 1]),
             shape_idx=np.ascontiguousarray(meta[:, :, 2]),
             prev_shape_idx=np.ascontiguousarray(meta[:, :, 3]),
             is_short=np.ascontiguousarray(meta[:, :, 4]).astype(bool),
             last_valid=last_valid,
-            pair_l=pair_l.astype(np.int32), pair_r=pair_r.astype(np.int32),
-            ms_mask=ms_mask, is_scale=is_scale,
         )
         if has_tns:
             batch.update(
-                tns_fwd_lpc=np.ascontiguousarray(b['tns_lpc'][:, :, 0]),
-                tns_rev_lpc=np.ascontiguousarray(b['tns_lpc'][:, :, 1]),
-                tns_fwd_start=np.ascontiguousarray(b['tns_range'][:, :, 0, :, 0]),
-                tns_fwd_end=np.ascontiguousarray(b['tns_range'][:, :, 0, :, 1]),
-                tns_rev_start=np.ascontiguousarray(b['tns_range'][:, :, 1, :, 0]),
-                tns_rev_end=np.ascontiguousarray(b['tns_range'][:, :, 1, :, 1]))
-        flags = PipelineFlags(has_stereo=True, has_tns=has_tns, has_cce=False,
-                              out_int16=getattr(self, '_out_int16', False))
-        step_fn = jitted_decode_step(flags)
+                tns_fwd_lpc=np.ascontiguousarray(out.tns_lpc[:, :, 0]),
+                tns_rev_lpc=np.ascontiguousarray(out.tns_lpc[:, :, 1]),
+                tns_fwd_start=np.ascontiguousarray(out.tns_range[:, :, 0, :, 0]),
+                tns_fwd_end=np.ascontiguousarray(out.tns_range[:, :, 0, :, 1]),
+                tns_rev_start=np.ascontiguousarray(out.tns_range[:, :, 1, :, 0]),
+                tns_rev_end=np.ascontiguousarray(out.tns_range[:, :, 1, :, 1]))
+        flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
+                              has_cce=False, out_int16=out_int16)
+        step_fn = jitted_decode_spec_step(flags)
         pcm, self.overlap = step_fn(batch, self.overlap)
-        return np.asarray(pcm)
+        n_stream_frames = sum(len(p) for p in payloads_per_stream if p)
+        self.stats.end_step(n_stream_frames, int(valid.sum()))
+        self.stats.streams_failed = sum(st.failed for st in self.streams)
+        return np.asarray(pcm) if materialize else pcm
 
     def _step_python_raw(self, payloads_per_stream) -> np.ndarray:
         frames_per_stream = []
@@ -297,13 +237,12 @@ class BatchDecoder:
     def save_state(self) -> dict:
         return {
             'overlap': np.asarray(self.overlap),
-            'prev_shapes': [list(st.prev_shapes) for st in self.streams],
+            'prev_shapes': self.prev_shapes.copy(),
             'frames_decoded': [st.frames_decoded for st in self.streams],
         }
 
     def restore_state(self, state: dict) -> None:
         self.overlap = jnp.asarray(state['overlap'])
-        for st, shapes, n in zip(self.streams, state['prev_shapes'],
-                                 state['frames_decoded']):
-            st.prev_shapes = list(shapes)
+        self.prev_shapes[:] = state['prev_shapes']  # in place: keeps views
+        for st, n in zip(self.streams, state['frames_decoded']):
             st.frames_decoded = n

@@ -94,10 +94,16 @@ def main() -> int:
         dec = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
                            use_native=use_native)
         t1 = time.time()
+        pending = None
         for c in range(n_chunks):
             lo = c * args.chunk
             chunk = [p[lo:lo + args.chunk] for p in per_stream_payloads]
-            pcm = dec.step_raw(chunk, out_int16=True)
+            pcm = dec.step_raw(chunk, out_int16=True, materialize=False)
+            if pending is not None:
+                np.asarray(pending)  # drain chunk k-1 while k is in flight
+            pending = pcm
+        if pending is not None:
+            np.asarray(pending)
         wall = time.time() - t1
         audio_seconds = args.streams * n_frames * 1024 / sr
         rt = audio_seconds / wall

@@ -56,57 +56,46 @@ enum ErrCode {
 };
 
 // ---------------------------------------------------------------------
-// Bit reader (MSB first)
+// Bit reader (MSB first) — branch-light 64-bit window loads
 // ---------------------------------------------------------------------
 struct BitReader {
   const uint8_t* data;
   int64_t nbits;
+  int64_t nbytes_;
   int64_t pos = 0;
 
-  BitReader(const uint8_t* d, int64_t nbytes) : data(d), nbits(nbytes * 8) {}
+  BitReader(const uint8_t* d, int64_t nbytes)
+      : data(d), nbits(nbytes * 8), nbytes_(nbytes) {}
 
   bool can(int n) const { return pos + n <= nbits; }
 
-  uint32_t read(int n, bool* ok) {
-    if (!can(n)) { *ok = false; return 0; }
-    uint32_t v = 0;
-    int64_t p = pos;
-    pos += n;
-    while (n > 0) {
-      int byte = static_cast<int>(p >> 3);
-      int bit = static_cast<int>(p & 7);
-      int take = 8 - bit;
-      if (take > n) take = n;
-      uint32_t chunk = (data[byte] >> (8 - bit - take)) & ((1u << take) - 1);
-      v = (v << take) | chunk;
-      p += take;
-      n -= take;
+  // Load up to 25 bits starting at bit position p (zero-padded past end).
+  inline uint32_t window25(int64_t p) const {
+    int64_t byte = p >> 3;
+    uint32_t w;
+    if (byte + 4 <= nbytes_) {
+      w = (static_cast<uint32_t>(data[byte]) << 24)
+          | (static_cast<uint32_t>(data[byte + 1]) << 16)
+          | (static_cast<uint32_t>(data[byte + 2]) << 8)
+          | static_cast<uint32_t>(data[byte + 3]);
+    } else {
+      w = 0;
+      for (int i = 0; i < 4; ++i)
+        if (byte + i < nbytes_) w |= static_cast<uint32_t>(data[byte + i])
+                                     << (24 - 8 * i);
     }
+    return w << (p & 7) >> 7;  // 25 valid top bits, right-aligned at bit 24
+  }
+
+  uint32_t read(int n, bool* ok) {  // n <= 25
+    if (!can(n)) { *ok = false; return 0; }
+    uint32_t v = window25(pos) >> (25 - n);
+    pos += n;
     return v;
   }
 
-  // peek up to 24 bits, zero-padded past the end
-  uint32_t peek_padded(int n) const {
-    uint32_t v = 0;
-    int got = 0;
-    int64_t p = pos;
-    while (got < n) {
-      int take = 8 - static_cast<int>(p & 7);
-      if (take > n - got) take = n - got;
-      uint32_t chunk;
-      if (p >= nbits) {
-        chunk = 0;
-      } else {
-        int byte = static_cast<int>(p >> 3);
-        int bit = static_cast<int>(p & 7);
-        chunk = (data[byte] >> (8 - bit - take)) & ((1u << take) - 1);
-      }
-      v = (v << take) | chunk;
-      p += take;
-      got += take;
-    }
-    return v;
-  }
+  // peek up to 25 bits, zero-padded past the end
+  uint32_t peek_padded(int n) const { return window25(pos) >> (25 - n); }
 
   bool advance(int64_t n) {
     if (pos + n > nbits) return false;
@@ -158,12 +147,24 @@ struct HuffLut {
 };
 
 HuffLut g_books[12];
+float g_iq_lut[8192];
 bool g_init_done = false;
 
 void ensure_init() {
   if (g_init_done) return;
   for (int i = 0; i < 12; ++i) g_books[i].build(kBooks[i]);
+  for (int i = 0; i < 8192; ++i)
+    g_iq_lut[i] = static_cast<float>(pow(static_cast<double>(i), 4.0 / 3.0));
   g_init_done = true;
+}
+
+// sign(q) * |q|^(4/3) in float32 (escape values beyond the LUT computed
+// directly — SURVEY.md §7 quirk 5)
+inline float inverse_quant(int32_t q) {
+  uint32_t a = q < 0 ? static_cast<uint32_t>(-q) : static_cast<uint32_t>(q);
+  float m = a < 8192 ? g_iq_lut[a]
+                     : static_cast<float>(pow(static_cast<double>(a), 4.0 / 3.0));
+  return q < 0 ? -m : m;
 }
 
 // band types
@@ -637,6 +638,81 @@ void expand_per_bin(const ICSInfo& info, const float* values, float* out) {
 }  // namespace
 
 // ---------------------------------------------------------------------
+// Fused spectral finalization (host-prep mode): dequant + PNS + M/S + IS
+// collapse into one float32 spectrum per channel-frame, so the host->device
+// transfer is 4KB/channel-frame instead of 16KB (quant+scale+noise+masks).
+// The device then runs TNS + IMDCT + overlap-add only.
+// ---------------------------------------------------------------------
+void finalize_spec(const Channel& ch, float* spec_row) {
+  for (int i = 0; i < kFrameLen; ++i)
+    spec_row[i] = inverse_quant(ch.quant[i]) * ch.scale[i] + ch.noise[i];
+}
+
+// M/S then intensity, matching decoder.js:379-404 / 337-376 and the
+// device-path masks in runtime/pack.py.
+void apply_stereo(const Channel& left, const Channel& right,
+                  const float* ms_used, bool mask_present,
+                  float* ls, float* rs) {
+  const ICSInfo& li = left.info;
+  if (mask_present) {
+    int idx = 0, group_off = 0;
+    for (int g = 0; g < li.group_count; ++g) {
+      int glen = li.group_length[g];
+      for (int sfb = 0; sfb < li.max_sfb; ++sfb, ++idx) {
+        if (ms_used[idx] == 0.0f) continue;
+        if (left.band_types[idx] >= NOISE_BT
+            || right.band_types[idx] >= NOISE_BT) continue;
+        int off = li.swb_offsets[sfb];
+        int width = li.swb_offsets[sfb + 1] - off;
+        for (int w = 0; w < glen; ++w) {
+          float* lp = ls + group_off + w * 128 + off;
+          float* rp = rs + group_off + w * 128 + off;
+          for (int k = 0; k < width; ++k) {
+            float t = lp[k] - rp[k];
+            lp[k] = lp[k] + rp[k];
+            rp[k] = t;
+          }
+        }
+      }
+      group_off += glen * 128;
+    }
+  }
+  // intensity (uses the right channel's band structure)
+  const ICSInfo& ri = right.info;
+  int idx = 0, group_off = 0;
+  for (int g = 0; g < ri.group_count; ++g) {
+    int glen = ri.group_length[g];
+    for (int sfb = 0; sfb < ri.max_sfb; ++sfb, ++idx) {
+      int bt = right.band_types[idx];
+      if (bt != INTENSITY_BT && bt != INTENSITY_BT2) continue;
+      float c = bt == INTENSITY_BT ? 1.0f : -1.0f;
+      if (mask_present && ms_used[idx] != 0.0f) c = -c;
+      float scale = c * right.sf_gain[idx];
+      int off = ri.swb_offsets[sfb];
+      int width = ri.swb_offsets[sfb + 1] - off;
+      for (int w = 0; w < glen; ++w) {
+        const float* lp = ls + group_off + w * 128 + off;
+        float* rp = rs + group_off + w * 128 + off;
+        for (int k = 0; k < width; ++k) rp[k] = lp[k] * scale;
+      }
+    }
+    group_off += glen * 128;
+  }
+}
+
+// thread-local per-channel scratch for the spec path
+struct ChannelScratch {
+  int32_t quant[kFrameLen];
+  float scale[kFrameLen];
+  float noise[kFrameLen];
+  void reset() {
+    memset(quant, 0, sizeof(quant));
+    memset(scale, 0, sizeof(scale));
+    memset(noise, 0, sizeof(noise));
+  }
+};
+
+// ---------------------------------------------------------------------
 // C API
 // ---------------------------------------------------------------------
 extern "C" {
@@ -838,6 +914,212 @@ int aacparse_chunk(const uint8_t* payloads, const int64_t* offsets,
   return OK;
 }
 
-int aacparse_version() { return 1; }
+// Parse and spectrally finalize a whole multi-stream chunk in one call.
+//
+// Per stream s, frames are blob[frame_offsets[i] .. frame_offsets[i+1])
+// for i in [stream_frame_start[s], stream_frame_start[s+1]).  Outputs are
+// final float32 spectra (dequant + PNS + M/S + intensity applied) plus
+// window meta and resolved TNS filters; the device runs TNS + IMDCT + OLA.
+//
+// stream_status[s]: 0 ok, else ErrCode (3 = needs python fallback / CCE).
+// A failing stream keeps its earlier frames' outputs; others unaffected.
+int aacparse_batch_spec(
+    const uint8_t* blob, const int64_t* frame_offsets,
+    const int32_t* stream_frame_start,
+    const int32_t* sample_index_arr, const int32_t* chan_config_arr,
+    const int32_t* base_slot_arr, const int32_t* n_slots_arr,
+    int n_streams, int total_slots, int T,
+    int32_t* prev_shapes,
+    float* spec,        // [total_slots, T, 1024]
+    int32_t* meta,      // [total_slots, T, 6]
+    float* tns_lpc,     // [total_slots, T, 2, 8, 20]
+    int32_t* tns_range, // [total_slots, T, 2, 8, 2]
+    int32_t* stream_status,  // [n_streams]
+    int32_t* has_tns_out,    // [1]
+    char* errbuf, int errbuf_len) {
+  ensure_init();
+  (void)total_slots;
+  bool any_tns = false;
+  static thread_local ChannelScratch scratch[2];
+
+  for (int s = 0; s < n_streams; ++s) {
+    stream_status[s] = OK;
+    StreamConfig cfg{sample_index_arr[s], chan_config_arr[s]};
+    int base = base_slot_arr[s];
+    int n_slots = n_slots_arr[s];
+    int f_lo = stream_frame_start[s];
+    int f_hi = stream_frame_start[s + 1];
+    int n_frames = f_hi - f_lo;
+    if (n_frames > T) { stream_status[s] = ERR_BOUNDS; continue; }
+
+    // zero this stream's meta + tns region (spec rows of valid frames are
+    // fully overwritten; invalid frames carry valid=0 and are discarded)
+    for (int sl = base; sl < base + n_slots; ++sl) {
+      memset(meta + static_cast<size_t>(sl) * T * 6, 0,
+             sizeof(int32_t) * T * 6);
+      memset(tns_lpc + static_cast<size_t>(sl) * T * 2 * kTnsSlots * kTnsOrder,
+             0, sizeof(float) * T * 2 * kTnsSlots * kTnsOrder);
+      memset(tns_range + static_cast<size_t>(sl) * T * 2 * kTnsSlots * 2, 0,
+             sizeof(int32_t) * T * 2 * kTnsSlots * 2);
+    }
+
+    ParseError err{OK, ""};
+    for (int t = 0; t < n_frames; ++t) {
+      const uint8_t* fdata = blob + frame_offsets[f_lo + t];
+      int64_t flen = frame_offsets[f_lo + t + 1] - frame_offsets[f_lo + t];
+      BitReader br(fdata, flen);
+      bool ok = true;
+      if (br.nbits >= 12 && br.peek_padded(12) == 0xFFF) {
+        bool hok = br.advance(15);
+        bool prot_absent = br.read(1, &ok);
+        hok = hok && ok && br.advance(40);
+        if (hok && !prot_absent) hok = br.advance(16);
+        if (!hok) { err = {ERR_BITSTREAM, "adts: eof"}; goto sfail; }
+      }
+      {
+        int slot = base;
+        const int slot_end = base + n_slots;
+        for (;;) {
+          int etype = static_cast<int>(br.read(3, &ok));
+          if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto sfail; }
+          if (etype == END_ELEM) break;
+          int eid = static_cast<int>(br.read(4, &ok));
+          if (etype == SCE_ELEM || etype == LFE_ELEM) {
+            if (slot >= slot_end) { err = {ERR_BOUNDS, "too many channels"}; goto sfail; }
+            Channel ch;
+            scratch[0].reset();
+            ch.quant = scratch[0].quant;
+            ch.scale = scratch[0].scale;
+            ch.noise = scratch[0].noise;
+            if (!decode_ics(&br, cfg, &ch, nullptr, prev_shapes[slot], &err))
+              goto sfail;
+            float* row = spec + (static_cast<size_t>(slot) * T + t) * kFrameLen;
+            finalize_spec(ch, row);
+            {
+              int32_t* m = meta + (static_cast<size_t>(slot) * T + t) * 6;
+              int seq = ch.info.window_sequence;
+              m[0] = seq * 2 + ch.info.prev_window_shape;
+              m[1] = seq * 2 + ch.info.window_shape;
+              m[2] = ch.info.window_shape;
+              m[3] = ch.info.prev_window_shape;
+              m[4] = seq == EIGHT_SHORT ? 1 : 0;
+              m[5] = 1;
+            }
+            prev_shapes[slot] = ch.info.window_shape;
+            if (ch.tns_present) {
+              bool any = false;
+              const int32_t* mb = ch.info.window_sequence == EIGHT_SHORT
+                                      ? kTnsMaxBandsShort : kTnsMaxBandsLong;
+              size_t tb = (static_cast<size_t>(slot) * T + t);
+              if (!resolve_tns(&ch, mb[cfg.sample_index],
+                               tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
+                               tns_range + tb * 2 * kTnsSlots * 2, &any)) {
+                err = {ERR_BITSTREAM, "tns slots exceeded"}; goto sfail;
+              }
+              any_tns |= any;
+            }
+            slot += 1;
+          } else if (etype == CPE_ELEM) {
+            if (slot + 2 > slot_end) { err = {ERR_BOUNDS, "too many channels"}; goto sfail; }
+            bool common_window = br.read(1, &ok);
+            ICSInfo shared;
+            float ms_used[kMaxSections] = {0};
+            bool mask_present = false;
+            if (common_window) {
+              if (!decode_ics_info(&br, cfg, &shared, prev_shapes[slot], &err))
+                goto sfail;
+              int mask = static_cast<int>(br.read(2, &ok));
+              mask_present = mask != 0;
+              if (mask == 1) {
+                int nmask = shared.group_count * shared.max_sfb;
+                for (int i = 0; i < nmask; ++i)
+                  ms_used[i] = br.read(1, &ok) ? 1.0f : 0.0f;
+              } else if (mask == 2) {
+                for (int i = 0; i < kMaxSections; ++i) ms_used[i] = 1.0f;
+              } else if (mask == 3) {
+                err = {ERR_BITSTREAM, "Reserved ms mask type: 3"}; goto sfail;
+              }
+            }
+            Channel left, right;
+            scratch[0].reset();
+            scratch[1].reset();
+            left.quant = scratch[0].quant;
+            left.scale = scratch[0].scale;
+            left.noise = scratch[0].noise;
+            right.quant = scratch[1].quant;
+            right.scale = scratch[1].scale;
+            right.noise = scratch[1].noise;
+            if (!decode_ics(&br, cfg, &left, common_window ? &shared : nullptr,
+                            prev_shapes[slot], &err)) goto sfail;
+            if (!decode_ics(&br, cfg, &right, common_window ? &shared : nullptr,
+                            prev_shapes[slot + 1], &err)) goto sfail;
+            float* lrow = spec + (static_cast<size_t>(slot) * T + t) * kFrameLen;
+            float* rrow = spec + (static_cast<size_t>(slot + 1) * T + t) * kFrameLen;
+            finalize_spec(left, lrow);
+            finalize_spec(right, rrow);
+            apply_stereo(left, right, ms_used, mask_present, lrow, rrow);
+            for (int which = 0; which < 2; ++which) {
+              Channel* ch = which ? &right : &left;
+              int sl = slot + which;
+              int32_t* m = meta + (static_cast<size_t>(sl) * T + t) * 6;
+              int seq = ch->info.window_sequence;
+              m[0] = seq * 2 + ch->info.prev_window_shape;
+              m[1] = seq * 2 + ch->info.window_shape;
+              m[2] = ch->info.window_shape;
+              m[3] = ch->info.prev_window_shape;
+              m[4] = seq == EIGHT_SHORT ? 1 : 0;
+              m[5] = 1;
+              prev_shapes[sl] = ch->info.window_shape;
+              if (ch->tns_present) {
+                bool any = false;
+                const int32_t* mb = ch->info.window_sequence == EIGHT_SHORT
+                                        ? kTnsMaxBandsShort : kTnsMaxBandsLong;
+                size_t tb = (static_cast<size_t>(sl) * T + t);
+                if (!resolve_tns(ch, mb[cfg.sample_index],
+                                 tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
+                                 tns_range + tb * 2 * kTnsSlots * 2, &any)) {
+                  err = {ERR_BITSTREAM, "tns slots exceeded"}; goto sfail;
+                }
+                any_tns |= any;
+              }
+            }
+            slot += 2;
+          } else if (etype == CCE_ELEM) {
+            err = {ERR_FALLBACK, "CCE: python fallback"};
+            goto sfail;
+          } else if (etype == DSE_ELEM) {
+            int align = static_cast<int>(br.read(1, &ok));
+            int count = static_cast<int>(br.read(8, &ok));
+            if (count == 255) count += static_cast<int>(br.read(8, &ok));
+            if (align) br.align();
+            if (!br.advance(static_cast<int64_t>(count) * 8)) {
+              err = {ERR_BITSTREAM, "dse: eof"}; goto sfail;
+            }
+          } else if (etype == PCE_ELEM) {
+            err = {ERR_UNSUPPORTED, "PCE_ELEMENT not supported"}; goto sfail;
+          } else if (etype == FIL_ELEM) {
+            int cnt = eid;
+            if (cnt == 15) cnt += static_cast<int>(br.read(8, &ok)) - 1;
+            if (!br.advance(static_cast<int64_t>(cnt) * 8)) {
+              err = {ERR_BITSTREAM, "fil: eof"}; goto sfail;
+            }
+          } else {
+            err = {ERR_BITSTREAM, "Unknown element"}; goto sfail;
+          }
+          if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto sfail; }
+        }
+      }
+      continue;
+    sfail:
+      stream_status[s] = err.code;
+      snprintf(errbuf, errbuf_len, "stream %d frame %d: %s", s, t, err.msg);
+      break;
+    }
+  }
+  has_tns_out[0] = any_tns ? 1 : 0;
+  return OK;
+}
+
+int aacparse_version() { return 2; }
 
 }  // extern "C"
