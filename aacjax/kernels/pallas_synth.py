@@ -1,0 +1,163 @@
+"""Fused Pallas TPU kernel for the synthesis filterbank.
+
+One kernel invocation computes, for a tile of channel-frames:
+
+    long path : spec[TILE,1024] @ M_long[1024,2048]          (MXU)
+    short path: spec.reshape(TILE*8,128) @ M_short[128,256]  (MXU)
+    window    : per-row window vectors selected from the 8-row F/S tables
+                via one-hot matmuls (no gathers, stays on MXU/VPU)
+    OLA       : the EIGHT_SHORT intra-frame overlap-add of the 8 windowed
+                sub-blocks, then branch-free select between paths
+
+producing the frame's (first, second) 1024-sample halves.  The cross-frame
+overlap-add (one shifted add along T) stays outside the kernel.
+
+Everything the kernel needs — both IMDCT matrices (8.4 MB f32), the window
+tables (40 KB) and a spec tile — fits in VMEM, so each channel-frame's
+spectrum is read from HBM exactly once and its output written exactly
+once: the kernel is HBM-minimal.  Replaces the reference's per-sample JS
+loops (mdct.js, fft.js, filter_bank.js — SURVEY.md §2.9).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aacjax.kernels import windows as W
+
+FRAME = 1024
+TILE = 8  # channel-frames per grid step
+
+
+def _synthesis_kernel(spec_ref, f_idx_ref, s_idx_ref, shape_ref,
+                      prev_shape_ref, is_short_ref,
+                      m_long_ref, m_short_ref, f_tab_ref, s_tab_ref,
+                      rise_ref, fall_ref,
+                      first_ref, second_ref):
+    spec = spec_ref[:]                                   # [TILE, 1024]
+
+    # ---- long path: IMDCT(2048) as one MXU matmul
+    long_out = jax.lax.dot_general(
+        spec, m_long_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [TILE, 2048]
+
+    # ---- short path: 8 x IMDCT(256)
+    blocks = jax.lax.dot_general(
+        spec.reshape(TILE * 8, 128), m_short_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [TILE*8, 256]
+    blocks = blocks.reshape(TILE, 8, 256)
+
+    # ---- per-row window vectors via one-hot matmuls (8 combos, 2 shapes)
+    def onehot(idx, n):
+        return (idx[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (idx.shape[0], n), 1)).astype(jnp.float32)
+
+    f_idx = f_idx_ref[:].reshape(TILE)
+    s_idx = s_idx_ref[:].reshape(TILE)
+    shape = shape_ref[:].reshape(TILE)
+    prev_shape = prev_shape_ref[:].reshape(TILE)
+    f_win = onehot(f_idx, 8) @ f_tab_ref[:]              # [TILE, 1024]
+    s_win = onehot(s_idx, 8) @ s_tab_ref[:]
+    rise_cur = onehot(shape, 2) @ rise_ref[:]            # [TILE, 128]
+    rise_prev = onehot(prev_shape, 2) @ rise_ref[:]
+    fall_cur = onehot(shape, 2) @ fall_ref[:]
+
+    # ---- EIGHT_SHORT windowing + intra-frame OLA (static unroll over 8)
+    t_short = jnp.zeros((TILE, 2 * FRAME), jnp.float32)
+    for w in range(8):
+        rise = rise_prev if w == 0 else rise_cur
+        windowed = jnp.concatenate(
+            [blocks[:, w, :128] * rise, blocks[:, w, 128:] * fall_cur],
+            axis=1)                                       # [TILE, 256]
+        off = W.MID + 128 * w
+        t_short = jax.lax.dynamic_update_slice(
+            t_short,
+            jax.lax.dynamic_slice(t_short, (0, off), (TILE, 256)) + windowed,
+            (0, off))
+
+    first_long = long_out[:, :FRAME] * f_win
+    second_long = long_out[:, FRAME:] * s_win
+
+    sel = (is_short_ref[:].reshape(TILE) != 0)[:, None]
+    first_ref[:] = jnp.where(sel, t_short[:, :FRAME], first_long)
+    second_ref[:] = jnp.where(sel, t_short[:, FRAME:], second_long)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_f32():
+    return (W.imdct_long_matrix(), W.imdct_short_matrix(),
+            W.first_half_windows(), W.second_half_windows(),
+            W.short_rise(), W.short_fall())
+
+
+def synthesis(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
+              shape_idx: jax.Array, prev_shape_idx: jax.Array,
+              is_short: jax.Array,
+              interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Pallas filterbank over a flat batch.
+
+    spec [B, 1024] float32; index arrays [B] int32.  Returns
+    (first [B, 1024], second [B, 1024]).  B must be a multiple of TILE
+    (the runtime's C*T batches are; pad otherwise).
+    """
+    B = spec.shape[0]
+    assert B % TILE == 0, f"batch {B} not a multiple of {TILE}"
+    m_long, m_short, f_tab, s_tab, rise, fall = _tables_f32()
+
+    grid = (B // TILE,)
+    row_spec = pl.BlockSpec((TILE, FRAME), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: tuple(0 for _ in arr.shape),
+                            memory_space=pltpu.VMEM)
+
+    first, second = pl.pallas_call(
+        _synthesis_kernel,
+        grid=grid,
+        in_specs=[
+            row_spec,                     # spec
+            idx_spec, idx_spec, idx_spec, idx_spec, idx_spec,
+            const_spec(m_long), const_spec(m_short),
+            const_spec(f_tab), const_spec(s_tab),
+            const_spec(rise), const_spec(fall),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, FRAME), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, FRAME), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, FRAME), jnp.float32),
+            jax.ShapeDtypeStruct((B, FRAME), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=B * (1024 * 2048 * 2 + 8 * 128 * 256 * 2),
+            bytes_accessed=B * FRAME * 4 * 3,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        spec,
+        f_idx.reshape(B // TILE, TILE).astype(jnp.int32),
+        s_idx.reshape(B // TILE, TILE).astype(jnp.int32),
+        shape_idx.reshape(B // TILE, TILE).astype(jnp.int32),
+        prev_shape_idx.reshape(B // TILE, TILE).astype(jnp.int32),
+        is_short.reshape(B // TILE, TILE).astype(jnp.int32),
+        jnp.asarray(m_long), jnp.asarray(m_short),
+        jnp.asarray(f_tab), jnp.asarray(s_tab),
+        jnp.asarray(rise), jnp.asarray(fall),
+    )
+    return first, second

@@ -50,7 +50,8 @@ class PipelineFlags:
     has_stereo: bool = True
     has_tns: bool = False
     has_cce: bool = False
-    out_int16: bool = False  # deliver PCM as int16 samples (halves D2H)
+    out_int16: bool = False   # deliver PCM as int16 samples (halves D2H)
+    use_pallas: bool = False  # fused Pallas synthesis kernel (TPU)
 
 
 @functools.lru_cache(maxsize=None)
@@ -309,9 +310,22 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
         spec = tns(spec, batch['tns_fwd_lpc'], batch['tns_fwd_start'],
                    batch['tns_fwd_end'], batch['tns_rev_lpc'],
                    batch['tns_rev_start'], batch['tns_rev_end'])
-    first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
-                               batch['shape_idx'], batch['prev_shape_idx'],
-                               batch['is_short'])
+    C, T, F = spec.shape
+    if flags.use_pallas and (C * T) % 8 == 0:
+        from aacjax.kernels.pallas_synth import synthesis
+        first, second = synthesis(
+            spec.reshape(C * T, F),
+            batch['f_idx'].reshape(C * T), batch['s_idx'].reshape(C * T),
+            batch['shape_idx'].reshape(C * T),
+            batch['prev_shape_idx'].reshape(C * T),
+            batch['is_short'].reshape(C * T).astype(jnp.int32))
+        first = first.reshape(C, T, F)
+        second = second.reshape(C, T, F)
+    else:
+        first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
+                                   batch['shape_idx'],
+                                   batch['prev_shape_idx'],
+                                   batch['is_short'])
     pcm, new_overlap = overlap_add(first, second, overlap_in,
                                    batch['last_valid'])
     if flags.out_int16:

@@ -142,7 +142,8 @@ class BatchDecoder:
 
     # -- native raw-bytes fast path ------------------------------------------
     def step_raw(self, payloads_per_stream: list[list[bytes] | None],
-                 out_int16: bool = False, materialize: bool = True):
+                 out_int16: bool = False, materialize: bool = True,
+                 use_pallas: bool | None = None):
         """Decode one chunk directly from raw_data_block payload bytes.
 
         Native path: ONE C call parses every stream and emits final f32
@@ -161,10 +162,21 @@ class BatchDecoder:
         """
         if not self.use_native:
             return self._step_python_raw(payloads_per_stream)
+        parsed = self._parse_native(payloads_per_stream)
+        if parsed is None:  # CCE somewhere -> whole-chunk python fallback
+            return self._step_python_raw(payloads_per_stream)
+        pcm = self._device_step(parsed, out_int16=out_int16,
+                                use_pallas=use_pallas)
+        return np.asarray(pcm) if materialize else pcm
 
+    def _parse_native(self, payloads_per_stream, buf_slot: int = 0):
+        """Native parse into buffer `buf_slot` (double-buffered for the
+        pipelined path).  Returns a batch dict of numpy arrays, or None if
+        any stream needs the Python fallback (CCE)."""
         if self._spec_buffers is None:
-            self._spec_buffers = native.SpecBatchArrays(self.C, self.T)
-        out = self._spec_buffers
+            self._spec_buffers = [native.SpecBatchArrays(self.C, self.T),
+                                  native.SpecBatchArrays(self.C, self.T)]
+        out = self._spec_buffers[buf_slot]
         shape_snapshot = self.prev_shapes.copy()
 
         self.stats.start_step()
@@ -175,7 +187,7 @@ class BatchDecoder:
 
         if (status == native.ERR_FALLBACK).any():
             self.prev_shapes[:] = shape_snapshot
-            return self._step_python_raw(payloads_per_stream)
+            return None
 
         for i, st in enumerate(self.streams):
             code = int(status[i])
@@ -208,14 +220,56 @@ class BatchDecoder:
                 tns_fwd_end=np.ascontiguousarray(out.tns_range[:, :, 0, :, 1]),
                 tns_rev_start=np.ascontiguousarray(out.tns_range[:, :, 1, :, 0]),
                 tns_rev_end=np.ascontiguousarray(out.tns_range[:, :, 1, :, 1]))
+        batch['_has_tns'] = has_tns
+        batch['_n_stream_frames'] = sum(
+            len(p) for p in payloads_per_stream if p)
+        batch['_n_channel_frames'] = int(valid.sum())
+        return batch
+
+    def _device_step(self, batch: dict, out_int16: bool,
+                     use_pallas: bool | None = None):
+        has_tns = batch.pop('_has_tns')
+        n_stream_frames = batch.pop('_n_stream_frames')
+        n_channel_frames = batch.pop('_n_channel_frames')
+        if use_pallas is None:
+            use_pallas = os.environ.get("AACJAX_PALLAS", "0") == "1"
         flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
-                              has_cce=False, out_int16=out_int16)
+                              has_cce=False, out_int16=out_int16,
+                              use_pallas=use_pallas)
         step_fn = jitted_decode_spec_step(flags)
         pcm, self.overlap = step_fn(batch, self.overlap)
-        n_stream_frames = sum(len(p) for p in payloads_per_stream if p)
-        self.stats.end_step(n_stream_frames, int(valid.sum()))
+        self.stats.end_step(n_stream_frames, n_channel_frames)
         self.stats.streams_failed = sum(st.failed for st in self.streams)
-        return np.asarray(pcm) if materialize else pcm
+        return pcm
+
+    def decode_pipelined(self, chunk_iter, out_int16: bool = True):
+        """Generator decoding an iterator of payload chunks with host/device
+        overlap: while the device (and the host<->device link) works on
+        chunk k, the main thread parses chunk k+1 into the other buffer.
+        The C parse releases the GIL, and the device call runs on a worker
+        thread, so on a single-core host the CPU parses while the link
+        transfers.  Yields materialized PCM arrays in order."""
+        import concurrent.futures
+        pool = concurrent.futures.ThreadPoolExecutor(1)
+        pending = None
+        slot = 0
+        try:
+            for chunk in chunk_iter:
+                parsed = self._parse_native(chunk, buf_slot=slot)
+                if pending is not None:
+                    yield np.asarray(pending.result())
+                    pending = None
+                if parsed is None:
+                    yield self._step_python_raw(chunk)
+                    continue
+                pending = pool.submit(
+                    lambda b: np.asarray(
+                        self._device_step(b, out_int16=out_int16)), parsed)
+                slot ^= 1
+            if pending is not None:
+                yield np.asarray(pending.result())
+        finally:
+            pool.shutdown(wait=False)
 
     def _step_python_raw(self, payloads_per_stream) -> np.ndarray:
         frames_per_stream = []

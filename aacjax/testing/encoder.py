@@ -348,12 +348,15 @@ def end_frame(w: BitWriter) -> bytes:
     return w.getvalue()
 
 
-def adts_frame(payload: bytes, config: StreamConfig) -> bytes:
-    """Wrap a raw_data_block in a 7-byte ADTS header."""
+def adts_frame(payload: bytes, config: StreamConfig,
+               crc: bool = False) -> bytes:
+    """Wrap a raw_data_block in a 7-byte ADTS header (9 with CRC)."""
     w = BitWriter()
-    length = len(payload) + 7
+    header_len = 9 if crc else 7
+    length = len(payload) + header_len
     w.write(0xFFF, 12)
-    w.write(0b0001, 4)       # MPEG-4, layer 00, protection absent
+    w.write(0b000, 3)            # MPEG-4, layer 00
+    w.write(0 if crc else 1, 1)  # protection_absent
     w.write(config.profile - 1, 2)
     w.write(config.sample_index, 4)
     w.write(0, 1)            # private
@@ -362,6 +365,8 @@ def adts_frame(payload: bytes, config: StreamConfig) -> bytes:
     w.write(length, 13)
     w.write(0x7FF, 11)       # fullness
     w.write(0, 2)            # numFrames - 1
+    if crc:
+        w.write(0xFFFF, 16)  # CRC placeholder (decoders skip it)
     return w.getvalue() + payload
 
 
@@ -420,7 +425,21 @@ def encode_pcm(pcm: np.ndarray, config: StreamConfig,
                 q = quantize_band(band, sf)
                 if not np.any(q):
                     continue
-                books[sfb] = 11
+                # cheapest codebook covering the band's max magnitude,
+                # like a real encoder's book selection
+                m = int(np.max(np.abs(q)))
+                if m <= 1:
+                    books[sfb] = 2
+                elif m <= 2:
+                    books[sfb] = 4
+                elif m <= 4:
+                    books[sfb] = 6
+                elif m <= 7:
+                    books[sfb] = 8
+                elif m <= 12:
+                    books[sfb] = 10
+                else:
+                    books[sfb] = 11
                 sfs[sfb] = sf
                 quant[a:b] = q
             spec = ChannelSpec(window_sequence=0, window_shape=0,

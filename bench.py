@@ -54,6 +54,8 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-native", action="store_true")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="overlap host parse with device work (multi-core hosts)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -89,21 +91,31 @@ def main() -> int:
     warm.step_raw([p[:args.chunk] for p in per_stream_payloads],
                   out_int16=True)
 
+    def chunks():
+        for c in range(n_chunks):
+            lo = c * args.chunk
+            yield [p[lo:lo + args.chunk] for p in per_stream_payloads]
+
     best = 0.0
     for _rep in range(args.repeats):
         dec = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
                            use_native=use_native)
         t1 = time.time()
-        pending = None
-        for c in range(n_chunks):
-            lo = c * args.chunk
-            chunk = [p[lo:lo + args.chunk] for p in per_stream_payloads]
-            pcm = dec.step_raw(chunk, out_int16=True, materialize=False)
+        if use_native and args.pipelined:
+            # host parse of chunk k+1 overlaps device/link work of chunk k
+            # (wins on multi-core hosts; on a 1-core host the link transfer
+            # itself is CPU-bound and overlap just thrashes)
+            for _pcm in dec.decode_pipelined(chunks(), out_int16=True):
+                pass
+        else:
+            pending = None
+            for chunk in chunks():
+                pcm = dec.step_raw(chunk, out_int16=True, materialize=False)
+                if pending is not None:
+                    np.asarray(pending)
+                pending = pcm
             if pending is not None:
-                np.asarray(pending)  # drain chunk k-1 while k is in flight
-            pending = pcm
-        if pending is not None:
-            np.asarray(pending)
+                np.asarray(pending)
         wall = time.time() - t1
         audio_seconds = args.streams * n_frames * 1024 / sr
         rt = audio_seconds / wall

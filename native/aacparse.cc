@@ -56,54 +56,72 @@ enum ErrCode {
 };
 
 // ---------------------------------------------------------------------
-// Bit reader (MSB first) — branch-light 64-bit window loads
+// Bit reader (MSB first) — 64-bit cached refill (get_bits style).
+// `cache` holds the next bits MSB-aligned; `ncached` of them are valid
+// (bits below that are zero, so peeks past the end read as zero-padding).
 // ---------------------------------------------------------------------
 struct BitReader {
   const uint8_t* data;
-  int64_t nbits;
   int64_t nbytes_;
-  int64_t pos = 0;
+  int64_t bytepos = 0;   // next byte to load into the cache
+  uint64_t cache = 0;
+  int ncached = 0;
+  int64_t nbits;
 
   BitReader(const uint8_t* d, int64_t nbytes)
-      : data(d), nbits(nbytes * 8), nbytes_(nbytes) {}
+      : data(d), nbytes_(nbytes), nbits(nbytes * 8) {}
 
-  bool can(int n) const { return pos + n <= nbits; }
+  int64_t bitpos() const { return bytepos * 8 - ncached; }
+  bool can(int n) const { return bitpos() + n <= nbits; }
 
-  // Load up to 25 bits starting at bit position p (zero-padded past end).
-  inline uint32_t window25(int64_t p) const {
-    int64_t byte = p >> 3;
-    uint32_t w;
-    if (byte + 4 <= nbytes_) {
-      w = (static_cast<uint32_t>(data[byte]) << 24)
-          | (static_cast<uint32_t>(data[byte + 1]) << 16)
-          | (static_cast<uint32_t>(data[byte + 2]) << 8)
-          | static_cast<uint32_t>(data[byte + 3]);
-    } else {
-      w = 0;
-      for (int i = 0; i < 4; ++i)
-        if (byte + i < nbytes_) w |= static_cast<uint32_t>(data[byte + i])
-                                     << (24 - 8 * i);
+  inline void refill() {
+    while (ncached <= 56 && bytepos < nbytes_) {
+      cache |= static_cast<uint64_t>(data[bytepos++]) << (56 - ncached);
+      ncached += 8;
     }
-    return w << (p & 7) >> 7;  // 25 valid top bits, right-aligned at bit 24
   }
 
-  uint32_t read(int n, bool* ok) {  // n <= 25
-    if (!can(n)) { *ok = false; return 0; }
-    uint32_t v = window25(pos) >> (25 - n);
-    pos += n;
+  inline uint32_t read(int n, bool* ok) {  // n <= 32
+    if (n > ncached) {
+      refill();
+      if (n > ncached) { *ok = false; return 0; }
+    }
+    uint32_t v = static_cast<uint32_t>(cache >> (64 - n));
+    cache <<= n;
+    ncached -= n;
     return v;
   }
 
-  // peek up to 25 bits, zero-padded past the end
-  uint32_t peek_padded(int n) const { return window25(pos) >> (25 - n); }
+  // peek up to 32 bits, zero-padded past the end
+  inline uint32_t peek_padded(int n) {
+    if (n > ncached) refill();
+    return static_cast<uint32_t>(cache >> (64 - n));
+  }
 
   bool advance(int64_t n) {
-    if (pos + n > nbits) return false;
-    pos += n;
+    if (bitpos() + n > nbits) return false;
+    if (n <= ncached) {
+      cache <<= n;
+      ncached -= static_cast<int>(n);
+    } else {
+      n -= ncached;
+      cache = 0;
+      ncached = 0;
+      bytepos += n >> 3;
+      int rem = static_cast<int>(n & 7);
+      if (rem) {
+        refill();
+        cache <<= rem;
+        ncached -= rem;
+      }
+    }
     return true;
   }
 
-  void align() { pos = (pos + 7) & ~int64_t{7}; }
+  void align() {
+    int rem = static_cast<int>(bitpos() & 7);
+    if (rem) advance(8 - rem);
+  }
 };
 
 // ---------------------------------------------------------------------

@@ -241,3 +241,22 @@ def test_step_raw_cce_fallback_correct():
     frames = [dp.parse_stream_frames(0, payloads)]
     pcm_python = dp.step(frames)
     np.testing.assert_allclose(pcm_native_path, pcm_python, atol=1e-7)
+
+
+def test_decode_pipelined_matches_step_raw():
+    from aacjax.runtime.batch import BatchDecoder
+    rng = np.random.default_rng(2024)
+    config = _cfg(si=4, ch=2)
+    streams = [_mk_payloads(rng, config, 6) for _ in range(2)]
+
+    ref = BatchDecoder([config] * 2, chunk_frames=3, use_native=True)
+    want = [np.asarray(ref.step_raw([p[i:i + 3] for p in streams],
+                                    out_int16=True))
+            for i in (0, 3)]
+
+    dec = BatchDecoder([config] * 2, chunk_frames=3, use_native=True)
+    got = list(dec.decode_pipelined(
+        ([p[i:i + 3] for p in streams] for i in (0, 3)), out_int16=True))
+    assert len(got) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

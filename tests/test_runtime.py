@@ -1,0 +1,128 @@
+"""Runtime features: checkpoint/resume, CRC headers, raw streaming,
+7.1 layout, stats."""
+import numpy as np
+import pytest
+
+from aacjax.api import AACDecoder, decode_adts
+from aacjax.host import adts
+from aacjax.host.asc import make_asc, parse_asc
+from aacjax.host.bitio import BitReader, BitWriter
+from aacjax.runtime.batch import BatchDecoder
+from aacjax.testing import encoder as enc
+from aacjax.testing.specgen import random_channel_spec, random_cpe_spec
+
+
+def _cfg(si=4, ch=2):
+    return parse_asc(make_asc(2, si, ch))
+
+
+def _payloads(rng, config, n):
+    out = []
+    for _ in range(n):
+        w = BitWriter()
+        if config.chan_config == 2:
+            enc.write_cpe(w, random_cpe_spec(rng, config), config)
+        else:
+            enc.write_sce(w, random_channel_spec(rng, config), config)
+        out.append(enc.end_frame(w))
+    return out
+
+
+def test_checkpoint_resume():
+    """save_state/restore_state reproduces identical continuation — the
+    complete resumable decoder state (SURVEY.md §5)."""
+    rng = np.random.default_rng(7)
+    config = _cfg()
+    payloads = _payloads(rng, config, 6)
+
+    dec = BatchDecoder([config], chunk_frames=2)
+    dec.step_raw([payloads[0:2]])
+    state = dec.save_state()
+    want1 = dec.step_raw([payloads[2:4]])
+    want2 = dec.step_raw([payloads[4:6]])
+
+    dec2 = BatchDecoder([config], chunk_frames=2)
+    dec2.restore_state(state)
+    got1 = dec2.step_raw([payloads[2:4]])
+    got2 = dec2.step_raw([payloads[4:6]])
+    np.testing.assert_array_equal(got1, want1)
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_adts_crc_header():
+    """protection_absent=0 headers carry a 16-bit CRC that both parsers
+    skip (adts_demuxer.js:48-49)."""
+    rng = np.random.default_rng(3)
+    config = _cfg()
+    payloads = _payloads(rng, config, 3)
+    plain = b"".join(enc.adts_frame(p, config) for p in payloads)
+    with_crc = b"".join(enc.adts_frame(p, config, crc=True) for p in payloads)
+
+    frames = adts.split_frames(with_crc)
+    assert len(frames) == 3
+    assert frames[0][0].header_bytes == 9
+    a, _ = decode_adts(plain)
+    b, _ = decode_adts(with_crc)
+    np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_raw_stream_with_cookie():
+    """Non-ADTS raw frames after set_cookie (the m4a/mp4a path: the
+    decoder consumes raw_data_blocks directly, decoder.js:128-130)."""
+    rng = np.random.default_rng(11)
+    config = _cfg(ch=1)
+    payloads = _payloads(rng, config, 2)
+
+    dec = AACDecoder()
+    dec.set_cookie(make_asc(2, 4, 1))
+    dec.feed(payloads[0])
+    chunk = dec.read_chunk()
+    assert chunk is not None and chunk.shape == (1024,)
+
+    # reference decode of the same payload
+    ref = BatchDecoder([config], chunk_frames=1)
+    frames = ref.parse_stream_frames(0, [payloads[0]])
+    want = ref.stream_pcm(ref.step([frames]), 0, 1).reshape(-1)
+    np.testing.assert_allclose(chunk, want, atol=1e-7)
+
+
+def test_71_channel_layout():
+    """chanConfig 8 (7.1): SCE + 3x CPE + LFE = 8 channels."""
+    rng = np.random.default_rng(5)
+    config = _cfg(si=3, ch=8)
+    payloads = []
+    for _ in range(2):
+        w = BitWriter()
+        enc.write_sce(w, random_channel_spec(rng, config, allow_pulse=False),
+                      config)
+        for inst in range(3):
+            enc.write_cpe(w, random_cpe_spec(rng, config), config,
+                          instance=inst)
+        enc.write_sce(w, random_channel_spec(
+            rng, config, window_sequence=0, allow_tns=False,
+            allow_pulse=False), config, lfe=True)
+        payloads.append(enc.end_frame(w))
+
+    dec = BatchDecoder([config], chunk_frames=2, use_native=True)
+    pcm = dec.step_raw([payloads])
+    out = dec.stream_pcm(pcm, 0, 2)
+    assert out.shape == (2048, 8)
+    assert np.isfinite(out).all()
+
+    dp = BatchDecoder([config], chunk_frames=2, use_native=False)
+    frames = dp.parse_stream_frames(0, payloads)
+    want = dp.stream_pcm(dp.step([frames]), 0, 2)
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(out, want, atol=1e-6 * scale)
+
+
+def test_stats_accumulate():
+    rng = np.random.default_rng(1)
+    config = _cfg()
+    payloads = _payloads(rng, config, 4)
+    dec = BatchDecoder([config], chunk_frames=4)
+    dec.step_raw([payloads])
+    d = dec.stats.as_dict()
+    assert d["stream_frames"] == 4
+    assert d["audio_seconds"] == pytest.approx(4 * 1024 / 44100, rel=1e-2)
+    assert d["realtime_x"] > 0
