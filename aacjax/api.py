@@ -19,6 +19,7 @@ import numpy as np
 
 from aacjax.host import adts
 from aacjax.host.asc import StreamConfig, UnsupportedError, parse_asc
+from aacjax.host.syntax import decode_frame
 from aacjax.runtime.batch import BatchDecoder
 
 CODEC_IDS = ('mp4a', 'aac ')
@@ -29,6 +30,12 @@ probe = adts.probe
 
 class AACDecoder:
     """Streaming decoder with reference-equivalent semantics.
+
+    Consumes a continuous bitstream exactly like the reference readChunk
+    loop (decoder.js:125-216): each call decodes one raw_data_block from
+    the current bit position, consuming an interleaved ADTS header first
+    when one is present — so multi-raw_data_block ADTS frames
+    (numFrames > 1) and raw m4a-style streams both work.
 
     Usage:
         dec = AACDecoder()
@@ -42,9 +49,11 @@ class AACDecoder:
     def __init__(self, cookie: bytes | None = None, cce_slots: int = 2):
         self.config: StreamConfig | None = None
         self._buffer = bytearray()
-        self._pos = 0  # byte offset of next un-decoded ADTS frame
+        self._bitpos = 0  # bit offset of the next un-decoded raw_data_block
         self._runtime: BatchDecoder | None = None
         self._cce_slots = cce_slots
+        if cookie is not None:
+            self.set_cookie(cookie)
 
     # -- reference-named aliases -------------------------------------------
     def setCookie(self, buffer: bytes) -> None:  # noqa: N802
@@ -58,44 +67,68 @@ class AACDecoder:
         """Parse an AudioSpecificConfig (decoder.js:53-113)."""
         self.config = parse_asc(buffer)
         self._runtime = BatchDecoder([self.config], chunk_frames=1,
-                                     cce_slots=self._cce_slots)
+                                     cce_slots=self._cce_slots,
+                                     use_native=False)
 
     def feed(self, data: bytes) -> None:
         self._buffer.extend(data)
         if self.config is None:
             # Auto-configure from the first ADTS header, like the demuxer's
-            # synthesized cookie (adts_demuxer.js:66-70).
-            frames = adts.split_frames(bytes(self._buffer))
-            if frames:
-                header = frames[0][0]
-                self.set_cookie(adts.synthesize_cookie(header))
+            # synthesized cookie (adts_demuxer.js:66-70) — a complete header
+            # is enough, the frame body may still be in flight.
+            from aacjax.host.bitio import BitReader, BitstreamUnderflow
+            buf = bytes(self._buffer)
+            for pos in range(0, max(len(buf) - 1, 0)):
+                if buf[pos] == 0xFF and (buf[pos + 1] & 0xF6) == 0xF0:
+                    try:
+                        header = adts.read_header(BitReader(buf[pos:]))
+                    except BitstreamUnderflow:
+                        break  # header split across feeds; wait for more
+                    except Exception:
+                        continue
+                    self.set_cookie(adts.synthesize_cookie(header))
+                    self._bitpos = pos * 8
+                    break
+
+    @property
+    def state(self) -> dict:
+        """Serializable decoder state: buffer bit offset + runtime state
+        (overlap buffers, window-shape history) — SURVEY.md §5."""
+        rt = self._runtime.save_state() if self._runtime else None
+        return {"bitpos": self._bitpos, "runtime": rt}
 
     # -- decoding -------------------------------------------------------------
     def read_chunk(self) -> np.ndarray | None:
-        """Decode the next frame; returns interleaved float32 PCM of
-        1024*channels samples (1/32768 scale), or None if no complete
-        frame is buffered."""
+        """Decode the next raw_data_block; returns interleaved float32 PCM
+        of 1024*channels samples (1/32768 scale), or None until a complete
+        block is buffered."""
+        from aacjax.host.bitio import BitReader, BitstreamUnderflow
+
         if self.config is None or self._runtime is None:
+            if self._buffer:
+                return None  # still waiting for a configuring ADTS header
             raise UnsupportedError("no configuration; call set_cookie or feed")
-        data = bytes(self._buffer)
-        frames = adts.split_frames(data, start=self._pos)
-        if not frames:
-            # raw (non-ADTS) payload: treat the whole remaining buffer as
-            # one raw_data_block, as the reference does when the 12-bit
-            # peek is not a syncword (decoder.js:128-130).
-            if self._pos >= len(data):
-                return None
-            payload = data[self._pos:]
-            self._pos = len(data)
-        else:
-            header, start, end = frames[0]
-            # the decoder re-reads interleaved headers itself, so hand it
-            # the payload only
-            payload = data[start:end]
-            self._pos = end
-        parsed = self._runtime.parse_stream_frames(0, [payload])
-        pcm = self._runtime.step([parsed])
+        if self._bitpos >= len(self._buffer) * 8:
+            return None
+        reader = BitReader(bytes(self._buffer))
+        reader.seek_bits(self._bitpos)
+        st = self._runtime.streams[0]
+        shapes_snapshot = st.prev_shapes.copy()
+        try:
+            frame = decode_frame(reader, self.config, st.prev_shapes)
+        except BitstreamUnderflow:
+            st.prev_shapes[:] = shapes_snapshot
+            return None  # need more data
+        self._bitpos = reader.bit_position
+        self._runtime._update_shapes(st, frame)
+        st.frames_decoded += 1
+        pcm = self._runtime.step([[frame]])
         out = self._runtime.stream_pcm(pcm, 0, 1)
+        # compact the consumed prefix occasionally
+        if self._bitpos >= 1 << 20:
+            drop = self._bitpos // 8
+            del self._buffer[:drop]
+            self._bitpos -= drop * 8
         return out.reshape(-1)
 
 

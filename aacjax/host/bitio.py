@@ -9,7 +9,13 @@ from __future__ import annotations
 
 
 class BitstreamError(Exception):
-    """Raised on reads past the end of the buffer or malformed data."""
+    """Raised on malformed bitstream data."""
+
+
+class BitstreamUnderflow(BitstreamError):
+    """Raised on reads past the end of the buffer — distinguishes 'need
+    more data' from 'corrupt data' for streaming callers (the analog of
+    Aurora's AV.UnderflowError that the reference relies on)."""
 
 
 class BitReader:
@@ -51,7 +57,7 @@ class BitReader:
     def _fill(self, need: int) -> None:
         while self._ncached < need:
             if self._byte >= self._nbytes:
-                raise BitstreamError("read past end of bitstream")
+                raise BitstreamUnderflow("read past end of bitstream")
             self._cache = (self._cache << 8) | self._data[self._byte]
             self._byte += 1
             self._ncached += 8
@@ -97,7 +103,7 @@ class BitReader:
         """Skip n bits (n may exceed 32)."""
         target = self.bit_position + n
         if target > self._nbytes * 8:
-            raise BitstreamError("advance past end of bitstream")
+            raise BitstreamUnderflow("advance past end of bitstream")
         if n <= self._ncached:
             self._ncached -= n
             self._cache &= (1 << self._ncached) - 1

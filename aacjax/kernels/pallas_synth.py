@@ -34,8 +34,8 @@ FRAME = 1024
 TILE = 8  # channel-frames per grid step
 
 
-def _synthesis_kernel(spec_ref, f_idx_ref, s_idx_ref, shape_ref,
-                      prev_shape_ref, is_short_ref,
+def _synthesis_kernel(spec_ref, f_oh_ref, s_oh_ref, shape_oh_ref,
+                      prev_oh_ref, is_short_ref,
                       m_long_ref, m_short_ref, f_tab_ref, s_tab_ref,
                       rise_ref, fall_ref,
                       first_ref, second_ref):
@@ -56,38 +56,34 @@ def _synthesis_kernel(spec_ref, f_idx_ref, s_idx_ref, shape_ref,
         precision=jax.lax.Precision.HIGHEST)             # [TILE*8, 256]
     blocks = blocks.reshape(TILE, 8, 256)
 
-    # ---- per-row window vectors via one-hot matmuls (8 combos, 2 shapes)
-    def onehot(idx, n):
-        return (idx[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (idx.shape[0], n), 1)).astype(jnp.float32)
+    # ---- per-row window vectors selected by one-hot matmuls (the one-hot
+    # rows arrive precomputed; selection stays on the MXU, no gathers)
+    f_win = f_oh_ref[:] @ f_tab_ref[:]                   # [TILE, 1024]
+    s_win = s_oh_ref[:] @ s_tab_ref[:]
+    rise_cur = shape_oh_ref[:] @ rise_ref[:]             # [TILE, 128]
+    rise_prev = prev_oh_ref[:] @ rise_ref[:]
+    fall_cur = shape_oh_ref[:] @ fall_ref[:]
 
-    f_idx = f_idx_ref[:].reshape(TILE)
-    s_idx = s_idx_ref[:].reshape(TILE)
-    shape = shape_ref[:].reshape(TILE)
-    prev_shape = prev_shape_ref[:].reshape(TILE)
-    f_win = onehot(f_idx, 8) @ f_tab_ref[:]              # [TILE, 1024]
-    s_win = onehot(s_idx, 8) @ s_tab_ref[:]
-    rise_cur = onehot(shape, 2) @ rise_ref[:]            # [TILE, 128]
-    rise_prev = onehot(prev_shape, 2) @ rise_ref[:]
-    fall_cur = onehot(shape, 2) @ fall_ref[:]
-
-    # ---- EIGHT_SHORT windowing + intra-frame OLA (static unroll over 8)
-    t_short = jnp.zeros((TILE, 2 * FRAME), jnp.float32)
-    for w in range(8):
-        rise = rise_prev if w == 0 else rise_cur
-        windowed = jnp.concatenate(
-            [blocks[:, w, :128] * rise, blocks[:, w, 128:] * fall_cur],
-            axis=1)                                       # [TILE, 256]
-        off = W.MID + 128 * w
-        t_short = jax.lax.dynamic_update_slice(
-            t_short,
-            jax.lax.dynamic_slice(t_short, (0, off), (TILE, 256)) + windowed,
-            (0, off))
+    # ---- EIGHT_SHORT windowing + intra-frame OLA, as static segment
+    # algebra (Mosaic has no dynamic_update_slice): sub-window w occupies
+    # [448+128w, 448+128w+256); segment j of 128 samples therefore equals
+    # rising-half[j] + falling-half[j-1].
+    rises = jnp.concatenate(
+        [rise_prev.reshape(TILE, 1, 128),
+         jnp.broadcast_to(rise_cur.reshape(TILE, 1, 128), (TILE, 7, 128))],
+        axis=1)                                           # [TILE, 8, 128]
+    a = blocks[:, :, :128] * rises                        # rising halves
+    b = blocks[:, :, 128:] * fall_cur.reshape(TILE, 1, 128)
+    mid = a[:, 1:, :] + b[:, :7, :]                       # segments 1..7
+    segs = jnp.concatenate([a[:, :1, :], mid, b[:, 7:, :]], axis=1)
+    zeros_448 = jnp.zeros((TILE, W.MID), jnp.float32)
+    t_short = jnp.concatenate(
+        [zeros_448, segs.reshape(TILE, 9 * 128), zeros_448], axis=1)
 
     first_long = long_out[:, :FRAME] * f_win
     second_long = long_out[:, FRAME:] * s_win
 
-    sel = (is_short_ref[:].reshape(TILE) != 0)[:, None]
+    sel = is_short_ref[:] != 0.0                          # [TILE, 1]
     first_ref[:] = jnp.where(sel, t_short[:, :FRAME], first_long)
     second_ref[:] = jnp.where(sel, t_short[:, FRAME:], second_long)
 
@@ -113,10 +109,24 @@ def synthesis(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
     assert B % TILE == 0, f"batch {B} not a multiple of {TILE}"
     m_long, m_short, f_tab, s_tab, rise, fall = _tables_f32()
 
+    # one-hot selection rows, computed by XLA outside the kernel (fused,
+    # negligible) — keeps the kernel free of gathers and tiny-int blocks
+    def onehot(idx, n):
+        return (idx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+                ).astype(jnp.float32)
+
+    f_oh = onehot(f_idx.astype(jnp.int32), 8)
+    s_oh = onehot(s_idx.astype(jnp.int32), 8)
+    shape_oh = onehot(shape_idx.astype(jnp.int32), 2)
+    prev_oh = onehot(prev_shape_idx.astype(jnp.int32), 2)
+    is_short_col = is_short.astype(jnp.float32)[:, None]
+
     grid = (B // TILE,)
     row_spec = pl.BlockSpec((TILE, FRAME), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, TILE), lambda i: (i, 0),
+
+    def small_spec(ncols):
+        return pl.BlockSpec((TILE, ncols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(arr):
@@ -128,7 +138,8 @@ def synthesis(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
         grid=grid,
         in_specs=[
             row_spec,                     # spec
-            idx_spec, idx_spec, idx_spec, idx_spec, idx_spec,
+            small_spec(8), small_spec(8), small_spec(2), small_spec(2),
+            small_spec(1),
             const_spec(m_long), const_spec(m_short),
             const_spec(f_tab), const_spec(s_tab),
             const_spec(rise), const_spec(fall),
@@ -150,12 +161,7 @@ def synthesis(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
         ),
         interpret=interpret,
     )(
-        spec,
-        f_idx.reshape(B // TILE, TILE).astype(jnp.int32),
-        s_idx.reshape(B // TILE, TILE).astype(jnp.int32),
-        shape_idx.reshape(B // TILE, TILE).astype(jnp.int32),
-        prev_shape_idx.reshape(B // TILE, TILE).astype(jnp.int32),
-        is_short.reshape(B // TILE, TILE).astype(jnp.int32),
+        spec, f_oh, s_oh, shape_oh, prev_oh, is_short_col,
         jnp.asarray(m_long), jnp.asarray(m_short),
         jnp.asarray(f_tab), jnp.asarray(s_tab),
         jnp.asarray(rise), jnp.asarray(fall),

@@ -126,3 +126,33 @@ def test_stats_accumulate():
     assert d["stream_frames"] == 4
     assert d["audio_seconds"] == pytest.approx(4 * 1024 / 44100, rel=1e-2)
     assert d["realtime_x"] > 0
+
+
+def test_streaming_multi_rdb_and_partial_feed():
+    """Continuous-bitstream streaming: multiple raw_data_blocks in one
+    buffer, fed in arbitrary byte-sized pieces (underflow rollback)."""
+    rng = np.random.default_rng(21)
+    config = _cfg(ch=1)
+    payloads = _payloads(rng, config, 3)
+    stream = b"".join(enc.adts_frame(p, config) for p in payloads)
+
+    # reference result via batch path
+    ref = BatchDecoder([config], chunk_frames=3)
+    frames = ref.parse_stream_frames(
+        0, [stream[s:e] for _, s, e in adts.split_frames(stream)])
+    want = ref.stream_pcm(ref.step([frames]), 0, 3)
+
+    dec = AACDecoder()
+    got = []
+    # drip-feed in 97-byte pieces
+    for i in range(0, len(stream), 97):
+        dec.feed(stream[i:i + 97])
+        while True:
+            chunk = dec.read_chunk()
+            if chunk is None:
+                break
+            got.append(chunk.reshape(-1, 1))
+    out = np.concatenate(got, axis=0)
+    assert out.shape == want.shape
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(out, want, atol=1e-6 * scale)
