@@ -132,13 +132,20 @@ class AACDecoder:
         return out.reshape(-1)
 
 
-def decode_adts(data: bytes, chunk_frames: int = 64,
-                cce_slots: int = 0) -> tuple[np.ndarray, int]:
+def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 0,
+                on_error: str = "raise") -> tuple[np.ndarray, int]:
     """Decode a whole ADTS byte stream through the batched device pipeline.
 
     Returns (pcm [total_samples, channels] float32 in 1/32768 scale,
     sample_rate).
+
+    on_error: 'raise' aborts on the first malformed frame; 'skip' conceals
+    undecodable frames as silence and continues from the next ADTS
+    syncword (the reference offers neither — a bitstream error aborts its
+    decode with no resync, SURVEY.md §5).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error: {on_error}")
     frames = adts.split_frames(data)
     if not frames:
         raise UnsupportedError("no ADTS frames found")
@@ -152,7 +159,9 @@ def decode_adts(data: bytes, chunk_frames: int = 64,
         group = payloads[i:i + chunk_frames]
         pcm = dec.step_raw([group])
         if dec.streams[0].failed:
-            raise UnsupportedError(
-                f"stream failed: {dec.streams[0].last_error}")
+            if on_error == "raise":
+                raise UnsupportedError(
+                    f"stream failed: {dec.streams[0].last_error}")
+            dec.streams[0].failed = False  # concealed; keep decoding
         out.append(dec.stream_pcm(pcm, 0, len(group)))
     return np.concatenate(out, axis=0), config.sample_rate

@@ -52,6 +52,57 @@ def cmd_probe(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_parity(args) -> int:
+    """Validate the device pipeline against the independent fp64 model
+    decoder over a randomized conformance corpus (all window sequences,
+    stereo tools, TNS, PNS, pulse) — the BASELINE.json north-star check:
+    PCM max-abs error < 1e-4 at the reference's 1/32768 output scale."""
+    import numpy as np
+
+    import sys as _sys
+    import pathlib
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                            / "tests"))
+    from model_decoder import ModelDecoder
+
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.host.bitio import BitWriter
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.specgen import random_channel_spec, random_cpe_spec
+
+    rng = np.random.default_rng(args.seed)
+    worst = 0.0
+    cases = 0
+    for _case in range(args.cases):
+        si = int(rng.integers(0, 12))
+        stereo = bool(rng.integers(0, 2))
+        config = parse_asc(make_asc(2, si, 2 if stereo else 1))
+        payloads = []
+        for _ in range(args.frames):
+            w = BitWriter()
+            if stereo:
+                enc.write_cpe(w, random_cpe_spec(rng, config), config)
+            else:
+                enc.write_sce(w, random_channel_spec(rng, config), config)
+            payloads.append(enc.end_frame(w))
+        dec = BatchDecoder([config], chunk_frames=len(payloads))
+        frames = dec.parse_stream_frames(0, payloads)
+        got = dec.stream_pcm(dec.step([frames]), 0, len(payloads))
+        model = ModelDecoder(config)
+        want = np.concatenate([model.decode_frame(f) for f in frames], axis=0)
+        # normalize to full-scale +-1.0 like the north-star criterion
+        scale = max(1.0, float(np.abs(want).max()))
+        err = float(np.abs(got - want).max()) / scale
+        worst = max(worst, err)
+        cases += 1
+    ok = worst < 1e-4
+    print(json.dumps({"cases": cases, "frames_per_case": args.frames,
+                      "max_abs_err_fullscale": worst, "target": 1e-4,
+                      "pass": ok}))
+    return 0 if ok else 1
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -83,6 +134,13 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("info", help="environment / backend info")
     i.set_defaults(fn=cmd_info)
+
+    y = sub.add_parser("parity",
+                       help="device pipeline vs fp64 model decoder")
+    y.add_argument("--cases", type=int, default=12)
+    y.add_argument("--frames", type=int, default=4)
+    y.add_argument("--seed", type=int, default=0)
+    y.set_defaults(fn=cmd_parity)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -328,6 +328,9 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
                                    batch['is_short'])
     pcm, new_overlap = overlap_add(first, second, overlap_in,
                                    batch['last_valid'])
+    # error concealment: frames that never parsed (padding / post-error)
+    # deliver silence instead of garbage
+    pcm = pcm * batch['valid'][..., None].astype(pcm.dtype)
     if flags.out_int16:
         out = jnp.clip(jnp.round(pcm), -32768.0, 32767.0).astype(jnp.int16)
         return out, new_overlap

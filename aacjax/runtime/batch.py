@@ -210,6 +210,7 @@ class BatchDecoder:
             shape_idx=np.ascontiguousarray(meta[:, :, 2]),
             prev_shape_idx=np.ascontiguousarray(meta[:, :, 3]),
             is_short=np.ascontiguousarray(meta[:, :, 4]).astype(bool),
+            valid=valid,
             last_valid=last_valid,
         )
         if has_tns:

@@ -42,7 +42,9 @@ def make_corpus(n_unique: int, seconds: float, sr: int = 44100):
              + 2500 * np.sin(2 * np.pi * 2.7 * f0 * t + 0.3)
              + 900 * rng.standard_normal(n))
         pcm = np.stack([x, np.roll(x, 64) * 0.85], axis=1)
-        streams.append(encode_pcm(pcm, config, target_sf=135))
+        # target_sf=146 lands around 500-700 bytes/frame (~200 kbps stereo),
+        # the realistic high-quality streaming operating point
+        streams.append(encode_pcm(pcm, config, target_sf=146))
     return config, streams
 
 

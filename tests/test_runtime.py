@@ -156,3 +156,27 @@ def test_streaming_multi_rdb_and_partial_feed():
     assert out.shape == want.shape
     scale = max(1.0, float(np.abs(want).max()))
     np.testing.assert_allclose(out, want, atol=1e-6 * scale)
+
+
+def test_decode_adts_error_concealment():
+    """on_error='skip': corrupt frames conceal as silence; later frames
+    resync and keep decoding."""
+    rng = np.random.default_rng(9)
+    config = _cfg(ch=1)
+    payloads = _payloads(rng, config, 5)
+    # corrupt frame 2's payload (keep its ADTS length so framing survives)
+    bad = bytearray(payloads[2])
+    bad[2:6] = b"\xff\xff\xff\xff"
+    stream = b"".join(enc.adts_frame(p, config)
+                      for p in payloads[:2] + [bytes(bad)] + payloads[3:])
+
+    with pytest.raises(Exception):
+        decode_adts(stream, on_error="raise", chunk_frames=2)
+
+    pcm, rate = decode_adts(stream, on_error="skip", chunk_frames=2)
+    assert pcm.shape[0] == 5 * 1024
+    assert np.isfinite(pcm).all()
+    # the first frame decodes identically to the clean stream
+    clean, _ = decode_adts(
+        b"".join(enc.adts_frame(p, config) for p in payloads), chunk_frames=2)
+    np.testing.assert_allclose(pcm[:1024], clean[:1024], atol=1e-6)
