@@ -75,9 +75,21 @@ struct BitReader {
   bool can(int n) const { return bitpos() + n <= nbits; }
 
   inline void refill() {
-    while (ncached <= 56 && bytepos < nbytes_) {
-      cache |= static_cast<uint64_t>(data[bytepos++]) << (56 - ncached);
-      ncached += 8;
+    if (bytepos + 8 <= nbytes_) {
+      if (ncached > 56) return;
+      uint64_t w;
+      memcpy(&w, data + bytepos, 8);
+      w = __builtin_bswap64(w);
+      int take = (64 - ncached) >> 3;        // whole bytes we can accept
+      int sh = 64 - ncached - 8 * take;      // drop the partial-byte tail
+      cache |= (w >> ncached) & (~0ULL << sh);
+      bytepos += take;
+      ncached += 8 * take;
+    } else {
+      while (ncached <= 56 && bytepos < nbytes_) {
+        cache |= static_cast<uint64_t>(data[bytepos++]) << (56 - ncached);
+        ncached += 8;
+      }
     }
   }
 
@@ -128,12 +140,21 @@ struct BitReader {
 // Huffman: flat LUTs built at load time from the generated row tables
 // ---------------------------------------------------------------------
 struct HuffLut {
+  // Two-level decode table: L1 covers the first min(maxlen, 10) bits and
+  // stays cache-resident; the rare longer codewords (low-probability by
+  // Huffman construction) escape to per-prefix L2 blocks.
+  static constexpr int kL1Bits = 10;
   int maxlen = 0;
+  int l1bits = 0;
+  int extbits = 0;         // maxlen - l1bits
   int width = 0;           // values per row (4, 2, or 1)
   const int32_t* rows = nullptr;
   int stride = 0;          // row stride in int32s
   int n = 0;
-  int32_t* lut = nullptr;  // [1<<maxlen] -> row index or -1
+  // L1 entry: >= 0 -> (len << 16) | row_idx ; == INT32_MIN -> invalid;
+  // < 0 (other) -> ~l2_block_offset
+  int32_t* l1 = nullptr;
+  int32_t* l2 = nullptr;   // entries: (len << 16) | row_idx, or -1 invalid
 
   void build(const BookDef& def) {
     rows = def.rows;
@@ -141,24 +162,69 @@ struct HuffLut {
     stride = def.width;
     width = def.width - 2;
     maxlen = def.maxlen;
-    lut = new int32_t[size_t{1} << maxlen];
-    for (size_t i = 0; i < (size_t{1} << maxlen); ++i) lut[i] = -1;
+    l1bits = maxlen < kL1Bits ? maxlen : kL1Bits;
+    extbits = maxlen - l1bits;
+    size_t l1n = size_t{1} << l1bits;
+    l1 = new int32_t[l1n];
+    for (size_t i = 0; i < l1n; ++i) l1[i] = INT32_MIN;
+    // pass 1: short codes fill L1 directly
     for (int i = 0; i < n; ++i) {
       int len = rows[i * stride + 0];
       uint32_t code = static_cast<uint32_t>(rows[i * stride + 1]);
-      int shift = maxlen - len;
-      uint32_t base = code << shift;
-      for (uint32_t j = 0; j < (1u << shift); ++j) lut[base + j] = i;
+      if (len <= l1bits) {
+        int shift = l1bits - len;
+        uint32_t base = code << shift;
+        int32_t entry = (len << 16) | i;
+        for (uint32_t j = 0; j < (1u << shift); ++j) l1[base + j] = entry;
+      }
+    }
+    // pass 2: long codes allocate one L2 block per distinct L1 prefix
+    if (extbits > 0) {
+      size_t blk = size_t{1} << extbits;
+      // count distinct prefixes
+      int nblocks = 0;
+      for (int i = 0; i < n; ++i) {
+        int len = rows[i * stride + 0];
+        if (len <= l1bits) continue;
+        uint32_t prefix = static_cast<uint32_t>(rows[i * stride + 1])
+                          >> (len - l1bits);
+        if (l1[prefix] == INT32_MIN || l1[prefix] >= 0) {
+          l1[prefix] = ~(nblocks * static_cast<int32_t>(blk));
+          ++nblocks;
+        }
+      }
+      l2 = new int32_t[static_cast<size_t>(nblocks) * blk];
+      for (size_t i = 0; i < static_cast<size_t>(nblocks) * blk; ++i)
+        l2[i] = -1;
+      for (int i = 0; i < n; ++i) {
+        int len = rows[i * stride + 0];
+        if (len <= l1bits) continue;
+        uint32_t code = static_cast<uint32_t>(rows[i * stride + 1]);
+        uint32_t prefix = code >> (len - l1bits);
+        int32_t off = ~l1[prefix];
+        int shift = maxlen - len;
+        uint32_t base = (code << shift) & ((1u << extbits) - 1);
+        int32_t entry = (len << 16) | i;
+        for (uint32_t j = 0; j < (1u << shift); ++j)
+          l2[off + base + j] = entry;
+      }
     }
   }
 
   // returns row index, or -1 on invalid code / truncation
-  int decode(BitReader* br) const {
-    uint32_t window = br->peek_padded(maxlen);
-    int idx = lut[window];
-    if (idx < 0) return -1;
-    if (!br->advance(rows[idx * stride + 0])) return -1;
-    return idx;
+  inline int decode(BitReader* br) const {
+    uint32_t w1 = br->peek_padded(l1bits);
+    int32_t e = l1[w1];
+    if (e >= 0) {
+      if (!br->advance(e >> 16)) return -1;
+      return e & 0xFFFF;
+    }
+    if (e == INT32_MIN) return -1;
+    uint32_t wfull = br->peek_padded(maxlen);
+    e = l2[~e + (wfull & ((1u << extbits) - 1))];
+    if (e < 0) return -1;
+    if (!br->advance(e >> 16)) return -1;
+    return e & 0xFFFF;
   }
 
   const int32_t* values(int idx) const { return rows + idx * stride + 2; }
@@ -466,8 +532,20 @@ bool decode_spectral(BitReader* br, Channel* ch, ParseError* err) {
             int32_t buf[4];
             for (int j = 0; j < num; ++j) buf[j] = v[j];
             if (is_unsigned) {
-              for (int j = 0; j < num; ++j)
-                if (buf[j] && br->read(1, &ok)) buf[j] = -buf[j];
+              // one batched read for all sign bits (MSB-first order ==
+              // the reference's sequential per-value reads)
+              int nz = 0;
+              for (int j = 0; j < num; ++j) nz += buf[j] != 0;
+              if (nz) {
+                uint32_t signs = br->read(nz, &ok);
+                int bit = nz - 1;
+                for (int j = 0; j < num; ++j) {
+                  if (buf[j]) {
+                    if ((signs >> bit) & 1) buf[j] = -buf[j];
+                    --bit;
+                  }
+                }
+              }
             }
             if (hcb == ESC_BT) {
               for (int j = 0; j < 2; ++j) {
