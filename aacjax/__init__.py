@@ -11,5 +11,7 @@ Public API mirrors the reference decoder's surface (aac.js: decoder.js,
 adts_demuxer.js): see aacjax.api.
 """
 from aacjax.api import AACDecoder, StreamConfig, decode_adts, probe  # noqa: F401
+from aacjax.host.asc import make_asc, parse_asc  # noqa: F401
+from aacjax.runtime.batch import BatchDecoder  # noqa: F401
 
 __version__ = "0.1.0"

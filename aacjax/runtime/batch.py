@@ -30,7 +30,6 @@ from aacjax.kernels.pipeline import (PipelineFlags, jitted_decode_spec_step,
 from aacjax.runtime.pack import pack_frames
 
 FRAME = 1024
-MAX_PAIRS_PER_STREAM = 4
 
 
 @dataclass
@@ -53,8 +52,7 @@ class BatchDecoder:
     """Decodes T-frame chunks for a fixed set of concurrent streams."""
 
     def __init__(self, configs: list[StreamConfig], chunk_frames: int = 16,
-                 cce_slots: int = 0, use_native: bool | None = None,
-                 parse_workers: int | None = None):
+                 cce_slots: int = 0, use_native: bool | None = None):
         self.T = chunk_frames
         self.streams: list[StreamState] = []
         c = 0
@@ -66,7 +64,6 @@ class BatchDecoder:
         self.overlap = jnp.zeros((c, FRAME), jnp.float32)
         self.use_native = (native.available() if use_native is None
                            else use_native)
-        self._parse_workers = parse_workers or min(os.cpu_count() or 1, 16)
         # one shared window-shape history; StreamStates view into it so the
         # native batch call can update everything in place
         self.prev_shapes = np.zeros(c, np.int32)

@@ -180,3 +180,39 @@ def test_decode_adts_error_concealment():
     clean, _ = decode_adts(
         b"".join(enc.adts_frame(p, config) for p in payloads), chunk_frames=2)
     np.testing.assert_allclose(pcm[:1024], clean[:1024], atol=1e-6)
+
+
+def test_heterogeneous_batch():
+    """One BatchDecoder serving streams with different sample rates and
+    channel counts simultaneously (mono 8kHz + stereo 44.1kHz + 5.1 48k)."""
+    rng = np.random.default_rng(13)
+    cfg_mono = _cfg(si=11, ch=1)     # 8 kHz mono
+    cfg_st = _cfg(si=4, ch=2)        # 44.1 kHz stereo
+    cfg_51 = _cfg(si=3, ch=6)        # 48 kHz 5.1
+
+    p_mono = _payloads(rng, cfg_mono, 2)
+    p_st = _payloads(rng, cfg_st, 2)
+    p_51 = []
+    for _ in range(2):
+        w = BitWriter()
+        enc.write_sce(w, random_channel_spec(rng, cfg_51, allow_pulse=False),
+                      cfg_51)
+        enc.write_cpe(w, random_cpe_spec(rng, cfg_51), cfg_51)
+        enc.write_cpe(w, random_cpe_spec(rng, cfg_51), cfg_51, instance=1)
+        enc.write_sce(w, random_channel_spec(
+            rng, cfg_51, window_sequence=0, allow_tns=False,
+            allow_pulse=False), cfg_51, lfe=True)
+        p_51.append(enc.end_frame(w))
+
+    dec = BatchDecoder([cfg_mono, cfg_st, cfg_51], chunk_frames=2)
+    pcm = dec.step_raw([p_mono, p_st, p_51])
+    assert not any(st.failed for st in dec.streams)
+
+    # each stream must match its solo decode
+    for i, (cfg, payloads) in enumerate(
+            [(cfg_mono, p_mono), (cfg_st, p_st), (cfg_51, p_51)]):
+        solo = BatchDecoder([cfg], chunk_frames=2)
+        want = solo.stream_pcm(solo.step_raw([payloads]), 0, 2)
+        got = dec.stream_pcm(pcm, i, 2)
+        scale = max(1.0, float(np.abs(want).max()))
+        np.testing.assert_allclose(got, want, atol=1e-6 * scale)
