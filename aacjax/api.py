@@ -90,6 +90,16 @@ class AACDecoder:
                     self._bitpos = pos * 8
                     break
 
+    def reset(self) -> None:
+        """Drop buffered data and decoder state (overlap, shape history);
+        keeps the configuration.  Use when seeking to a new position."""
+        self._buffer.clear()
+        self._bitpos = 0
+        if self.config is not None:
+            self._runtime = BatchDecoder([self.config], chunk_frames=1,
+                                         cce_slots=self._cce_slots,
+                                         use_native=False)
+
     @property
     def state(self) -> dict:
         """Serializable decoder state: buffer bit offset + runtime state

@@ -58,6 +58,8 @@ def main() -> int:
     ap.add_argument("--no-native", action="store_true")
     ap.add_argument("--pipelined", action="store_true",
                     help="overlap host parse with device work (multi-core hosts)")
+    ap.add_argument("--profile", metavar="LOGDIR", default=None,
+                    help="capture a jax.profiler trace of the timed reps")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -98,6 +100,12 @@ def main() -> int:
             lo = c * args.chunk
             yield [p[lo:lo + args.chunk] for p in per_stream_payloads]
 
+    profiler_ctx = None
+    if args.profile:
+        import jax
+        profiler_ctx = jax.profiler.trace(args.profile)
+        profiler_ctx.__enter__()
+
     best = 0.0
     for _rep in range(args.repeats):
         dec = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
@@ -125,6 +133,8 @@ def main() -> int:
             print(f"# rep: {wall*1e3:.0f} ms for {audio_seconds:.0f}s audio "
                   f"-> {rt:.0f}x", file=sys.stderr)
         best = max(best, rt)
+    if profiler_ctx is not None:
+        profiler_ctx.__exit__(None, None, None)
 
     print(json.dumps({
         "metric": "aggregate_realtime_x",

@@ -1,0 +1,95 @@
+"""Adversarial robustness: random garbage and mutated bitstreams must
+produce clean per-stream errors (or valid decodes), never crashes,
+corruption of other streams, or unbounded loops."""
+import numpy as np
+import pytest
+
+from aacjax.host import native
+from aacjax.host.asc import make_asc, parse_asc
+from aacjax.host.bitio import BitReader, BitstreamError, BitWriter
+from aacjax.host.syntax import decode_frame
+from aacjax.runtime.batch import BatchDecoder
+from aacjax.testing import encoder as enc
+from aacjax.testing.specgen import random_channel_spec, random_cpe_spec
+
+
+def _cfg(si=4, ch=2):
+    return parse_asc(make_asc(2, si, ch))
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_python_parser_survives_garbage(seed):
+    rng = np.random.default_rng(seed)
+    config = _cfg(si=int(rng.integers(0, 12)), ch=2)
+    data = rng.integers(0, 256, size=int(rng.integers(4, 600))).astype(
+        np.uint8).tobytes()
+    try:
+        decode_frame(BitReader(data), config, [0, 0])
+    except BitstreamError:
+        pass
+    except Exception as e:  # noqa: BLE001
+        # only structured bitstream/unsupported errors are acceptable
+        from aacjax.host.asc import UnsupportedError
+        assert isinstance(e, UnsupportedError), type(e)
+
+
+@pytest.mark.skipif(not native.available(), reason="native parser not built")
+@pytest.mark.parametrize("seed", range(20))
+def test_native_parser_survives_garbage(seed):
+    rng = np.random.default_rng(1000 + seed)
+    config = _cfg(si=int(rng.integers(0, 12)), ch=2)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(4, 600))).astype(
+        np.uint8).tobytes() for _ in range(3)]
+    out = native.SpecBatchArrays(2, 3)
+    status, _ = native.parse_batch_spec(
+        [payloads], np.array([config.sample_index], np.int32),
+        np.array([2], np.int32), np.array([0], np.int32),
+        np.array([2], np.int32), np.zeros(2, np.int32), out)
+    # whatever happened, outputs stay finite and the call returned
+    assert np.isfinite(out.spec).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native parser not built")
+@pytest.mark.parametrize("seed", range(15))
+def test_native_parser_survives_mutations(seed):
+    """Random bit flips in valid streams: either decodes (finite) or fails
+    with a per-stream status, matching the python parser's verdict on
+    crash-vs-decode for the same bytes."""
+    rng = np.random.default_rng(2000 + seed)
+    config = _cfg(si=4, ch=2)
+    w = BitWriter()
+    enc.write_cpe(w, random_cpe_spec(rng, config), config)
+    payload = bytearray(enc.end_frame(w))
+    for _ in range(int(rng.integers(1, 6))):
+        payload[rng.integers(0, len(payload))] ^= 1 << rng.integers(0, 8)
+    payload = bytes(payload)
+
+    out = native.SpecBatchArrays(2, 1)
+    status, _ = native.parse_batch_spec(
+        [[payload]], np.array([4], np.int32), np.array([2], np.int32),
+        np.array([0], np.int32), np.array([2], np.int32),
+        np.zeros(2, np.int32), out)
+    assert np.isfinite(out.spec).all()
+    assert np.isfinite(out.tns_lpc).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native parser not built")
+def test_corrupt_stream_cannot_poison_batch():
+    """Fuzzed streams decode alongside a good stream in the same chunk;
+    the good stream's output must be exactly its solo decode."""
+    rng = np.random.default_rng(3)
+    config = _cfg(si=4, ch=2)
+    good = []
+    for _ in range(2):
+        w = BitWriter()
+        enc.write_cpe(w, random_cpe_spec(rng, config), config)
+        good.append(enc.end_frame(w))
+
+    garbage = [rng.integers(0, 256, size=200).astype(np.uint8).tobytes()
+               for _ in range(2)]
+
+    both = BatchDecoder([config] * 2, chunk_frames=2, use_native=True)
+    pcm = both.step_raw([good, garbage])
+    solo = BatchDecoder([config], chunk_frames=2, use_native=True)
+    want = solo.step_raw([good])
+    np.testing.assert_array_equal(pcm[:2], want[:2])
