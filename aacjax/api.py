@@ -19,6 +19,7 @@ import numpy as np
 
 from aacjax.host import adts
 from aacjax.host.asc import StreamConfig, UnsupportedError, parse_asc
+from aacjax.host.bitio import BitReader, BitstreamUnderflow
 from aacjax.host.syntax import decode_frame
 from aacjax.runtime.batch import BatchDecoder
 
@@ -50,6 +51,7 @@ class AACDecoder:
         self.config: StreamConfig | None = None
         self._buffer = bytearray()
         self._bitpos = 0  # bit offset of the next un-decoded raw_data_block
+        self._reader: BitReader | None = None
         self._runtime: BatchDecoder | None = None
         self._cce_slots = cce_slots
         if cookie is not None:
@@ -72,6 +74,7 @@ class AACDecoder:
 
     def feed(self, data: bytes) -> None:
         self._buffer.extend(data)
+        self._reader = None  # buffer changed; rebuild lazily
         if self.config is None:
             # Auto-configure from the first ADTS header, like the demuxer's
             # synthesized cookie (adts_demuxer.js:66-70) — a complete header
@@ -95,6 +98,7 @@ class AACDecoder:
         keeps the configuration.  Use when seeking to a new position."""
         self._buffer.clear()
         self._bitpos = 0
+        self._reader = None
         if self.config is not None:
             self._runtime = BatchDecoder([self.config], chunk_frames=1,
                                          cce_slots=self._cce_slots,
@@ -112,33 +116,31 @@ class AACDecoder:
         """Decode the next raw_data_block; returns interleaved float32 PCM
         of 1024*channels samples (1/32768 scale), or None until a complete
         block is buffered."""
-        from aacjax.host.bitio import BitReader, BitstreamUnderflow
-
         if self.config is None or self._runtime is None:
             if self._buffer:
                 return None  # still waiting for a configuring ADTS header
             raise UnsupportedError("no configuration; call set_cookie or feed")
         if self._bitpos >= len(self._buffer) * 8:
             return None
-        reader = BitReader(bytes(self._buffer))
-        reader.seek_bits(self._bitpos)
+        if self._reader is None:
+            # compact the consumed prefix, then build one reader per feed
+            # (not per frame — the buffer is immutable between feeds)
+            drop = self._bitpos // 8
+            if drop >= 4096:
+                del self._buffer[:drop]
+                self._bitpos -= drop * 8
+            self._reader = BitReader(bytes(self._buffer))
+        self._reader.seek_bits(self._bitpos)
         st = self._runtime.streams[0]
-        shapes_snapshot = st.prev_shapes.copy()
         try:
-            frame = decode_frame(reader, self.config, st.prev_shapes)
+            frame = decode_frame(self._reader, self.config, st.prev_shapes)
         except BitstreamUnderflow:
-            st.prev_shapes[:] = shapes_snapshot
             return None  # need more data
-        self._bitpos = reader.bit_position
+        self._bitpos = self._reader.bit_position
         self._runtime._update_shapes(st, frame)
         st.frames_decoded += 1
         pcm = self._runtime.step([[frame]])
         out = self._runtime.stream_pcm(pcm, 0, 1)
-        # compact the consumed prefix occasionally
-        if self._bitpos >= 1 << 20:
-            drop = self._bitpos // 8
-            del self._buffer[:drop]
-            self._bitpos -= drop * 8
         return out.reshape(-1)
 
 
@@ -161,6 +163,19 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 0,
         raise UnsupportedError("no ADTS frames found")
     header = frames[0][0]
     config = parse_asc(adts.synthesize_cookie(header))
+    if any(h.num_frames > 1 for h, _, _ in frames):
+        # rare: multiple raw_data_blocks per ADTS frame — block boundaries
+        # are only discoverable by parsing, so use the continuous-bitstream
+        # streaming decoder for the whole file
+        dec = AACDecoder(cookie=adts.synthesize_cookie(header))
+        dec.feed(data)
+        chunks = []
+        while True:
+            chunk = dec.read_chunk()
+            if chunk is None:
+                break
+            chunks.append(chunk.reshape(-1, config.channels))
+        return np.concatenate(chunks, axis=0), config.sample_rate
     dec = BatchDecoder([config], chunk_frames=chunk_frames,
                        cce_slots=cce_slots)
     payloads = [data[s:e] for _, s, e in frames]

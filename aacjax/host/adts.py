@@ -98,9 +98,12 @@ def split_frames(data: bytes, start: int = 0) -> list[tuple[ADTSHeader, int, int
         except BitstreamError:
             pos += 1
             continue
+        if header.frame_length < header.header_bytes:
+            pos += 1  # malformed length: resync scan from the next byte
+            continue
         end = pos + header.frame_length
-        if header.frame_length < header.header_bytes or end > n:
-            break  # truncated trailing frame
+        if end > n:
+            break  # truncated trailing frame (more data may arrive)
         frames.append((header, pos + header.header_bytes, end))
         pos = end
     return frames

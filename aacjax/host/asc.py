@@ -34,9 +34,6 @@ class StreamConfig:
     sample_rate: int
     chan_config: int
     frame_length: int = 1024
-    section_data_resilience: bool = False
-    scalefactor_resilience: bool = False
-    spectral_data_resilience: bool = False
 
     @property
     def channels(self) -> int:
@@ -86,17 +83,15 @@ def parse_asc(cookie: bytes) -> StreamConfig:
 
     chan_config = stream.read(4)
 
-    sect_res = sf_res = spec_res = False
     if profile in (AOT_AAC_MAIN, AOT_AAC_LC, AOT_AAC_LTP):
         if stream.read(1):  # frameLengthFlag => 960-sample frames
             raise UnsupportedError("frameLengthFlag not supported")
         if stream.read(1):  # dependsOnCoreCoder
             stream.advance(14)  # coreCoderDelay
         if stream.read(1):  # extensionFlag
-            if profile > 16:  # error-resilient profile
-                sect_res = bool(stream.read(1))
-                sf_res = bool(stream.read(1))
-                spec_res = bool(stream.read(1))
+            # ER-profile resilience flags would follow for profiles > 16
+            # (decoder.js:92-96), but those profiles never reach this
+            # branch — they are rejected below, in the reference too.
             stream.advance(1)
         if chan_config == CHANNEL_CONFIG_NONE:
             stream.advance(4)  # element_instance_tag
@@ -110,9 +105,6 @@ def parse_asc(cookie: bytes) -> StreamConfig:
         sample_rate=sample_rate,
         chan_config=chan_config,
         frame_length=1024,
-        section_data_resilience=sect_res,
-        scalefactor_resilience=sf_res,
-        spectral_data_resilience=spec_res,
     )
 
 

@@ -4,10 +4,10 @@ The native call releases the GIL, so the runtime can parse many streams on
 a thread pool (aacjax.runtime.batch).  Output arrays land directly in the
 caller's [C, T, ...] batch buffers (zero copies).
 
-Falls back cleanly: NativeParser.available() is False when the library
-hasn't been built (`make -C native`); a parse that hits a feature the
-native path delegates (CCE elements) raises NeedsPythonFallback and the
-runtime reparses that stream with the Python parser.
+Falls back cleanly: available() is False when the library hasn't been
+built (`make -C native`); a stream that needs features the native path
+delegates (CCE elements) gets status ERR_FALLBACK and the runtime
+reparses the chunk with the Python parser.
 """
 from __future__ import annotations
 
@@ -28,10 +28,6 @@ ERR_BITSTREAM = 1
 ERR_UNSUPPORTED = 2
 ERR_FALLBACK = 3
 ERR_BOUNDS = 4
-
-
-class NeedsPythonFallback(Exception):
-    """The chunk contains elements the native path does not handle (CCE)."""
 
 
 class NativeParseError(Exception):
@@ -58,18 +54,6 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_char_p, ctypes.c_int,
     ]
-    lib.aacparse_chunk.restype = ctypes.c_int
-    lib.aacparse_chunk.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # payloads, offsets, n_frames
-        ctypes.c_int, ctypes.c_int,                        # sample_index, chan_config
-        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,       # n_slots, T, prev_shapes
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, # quant, scale, noise
-        ctypes.c_void_p,                                   # meta
-        ctypes.c_void_p, ctypes.c_void_p,                  # tns_lpc, tns_range
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, # ms, is, pair_slots
-        ctypes.c_int, ctypes.c_void_p,                     # max_pairs, flags_out
-        ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,    # errbuf, len, err_frame
-    ]
     _lib = lib
     return lib
 
@@ -81,43 +65,6 @@ def available() -> bool:
 def _ptr(arr: np.ndarray):
     assert arr.flags["C_CONTIGUOUS"], "array must be contiguous"
     return arr.ctypes.data_as(ctypes.c_void_p)
-
-
-class ChunkArrays:
-    """Caller-allocated dense outputs for one stream's chunk (views into
-    the global batch buffers are fine as long as they're contiguous)."""
-
-    def __init__(self, n_slots: int, T: int, max_pairs: int = 4,
-                 views: dict | None = None):
-        self.n_slots, self.T, self.max_pairs = n_slots, T, max_pairs
-        v = views or {}
-
-        def get(name, shape, dtype):
-            arr = v.get(name)
-            if arr is None:
-                arr = np.zeros(shape, dtype)
-            assert arr.shape == shape and arr.dtype == dtype, name
-            assert arr.flags["C_CONTIGUOUS"], name
-            return arr
-
-        self.quant = get("quant", (n_slots, T, FRAME), np.int32)
-        self.scale = get("scale", (n_slots, T, FRAME), np.float32)
-        self.noise = get("noise", (n_slots, T, FRAME), np.float32)
-        self.meta = get("meta", (n_slots, T, 6), np.int32)
-        self.tns_lpc = get("tns_lpc", (n_slots, T, 2, TNS_SLOTS, TNS_ORDER),
-                           np.float32)
-        self.tns_range = get("tns_range", (n_slots, T, 2, TNS_SLOTS, 2),
-                             np.int32)
-        self.ms_mask = get("ms_mask", (max_pairs, T, FRAME), np.float32)
-        self.is_scale = get("is_scale", (max_pairs, T, FRAME), np.float32)
-        self.pair_slots = get("pair_slots", (max_pairs, 2), np.int32)
-        self.flags = get("flags", (4,), np.int32)
-
-    def reset(self):
-        for a in (self.quant, self.scale, self.noise, self.meta,
-                  self.tns_lpc, self.tns_range, self.ms_mask, self.is_scale,
-                  self.pair_slots, self.flags):
-            a.fill(0)
 
 
 class SpecBatchArrays:
@@ -174,36 +121,3 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
     if code != ERR_OK:
         raise NativeParseError(code, errbuf.value.decode(), -1)
     return status, bool(has_tns[0])
-
-
-def parse_chunk(payloads: list[bytes], sample_index: int, chan_config: int,
-                prev_shapes: np.ndarray, out: ChunkArrays) -> dict:
-    """Parse one stream's frames into `out`.  prev_shapes [n_slots] int32
-    is updated in place.  Returns {'n_pairs': int, 'has_tns': bool}."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native parser not built (make -C native)")
-    blob = b"".join(payloads)
-    offsets = np.zeros(len(payloads) + 1, np.int64)
-    np.cumsum([len(p) for p in payloads], out=offsets[1:])
-    buf = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
-    errbuf = ctypes.create_string_buffer(192)
-    err_frame = np.zeros(1, np.int32)
-    assert prev_shapes.dtype == np.int32 and prev_shapes.flags["C_CONTIGUOUS"]
-
-    code = lib.aacparse_chunk(
-        _ptr(buf), _ptr(offsets), len(payloads),
-        sample_index, chan_config,
-        out.n_slots, out.T, _ptr(prev_shapes),
-        _ptr(out.quant), _ptr(out.scale), _ptr(out.noise), _ptr(out.meta),
-        _ptr(out.tns_lpc), _ptr(out.tns_range),
-        _ptr(out.ms_mask), _ptr(out.is_scale), _ptr(out.pair_slots),
-        out.max_pairs, _ptr(out.flags),
-        errbuf, len(errbuf), _ptr(err_frame))
-
-    if code == ERR_FALLBACK:
-        raise NeedsPythonFallback(errbuf.value.decode())
-    if code != ERR_OK:
-        raise NativeParseError(code, errbuf.value.decode(),
-                               int(err_frame[0]))
-    return {"n_pairs": int(out.flags[0]), "has_tns": bool(out.flags[1])}

@@ -15,6 +15,7 @@ other streams are unaffected (per-stream error isolation, SURVEY.md §5).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -78,7 +79,7 @@ class BatchDecoder:
             [st.base_slot for st in self.streams], np.int32)
         self._n_slots = np.array(
             [st.n_slots for st in self.streams], np.int32)
-        self._spec_buffers: native.SpecBatchArrays | None = None
+        self._spec_buffers: list[native.SpecBatchArrays] | None = None
         from aacjax.runtime.stats import DecodeStats
         self.stats = DecodeStats(
             sample_rate=configs[0].sample_rate if configs else 44100)
@@ -176,11 +177,11 @@ class BatchDecoder:
         out = self._spec_buffers[buf_slot]
         shape_snapshot = self.prev_shapes.copy()
 
-        self.stats.start_step()
+        t0 = time.perf_counter()
         status, has_tns = native.parse_batch_spec(
             payloads_per_stream, self._sample_indices, self._chan_configs,
             self._base_slots, self._n_slots, self.prev_shapes, out)
-        self.stats.end_parse()
+        parse_seconds = time.perf_counter() - t0
 
         if (status == native.ERR_FALLBACK).any():
             self.prev_shapes[:] = shape_snapshot
@@ -219,6 +220,7 @@ class BatchDecoder:
                 tns_rev_start=np.ascontiguousarray(out.tns_range[:, :, 1, :, 0]),
                 tns_rev_end=np.ascontiguousarray(out.tns_range[:, :, 1, :, 1]))
         batch['_has_tns'] = has_tns
+        batch['_parse_seconds'] = parse_seconds
         batch['_n_stream_frames'] = sum(
             len(p) for p in payloads_per_stream if p)
         batch['_n_channel_frames'] = int(valid.sum())
@@ -227,6 +229,7 @@ class BatchDecoder:
     def _device_step(self, batch: dict, out_int16: bool,
                      use_pallas: bool | None = None):
         has_tns = batch.pop('_has_tns')
+        parse_seconds = batch.pop('_parse_seconds')
         n_stream_frames = batch.pop('_n_stream_frames')
         n_channel_frames = batch.pop('_n_channel_frames')
         if use_pallas is None:
@@ -235,8 +238,10 @@ class BatchDecoder:
                               has_cce=False, out_int16=out_int16,
                               use_pallas=use_pallas)
         step_fn = jitted_decode_spec_step(flags)
+        t0 = time.perf_counter()
         pcm, self.overlap = step_fn(batch, self.overlap)
-        self.stats.end_step(n_stream_frames, n_channel_frames)
+        self.stats.add_step(parse_seconds, time.perf_counter() - t0,
+                            n_stream_frames, n_channel_frames)
         self.stats.streams_failed = sum(st.failed for st in self.streams)
         return pcm
 

@@ -26,17 +26,13 @@ class DecodeStats:
     wall_seconds: float = 0.0
     _t0: float = field(default=0.0, repr=False)
 
-    def start_step(self) -> None:
-        self._t0 = time.perf_counter()
-
-    def end_parse(self) -> None:
-        now = time.perf_counter()
-        self.parse_seconds += now - self._t0
-        self._t0 = now
-
-    def end_step(self, stream_frames: int, channel_frames: int) -> None:
-        now = time.perf_counter()
-        self.device_seconds += now - self._t0
+    def add_step(self, parse_seconds: float, device_seconds: float,
+                 stream_frames: int, channel_frames: int) -> None:
+        """Record one completed step (thread-safe under the GIL: single
+        method call with locally measured durations, so the pipelined
+        runtime's parse/device threads can't interleave partial state)."""
+        self.parse_seconds += parse_seconds
+        self.device_seconds += device_seconds
         self.steps += 1
         self.stream_frames += stream_frames
         self.frames_decoded += channel_frames

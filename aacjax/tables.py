@@ -73,24 +73,27 @@ _SWB_128_8 = [0, 4, 8, 12, 16, 20, 24, 28, 36, 44, 52, 60, 72, 88, 108, 128]
 
 _A = functools.partial(np.array, dtype=np.int32)
 
-# Indexed by samplingFrequencyIndex 0..11 (index 12 / 7350 Hz shares index 11
-# behavior in the reference, which only defines 12 entries: tables.js:127-155).
+# Indexed by samplingFrequencyIndex 0..12.  Index 12 (7350 Hz) uses the
+# 8000 Hz tables per ISO/IEC 14496-3 (the reference defines only 12 entries,
+# tables.js:127-155, and crashes on a legal 7350 Hz stream).
 SWB_OFFSET_1024 = [
     _A(_SWB_1024_96), _A(_SWB_1024_96), _A(_SWB_1024_64), _A(_SWB_1024_48),
     _A(_SWB_1024_48), _A(_SWB_1024_32), _A(_SWB_1024_24), _A(_SWB_1024_24),
     _A(_SWB_1024_16), _A(_SWB_1024_16), _A(_SWB_1024_16), _A(_SWB_1024_8),
+    _A(_SWB_1024_8),
 ]
 
 SWB_OFFSET_128 = [
     _A(_SWB_128_96), _A(_SWB_128_96), _A(_SWB_128_64), _A(_SWB_128_48),
     _A(_SWB_128_48), _A(_SWB_128_48), _A(_SWB_128_24), _A(_SWB_128_24),
     _A(_SWB_128_16), _A(_SWB_128_16), _A(_SWB_128_16), _A(_SWB_128_8),
+    _A(_SWB_128_8),
 ]
 
 SWB_SHORT_WINDOW_COUNT = np.array(
-    [12, 12, 12, 14, 14, 14, 15, 15, 15, 15, 15, 15], dtype=np.int32)
+    [12, 12, 12, 14, 14, 14, 15, 15, 15, 15, 15, 15, 15], dtype=np.int32)
 SWB_LONG_WINDOW_COUNT = np.array(
-    [41, 41, 47, 49, 49, 51, 47, 47, 43, 43, 43, 40], dtype=np.int32)
+    [41, 41, 47, 49, 49, 51, 47, 47, 43, 43, 43, 40, 40], dtype=np.int32)
 
 # --------------------------------------------------------------------------
 # TNS (ISO/IEC 14496-3 §4.6.9)

@@ -1,20 +1,20 @@
 // Native AAC-LC bitstream parser: the host-side hot path of aacjax.
 //
-// Parses raw_data_blocks (SCE/CPE/LFE/DSE/FIL elements) and expands all
-// ragged side info into the dense per-bin tensors the device pipeline
-// consumes — quantized spectra, per-bin scalefactor gains, PNS noise,
-// M/S + intensity masks, resolved TNS filters — exactly mirroring the
-// Python reference parser in aacjax/host/syntax.py + runtime/pack.py
-// (equality is enforced by tests/test_native.py on random corpora).
+// Parses raw_data_blocks (SCE/CPE/LFE/DSE/FIL elements) for a whole
+// multi-stream chunk in one call and emits what the device consumes:
+// final float32 spectra (Huffman + dequant + PNS + M/S + intensity fused),
+// window metadata, and resolved TNS filters — exactly mirroring the
+// Python reference path (aacjax/host/syntax.py + runtime/pack.py +
+// float32 spectral finalization); equality is enforced by
+// tests/test_native.py on random corpora.
 //
 // Semantics follow /root/reference/src/{ics,cpe,tns,huffman,decoder}.js
 // with the documented spec-correct divergences (SURVEY.md §7): pulse data
 // is applied, TNS regions follow ISO/IEC 14496-3, PNS uses the intended
 // LCG (state*1664525 + 1013904223).
 //
-// Concurrency: no global mutable state after init; one call parses one
-// stream's chunk, so Python can fan streams across threads (the ctypes
-// call releases the GIL).
+// Concurrency: no global mutable state after init; the ctypes call
+// releases the GIL.
 //
 // Build: make -C native   ->  native/libaacparse.so
 
@@ -641,46 +641,6 @@ bool resolve_tns(const Channel* ch, int max_bands, float* tns_lpc,
   return true;
 }
 
-// ---------------------------------------------------------------------
-// Output layout shared with aacjax/host/native.py
-// ---------------------------------------------------------------------
-struct Outputs {
-  int n_slots, T;
-  int32_t* quant;       // [n_slots,T,1024]
-  float* scale;         // [n_slots,T,1024]
-  float* noise;         // [n_slots,T,1024]
-  int32_t* meta;        // [n_slots,T,6] f_idx,s_idx,shape,prev,is_short,valid
-  float* tns_lpc;       // [n_slots,T,2,8,20]
-  int32_t* tns_range;   // [n_slots,T,2,8,2]
-  float* ms_mask;       // [max_pairs,T,1024]
-  float* is_scale;      // [max_pairs,T,1024]
-  int32_t* pair_slots;  // [max_pairs,2]
-  int max_pairs;
-  int32_t* flags_out;   // [4]: n_pairs, has_tns, reserved, reserved
-};
-
-struct SlotRefs {
-  int32_t* quant;
-  float* scale;
-  float* noise;
-};
-
-SlotRefs slot_refs(const Outputs& out, int slot, int t) {
-  size_t base = (static_cast<size_t>(slot) * out.T + t) * kFrameLen;
-  return {out.quant + base, out.scale + base, out.noise + base};
-}
-
-void write_meta(const Outputs& out, int slot, int t, const ICSInfo& info) {
-  int32_t* m = out.meta + (static_cast<size_t>(slot) * out.T + t) * 6;
-  int seq = info.window_sequence;
-  m[0] = seq * 2 + info.prev_window_shape;
-  m[1] = seq * 2 + info.window_shape;
-  m[2] = info.window_shape;
-  m[3] = info.prev_window_shape;
-  m[4] = seq == EIGHT_SHORT ? 1 : 0;
-  m[5] = 1;  // valid
-}
-
 bool decode_ics(BitReader* br, const StreamConfig& cfg, Channel* ch,
                 ICSInfo* common_info, int prev_shape, ParseError* err) {
   bool ok = true;
@@ -708,27 +668,6 @@ bool decode_ics(BitReader* br, const StreamConfig& cfg, Channel* ch,
     FAIL(err, ERR_UNSUPPORTED, "gain control/SSR not supported");
   if (!ok) FAIL(err, ERR_BITSTREAM, "ics: eof");
   return decode_spectral(br, ch, err);
-}
-
-// Expand per-(group,sfb) values to per-bin over the grouped layout
-void expand_per_bin(const ICSInfo& info, const float* values, float* out) {
-  int idx = 0;
-  int group_off = 0;
-  for (int g = 0; g < info.group_count; ++g) {
-    int glen = info.group_length[g];
-    for (int sfb = 0; sfb < info.max_sfb; ++sfb, ++idx) {
-      float v = values[idx];
-      if (v != 0.0f) {
-        int off = info.swb_offsets[sfb];
-        int width = info.swb_offsets[sfb + 1] - off;
-        for (int w = 0; w < glen; ++w) {
-          float* dst = out + group_off + w * 128 + off;
-          for (int k = 0; k < width; ++k) dst[k] = v;
-        }
-      }
-    }
-    group_off += glen * 128;
-  }
 }
 
 }  // namespace
@@ -812,203 +751,6 @@ struct ChannelScratch {
 // C API
 // ---------------------------------------------------------------------
 extern "C" {
-
-// Parse one stream's chunk of raw_data_block payloads into dense arrays.
-//
-// payloads: concatenated payload bytes; offsets: [n_frames+1] byte offsets.
-// prev_shapes: [n_slots] in/out window-shape history.
-// Returns 0 on success; on error returns the ErrCode, fills errbuf and
-// err_frame (the frame index that failed; earlier frames remain valid).
-int aacparse_chunk(const uint8_t* payloads, const int64_t* offsets,
-                   int n_frames, int sample_index, int chan_config,
-                   int n_slots, int T, int32_t* prev_shapes,
-                   int32_t* quant, float* scale, float* noise, int32_t* meta,
-                   float* tns_lpc, int32_t* tns_range,
-                   float* ms_mask, float* is_scale, int32_t* pair_slots,
-                   int max_pairs, int32_t* flags_out,
-                   char* errbuf, int errbuf_len, int32_t* err_frame) {
-  ensure_init();
-  StreamConfig cfg{sample_index, chan_config};
-  Outputs out{n_slots, T, quant, scale, noise, meta, tns_lpc, tns_range,
-              ms_mask, is_scale, pair_slots, max_pairs, flags_out};
-  ParseError err{OK, ""};
-  int n_pairs = 0;
-  bool has_tns = false;
-
-  // registered pair list: slot_l*1000+slot_r -> pair index
-  auto find_pair = [&](int sl, int sr) -> int {
-    for (int i = 0; i < n_pairs; ++i)
-      if (pair_slots[i * 2] == sl && pair_slots[i * 2 + 1] == sr) return i;
-    if (n_pairs >= max_pairs) return -1;
-    pair_slots[n_pairs * 2] = sl;
-    pair_slots[n_pairs * 2 + 1] = sr;
-    return n_pairs++;
-  };
-
-  for (int t = 0; t < n_frames; ++t) {
-    BitReader br(payloads + offsets[t],
-                 offsets[t + 1] - offsets[t]);
-    bool ok = true;
-    // interleaved ADTS header (decoder.js:128-130)
-    if (br.nbits >= 12 && br.peek_padded(12) == 0xFFF) {
-      bool hok = br.advance(15);
-      bool prot_absent = br.read(1, &ok);
-      hok = hok && ok && br.advance(40);  // profile..fullness..numframes
-      if (hok && !prot_absent) hok = br.advance(16);  // CRC
-      if (!hok) { err = {ERR_BITSTREAM, "adts: eof"}; goto fail; }
-    }
-    {
-      int slot = 0;
-      for (;;) {
-        int etype = static_cast<int>(br.read(3, &ok));
-        if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto fail; }
-        if (etype == END_ELEM) break;
-        int eid = static_cast<int>(br.read(4, &ok));
-        (void)eid;
-        if (etype == SCE_ELEM || etype == LFE_ELEM) {
-          if (slot >= n_slots) { err = {ERR_BOUNDS, "too many channels"}; goto fail; }
-          Channel ch;
-          SlotRefs refs = slot_refs(out, slot, t);
-          ch.quant = refs.quant; ch.scale = refs.scale; ch.noise = refs.noise;
-          int prev = prev_shapes[slot];
-          if (!decode_ics(&br, cfg, &ch, nullptr, prev, &err)) goto fail;
-          write_meta(out, slot, t, ch.info);
-          prev_shapes[slot] = ch.info.window_shape;
-          if (ch.tns_present) {
-            bool any = false;
-            const int32_t* mb = ch.info.window_sequence == EIGHT_SHORT
-                                    ? kTnsMaxBandsShort : kTnsMaxBandsLong;
-            size_t tb = (static_cast<size_t>(slot) * T + t);
-            if (!resolve_tns(&ch, mb[sample_index],
-                             tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
-                             tns_range + tb * 2 * kTnsSlots * 2, &any)) {
-              err = {ERR_BITSTREAM, "tns slots exceeded"}; goto fail;
-            }
-            has_tns |= any;
-          }
-          slot += 1;
-        } else if (etype == CPE_ELEM) {
-          if (slot + 1 >= n_slots) { err = {ERR_BOUNDS, "too many channels"}; goto fail; }
-          bool common_window = br.read(1, &ok);
-          ICSInfo shared;
-          float ms_used[kMaxSections] = {0};
-          bool mask_present = false;
-          if (common_window) {
-            if (!decode_ics_info(&br, cfg, &shared, prev_shapes[slot], &err))
-              goto fail;
-            int mask = static_cast<int>(br.read(2, &ok));
-            mask_present = mask != 0;
-            if (mask == 1) {
-              int n = shared.group_count * shared.max_sfb;
-              for (int i = 0; i < n; ++i)
-                ms_used[i] = br.read(1, &ok) ? 1.0f : 0.0f;
-            } else if (mask == 2) {
-              for (int i = 0; i < kMaxSections; ++i) ms_used[i] = 1.0f;
-            } else if (mask == 3) {
-              err = {ERR_BITSTREAM, "Reserved ms mask type: 3"}; goto fail;
-            }
-          }
-          Channel left, right;
-          SlotRefs lr = slot_refs(out, slot, t);
-          SlotRefs rr = slot_refs(out, slot + 1, t);
-          left.quant = lr.quant; left.scale = lr.scale; left.noise = lr.noise;
-          right.quant = rr.quant; right.scale = rr.scale; right.noise = rr.noise;
-          if (!decode_ics(&br, cfg, &left, common_window ? &shared : nullptr,
-                          prev_shapes[slot], &err)) goto fail;
-          if (!decode_ics(&br, cfg, &right, common_window ? &shared : nullptr,
-                          prev_shapes[slot + 1], &err)) goto fail;
-          write_meta(out, slot, t, left.info);
-          write_meta(out, slot + 1, t, right.info);
-          prev_shapes[slot] = left.info.window_shape;
-          prev_shapes[slot + 1] = right.info.window_shape;
-          // TNS
-          const int32_t* mb_l = left.info.window_sequence == EIGHT_SHORT
-                                    ? kTnsMaxBandsShort : kTnsMaxBandsLong;
-          for (int which = 0; which < 2; ++which) {
-            Channel* ch = which ? &right : &left;
-            int s = slot + which;
-            if (!ch->tns_present) continue;
-            bool any = false;
-            const int32_t* mb = ch->info.window_sequence == EIGHT_SHORT
-                                    ? kTnsMaxBandsShort : kTnsMaxBandsLong;
-            (void)mb_l;
-            size_t tb = (static_cast<size_t>(s) * T + t);
-            if (!resolve_tns(ch, mb[sample_index],
-                             tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
-                             tns_range + tb * 2 * kTnsSlots * 2, &any)) {
-              err = {ERR_BITSTREAM, "tns slots exceeded"}; goto fail;
-            }
-            has_tns |= any;
-          }
-          // stereo masks
-          int pi = find_pair(slot, slot + 1);
-          if (pi < 0) { err = {ERR_BOUNDS, "too many pairs"}; goto fail; }
-          float* ms_out = ms_mask + (static_cast<size_t>(pi) * T + t) * kFrameLen;
-          float* is_out = is_scale + (static_cast<size_t>(pi) * T + t) * kFrameLen;
-          if (common_window && mask_present) {
-            int n = shared.group_count * shared.max_sfb;
-            float vals[kMaxSections];
-            for (int i = 0; i < n; ++i) {
-              vals[i] = (ms_used[i] != 0.0f && left.band_types[i] < NOISE_BT
-                         && right.band_types[i] < NOISE_BT) ? 1.0f : 0.0f;
-            }
-            expand_per_bin(left.info, vals, ms_out);
-          }
-          {
-            int n = right.info.group_count * right.info.max_sfb;
-            float vals[kMaxSections];
-            bool any_is = false;
-            for (int i = 0; i < n; ++i) {
-              int bt = right.band_types[i];
-              if (bt == INTENSITY_BT || bt == INTENSITY_BT2) {
-                float c = bt == INTENSITY_BT ? 1.0f : -1.0f;
-                if (mask_present && ms_used[i] != 0.0f) c = -c;
-                vals[i] = c * right.sf_gain[i];
-                any_is = true;
-              } else {
-                vals[i] = 0.0f;
-              }
-            }
-            if (any_is) expand_per_bin(right.info, vals, is_out);
-          }
-          slot += 2;
-        } else if (etype == CCE_ELEM) {
-          err = {ERR_FALLBACK, "CCE: python fallback"};
-          goto fail;
-        } else if (etype == DSE_ELEM) {
-          int align = static_cast<int>(br.read(1, &ok));
-          int count = static_cast<int>(br.read(8, &ok));
-          if (count == 255) count += static_cast<int>(br.read(8, &ok));
-          if (align) br.align();
-          if (!br.advance(static_cast<int64_t>(count) * 8)) {
-            err = {ERR_BITSTREAM, "dse: eof"}; goto fail;
-          }
-        } else if (etype == PCE_ELEM) {
-          err = {ERR_UNSUPPORTED, "PCE_ELEMENT not supported"}; goto fail;
-        } else if (etype == FIL_ELEM) {
-          int cnt = eid;
-          if (cnt == 15) cnt += static_cast<int>(br.read(8, &ok)) - 1;
-          if (!br.advance(static_cast<int64_t>(cnt) * 8)) {
-            err = {ERR_BITSTREAM, "fil: eof"}; goto fail;
-          }
-        } else {
-          err = {ERR_BITSTREAM, "Unknown element"}; goto fail;
-        }
-        if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto fail; }
-      }
-    }
-    continue;
-  fail:
-    snprintf(errbuf, errbuf_len, "%s", err.msg);
-    *err_frame = t;
-    flags_out[0] = n_pairs;
-    flags_out[1] = has_tns ? 1 : 0;
-    return err.code;
-  }
-  flags_out[0] = n_pairs;
-  flags_out[1] = has_tns ? 1 : 0;
-  return OK;
-}
 
 // Parse and spectrally finalize a whole multi-stream chunk in one call.
 //

@@ -1,4 +1,6 @@
-"""Native C++ parser vs Python parser: dense outputs must match exactly."""
+"""Native C++ parser vs Python parser: fused spectral outputs, window
+metadata and TNS banks must match the Python parse+pack path bit-exactly
+(the float32 operation order is identical by construction)."""
 import numpy as np
 import pytest
 
@@ -18,13 +20,12 @@ def _cfg(si=4, ch=2):
     return parse_asc(make_asc(2, si, ch))
 
 
-def python_reference_arrays(config, payloads, n_slots, T):
-    """Parse via the Python path and pack into the same dense layout."""
-    prev = [0] * n_slots
+def python_reference_batch(config, payloads, n_slots, T):
+    """Parse via the Python path and pack into the dense layout."""
+    prev = np.zeros(n_slots, np.int32)
     frames = []
     for p in payloads:
         f = decode_frame(BitReader(p), config, prev)
-        # update prev shapes the way BatchDecoder does
         ch_i = 0
         for e in f.elements:
             infos = ([e.ics.info] if hasattr(e, 'ics')
@@ -33,29 +34,57 @@ def python_reference_arrays(config, payloads, n_slots, T):
                 prev[ch_i] = info.window_shape
                 ch_i += 1
         frames.append(f)
-    batch, flags = pack_frames([(0, frames)], n_slots, T)
-    return batch, flags
+    return pack_frames([(0, frames)], n_slots, T)
+
+
+def expected_spec_f32(batch):
+    """Reproduce the native finalize_spec + apply_stereo float32 math from
+    the Python pack arrays (identical op order -> bit-exact)."""
+    q = batch['quant'].astype(np.float64)
+    iq = (np.sign(q) * np.abs(q) ** (4.0 / 3.0)).astype(np.float32)
+    spec = iq * batch['scale'] + batch['noise']
+    l = spec[batch['pair_l']]
+    r = spec[batch['pair_r']]
+    ms = batch['ms_mask']
+    isv = batch['is_scale']
+    l2 = np.where(ms != 0, l + r, l).astype(np.float32)
+    r2 = np.where(ms != 0, l - r, r).astype(np.float32)
+    r3 = np.where(isv != 0, l2 * isv, r2).astype(np.float32)
+    spec[batch['pair_l']] = l2
+    spec[batch['pair_r']] = r3
+    return spec
+
+
+def run_native(config, payloads, n_slots):
+    T = len(payloads)
+    out = native.SpecBatchArrays(n_slots, T)
+    prev = np.zeros(n_slots, np.int32)
+    status, has_tns = native.parse_batch_spec(
+        [payloads], np.array([config.sample_index], np.int32),
+        np.array([config.chan_config], np.int32),
+        np.array([0], np.int32), np.array([n_slots], np.int32), prev, out)
+    return out, status, has_tns, prev
 
 
 def compare(config, payloads, n_slots, seed_info=""):
     T = len(payloads)
-    out = native.ChunkArrays(n_slots, T)
-    prev_shapes = np.zeros(n_slots, np.int32)
-    info = native.parse_chunk(payloads, config.sample_index,
-                              config.chan_config, prev_shapes, out)
-    batch, flags = python_reference_arrays(config, payloads, n_slots, T)
+    out, status, has_tns, prev = run_native(config, payloads, n_slots)
+    assert status[0] == 0, f"{seed_info}: native status {status[0]}"
+    batch, flags = python_reference_batch(config, payloads, n_slots, T)
 
-    np.testing.assert_array_equal(out.quant, batch['quant'], err_msg=seed_info)
-    np.testing.assert_array_equal(out.scale, batch['scale'], err_msg=seed_info)
-    np.testing.assert_array_equal(out.noise, batch['noise'], err_msg=seed_info)
-    np.testing.assert_array_equal(out.meta[:, :, 0], batch['f_idx'])
-    np.testing.assert_array_equal(out.meta[:, :, 1], batch['s_idx'])
-    np.testing.assert_array_equal(out.meta[:, :, 4],
+    np.testing.assert_array_equal(out.spec, expected_spec_f32(batch),
+                                  err_msg=seed_info)
+    meta = out.meta
+    np.testing.assert_array_equal(meta[:, :, 0], batch['f_idx'])
+    np.testing.assert_array_equal(meta[:, :, 1], batch['s_idx'])
+    np.testing.assert_array_equal(meta[:, :, 4],
                                   batch['is_short'].astype(np.int32))
-    assert info['has_tns'] == flags.has_tns
+    assert bool(has_tns) == flags.has_tns
     if flags.has_tns:
-        np.testing.assert_array_equal(out.tns_lpc[:, :, 0], batch['tns_fwd_lpc'])
-        np.testing.assert_array_equal(out.tns_lpc[:, :, 1], batch['tns_rev_lpc'])
+        np.testing.assert_array_equal(out.tns_lpc[:, :, 0],
+                                      batch['tns_fwd_lpc'])
+        np.testing.assert_array_equal(out.tns_lpc[:, :, 1],
+                                      batch['tns_rev_lpc'])
         np.testing.assert_array_equal(out.tns_range[:, :, 0, :, 0],
                                       batch['tns_fwd_start'])
         np.testing.assert_array_equal(out.tns_range[:, :, 0, :, 1],
@@ -64,24 +93,12 @@ def compare(config, payloads, n_slots, seed_info=""):
                                       batch['tns_rev_start'])
         np.testing.assert_array_equal(out.tns_range[:, :, 1, :, 1],
                                       batch['tns_rev_end'])
-    # stereo masks: python pack stacks pairs in first-seen order, same as C
-    n_pairs = info['n_pairs']
-    if n_pairs:
-        np.testing.assert_array_equal(
-            out.pair_slots[:n_pairs, 0], batch['pair_l'][:n_pairs])
-        np.testing.assert_array_equal(
-            out.pair_slots[:n_pairs, 1], batch['pair_r'][:n_pairs])
-        np.testing.assert_array_equal(out.ms_mask[:n_pairs],
-                                      batch['ms_mask'][:n_pairs])
-        np.testing.assert_array_equal(out.is_scale[:n_pairs],
-                                      batch['is_scale'][:n_pairs])
-    return info
 
 
 @pytest.mark.parametrize("seed", range(20))
 def test_native_mono_matches_python(seed):
     rng = np.random.default_rng(seed)
-    config = _cfg(si=int(rng.integers(0, 12)), ch=1)
+    config = _cfg(si=int(rng.integers(0, 13)), ch=1)
     payloads = []
     for _ in range(4):
         w = BitWriter()
@@ -93,7 +110,7 @@ def test_native_mono_matches_python(seed):
 @pytest.mark.parametrize("seed", range(20))
 def test_native_stereo_matches_python(seed):
     rng = np.random.default_rng(1000 + seed)
-    config = _cfg(si=int(rng.integers(0, 12)), ch=2)
+    config = _cfg(si=int(rng.integers(0, 13)), ch=2)
     payloads = []
     for _ in range(4):
         w = BitWriter()
@@ -135,7 +152,21 @@ def test_native_adts_headers_interleaved():
     compare(config, payloads, 2)
 
 
-def test_native_cce_falls_back():
+def test_native_7350hz_index12():
+    """sample_index 12 (7350 Hz) is legal and must use the 8 kHz tables
+    (the reference crashes on it; SURVEY.md tables.js:127-155)."""
+    rng = np.random.default_rng(6)
+    config = _cfg(si=12, ch=1)
+    assert config.sample_rate == 7350
+    payloads = []
+    for _ in range(2):
+        w = BitWriter()
+        enc.write_sce(w, random_channel_spec(rng, config), config)
+        payloads.append(enc.end_frame(w))
+    compare(config, payloads, 1)
+
+
+def test_native_cce_status_fallback():
     rng = np.random.default_rng(3)
     config = _cfg(si=4, ch=2)
     w = BitWriter()
@@ -148,19 +179,14 @@ def test_native_cce_falls_back():
                                  targets=[(1, 0, 3)],
                                  gain_lists=[(1, 2, [])]), config)
     payload = enc.end_frame(w)
-    out = native.ChunkArrays(3, 1)
-    with pytest.raises(native.NeedsPythonFallback):
-        native.parse_chunk([payload], config.sample_index, config.chan_config,
-                           np.zeros(3, np.int32), out)
+    out, status, _, _ = run_native(config, [payload], 3)
+    assert status[0] == native.ERR_FALLBACK
 
 
-def test_native_error_reporting():
+def test_native_error_status():
     config = _cfg(si=4, ch=1)
-    out = native.ChunkArrays(1, 1)
-    with pytest.raises(native.NativeParseError) as ei:
-        native.parse_chunk([b"\xff\xff\xff\xff"], config.sample_index,
-                           config.chan_config, np.zeros(1, np.int32), out)
-    assert ei.value.frame == 0
+    out, status, _, _ = run_native(config, [b"\xff\xff\xff\xff"], 1)
+    assert status[0] not in (0, native.ERR_FALLBACK)
 
 
 def _mk_payloads(rng, config, n):
@@ -191,7 +217,6 @@ def test_step_raw_native_matches_python_step():
 
     scale = max(1.0, float(np.abs(pcm_python).max()))
     np.testing.assert_allclose(pcm_native, pcm_python, atol=1e-6 * scale)
-    # prev-shape state must agree too
     for a, b in zip(dn.streams, dp.streams):
         np.testing.assert_array_equal(a.prev_shapes, b.prev_shapes)
 
@@ -202,7 +227,7 @@ def test_step_raw_error_isolation():
     rng = np.random.default_rng(11)
     config = _cfg(si=4, ch=2)
     good1 = _mk_payloads(rng, config, 3)
-    bad = [b"\x00\x01\x02\x03"]  # SCE with nonsense content
+    bad = [b"\x00\x01\x02\x03"]
     good2 = _mk_payloads(rng, config, 3)
 
     dec = BatchDecoder([config] * 3, chunk_frames=3, use_native=True)
