@@ -383,7 +383,9 @@ def analysis_matrix(n: int) -> np.ndarray:
 def quantize_band(x: np.ndarray, sf: int) -> np.ndarray:
     gain = tables.scalefactor_gain(sf - 100 + tables.SF_OFFSET)
     q = np.sign(x) * np.floor(np.power(np.abs(x) / gain, 0.75) + 0.4054)
-    return q.astype(np.int64)
+    # the escape sequence tops out at |q| = 8191 (<= 8 prefix ones);
+    # larger values are illegal AAC (FFmpeg rejects them as ESC overflow)
+    return np.clip(q, -8191, 8191).astype(np.int64)
 
 
 def encode_pcm(pcm: np.ndarray, config: StreamConfig,

@@ -19,6 +19,21 @@ from aacjax.testing.encoder import (
 FRAME = 1024
 
 
+def legal_sequence_chain(rng, n: int, start: int = 0) -> list[int]:
+    """A window-sequence chain obeying the encoder transition rules
+    (ONLY_LONG->{OL,LS}, LONG_START->{ES,STOP}, EIGHT_SHORT->{ES,STOP},
+    LONG_STOP->{OL,LS}).  Decoders may legitimately differ on illegal
+    chains (FFmpeg adapts the overlap to the previous frame's sequence),
+    so conformance corpora must stay legal."""
+    legal = {0: (0, 1), 1: (2, 3), 2: (2, 3), 3: (0, 1)}
+    seqs = []
+    cur = start
+    for _ in range(n):
+        seqs.append(cur)
+        cur = int(rng.choice(legal[cur]))
+    return seqs
+
+
 def random_grouping(rng) -> list[int]:
     """Random partition of 8 windows into contiguous groups."""
     groups = []
