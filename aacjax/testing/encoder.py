@@ -425,6 +425,11 @@ def encode_pcm(pcm: np.ndarray, config: StreamConfig,
                     continue
                 sf = target_sf
                 q = quantize_band(band, sf)
+                # raise the band's scalefactor until the quantized values
+                # fit the escape limit (|q| <= 8191), like a real encoder
+                while np.max(np.abs(q)) >= 8191 and sf < 255:
+                    sf += 4
+                    q = quantize_band(band, sf)
                 if not np.any(q):
                     continue
                 # cheapest codebook covering the band's max magnitude,
