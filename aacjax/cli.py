@@ -16,20 +16,38 @@ def cmd_decode(args) -> int:
     from aacjax.api import decode_adts
 
     data = open(args.input, "rb").read()
-    pcm, rate = decode_adts(data, chunk_frames=args.chunk)
-    if args.int16:
+    pcm, rate = decode_adts(data, chunk_frames=args.chunk,
+                            on_error="skip" if args.conceal else "raise")
+    as_wav = args.output.lower().endswith(".wav")
+    if args.int16 or as_wav:
         out = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        fmt = "int16"
     else:
         out = pcm.astype(np.float32)
-    out.tofile(args.output)
+        fmt = "float32"
+    if as_wav:
+        _write_wav(args.output, out, rate)
+    else:
+        out.tofile(args.output)
     print(json.dumps({
         "samples": int(pcm.shape[0]),
         "channels": int(pcm.shape[1]),
         "sample_rate": rate,
-        "format": "int16" if args.int16 else "float32",
+        "format": "wav/pcm_s16le" if as_wav else fmt,
         "output": args.output,
     }))
     return 0
+
+
+def _write_wav(path: str, pcm_i16, rate: int) -> None:
+    import struct
+    n, ch = pcm_i16.shape
+    data = pcm_i16.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                      rate * ch * 2, ch * 2, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
 
 
 def cmd_probe(args) -> int:
@@ -121,11 +139,15 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="aacjax")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    d = sub.add_parser("decode", help="decode an ADTS .aac file to raw PCM")
+    d = sub.add_parser("decode",
+                       help="decode an ADTS .aac file (raw PCM, or WAV if "
+                            "the output ends in .wav)")
     d.add_argument("input")
     d.add_argument("output")
     d.add_argument("--chunk", type=int, default=64)
     d.add_argument("--int16", action="store_true")
+    d.add_argument("--conceal", action="store_true",
+                   help="conceal corrupt frames as silence instead of failing")
     d.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("probe", help="probe a file for ADTS AAC")

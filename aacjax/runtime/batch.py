@@ -8,9 +8,9 @@ host-parse -> pack -> device-step loop.
 
 One BatchDecoder serves any number of concurrent streams; every step
 decodes up to T frames for every stream in a single jitted device program.
-A malformed stream raises at parse time and is isolated by the caller
-(per-stream try/except) — its slots simply go unfilled that step, and
-other streams are unaffected (per-stream error isolation, SURVEY.md §5).
+A malformed stream is isolated by per-stream parse status: its decoded
+prefix stays valid, the stream is flagged failed, and other streams are
+unaffected (per-stream error isolation, SURVEY.md §5).
 """
 from __future__ import annotations
 

@@ -11,8 +11,13 @@ from aacjax.kernels.pallas_synth import TILE, synthesis
 
 INTERPRET = jax.default_backend() != "tpu"
 
+# On the remote-compile TPU dev setup each Mosaic build takes minutes, and
+# the kernel is an optional path (AACJAX_PALLAS=1, default off) already
+# exercised in interpret mode; keep hardware runs to a single case.
+SEEDS = range(1) if jax.default_backend() == "tpu" else range(4)
 
-@pytest.mark.parametrize("seed", range(4))
+
+@pytest.mark.parametrize("seed", SEEDS)
 def test_pallas_matches_jnp_filterbank(seed):
     rng = np.random.default_rng(seed)
     B = 16
