@@ -28,6 +28,26 @@ FRAME = 1024
 
 probe = adts.probe
 
+# AAC decodes channels in element order (C, L, R, SL, SR, LFE for 5.1 —
+# the reference's convention, decoder.js:218-248); WAV/FFmpeg use the
+# canonical speaker order.  Permutations indexed by chanConfig:
+# canonical[i] = element_order[CANONICAL_ORDER[cfg][i]].
+CANONICAL_ORDER = {
+    1: [0],
+    2: [0, 1],
+    3: [1, 2, 0],                 # L R C
+    4: [1, 2, 0, 3],              # L R C rear-mono
+    5: [1, 2, 0, 3, 4],           # L R C SL SR
+    6: [1, 2, 0, 5, 3, 4],        # L R C LFE SL SR
+    8: [1, 2, 0, 7, 5, 6, 3, 4],  # L R C LFE SL SR (side pair first)
+}
+
+
+def to_canonical_order(pcm: np.ndarray, chan_config: int) -> np.ndarray:
+    """Reorder element-order channels to the canonical WAV/FFmpeg layout."""
+    perm = CANONICAL_ORDER.get(chan_config)
+    return pcm[:, perm] if perm else pcm
+
 
 class AACDecoder:
     """Streaming decoder with reference-equivalent semantics.

@@ -19,6 +19,12 @@ def cmd_decode(args) -> int:
     pcm, rate = decode_adts(data, chunk_frames=args.chunk,
                             on_error="skip" if args.conceal else "raise")
     as_wav = args.output.lower().endswith(".wav")
+    if as_wav and pcm.shape[1] > 2:
+        from aacjax.api import to_canonical_order
+        from aacjax.host import adts as _adts
+        from aacjax.host.asc import parse_asc as _parse
+        header = _adts.split_frames(data)[0][0]
+        pcm = to_canonical_order(pcm, header.chan_config)
     if args.int16 or as_wav:
         out = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
         fmt = "int16"

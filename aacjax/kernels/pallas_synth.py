@@ -17,6 +17,12 @@ tables (40 KB) and a spec tile — fits in VMEM, so each channel-frame's
 spectrum is read from HBM exactly once and its output written exactly
 once: the kernel is HBM-minimal.  Replaces the reference's per-sample JS
 loops (mdct.js, fft.js, filter_bank.js — SURVEY.md §2.9).
+
+Status: optional path, off by default (AACJAX_PALLAS=1); validated under
+Mosaic on hardware against the XLA filterbank for all four window
+sequences.  Pitfall encoded below: every in-kernel dot must request
+Precision.HIGHEST — Mosaic's default matmul is bf16 and silently
+quantizes even one-hot selections (~0.4% error).
 """
 from __future__ import annotations
 
@@ -57,12 +63,20 @@ def _synthesis_kernel(spec_ref, f_oh_ref, s_oh_ref, shape_oh_ref,
     blocks = blocks.reshape(TILE, 8, 256)
 
     # ---- per-row window vectors selected by one-hot matmuls (the one-hot
-    # rows arrive precomputed; selection stays on the MXU, no gathers)
-    f_win = f_oh_ref[:] @ f_tab_ref[:]                   # [TILE, 1024]
-    s_win = s_oh_ref[:] @ s_tab_ref[:]
-    rise_cur = shape_oh_ref[:] @ rise_ref[:]             # [TILE, 128]
-    rise_prev = prev_oh_ref[:] @ rise_ref[:]
-    fall_cur = shape_oh_ref[:] @ fall_ref[:]
+    # rows arrive precomputed and 128-lane padded; selection stays on the
+    # MXU, no gathers).  HIGHEST precision is required: Mosaic's default
+    # matmul is bf16 and would quantize the window values (~0.4%).
+    def select(oh, tab):
+        return jax.lax.dot_general(
+            oh, tab, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    f_win = select(f_oh_ref[:], f_tab_ref[:])            # [TILE, 1024]
+    s_win = select(s_oh_ref[:], s_tab_ref[:])
+    rise_cur = select(shape_oh_ref[:], rise_ref[:])      # [TILE, 128]
+    rise_prev = select(prev_oh_ref[:], rise_ref[:])
+    fall_cur = select(shape_oh_ref[:], fall_ref[:])
 
     # ---- EIGHT_SHORT windowing + intra-frame OLA, as static segment
     # algebra (Mosaic has no dynamic_update_slice): sub-window w occupies
@@ -83,7 +97,7 @@ def _synthesis_kernel(spec_ref, f_oh_ref, s_oh_ref, shape_oh_ref,
     first_long = long_out[:, :FRAME] * f_win
     second_long = long_out[:, FRAME:] * s_win
 
-    sel = is_short_ref[:] != 0.0                          # [TILE, 1]
+    sel = is_short_ref[:, 0:1] != 0.0                     # [TILE, 1]
     first_ref[:] = jnp.where(sel, t_short[:, :FRAME], first_long)
     second_ref[:] = jnp.where(sel, t_short[:, FRAME:], second_long)
 
@@ -110,23 +124,33 @@ def synthesis(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
     m_long, m_short, f_tab, s_tab, rise, fall = _tables_f32()
 
     # one-hot selection rows, computed by XLA outside the kernel (fused,
-    # negligible) — keeps the kernel free of gathers and tiny-int blocks
-    def onehot(idx, n):
-        return (idx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
-                ).astype(jnp.float32)
+    # negligible), padded to 128 lanes — Mosaic requires last-dim 128
+    # alignment for reliable block layout
+    def onehot128(idx, n):
+        oh = (idx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+        return jnp.pad(oh, ((0, 0), (0, 128 - n)))
 
-    f_oh = onehot(f_idx.astype(jnp.int32), 8)
-    s_oh = onehot(s_idx.astype(jnp.int32), 8)
-    shape_oh = onehot(shape_idx.astype(jnp.int32), 2)
-    prev_oh = onehot(prev_shape_idx.astype(jnp.int32), 2)
-    is_short_col = is_short.astype(jnp.float32)[:, None]
+    def pad_rows(tab, n):
+        return np.pad(tab, ((0, 128 - n), (0, 0)))
+
+    f_oh = onehot128(f_idx.astype(jnp.int32), 8)
+    s_oh = onehot128(s_idx.astype(jnp.int32), 8)
+    shape_oh = onehot128(shape_idx.astype(jnp.int32), 2)
+    prev_oh = onehot128(prev_shape_idx.astype(jnp.int32), 2)
+    is_short_col = jnp.pad(is_short.astype(jnp.float32)[:, None],
+                           ((0, 0), (0, 127)))
+    f_tab128 = pad_rows(f_tab, 8)
+    s_tab128 = pad_rows(s_tab, 8)
+    rise128 = pad_rows(rise, 2)
+    fall128 = pad_rows(fall, 2)
 
     grid = (B // TILE,)
     row_spec = pl.BlockSpec((TILE, FRAME), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def small_spec(ncols):
-        return pl.BlockSpec((TILE, ncols), lambda i: (i, 0),
+    def small_spec():
+        return pl.BlockSpec((TILE, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(arr):
@@ -138,11 +162,11 @@ def synthesis(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
         grid=grid,
         in_specs=[
             row_spec,                     # spec
-            small_spec(8), small_spec(8), small_spec(2), small_spec(2),
-            small_spec(1),
+            small_spec(), small_spec(), small_spec(), small_spec(),
+            small_spec(),
             const_spec(m_long), const_spec(m_short),
-            const_spec(f_tab), const_spec(s_tab),
-            const_spec(rise), const_spec(fall),
+            const_spec(f_tab128), const_spec(s_tab128),
+            const_spec(rise128), const_spec(fall128),
         ],
         out_specs=[
             pl.BlockSpec((TILE, FRAME), lambda i: (i, 0),
@@ -163,7 +187,7 @@ def synthesis(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
     )(
         spec, f_oh, s_oh, shape_oh, prev_oh, is_short_col,
         jnp.asarray(m_long), jnp.asarray(m_short),
-        jnp.asarray(f_tab), jnp.asarray(s_tab),
-        jnp.asarray(rise), jnp.asarray(fall),
+        jnp.asarray(f_tab128), jnp.asarray(s_tab128),
+        jnp.asarray(rise128), jnp.asarray(fall128),
     )
     return first, second

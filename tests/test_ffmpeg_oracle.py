@@ -170,3 +170,42 @@ def test_random_syntax_streams_conform(seed):
     assert err_ours_ff < 1e-5 or err_ours_64 <= max(2e-5, err_ff_64), (
         f"ours-vs-ffmpeg {err_ours_ff}, ours-vs-fp64 {err_ours_64}, "
         f"ffmpeg-vs-fp64 {err_ff_64}")
+
+
+def test_51_channel_order_matches_ffmpeg():
+    """Element-order -> canonical-order permutation agrees with FFmpeg's
+    5.1 output layout."""
+    from aacjax.api import to_canonical_order
+    from aacjax.host.bitio import BitWriter as BW
+    from aacjax.testing.specgen import (legal_sequence_chain,
+                                        random_channel_spec)
+    rng = np.random.default_rng(77)
+    config = _cfg(si=3, ch=6)
+    payloads = []
+    for seq in legal_sequence_chain(rng, 3):
+        w = BW()
+        enc.write_sce(w, random_channel_spec(rng, config, window_sequence=seq,
+                                             allow_noise=False,
+                                             allow_tns=False), config)
+        for inst in range(2):
+            left = random_channel_spec(rng, config, window_sequence=seq,
+                                       allow_noise=False, allow_tns=False)
+            right = random_channel_spec(
+                rng, config, window_sequence=seq, grouping=left.grouping,
+                max_sfb=left.max_sfb, window_shape=left.window_shape,
+                allow_noise=False, allow_tns=False)
+            enc.write_cpe(w, enc.CPESpec(left=left, right=right,
+                                         common_window=True, ms_type=0),
+                          config, instance=inst)
+        enc.write_sce(w, random_channel_spec(
+            rng, config, window_sequence=0, allow_tns=False,
+            allow_pulse=False, allow_noise=False), config, lfe=True)
+        payloads.append(enc.end_frame(w))
+    stream = b"".join(enc.adts_frame(p, config) for p in payloads)
+    theirs, _ = ff.decode_adts(stream)
+    ours, _ = decode_adts(stream)
+    ours_canon = to_canonical_order(ours, 6)
+    m = min(len(ours_canon), len(theirs))
+    peak = max(1.0, float(np.abs(theirs[:m]).max()))
+    err = float(np.abs(ours_canon[:m] - theirs[:m]).max()) / peak
+    assert err < 3e-6, err
