@@ -1,8 +1,8 @@
 """ctypes binding to the native parser (native/libaacparse.so).
 
-The native call releases the GIL, so the runtime can parse many streams on
-a thread pool (aacjax.runtime.batch).  Output arrays land directly in the
-caller's [C, T, ...] batch buffers (zero copies).
+One call parses every stream of a chunk and writes directly into the
+caller's [C, T, ...] batch buffers (zero copies); the call releases the
+GIL.
 
 Falls back cleanly: available() is False when the library hasn't been
 built (`make -C native`); a stream that needs features the native path

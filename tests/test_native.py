@@ -285,3 +285,18 @@ def test_decode_pipelined_matches_step_raw():
     assert len(got) == 2
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_native_parse_deterministic():
+    """Two parses of the same chunk produce bit-identical outputs
+    (guards against uninitialized reads in the C parser)."""
+    rng = np.random.default_rng(31337)
+    config = _cfg(si=4, ch=2)
+    payloads = _mk_payloads(rng, config, 4)
+    a, sa, _, pa = run_native(config, payloads, 2)
+    b, sb, _, pb = run_native(config, payloads, 2)
+    np.testing.assert_array_equal(a.spec, b.spec)
+    np.testing.assert_array_equal(a.meta, b.meta)
+    np.testing.assert_array_equal(a.tns_lpc, b.tns_lpc)
+    np.testing.assert_array_equal(sa, sb)
+    np.testing.assert_array_equal(pa, pb)
