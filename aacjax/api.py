@@ -187,14 +187,31 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 0,
         # rare: multiple raw_data_blocks per ADTS frame — block boundaries
         # are only discoverable by parsing, so use the continuous-bitstream
         # streaming decoder for the whole file
-        dec = AACDecoder(cookie=adts.synthesize_cookie(header))
+        dec = AACDecoder(cookie=adts.synthesize_cookie(header),
+                         cce_slots=max(cce_slots, 1))
         dec.feed(data)
         chunks = []
         while True:
-            chunk = dec.read_chunk()
+            try:
+                chunk = dec.read_chunk()
+            except Exception:  # noqa: BLE001 — concealment boundary
+                if on_error == "raise":
+                    raise
+                # conceal the corrupt block as silence and resync to the
+                # next ADTS frame boundary after the current position
+                rest = adts.split_frames(bytes(dec._buffer),
+                                         start=dec._bitpos // 8 + 1,
+                                         resync_overruns=True)
+                chunks.append(np.zeros((FRAME, config.channels), np.float32))
+                if not rest:
+                    break
+                dec._bitpos = rest[0][1] * 8
+                continue
             if chunk is None:
                 break
             chunks.append(chunk.reshape(-1, config.channels))
+        if not chunks:
+            raise UnsupportedError("no decodable raw_data_blocks")
         return np.concatenate(chunks, axis=0), config.sample_rate
     dec = BatchDecoder([config], chunk_frames=chunk_frames,
                        cce_slots=cce_slots)

@@ -22,9 +22,11 @@ def cmd_decode(args) -> int:
     if as_wav and pcm.shape[1] > 2:
         from aacjax.api import to_canonical_order
         from aacjax.host import adts as _adts
-        from aacjax.host.asc import parse_asc as _parse
-        header = _adts.split_frames(data)[0][0]
-        pcm = to_canonical_order(pcm, header.chan_config)
+        # only the first header is needed for chan_config; scan a prefix
+        # instead of re-segmenting the whole file
+        first = _adts.split_frames(data[:1 << 16])
+        if first:
+            pcm = to_canonical_order(pcm, first[0][0].chan_config)
     if args.int16 or as_wav:
         out = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
         fmt = "int16"

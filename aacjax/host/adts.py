@@ -77,13 +77,21 @@ def synthesize_cookie(header: ADTSHeader) -> bytes:
     return bytes([b0, b1])
 
 
-def split_frames(data: bytes, start: int = 0) -> list[tuple[ADTSHeader, int, int]]:
+def split_frames(data: bytes, start: int = 0,
+                 resync_overruns: bool = False
+                 ) -> list[tuple[ADTSHeader, int, int]]:
     """Segment `data` into ADTS frames.
 
     Returns a list of (header, payload_start, payload_end) byte ranges, where
     the payload is the raw_data_block bytes (header/CRC stripped).  Resyncs
     to the next syncword on malformed lengths, which the reference does not
     attempt (its probe scan is the only sync logic — SURVEY.md §5).
+
+    A frame whose length runs past the end of `data` is normally treated
+    as a truncated tail (more data may arrive in a streaming feed) and
+    segmentation stops; with resync_overruns=True it is treated as a false
+    syncword (e.g. 0xFF bytes inside a corrupt payload) and the scan
+    continues from the next byte — use when `data` is known complete.
     """
     frames = []
     pos = start
@@ -103,6 +111,9 @@ def split_frames(data: bytes, start: int = 0) -> list[tuple[ADTSHeader, int, int
             continue
         end = pos + header.frame_length
         if end > n:
+            if resync_overruns:
+                pos += 1
+                continue
             break  # truncated trailing frame (more data may arrive)
         frames.append((header, pos + header.header_bytes, end))
         pos = end

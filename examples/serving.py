@@ -62,11 +62,13 @@ def main() -> int:
             yield [p[lo:lo + args.chunk] for p in payloads]
 
     total = np.zeros(len(datas))
-    for pcm in dec.decode_pipelined(chunks(), out_int16=True):
+    for c, pcm in enumerate(dec.decode_pipelined(chunks(), out_int16=True)):
         # route each stream's PCM wherever it needs to go
-        for i, st in enumerate(dec.streams):
-            n = min(args.chunk, max(len(payloads[i]), 0))
-            total[i] += np.abs(dec.stream_pcm(pcm, i, n)).mean()
+        lo = c * args.chunk
+        for i in range(len(datas)):
+            n = min(args.chunk, len(payloads[i]) - lo)
+            if n > 0:
+                total[i] += np.abs(dec.stream_pcm(pcm, i, n)).mean()
 
     print("stats:", dec.stats.as_dict(), file=sys.stderr)
     print("failed streams:",

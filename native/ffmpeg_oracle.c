@@ -34,7 +34,7 @@ int64_t ffdec_decode_adts(const uint8_t* data, int64_t len, float* out,
 
   const uint8_t* p = data;
   int64_t remaining = len;
-  while (remaining > 0 || p == NULL) {
+  while (remaining > 0) {
     uint8_t* opkt = NULL;
     int opkt_size = 0;
     int used = av_parser_parse2(parser, ctx, &opkt, &opkt_size,

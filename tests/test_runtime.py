@@ -216,3 +216,28 @@ def test_heterogeneous_batch():
         got = dec.stream_pcm(pcm, i, 2)
         scale = max(1.0, float(np.abs(want).max()))
         np.testing.assert_allclose(got, want, atol=1e-6 * scale)
+
+
+def test_multi_rdb_concealment():
+    """num_frames>1 fallback honors on_error='skip' (corrupt block ->
+    silence, resync continues)."""
+    rng = np.random.default_rng(55)
+    config = _cfg(ch=1)
+    p1, p2, p3 = _payloads(rng, config, 3)
+    # one ADTS frame holding two raw_data_blocks, the first corrupted
+    bad = bytearray(p1)
+    bad[2:6] = b"\xff\xff\xff\xff"
+    payload = bytes(bad) + p2
+    w = BitWriter()
+    length = len(payload) + 7
+    w.write(0xFFF, 12); w.write(0b0001, 4); w.write(config.profile - 1, 2)
+    w.write(config.sample_index, 4); w.write(0, 1)
+    w.write(config.chan_config, 3); w.write(0, 4); w.write(length, 13)
+    w.write(0x7FF, 11); w.write(1, 2)  # numFrames-1 = 1
+    stream = w.getvalue() + payload + enc.adts_frame(p3, config)
+
+    with pytest.raises(Exception):
+        decode_adts(stream, on_error="raise")
+    pcm, _ = decode_adts(stream, on_error="skip")
+    assert np.isfinite(pcm).all()
+    assert pcm.shape[0] >= 2 * 1024  # concealed + resynced frames
