@@ -125,7 +125,9 @@ def test_stats_accumulate():
     d = dec.stats.as_dict()
     assert d["stream_frames"] == 4
     assert d["audio_seconds"] == pytest.approx(4 * 1024 / 44100, rel=1e-2)
-    assert d["realtime_x"] > 0
+    # as_dict rounds to 1 decimal (can be 0.0 under first-compile latency);
+    # the property itself must be positive
+    assert dec.stats.realtime_x > 0
 
 
 def test_streaming_multi_rdb_and_partial_feed():
