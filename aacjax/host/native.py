@@ -45,6 +45,15 @@ def _load():
     if _lib is not None:
         return _lib
     if not _LIB_PATH.exists():
+        # best-effort build (the prebuilt .so ships in-repo; this covers
+        # fresh checkouts with a toolchain)
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", str(_LIB_PATH.parent), "-s"],
+                           check=False, capture_output=True, timeout=120)
+        except Exception:  # noqa: BLE001
+            pass
+    if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.aacparse_batch_spec.restype = ctypes.c_int
