@@ -39,6 +39,9 @@ CANONICAL_ORDER = {
     4: [1, 2, 0, 3],              # L R C rear-mono
     5: [1, 2, 0, 3, 4],           # L R C SL SR
     6: [1, 2, 0, 5, 3, 4],        # L R C LFE SL SR
+    # chanConfig 7 is spec 7.1 (ISO/IEC 14496-3 Table 1.19): element order
+    # C, FLC, FRC, FL, FR, BL, BR, LFE -> FL FR C LFE BL BR FLC FRC
+    7: [3, 4, 0, 7, 5, 6, 1, 2],
     8: [1, 2, 0, 7, 5, 6, 3, 4],  # L R C LFE SL SR (side pair first)
 }
 
@@ -164,7 +167,7 @@ class AACDecoder:
         return out.reshape(-1)
 
 
-def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 0,
+def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
                 on_error: str = "raise") -> tuple[np.ndarray, int]:
     """Decode a whole ADTS byte stream through the batched device pipeline.
 
@@ -175,6 +178,10 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 0,
     undecodable frames as silence and continues from the next ADTS
     syncword (the reference offers neither — a bitstream error aborts its
     decode with no resync, SURVEY.md §5).
+
+    cce_slots reserves channel slots per stream for coupling channels
+    (cce.js); streams with more CCE elements per frame than slots raise a
+    SlotOverflowError naming the fix.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error: {on_error}")

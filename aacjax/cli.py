@@ -17,6 +17,7 @@ def cmd_decode(args) -> int:
 
     data = open(args.input, "rb").read()
     pcm, rate = decode_adts(data, chunk_frames=args.chunk,
+                            cce_slots=args.cce_slots,
                             on_error="skip" if args.conceal else "raise")
     as_wav = args.output.lower().endswith(".wav")
     if as_wav and pcm.shape[1] > 2:
@@ -156,6 +157,9 @@ def main(argv=None) -> int:
     d.add_argument("--int16", action="store_true")
     d.add_argument("--conceal", action="store_true",
                    help="conceal corrupt frames as silence instead of failing")
+    d.add_argument("--cce-slots", type=int, default=2, dest="cce_slots",
+                   help="channel slots reserved per stream for coupling "
+                        "channels (CCE elements)")
     d.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("probe", help="probe a file for ADTS AAC")

@@ -37,10 +37,14 @@ class StreamConfig:
 
     @property
     def channels(self) -> int:
-        # chanConfig 7 is reserved; 8 means 7.1 in the reference's mapping
-        # (decoder.js:40-47).  chanConfig directly equals the channel count
-        # for 1..6; config 8 carries 8 channels.
-        return self.chan_config
+        # chanConfig equals the channel count for 1..6.  Per ISO/IEC
+        # 14496-3 Table 1.19, chanConfig 7 is 7.1 (8 channels: C + front
+        # pair + outside pair + back pair + LFE) — a spec-correct
+        # divergence from the reference, which instead labels value 8 as
+        # SEVEN_PLUS_ONE (decoder.js:47) and would reject a legal
+        # chanConfig-7 stream.  Value 8 is also accepted as 8 channels for
+        # reference compatibility.
+        return 8 if self.chan_config == 7 else self.chan_config
 
     @property
     def swb_offsets_long(self) -> np.ndarray:

@@ -20,7 +20,7 @@ import pathlib
 
 import numpy as np
 
-from aacjax.host.bitio import BitReader
+from aacjax.host.bitio import BitReader, BitstreamError
 
 _BOOKS_PATH = pathlib.Path(__file__).parent / "huffman_books.npz"
 
@@ -82,10 +82,16 @@ def decode_scalefactor(stream: BitReader) -> int:
 
 
 def _escape(stream: BitReader, sign: int) -> int:
-    """Book-11 escape sequence (huffman.js:1448-1455)."""
+    """Book-11 escape sequence (huffman.js:1448-1455).
+
+    The unary prefix is capped at the same bound as the native parser
+    (aacparse.cc "escape too long") so both paths reject identical corrupt
+    streams — the reference's loop is unbounded."""
     n = 4
     while stream.read(1):
         n += 1
+        if n > 24:
+            raise BitstreamError("escape too long")
     value = stream.read(n) | (1 << n)
     return -value if sign < 0 else value
 

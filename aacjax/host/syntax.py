@@ -416,10 +416,10 @@ class ICSDecoder:
                     for _group in range(group_len):
                         vals = np.zeros(width, np.float32)
                         for k in range(width):
-                            # LCG quirk preserved: the reference multiplies
-                            # by the SUM (1664525 + 1013904223) due to the
-                            # parenthesization at ics.js:234, with |0
-                            # (signed 32-bit) wraparound.
+                            # Standard LCG, a spec-correct divergence: the
+                            # reference's parenthesization at ics.js:234
+                            # multiplies by the SUM (1664525 + 1013904223)
+                            # and NaNs out — see _lcg_step's docstring.
                             random_state = _lcg_step(random_state)
                             vals[k] = np.float32(random_state)
                         energy = float(np.sum(vals.astype(np.float64) ** 2))

@@ -80,6 +80,8 @@ class BatchDecoder:
         self._n_slots = np.array(
             [st.n_slots for st in self.streams], np.int32)
         self._spec_buffers: list[native.SpecBatchArrays] | None = None
+        # in-flight device steps awaiting finalize_step (timing completion)
+        self._pending_steps: dict[int, tuple] = {}
         from aacjax.runtime.stats import DecodeStats
         self.stats = DecodeStats(
             sample_rate=configs[0].sample_rate if configs else 44100)
@@ -118,12 +120,14 @@ class BatchDecoder:
         stream i (None or empty to skip).  Returns pcm [C, T, 1024] float32
         in the reference's 1/32768 scale; use stream_pcm() to slice."""
         per_slot = []
+        limits = []
         for st, frames in zip(self.streams, frames_per_stream):
             if frames:
                 if len(frames) > self.T:
                     raise ValueError(f"{len(frames)} frames > chunk size {self.T}")
                 per_slot.append((st.base_slot, frames))
-        batch, flags = pack_frames(per_slot, self.C, self.T)
+                limits.append(st.n_slots)
+        batch, flags = pack_frames(per_slot, self.C, self.T, limits)
         step_fn = jitted_decode_step(flags)
         pcm, self.overlap = step_fn(batch, self.overlap)
         return np.asarray(pcm)
@@ -165,7 +169,7 @@ class BatchDecoder:
             return self._step_python_raw(payloads_per_stream)
         pcm = self._device_step(parsed, out_int16=out_int16,
                                 use_pallas=use_pallas)
-        return np.asarray(pcm) if materialize else pcm
+        return self.finalize_step(pcm) if materialize else pcm
 
     def _parse_native(self, payloads_per_stream, buf_slot: int = 0):
         """Native parse into buffer `buf_slot` (double-buffered for the
@@ -240,10 +244,28 @@ class BatchDecoder:
         step_fn = jitted_decode_spec_step(flags)
         t0 = time.perf_counter()
         pcm, self.overlap = step_fn(batch, self.overlap)
-        self.stats.add_step(parse_seconds, time.perf_counter() - t0,
-                            n_stream_frames, n_channel_frames)
+        # jit dispatch is async: the step's device time is only known once
+        # the result materializes, so the timing record completes in
+        # finalize_step (stats never report the async dispatch as device
+        # time — that would overstate throughput)
+        if len(self._pending_steps) > 16:  # caller never finalized; bound it
+            self._pending_steps.clear()
+        self._pending_steps[id(pcm)] = (
+            t0, parse_seconds, n_stream_frames, n_channel_frames)
         self.stats.streams_failed = sum(st.failed for st in self.streams)
         return pcm
+
+    def finalize_step(self, pcm) -> np.ndarray:
+        """Materialize a _device_step result on the host and complete its
+        stats record: device_seconds spans dispatch -> ready -> D2H, so
+        stats.realtime_x reflects delivered PCM, not async dispatch."""
+        out = np.asarray(pcm)
+        pending = self._pending_steps.pop(id(pcm), None)
+        if pending is not None:
+            t0, parse_seconds, n_stream_frames, n_channel_frames = pending
+            self.stats.add_step(parse_seconds, time.perf_counter() - t0,
+                                n_stream_frames, n_channel_frames)
+        return out
 
     def decode_pipelined(self, chunk_iter, out_int16: bool = True):
         """Generator decoding an iterator of payload chunks with host/device
@@ -266,7 +288,7 @@ class BatchDecoder:
                     yield self._step_python_raw(chunk)
                     continue
                 pending = pool.submit(
-                    lambda b: np.asarray(
+                    lambda b: self.finalize_step(
                         self._device_step(b, out_int16=out_int16)), parsed)
                 slot ^= 1
             if pending is not None:
@@ -275,19 +297,29 @@ class BatchDecoder:
             pool.shutdown(wait=False)
 
     def _step_python_raw(self, payloads_per_stream) -> np.ndarray:
+        """Python-parser fallback with the same per-stream error isolation
+        as the native path: a failing stream keeps its successfully parsed
+        frame prefix (frames before the corrupt one decode normally); only
+        the failing frame onward is dropped."""
         frames_per_stream = []
         for i, payloads in enumerate(payloads_per_stream):
             if not payloads:
                 frames_per_stream.append(None)
                 continue
-            try:
-                frames_per_stream.append(
-                    self.parse_stream_frames(i, payloads))
-            except Exception as e:  # noqa: BLE001 — per-stream isolation
-                st = self.streams[i]
-                st.failed = True
-                st.last_error = str(e)
-                frames_per_stream.append(None)
+            st = self.streams[i]
+            frames: list[Frame] = []
+            for payload in payloads:
+                try:
+                    frame = decode_frame(BitReader(payload), st.config,
+                                         st.prev_shapes)
+                except Exception as e:  # noqa: BLE001 — per-stream isolation
+                    st.failed = True
+                    st.last_error = str(e)
+                    break
+                self._update_shapes(st, frame)
+                st.frames_decoded += 1
+                frames.append(frame)
+            frames_per_stream.append(frames or None)
         return self.step(frames_per_stream)
 
     # -- state save/restore (checkpoint/resume, SURVEY.md §5) ---------------

@@ -255,22 +255,42 @@ def resolve_cce_targets(cce: CCEData, elements: list,
     return out
 
 
+class SlotOverflowError(Exception):
+    """A frame carries more element channels (incl. CCEs) than the slots
+    allocated for its stream — raise with the fix instead of corrupting a
+    neighbouring stream's slots (or indexing past C)."""
+
+
 def pack_frames(frames_per_slot_base: list[tuple[int, list[Frame]]],
-                C: int, T: int) -> tuple[dict, PipelineFlags]:
+                C: int, T: int,
+                slot_limits: list[int] | None = None
+                ) -> tuple[dict, PipelineFlags]:
     """Pack multiple streams' frames into one chunk.
 
     frames_per_slot_base: list of (base_slot, frames) per stream; each
     frame's elements are assigned slots sequentially from base_slot in
     element order (decoder.js:218-248 channel assignment).  CCE elements
     get slots after the stream's regular channels.
+
+    slot_limits: optional per-stream slot budgets (parallel list); when
+    omitted each stream may use every slot from its base to C.
     """
     b = ChunkBuilder(C, T)
-    for base, frames in frames_per_slot_base:
+    for s, (base, frames) in enumerate(frames_per_slot_base):
+        budget = (slot_limits[s] if slot_limits is not None else C - base)
         for t, frame in enumerate(frames):
             if frame is None:
                 continue
             slot = base
             slot_of_element = []
+            n_ch = sum(2 if isinstance(e, CPEData) else 1
+                       for e in frame.elements) + len(frame.cces)
+            if n_ch > budget:
+                raise SlotOverflowError(
+                    f"frame has {n_ch} element channels (incl. "
+                    f"{len(frame.cces)} CCEs) but the stream has {budget} "
+                    "slots; raise cce_slots (BatchDecoder/decode_adts) to "
+                    "cover coupling channels")
             for elem in frame.elements:
                 if isinstance(elem, SCEData):
                     slot_of_element.append((slot,))

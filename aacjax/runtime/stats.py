@@ -2,8 +2,11 @@
 reference has no tracing/metrics at all; the realtime-x north-star metric
 requires them here).
 
-DecodeStats accumulates per-step host-parse / device-dispatch wall times
-and exposes aggregate realtime-x.  For deep device profiling use
+DecodeStats accumulates per-step host-parse and device wall times and
+exposes aggregate realtime-x.  device_seconds spans dispatch through
+host-side materialization (compute + D2H), recorded when the runtime's
+finalize_step materializes a result — never the async jit dispatch alone,
+which would overstate throughput.  For deep device profiling use
 `jax.profiler.trace(logdir)` around BatchDecoder steps — the decode step
 shows up as a single fused XLA program.
 """
