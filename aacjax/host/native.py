@@ -38,29 +38,37 @@ class NativeParseError(Exception):
 
 
 _lib = None
+_ABI_VERSION = 3  # must match native aacparse_version()
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
-        # best-effort build (the prebuilt .so ships in-repo; this covers
-        # fresh checkouts with a toolchain)
-        import subprocess
-        try:
-            subprocess.run(["make", "-C", str(_LIB_PATH.parent), "-s"],
-                           check=False, capture_output=True, timeout=120)
-        except Exception:  # noqa: BLE001
-            pass
+    # best-effort (re)build: a no-op when libaacparse.so is newer than its
+    # sources, builds it on fresh checkouts, and refreshes a stale .so
+    # after a source update (the binding checks the ABI version below)
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", str(_LIB_PATH.parent), "-s",
+                        "libaacparse.so"],
+                       check=False, capture_output=True, timeout=120)
+    except Exception:  # noqa: BLE001
+        pass
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
+    if lib.aacparse_version() != _ABI_VERSION:
+        return None  # stale binary that make could not refresh
     lib.aacparse_batch_spec.restype = ctypes.c_int
     lib.aacparse_batch_spec.argtypes = [ctypes.c_void_p] * 7 + [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # cce post
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # cce time
+        ctypes.c_void_p,                                   # cce counts
+        ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_char_p, ctypes.c_int,
     ]
     _lib = lib
@@ -85,6 +93,15 @@ class SpecBatchArrays:
         self.meta = np.zeros((C, T, 6), np.int32)
         self.tns_lpc = np.zeros((C, T, 2, TNS_SLOTS, TNS_ORDER), np.float32)
         self.tns_range = np.zeros((C, T, 2, TNS_SLOTS, 2), np.int32)
+        # device-side coupling entries (AFTER_TNS onto TNS'd targets needs
+        # the device pass; AFTER_IMDCT couples time samples)
+        self.post_cap = 64
+        self.time_cap = max(64, C * T)
+        self.cce_post_idx = np.zeros((self.post_cap, 3), np.int32)
+        self.cce_post_gain = np.zeros((self.post_cap, FRAME), np.float32)
+        self.cce_time_idx = np.zeros((self.time_cap, 3), np.int32)
+        self.cce_time_gain = np.zeros(self.time_cap, np.float32)
+        self.cce_counts = np.zeros(2, np.int32)
 
 
 def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
@@ -95,8 +112,9 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
     """One C call parsing every stream's chunk into final f32 spectra.
 
     Returns (stream_status [n_streams] int32, has_tns).  Status 0 = ok,
-    3 = needs Python fallback (CCE), other nonzero = stream failed (its
-    decoded-so-far frames remain valid; see aacparse.cc)."""
+    3 = needs Python fallback (capacity overflow), other nonzero = the
+    stream hit a bitstream error: the corrupt frame is concealed as
+    silence and the remaining frames still decode (see aacparse.cc)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native parser not built (make -C native)")
@@ -126,7 +144,10 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
         n_streams, out.C, out.T,
         _ptr(prev_shapes),
         _ptr(out.spec), _ptr(out.meta), _ptr(out.tns_lpc), _ptr(out.tns_range),
+        _ptr(out.cce_post_idx), _ptr(out.cce_post_gain), out.post_cap,
+        _ptr(out.cce_time_idx), _ptr(out.cce_time_gain), out.time_cap,
+        _ptr(out.cce_counts),
         _ptr(status), _ptr(has_tns), errbuf, len(errbuf))
     if code != ERR_OK:
         raise NativeParseError(code, errbuf.value.decode(), -1)
-    return status, bool(has_tns[0])
+    return status, bool(has_tns[0]), errbuf.value.decode()

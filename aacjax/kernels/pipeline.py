@@ -52,6 +52,11 @@ class PipelineFlags:
     has_cce: bool = False
     out_int16: bool = False   # deliver PCM as int16 samples (halves D2H)
     use_pallas: bool = False  # fused Pallas synthesis kernel (TPU)
+    # spec-path coupling entry lists (native parser fuses dependent
+    # coupling on host except AFTER_TNS onto TNS'd targets, which must run
+    # after the device TNS pass; AFTER_IMDCT couples time samples)
+    has_cce_post: bool = False
+    has_cce_time: bool = False
 
 
 @functools.lru_cache(maxsize=None)
@@ -310,6 +315,12 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
         spec = tns(spec, batch['tns_fwd_lpc'], batch['tns_fwd_start'],
                    batch['tns_fwd_end'], batch['tns_rev_lpc'],
                    batch['tns_rev_start'], batch['tns_rev_end'])
+    if flags.has_cce_post:
+        # AFTER_TNS dependent coupling: spec[dst,t] += gain * spec[src,t]
+        # per entry (cce.js:130-158; zero-gain padding entries are no-ops)
+        src, dst, tt = (batch['cce_post_src'], batch['cce_post_dst'],
+                        batch['cce_post_t'])
+        spec = spec.at[dst, tt].add(batch['cce_post_gain'] * spec[src, tt])
     C, T, F = spec.shape
     if flags.use_pallas and (C * T) % 8 == 0:
         from aacjax.kernels.pallas_synth import synthesis
@@ -328,6 +339,14 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
                                    batch['is_short'])
     pcm, new_overlap = overlap_add(first, second, overlap_in,
                                    batch['last_valid'])
+    if flags.has_cce_time:
+        # AFTER_IMDCT independent coupling on time samples
+        # (cce.js:121-128 intent; the coupling channel goes through its
+        # own slot's IMDCT, matching the python packer path)
+        src, dst, tt = (batch['cce_time_src'], batch['cce_time_dst'],
+                        batch['cce_time_t'])
+        pcm = pcm.at[dst, tt].add(
+            batch['cce_time_gain'][:, None] * pcm[src, tt])
     # error concealment: frames that never parsed (padding / post-error)
     # deliver silence instead of garbage
     pcm = pcm * batch['valid'][..., None].astype(pcm.dtype)

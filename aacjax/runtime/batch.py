@@ -148,15 +148,17 @@ class BatchDecoder:
                  use_pallas: bool | None = None):
         """Decode one chunk directly from raw_data_block payload bytes.
 
-        Native path: ONE C call parses every stream and emits final f32
-        spectra (dequant + PNS + M/S + intensity fused on host,
-        native/aacparse.cc), then one jitted device program runs TNS +
-        IMDCT + overlap-add.  Falls back to the Python parse+pack path
-        for the whole chunk when any stream needs CCE coupling.
+        Native path: ONE C call parses every stream — including coupling
+        (CCE) elements: dequant + PNS + M/S + intensity + dependent
+        coupling fuse on host into final f32 spectra
+        (native/aacparse.cc), and AFTER_TNS-onto-TNS'd-targets / time-
+        domain coupling ride as device FMA entries — then one jitted
+        device program runs TNS + coupling + IMDCT + overlap-add.
 
-        Per-stream bitstream errors are isolated: the failing stream's
-        remaining frames are dropped and it is marked failed; other
-        streams are unaffected.
+        Per-stream bitstream errors are isolated and concealed: the
+        corrupt frame plays as silence, the rest of the stream's frames
+        still decode, the stream is marked failed, and other streams are
+        unaffected.
 
         materialize=False returns the device array without blocking so
         callers can overlap the next chunk's host parse with this chunk's
@@ -165,37 +167,47 @@ class BatchDecoder:
         if not self.use_native:
             return self._step_python_raw(payloads_per_stream)
         parsed = self._parse_native(payloads_per_stream)
-        if parsed is None:  # CCE somewhere -> whole-chunk python fallback
-            return self._step_python_raw(payloads_per_stream)
         pcm = self._device_step(parsed, out_int16=out_int16,
                                 use_pallas=use_pallas)
         return self.finalize_step(pcm) if materialize else pcm
 
+    @staticmethod
+    def _pad_entries(n: int) -> int:
+        """Bucket coupling-entry counts so XLA compiles a handful of entry
+        shapes instead of one per count (padding entries are no-ops)."""
+        q = 8
+        while q < n:
+            q *= 2
+        return q
+
     def _parse_native(self, payloads_per_stream, buf_slot: int = 0):
         """Native parse into buffer `buf_slot` (double-buffered for the
-        pipelined path).  Returns a batch dict of numpy arrays, or None if
-        any stream needs the Python fallback (CCE)."""
+        pipelined path).  Returns a batch dict of numpy arrays."""
         if self._spec_buffers is None:
             self._spec_buffers = [native.SpecBatchArrays(self.C, self.T),
                                   native.SpecBatchArrays(self.C, self.T)]
         out = self._spec_buffers[buf_slot]
-        shape_snapshot = self.prev_shapes.copy()
 
         t0 = time.perf_counter()
-        status, has_tns = native.parse_batch_spec(
+        status, has_tns, errmsg = native.parse_batch_spec(
             payloads_per_stream, self._sample_indices, self._chan_configs,
             self._base_slots, self._n_slots, self.prev_shapes, out)
         parse_seconds = time.perf_counter() - t0
 
-        if (status == native.ERR_FALLBACK).any():
-            self.prev_shapes[:] = shape_snapshot
-            return None
-
         for i, st in enumerate(self.streams):
             code = int(status[i])
-            if code not in (0, native.ERR_FALLBACK):
+            if code == native.ERR_FALLBACK:
+                # capacity limit (e.g. no free slot for independent
+                # coupling): the decoded frame prefix stays valid; name
+                # the fix instead of silently de-optimizing the chunk
                 st.failed = True
-                st.last_error = f"native parse error code {code}"
+                st.last_error = (f"native parse: {errmsg or 'capacity'}; "
+                                 "raise cce_slots to cover coupling channels")
+            elif code != 0:
+                st.failed = True
+                st.last_error = (errmsg
+                                 or f"native parse error code {code}")
+                st.frames_decoded += len(payloads_per_stream[i] or [])
             elif payloads_per_stream[i]:
                 st.frames_decoded += len(payloads_per_stream[i])
 
@@ -223,7 +235,26 @@ class BatchDecoder:
                 tns_fwd_end=np.ascontiguousarray(out.tns_range[:, :, 0, :, 1]),
                 tns_rev_start=np.ascontiguousarray(out.tns_range[:, :, 1, :, 0]),
                 tns_rev_end=np.ascontiguousarray(out.tns_range[:, :, 1, :, 1]))
+        n_post, n_time = int(out.cce_counts[0]), int(out.cce_counts[1])
+        if n_post:
+            q = self._pad_entries(n_post)
+            idx = np.zeros((q, 3), np.int32)
+            idx[:n_post] = out.cce_post_idx[:n_post]
+            gain = np.zeros((q, FRAME), np.float32)
+            gain[:n_post] = out.cce_post_gain[:n_post]
+            batch.update(cce_post_src=idx[:, 0], cce_post_dst=idx[:, 1],
+                         cce_post_t=idx[:, 2], cce_post_gain=gain)
+        if n_time:
+            q = self._pad_entries(n_time)
+            idx = np.zeros((q, 3), np.int32)
+            idx[:n_time] = out.cce_time_idx[:n_time]
+            gain = np.zeros(q, np.float32)
+            gain[:n_time] = out.cce_time_gain[:n_time]
+            batch.update(cce_time_src=idx[:, 0], cce_time_dst=idx[:, 1],
+                         cce_time_t=idx[:, 2], cce_time_gain=gain)
         batch['_has_tns'] = has_tns
+        batch['_has_cce_post'] = n_post > 0
+        batch['_has_cce_time'] = n_time > 0
         batch['_parse_seconds'] = parse_seconds
         batch['_n_stream_frames'] = sum(
             len(p) for p in payloads_per_stream if p)
@@ -233,6 +264,8 @@ class BatchDecoder:
     def _device_step(self, batch: dict, out_int16: bool,
                      use_pallas: bool | None = None):
         has_tns = batch.pop('_has_tns')
+        has_cce_post = batch.pop('_has_cce_post')
+        has_cce_time = batch.pop('_has_cce_time')
         parse_seconds = batch.pop('_parse_seconds')
         n_stream_frames = batch.pop('_n_stream_frames')
         n_channel_frames = batch.pop('_n_channel_frames')
@@ -240,7 +273,9 @@ class BatchDecoder:
             use_pallas = os.environ.get("AACJAX_PALLAS", "0") == "1"
         flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
                               has_cce=False, out_int16=out_int16,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas,
+                              has_cce_post=has_cce_post,
+                              has_cce_time=has_cce_time)
         step_fn = jitted_decode_spec_step(flags)
         t0 = time.perf_counter()
         pcm, self.overlap = step_fn(batch, self.overlap)
@@ -284,9 +319,6 @@ class BatchDecoder:
                 if pending is not None:
                     yield np.asarray(pending.result())
                     pending = None
-                if parsed is None:
-                    yield self._step_python_raw(chunk)
-                    continue
                 pending = pool.submit(
                     lambda b: self.finalize_step(
                         self._device_step(b, out_int16=out_int16)), parsed)

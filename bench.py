@@ -48,6 +48,43 @@ def make_corpus(n_unique: int, seconds: float, sr: int = 44100):
     return config, streams
 
 
+def measure_stages(dec, chunk, use_pallas, reps: int = 3) -> dict:
+    """Decompose one chunk's decode into parse / H2D / device-compute /
+    D2H wall seconds (min over reps, each stage synced) so the recorded
+    bench JSON itself shows where time goes — separating host, link and
+    chip.  Uses the same code path as the timed loop (native parse +
+    jitted_decode_spec_step), just with explicit synchronization."""
+    import jax
+    from aacjax.kernels.pipeline import PipelineFlags, jitted_decode_spec_step
+
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        parsed = dec._parse_native(chunk)
+        t1 = time.perf_counter()
+        has_tns = parsed.pop("_has_tns")
+        for k in ("_parse_seconds", "_n_stream_frames", "_n_channel_frames"):
+            parsed.pop(k)
+        dev_batch = jax.block_until_ready(jax.device_put(parsed))
+        t2 = time.perf_counter()
+        flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
+                              has_cce=False, out_int16=True,
+                              use_pallas=use_pallas)
+        fn = jitted_decode_spec_step(flags)
+        pcm, dec.overlap = fn(dev_batch, dec.overlap)
+        jax.block_until_ready(pcm)
+        t3 = time.perf_counter()
+        np.asarray(pcm)
+        t4 = time.perf_counter()
+        cur = dict(parse_s=t1 - t0, h2d_s=t2 - t1, compute_s=t3 - t2,
+                   d2h_s=t4 - t3)
+        if best is None:
+            best = cur
+        else:
+            best = {k: min(best[k], cur[k]) for k in best}
+    return {k: round(v, 4) for k, v in best.items()}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=512)
@@ -56,6 +93,10 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-native", action="store_true")
+    ap.add_argument("--no-stages", action="store_true",
+                    help="skip the per-stage breakdown pass")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas synthesis kernel")
     ap.add_argument("--pipelined", action="store_true",
                     help="overlap host parse with device work (multi-core hosts)")
     ap.add_argument("--profile", metavar="LOGDIR", default=None,
@@ -89,11 +130,14 @@ def main() -> int:
         print(f"# native parser: {use_native}; {args.streams} streams x "
               f"{n_frames} frames, chunk={args.chunk}", file=sys.stderr)
 
+    use_pallas = args.pallas or __import__("os").environ.get(
+        "AACJAX_PALLAS", "0") == "1"
+
     # warmup/compile with a small throwaway pass
     warm = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
                         use_native=use_native)
     warm.step_raw([p[:args.chunk] for p in per_stream_payloads],
-                  out_int16=True)
+                  out_int16=True, use_pallas=use_pallas)
 
     def chunks():
         for c in range(n_chunks):
@@ -120,12 +164,13 @@ def main() -> int:
         else:
             pending = None
             for chunk in chunks():
-                pcm = dec.step_raw(chunk, out_int16=True, materialize=False)
+                pcm = dec.step_raw(chunk, out_int16=True, materialize=False,
+                                   use_pallas=use_pallas)
                 if pending is not None:
-                    np.asarray(pending)
+                    dec.finalize_step(pending)
                 pending = pcm
             if pending is not None:
-                np.asarray(pending)
+                dec.finalize_step(pending)
         wall = time.time() - t1
         audio_seconds = args.streams * n_frames * 1024 / sr
         rt = audio_seconds / wall
@@ -136,13 +181,23 @@ def main() -> int:
     if profiler_ctx is not None:
         profiler_ctx.__exit__(None, None, None)
 
-    print(json.dumps({
+    result = {
         "metric": "aggregate_realtime_x",
         "value": round(best, 1),
         "unit": f"x_realtime ({args.streams} AAC-LC stereo streams, 1 chip, "
                 f"end-to-end incl. host parse + int16 PCM D2H)",
         "vs_baseline": round(best / 1000.0, 3),
-    }))
+    }
+    if use_native and not args.no_stages:
+        # auditable per-stage accounting for ONE chunk (min over reps):
+        # where the wall time actually goes on this host/link/chip
+        stages = measure_stages(warm, next(chunks()), use_pallas)
+        chunk_audio_s = args.streams * args.chunk * 1024 / sr
+        stages["chunk_audio_s"] = round(chunk_audio_s, 2)
+        stages["compute_realtime_x"] = round(
+            chunk_audio_s / stages["compute_s"], 1) if stages["compute_s"] else None
+        result["stages"] = stages
+    print(json.dumps(result))
     return 0
 
 

@@ -254,6 +254,12 @@ inline float inverse_quant(int32_t q) {
 // band types
 enum { ZERO_BT = 0, FIRST_PAIR_BT = 5, ESC_BT = 11, NOISE_BT = 13,
        INTENSITY_BT2 = 14, INTENSITY_BT = 15 };
+
+// coupling points (cce.js:33-35)
+enum { BEFORE_TNS = 0, AFTER_TNS = 1, AFTER_IMDCT = 2 };
+constexpr double kCceScale[4] = {1.09050773266525765921,
+                                 1.18920711500272106672,
+                                 1.4142135623730950488016887, 2.0};
 enum { ONLY_LONG = 0, LONG_START = 1, EIGHT_SHORT = 2, LONG_STOP = 3 };
 enum { SCE_ELEM = 0, CPE_ELEM = 1, CCE_ELEM = 2, LFE_ELEM = 3,
        DSE_ELEM = 4, PCE_ELEM = 5, FIL_ELEM = 6, END_ELEM = 7 };
@@ -670,6 +676,189 @@ bool decode_ics(BitReader* br, const StreamConfig& cfg, Channel* ch,
   return decode_spectral(br, ch, err);
 }
 
+// per-channel dense scratch for the spec path
+struct ChannelScratch {
+  int32_t quant[kFrameLen];
+  float scale[kFrameLen];
+  float noise[kFrameLen];
+  void reset() {
+    memset(quant, 0, sizeof(quant));
+    memset(scale, 0, sizeof(scale));
+    memset(noise, 0, sizeof(noise));
+  }
+};
+
+// ---------------------------------------------------------------------
+// Coupling channel element (cce.js:45-119; mirrors
+// aacjax/host/syntax.py decode_cce incl. the spec-correct divergences:
+// the ind_sw value 3 normalizes to AFTER_IMDCT, and dependent coupling
+// uses the ICS band bounds — cce.js:149 would crash on them).
+// ---------------------------------------------------------------------
+constexpr int kMaxCce = 16;
+constexpr int kMaxCceGains = 17;  // 1 + 8 targets * (ch_select==3 ? 2 : 1)
+
+struct CCE {
+  Channel ch;                 // dense pointers dangle after decode; info/
+                              // band layout stay valid for gain expansion
+  float spec[kFrameLen];      // finalized raw coupling spectrum
+  int coupling_point = BEFORE_TNS;
+  int coupled_count = 0;
+  int channel_pair[8] = {0};
+  int id_select[8] = {0};
+  int ch_select[8] = {0};
+  int gain_count = 0;
+  float gain[kMaxCceGains][kMaxSections];
+  int id = 0;
+  int slot = -1;              // assigned output slot, or -1 (none free)
+};
+
+bool decode_cce(BitReader* br, const StreamConfig& cfg, CCE* cce,
+                ChannelScratch* scratch, ParseError* err) {
+  bool ok = true;
+  cce->coupling_point = 2 * static_cast<int>(br->read(1, &ok));
+  cce->coupled_count = static_cast<int>(br->read(3, &ok));
+  cce->gain_count = 0;
+  for (int i = 0; i <= cce->coupled_count; ++i) {
+    cce->gain_count++;
+    cce->channel_pair[i] = static_cast<int>(br->read(1, &ok));
+    cce->id_select[i] = static_cast<int>(br->read(4, &ok));
+    if (cce->channel_pair[i]) {
+      cce->ch_select[i] = static_cast<int>(br->read(2, &ok));
+      if (cce->ch_select[i] == 3) cce->gain_count++;
+    } else {
+      cce->ch_select[i] = 2;
+    }
+  }
+  cce->coupling_point += static_cast<int>(br->read(1, &ok));
+  cce->coupling_point |= cce->coupling_point >> 1;
+  if (cce->coupling_point == 3) cce->coupling_point = AFTER_IMDCT;
+  if (!ok) FAIL(err, ERR_BITSTREAM, "cce: eof");
+
+  int sign = static_cast<int>(br->read(1, &ok));
+  double scale = kCceScale[br->read(2, &ok)];
+  scratch->reset();
+  cce->ch.quant = scratch->quant;
+  cce->ch.scale = scratch->scale;
+  cce->ch.noise = scratch->noise;
+  // coupling channels carry no cross-frame shape history (the reference
+  // recreates the element per frame): prev_shape is always 0, matching
+  // syntax.py decode_cce
+  if (!decode_ics(br, cfg, &cce->ch, nullptr, 0, err)) return false;
+
+  int group_count = cce->ch.info.group_count;
+  int max_sfb = cce->ch.info.max_sfb;
+  for (int i = 0; i < cce->gain_count; ++i) {
+    int cge = 1;
+    int gain = 0;
+    double gain_cache = 1.0;
+    if (i > 0) {
+      cge = cce->coupling_point == AFTER_IMDCT
+                ? 1 : static_cast<int>(br->read(1, &ok));
+      if (cge) {
+        int d = decode_sf_symbol(br);
+        if (d == INT32_MIN) FAIL(err, ERR_BITSTREAM, "cce: bad gain codeword");
+        gain = d;
+      }
+      gain_cache = pow(scale, -gain);
+    }
+    memset(cce->gain[i], 0, sizeof(cce->gain[i]));
+    if (cce->coupling_point == AFTER_IMDCT) {
+      cce->gain[i][0] = static_cast<float>(gain_cache);
+    } else {
+      int idx = 0;
+      for (int g = 0; g < group_count; ++g) {
+        for (int sfb = 0; sfb < max_sfb; ++sfb, ++idx) {
+          if (cce->ch.band_types[idx] != ZERO_BT) {
+            if (cge == 0) {
+              int t = decode_sf_symbol(br);
+              if (t == INT32_MIN)
+                FAIL(err, ERR_BITSTREAM, "cce: bad gain codeword");
+              if (t != 0) {
+                int s = 1;
+                gain += t;
+                t = gain;
+                if (!sign) {
+                  s -= 2 * (t & 0x1);
+                  t >>= 1;
+                }
+                gain_cache = pow(scale, -t) * s;
+              }
+            }
+            cce->gain[i][idx] = static_cast<float>(gain_cache);
+          }
+        }
+      }
+    }
+  }
+  if (!ok) FAIL(err, ERR_BITSTREAM, "cce: eof");
+  return true;
+}
+
+// Expand per-(group, sfb) gains to a per-bin [1024] vector over the
+// grouped window layout (runtime/pack.py expand_per_bin).
+void expand_gain(const ICSInfo& info, const float* g, float* out) {
+  memset(out, 0, sizeof(float) * kFrameLen);
+  int idx = 0, group_off = 0;
+  for (int grp = 0; grp < info.group_count; ++grp) {
+    int glen = info.group_length[grp];
+    for (int sfb = 0; sfb < info.max_sfb; ++sfb, ++idx) {
+      float v = g[idx];
+      if (v != 0.0f) {
+        int off = info.swb_offsets[sfb];
+        int width = info.swb_offsets[sfb + 1] - off;
+        for (int w = 0; w < glen; ++w) {
+          float* p = out + group_off + w * 128 + off;
+          for (int k = 0; k < width; ++k) p[k] = v;
+        }
+      }
+    }
+    group_off += glen * 128;
+  }
+}
+
+// One parsed element's identity for coupling-target resolution
+struct ElemRef {
+  bool is_pair;
+  int id;
+  int slot0;
+  int slot1;       // == slot0 for SCE
+  bool tns0;
+  bool tns1;
+};
+
+// Replicates runtime/pack.py resolve_cce_targets (reference gain-index
+// bookkeeping, decoder.js:406-433): chSelect 1 -> second channel of the
+// pair, 2 -> first (and SCE), 0 -> both with one gain, 3 -> both with
+// separate gains.
+int resolve_cce_targets(const CCE& cce, const ElemRef* elems, int n_elems,
+                        int* dst_slots, int* gain_idx, bool* dst_tns) {
+  int n = 0;
+  for (int e = 0; e < n_elems; ++e) {
+    int index = 0;
+    for (int c = 0; c <= cce.coupled_count; ++c) {
+      int cs = cce.ch_select[c];
+      if ((cce.channel_pair[c] != 0) == elems[e].is_pair
+          && cce.id_select[c] == elems[e].id) {
+        if (cs != 1) {
+          dst_slots[n] = elems[e].slot0;
+          dst_tns[n] = elems[e].tns0;
+          gain_idx[n++] = index;
+          if (cs) index++;
+        }
+        if (cs != 2) {
+          dst_slots[n] = elems[e].slot1;
+          dst_tns[n] = elems[e].tns1;
+          gain_idx[n++] = index;
+          index++;
+        }
+      } else {
+        index += 1 + (cs == 3 ? 1 : 0);
+      }
+    }
+  }
+  return n;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -735,18 +924,6 @@ void apply_stereo(const Channel& left, const Channel& right,
   }
 }
 
-// thread-local per-channel scratch for the spec path
-struct ChannelScratch {
-  int32_t quant[kFrameLen];
-  float scale[kFrameLen];
-  float noise[kFrameLen];
-  void reset() {
-    memset(quant, 0, sizeof(quant));
-    memset(scale, 0, sizeof(scale));
-    memset(noise, 0, sizeof(noise));
-  }
-};
-
 // ---------------------------------------------------------------------
 // C API
 // ---------------------------------------------------------------------
@@ -756,11 +933,18 @@ extern "C" {
 //
 // Per stream s, frames are blob[frame_offsets[i] .. frame_offsets[i+1])
 // for i in [stream_frame_start[s], stream_frame_start[s+1]).  Outputs are
-// final float32 spectra (dequant + PNS + M/S + intensity applied) plus
-// window meta and resolved TNS filters; the device runs TNS + IMDCT + OLA.
+// final float32 spectra (dequant + PNS + M/S + intensity + dependent
+// coupling applied) plus window meta, resolved TNS filters, and device-
+// side coupling entries (AFTER_TNS coupling onto TNS'd targets, and
+// AFTER_IMDCT time-domain coupling); the device runs TNS + coupling FMAs
+// + IMDCT + OLA.
 //
-// stream_status[s]: 0 ok, else ErrCode (3 = needs python fallback / CCE).
-// A failing stream keeps its earlier frames' outputs; others unaffected.
+// stream_status[s]: 0 ok, ERR_FALLBACK = reparse this stream in Python
+// (capacity overflow), other = first frame error; later frames of such a
+// stream are still decoded, with the corrupt frame concealed as silence
+// (the overlap-add chain stays correct: its spectrum is zeroed but the
+// frame stays "present", so the previous frame's tail still plays out and
+// a zero overlap carries forward).  Other streams are never affected.
 int aacparse_batch_spec(
     const uint8_t* blob, const int64_t* frame_offsets,
     const int32_t* stream_frame_start,
@@ -772,6 +956,13 @@ int aacparse_batch_spec(
     int32_t* meta,      // [total_slots, T, 6]
     float* tns_lpc,     // [total_slots, T, 2, 8, 20]
     int32_t* tns_range, // [total_slots, T, 2, 8, 2]
+    int32_t* cce_post_idx,   // [post_cap, 3] = (src_slot, dst_slot, t)
+    float* cce_post_gain,    // [post_cap, 1024]
+    int32_t post_cap,
+    int32_t* cce_time_idx,   // [time_cap, 3] = (src_slot, dst_slot, t)
+    float* cce_time_gain,    // [time_cap]
+    int32_t time_cap,
+    int32_t* cce_counts,     // [2] out: {n_post, n_time}
     int32_t* stream_status,  // [n_streams]
     int32_t* has_tns_out,    // [1]
     char* errbuf, int errbuf_len) {
@@ -779,6 +970,9 @@ int aacparse_batch_spec(
   (void)total_slots;
   bool any_tns = false;
   static thread_local ChannelScratch scratch[2];
+  static thread_local CCE cce_store[kMaxCce];
+  cce_counts[0] = 0;
+  cce_counts[1] = 0;
 
   for (int s = 0; s < n_streams; ++s) {
     stream_status[s] = OK;
@@ -802,7 +996,16 @@ int aacparse_batch_spec(
     }
 
     ParseError err{OK, ""};
+    int first_err = OK;
+    constexpr int kSnapMax = 64;
+    int32_t shape_snap[kSnapMax];
+    const int snap_n = n_slots < kSnapMax ? n_slots : kSnapMax;
     for (int t = 0; t < n_frames; ++t) {
+      // snapshot rollback state so a corrupt frame never leaks partial
+      // side effects (shapes, coupling entries, half-written rows)
+      memcpy(shape_snap, prev_shapes + base, sizeof(int32_t) * snap_n);
+      const int post_snap = cce_counts[0];
+      const int time_snap = cce_counts[1];
       const uint8_t* fdata = blob + frame_offsets[f_lo + t];
       int64_t flen = frame_offsets[f_lo + t + 1] - frame_offsets[f_lo + t];
       BitReader br(fdata, flen);
@@ -817,6 +1020,9 @@ int aacparse_batch_spec(
       {
         int slot = base;
         const int slot_end = base + n_slots;
+        ElemRef elems[16];
+        int n_elems = 0;
+        int n_cces = 0;
         for (;;) {
           int etype = static_cast<int>(br.read(3, &ok));
           if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto sfail; }
@@ -856,6 +1062,9 @@ int aacparse_batch_spec(
               }
               any_tns |= any;
             }
+            if (n_elems < 16)
+              elems[n_elems++] = ElemRef{false, eid, slot, slot,
+                                         ch.tns_present, ch.tns_present};
             slot += 1;
           } else if (etype == CPE_ELEM) {
             if (slot + 2 > slot_end) { err = {ERR_BOUNDS, "too many channels"}; goto sfail; }
@@ -921,10 +1130,21 @@ int aacparse_batch_spec(
                 any_tns |= any;
               }
             }
+            if (n_elems < 16)
+              elems[n_elems++] = ElemRef{true, eid, slot, slot + 1,
+                                         left.tns_present, right.tns_present};
             slot += 2;
           } else if (etype == CCE_ELEM) {
-            err = {ERR_FALLBACK, "CCE: python fallback"};
-            goto sfail;
+            if (n_cces >= kMaxCce) {
+              err = {ERR_FALLBACK, "cce: too many coupling elements"};
+              goto sfail;
+            }
+            CCE* cc = &cce_store[n_cces];
+            if (!decode_cce(&br, cfg, cc, &scratch[0], &err)) goto sfail;
+            finalize_spec(cc->ch, cc->spec);
+            cc->id = eid;
+            cc->slot = -1;
+            ++n_cces;
           } else if (etype == DSE_ELEM) {
             int align = static_cast<int>(br.read(1, &ok));
             int count = static_cast<int>(br.read(8, &ok));
@@ -946,18 +1166,122 @@ int aacparse_batch_spec(
           }
           if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto sfail; }
         }
+
+        // apply coupling (element order reproduced from the python packer:
+        // coupling channels take slots after the frame's regular channels)
+        for (int ci = 0; ci < n_cces; ++ci) {
+          CCE* cc = &cce_store[ci];
+          if (slot < slot_end) {
+            // give the coupling channel a slot like the python packer so
+            // both paths keep identical device state (its IMDCT output is
+            // the source of time-domain coupling; otherwise discarded)
+            cc->slot = slot++;
+            float* row =
+                spec + (static_cast<size_t>(cc->slot) * T + t) * kFrameLen;
+            memcpy(row, cc->spec, sizeof(cc->spec));
+            int32_t* m = meta + (static_cast<size_t>(cc->slot) * T + t) * 6;
+            int seq = cc->ch.info.window_sequence;
+            m[0] = seq * 2;  // coupling channels have no shape history
+            m[1] = seq * 2 + cc->ch.info.window_shape;
+            m[2] = cc->ch.info.window_shape;
+            m[3] = 0;
+            m[4] = seq == EIGHT_SHORT ? 1 : 0;
+            m[5] = 1;
+          }
+          int dsts[32], gidx[32];
+          bool dtns[32];
+          int nt = resolve_cce_targets(*cc, elems, n_elems, dsts, gidx, dtns);
+          if (cc->coupling_point == AFTER_IMDCT) {
+            if (cc->slot < 0) {
+              err = {ERR_FALLBACK, "cce: no slot for independent coupling"};
+              goto sfail;
+            }
+            for (int k = 0; k < nt; ++k) {
+              if (cce_counts[1] >= time_cap) {
+                err = {ERR_FALLBACK, "cce: time entries overflow"};
+                goto sfail;
+              }
+              int q = cce_counts[1]++;
+              cce_time_idx[q * 3 + 0] = cc->slot;
+              cce_time_idx[q * 3 + 1] = dsts[k];
+              cce_time_idx[q * 3 + 2] = t;
+              cce_time_gain[q] = cc->gain[gidx[k]][0];
+            }
+          } else {
+            // AFTER_TNS onto a target that actually has TNS this frame
+            // must run on device (after the device TNS pass); everywhere
+            // else TNS is identity and the FMA fuses on host for free
+            bool need_device = false;
+            if (cc->coupling_point == AFTER_TNS)
+              for (int k = 0; k < nt; ++k) need_device |= dtns[k];
+            if (!need_device) {
+              float gbin[kFrameLen];
+              for (int k = 0; k < nt; ++k) {
+                expand_gain(cc->ch.info, cc->gain[gidx[k]], gbin);
+                float* dst =
+                    spec + (static_cast<size_t>(dsts[k]) * T + t) * kFrameLen;
+                for (int i = 0; i < kFrameLen; ++i)
+                  dst[i] += gbin[i] * cc->spec[i];
+              }
+            } else {
+              if (cc->slot < 0) {
+                err = {ERR_FALLBACK, "cce: no slot for post-TNS coupling"};
+                goto sfail;
+              }
+              for (int k = 0; k < nt; ++k) {
+                if (cce_counts[0] >= post_cap) {
+                  err = {ERR_FALLBACK, "cce: post entries overflow"};
+                  goto sfail;
+                }
+                int q = cce_counts[0]++;
+                cce_post_idx[q * 3 + 0] = cc->slot;
+                cce_post_idx[q * 3 + 1] = dsts[k];
+                cce_post_idx[q * 3 + 2] = t;
+                expand_gain(cc->ch.info, cc->gain[gidx[k]],
+                            cce_post_gain + static_cast<size_t>(q) * kFrameLen);
+              }
+            }
+          }
+        }
       }
       continue;
     sfail:
-      stream_status[s] = err.code;
-      snprintf(errbuf, errbuf_len, "stream %d frame %d: %s", s, t, err.msg);
-      break;
+      // roll back every partial side effect of the corrupt frame
+      memcpy(prev_shapes + base, shape_snap, sizeof(int32_t) * snap_n);
+      cce_counts[0] = post_snap;
+      cce_counts[1] = time_snap;
+      for (int sl = base; sl < base + n_slots; ++sl) {
+        memset(spec + (static_cast<size_t>(sl) * T + t) * kFrameLen, 0,
+               sizeof(float) * kFrameLen);
+        memset(meta + (static_cast<size_t>(sl) * T + t) * 6, 0,
+               sizeof(int32_t) * 6);
+        memset(tns_lpc + (static_cast<size_t>(sl) * T + t)
+                             * 2 * kTnsSlots * kTnsOrder,
+               0, sizeof(float) * 2 * kTnsSlots * kTnsOrder);
+        memset(tns_range + (static_cast<size_t>(sl) * T + t) * 2 * kTnsSlots * 2,
+               0, sizeof(int32_t) * 2 * kTnsSlots * 2);
+      }
+      if (err.code == ERR_FALLBACK) {
+        stream_status[s] = ERR_FALLBACK;
+        snprintf(errbuf, errbuf_len, "stream %d frame %d: %s", s, t, err.msg);
+        break;
+      }
+      if (first_err == OK) {
+        first_err = err.code;
+        snprintf(errbuf, errbuf_len, "stream %d frame %d: %s", s, t, err.msg);
+      }
+      // conceal: silent-but-present frame keeps the overlap-add chain
+      // intact (zero spectrum; previous tail plays out; zero carry), then
+      // keep decoding the stream's remaining frames
+      for (int sl = base; sl < base + n_slots; ++sl)
+        meta[(static_cast<size_t>(sl) * T + t) * 6 + 5] = 1;
     }
+    if (stream_status[s] == OK && first_err != OK) stream_status[s] = first_err;
   }
   has_tns_out[0] = any_tns ? 1 : 0;
   return OK;
 }
 
-int aacparse_version() { return 2; }
+int aacparse_version() { return 3; }
 
 }  // extern "C"

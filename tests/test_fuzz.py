@@ -41,7 +41,7 @@ def test_native_parser_survives_garbage(seed):
     payloads = [rng.integers(0, 256, size=int(rng.integers(4, 600))).astype(
         np.uint8).tobytes() for _ in range(3)]
     out = native.SpecBatchArrays(2, 3)
-    status, _ = native.parse_batch_spec(
+    status, _, _err = native.parse_batch_spec(
         [payloads], np.array([config.sample_index], np.int32),
         np.array([2], np.int32), np.array([0], np.int32),
         np.array([2], np.int32), np.zeros(2, np.int32), out)
@@ -65,7 +65,7 @@ def test_native_parser_survives_mutations(seed):
     payload = bytes(payload)
 
     out = native.SpecBatchArrays(2, 1)
-    status, _ = native.parse_batch_spec(
+    status, _, _err = native.parse_batch_spec(
         [[payload]], np.array([4], np.int32), np.array([2], np.int32),
         np.array([0], np.int32), np.array([2], np.int32),
         np.zeros(2, np.int32), out)

@@ -59,7 +59,7 @@ def run_native(config, payloads, n_slots):
     T = len(payloads)
     out = native.SpecBatchArrays(n_slots, T)
     prev = np.zeros(n_slots, np.int32)
-    status, has_tns = native.parse_batch_spec(
+    status, has_tns, _err = native.parse_batch_spec(
         [payloads], np.array([config.sample_index], np.int32),
         np.array([config.chan_config], np.int32),
         np.array([0], np.int32), np.array([n_slots], np.int32), prev, out)
@@ -166,21 +166,73 @@ def test_native_7350hz_index12():
     compare(config, payloads, 1)
 
 
-def test_native_cce_status_fallback():
-    rng = np.random.default_rng(3)
-    config = _cfg(si=4, ch=2)
+def _cce_payload(rng, config, point, target_tns=False, deltas=True,
+                 n_extra_elems=0):
+    """CPE (+optional TNS) followed by a CCE coupling onto both channels."""
     w = BitWriter()
-    cpe = random_cpe_spec(rng, config, common=True)
-    enc.write_cpe(w, cpe, config)
+    if target_tns:
+        from aacjax.testing.encoder import CPESpec
+        left = random_channel_spec(rng, config, force_tns=True,
+                                   allow_pulse=False)
+        right = random_channel_spec(
+            rng, config, window_sequence=left.window_sequence,
+            grouping=left.grouping, max_sfb=left.max_sfb,
+            window_shape=left.window_shape, force_tns=True,
+            allow_pulse=False)
+        cpe = CPESpec(left=left, right=right, common_window=True,
+                      ms_type=0, ms_used=np.zeros(128, bool))
+    else:
+        cpe = random_cpe_spec(rng, config, common=True)
+    enc.write_cpe(w, cpe, config, instance=0)
+    for i in range(n_extra_elems):
+        enc.write_sce(w, random_channel_spec(rng, config, allow_pulse=False),
+                      config, instance=i)
     ics = random_channel_spec(rng, config, window_sequence=0,
                               allow_tns=False, allow_noise=False,
                               allow_pulse=False)
-    enc.write_cce(w, enc.CCESpec(ics=ics, coupling_point=0,
-                                 targets=[(1, 0, 3)],
-                                 gain_lists=[(1, 2, [])]), config)
-    payload = enc.end_frame(w)
-    out, status, _, _ = run_native(config, [payload], 3)
-    assert status[0] == native.ERR_FALLBACK
+    n_coded = int(np.count_nonzero(ics.band_books))
+    gl = [(0 if (deltas and point != 2) else 1, 3,
+           [int(rng.integers(-3, 4)) for _ in range(n_coded)])]
+    enc.write_cce(w, enc.CCESpec(ics=ics, coupling_point=point,
+                                 targets=[(1, 0, 3)], sign=int(rng.integers(2)),
+                                 scale_idx=1, gain_lists=gl), config)
+    return enc.end_frame(w)
+
+
+@pytest.mark.parametrize("point,target_tns", [
+    (0, False), (0, True), (1, False), (1, True), (2, False), (2, True)])
+def test_native_cce_matches_python_path(point, target_tns):
+    """Native CCE (host-fused dependent coupling, device entries for
+    AFTER_TNS-onto-TNS'd targets and AFTER_IMDCT) produces the same PCM as
+    the Python parse+pack path (cce.js:45-158 semantics)."""
+    from aacjax.runtime.batch import BatchDecoder
+    rng = np.random.default_rng(500 + point * 10 + target_tns)
+    config = _cfg(si=4, ch=2)
+    payloads = [_cce_payload(rng, config, point, target_tns)
+                for _ in range(3)]
+
+    dn = BatchDecoder([config], chunk_frames=3, cce_slots=1, use_native=True)
+    pcm_native = dn.step_raw([payloads])
+    assert not dn.streams[0].failed, dn.streams[0].last_error
+
+    dp = BatchDecoder([config], chunk_frames=3, cce_slots=1, use_native=False)
+    pcm_python = dp.step([dp.parse_stream_frames(0, payloads)])
+    scale = max(1.0, float(np.abs(pcm_python).max()))
+    np.testing.assert_allclose(pcm_native, pcm_python, atol=2e-5 * scale)
+
+
+def test_native_cce_no_slot_is_clear_failure():
+    """Independent (AFTER_IMDCT) coupling needs a channel slot for the
+    coupling channel's own IMDCT; with cce_slots=0 the stream fails with
+    an error naming the fix instead of crashing or degrading the batch."""
+    from aacjax.runtime.batch import BatchDecoder
+    rng = np.random.default_rng(3)
+    config = _cfg(si=4, ch=2)
+    payloads = [_cce_payload(rng, config, 2)]
+    dec = BatchDecoder([config], chunk_frames=1, cce_slots=0, use_native=True)
+    dec.step_raw([payloads])
+    assert dec.streams[0].failed
+    assert "cce_slots" in dec.streams[0].last_error
 
 
 def test_native_error_status():
@@ -241,31 +293,34 @@ def test_step_raw_error_isolation():
     np.testing.assert_allclose(pcm[0:2], pcm_solo[0:2], atol=1e-6 * scale)
 
 
-def test_step_raw_cce_fallback_correct():
-    """A chunk containing CCE falls back to the Python path transparently."""
+def test_cce_stream_keeps_batch_native():
+    """One CCE stream inside a batch stays on the native path and does not
+    de-optimize (or perturb) the other streams (VERDICT round 1, #2)."""
     from aacjax.runtime.batch import BatchDecoder
     rng = np.random.default_rng(9)
     config = _cfg(si=4, ch=2)
-    payloads = []
-    for _ in range(2):
-        w = BitWriter()
-        cpe = random_cpe_spec(rng, config, common=True)
-        enc.write_cpe(w, cpe, config)
-        ics = random_channel_spec(rng, config, window_sequence=0,
-                                  allow_tns=False, allow_noise=False,
-                                  allow_pulse=False)
-        enc.write_cce(w, enc.CCESpec(ics=ics, coupling_point=1,
-                                     targets=[(1, 0, 0)],
-                                     gain_lists=[(1, 2, [])]), config)
-        payloads.append(enc.end_frame(w))
+    cce_payloads = [_cce_payload(rng, config, 0) for _ in range(2)]
+    plain = [_mk_payloads(rng, config, 2) for _ in range(2)]
 
-    dn = BatchDecoder([config], chunk_frames=2, cce_slots=1, use_native=True)
-    pcm_native_path = dn.step_raw([payloads])
+    dec = BatchDecoder([config] * 3, chunk_frames=2, cce_slots=1,
+                       use_native=True)
+    assert dec.use_native
+    pcm = dec.step_raw([plain[0], cce_payloads, plain[1]])
+    assert not any(st.failed for st in dec.streams)
 
-    dp = BatchDecoder([config], chunk_frames=2, cce_slots=1, use_native=False)
-    frames = [dp.parse_stream_frames(0, payloads)]
-    pcm_python = dp.step(frames)
-    np.testing.assert_allclose(pcm_native_path, pcm_python, atol=1e-7)
+    # plain streams decode identically to a solo native run
+    solo = BatchDecoder([config], chunk_frames=2, cce_slots=1,
+                        use_native=True)
+    want = solo.step_raw([plain[0]])
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(pcm[0:2], want[0:2], atol=1e-6 * scale)
+
+    # and the CCE stream matches the python-path reference
+    dp = BatchDecoder([config], chunk_frames=2, cce_slots=1,
+                      use_native=False)
+    want_cce = dp.step([dp.parse_stream_frames(0, cce_payloads)])
+    scale = max(1.0, float(np.abs(want_cce).max()))
+    np.testing.assert_allclose(pcm[3:5], want_cce[0:2], atol=2e-5 * scale)
 
 
 def test_decode_pipelined_matches_step_raw():
@@ -300,3 +355,32 @@ def test_native_parse_deterministic():
     np.testing.assert_array_equal(a.tns_lpc, b.tns_lpc)
     np.testing.assert_array_equal(sa, sb)
     np.testing.assert_array_equal(pa, pb)
+
+
+def test_native_frame_concealment_keeps_rest_of_stream():
+    """A corrupt frame inside a chunk conceals as (near-)silence while the
+    stream's later frames still decode — at most one frame is lost per
+    corrupt frame (VERDICT round 1, #7)."""
+    from aacjax.runtime.batch import BatchDecoder
+    rng = np.random.default_rng(21)
+    config = _cfg(si=4, ch=2)
+    payloads = _mk_payloads(rng, config, 5)
+
+    clean = BatchDecoder([config], chunk_frames=5, use_native=True)
+    want = clean.step_raw([payloads])
+
+    bad = bytearray(payloads[2])
+    bad[1:5] = b"\xff\xff\xff\xff"
+    dec = BatchDecoder([config], chunk_frames=5, use_native=True)
+    got = dec.step_raw([payloads[:2] + [bytes(bad)] + payloads[3:]])
+    assert dec.streams[0].failed
+    assert np.isfinite(got).all()
+    scale = max(1.0, float(np.abs(want).max()))
+    # frames before the corrupt one: identical
+    np.testing.assert_allclose(got[:, :2], want[:, :2], atol=1e-6 * scale)
+    # frames after: identical except frame 3's first half, which misses
+    # only the corrupt frame's overlap tail (its own contribution is there)
+    np.testing.assert_allclose(got[:, 4], want[:, 4], atol=1e-6 * scale)
+    # the concealed frame plays the previous frame's decaying tail, not
+    # garbage: it must be strictly quieter than the clean frame
+    assert float(np.abs(got[:2, 2]).max()) <= float(np.abs(want[:2, 2]).max())
