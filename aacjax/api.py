@@ -70,13 +70,15 @@ class AACDecoder:
 
     floating_point = True  # init() sets format.floatingPoint (decoder.js:49-51)
 
-    def __init__(self, cookie: bytes | None = None, cce_slots: int = 2):
+    def __init__(self, cookie: bytes | None = None, cce_slots: int = 2,
+                 use_native: bool | None = None):
         self.config: StreamConfig | None = None
         self._buffer = bytearray()
         self._bitpos = 0  # bit offset of the next un-decoded raw_data_block
         self._reader: BitReader | None = None
         self._runtime: BatchDecoder | None = None
         self._cce_slots = cce_slots
+        self._use_native = use_native  # None = auto (native when built)
         if cookie is not None:
             self.set_cookie(cookie)
 
@@ -93,7 +95,7 @@ class AACDecoder:
         self.config = parse_asc(buffer)
         self._runtime = BatchDecoder([self.config], chunk_frames=1,
                                      cce_slots=self._cce_slots,
-                                     use_native=False)
+                                     use_native=self._use_native)
 
     def feed(self, data: bytes) -> None:
         self._buffer.extend(data)
@@ -125,7 +127,7 @@ class AACDecoder:
         if self.config is not None:
             self._runtime = BatchDecoder([self.config], chunk_frames=1,
                                          cce_slots=self._cce_slots,
-                                         use_native=False)
+                                         use_native=self._use_native)
 
     @property
     def state(self) -> dict:
@@ -145,13 +147,26 @@ class AACDecoder:
             raise UnsupportedError("no configuration; call set_cookie or feed")
         if self._bitpos >= len(self._buffer) * 8:
             return None
-        if self._reader is None:
-            # compact the consumed prefix, then build one reader per feed
-            # (not per frame — the buffer is immutable between feeds)
+        if self._bitpos // 8 >= 4096:
+            # compact the consumed prefix
             drop = self._bitpos // 8
-            if drop >= 4096:
-                del self._buffer[:drop]
-                self._bitpos -= drop * 8
+            del self._buffer[:drop]
+            self._bitpos -= drop * 8
+            self._reader = None
+        if self._runtime.use_native and self._bitpos % 8 == 0:
+            # native streaming fast path: parse ONE block from the buffered
+            # tail; a miss (partial or corrupt data) falls through to the
+            # python parser, which classifies it (None vs raising)
+            res = self._runtime.decode_block(
+                bytes(self._buffer[self._bitpos // 8:]))
+            if res is not None:
+                pcm, consumed = res
+                self._bitpos += consumed
+                return self._runtime.stream_pcm(np.asarray(pcm), 0,
+                                                1).reshape(-1)
+        if self._reader is None:
+            # one reader per feed (not per frame — the buffer is immutable
+            # between feeds)
             self._reader = BitReader(bytes(self._buffer))
         self._reader.seek_bits(self._bitpos)
         st = self._runtime.streams[0]

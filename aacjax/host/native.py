@@ -38,7 +38,7 @@ class NativeParseError(Exception):
 
 
 _lib = None
-_ABI_VERSION = 3  # must match native aacparse_version()
+_ABI_VERSION = 4  # must match native aacparse_version()
 
 
 def _load():
@@ -68,6 +68,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # cce post
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # cce time
         ctypes.c_void_p,                                   # cce counts
+        ctypes.c_void_p,                                   # consumed bits
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_char_p, ctypes.c_int,
     ]
@@ -102,6 +103,7 @@ class SpecBatchArrays:
         self.cce_time_idx = np.zeros((self.time_cap, 3), np.int32)
         self.cce_time_gain = np.zeros(self.time_cap, np.float32)
         self.cce_counts = np.zeros(2, np.int32)
+        self.consumed_bits: np.ndarray | None = None  # set per parse call
 
 
 def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
@@ -134,6 +136,7 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
 
     status = np.zeros(n_streams, np.int32)
     has_tns = np.zeros(1, np.int32)
+    consumed = np.zeros(max(len(parts), 1), np.int64)
     errbuf = ctypes.create_string_buffer(256)
     code = lib.aacparse_batch_spec(
         _ptr(buf), _ptr(frame_offsets), _ptr(stream_frame_start),
@@ -147,7 +150,9 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
         _ptr(out.cce_post_idx), _ptr(out.cce_post_gain), out.post_cap,
         _ptr(out.cce_time_idx), _ptr(out.cce_time_gain), out.time_cap,
         _ptr(out.cce_counts),
+        _ptr(consumed),
         _ptr(status), _ptr(has_tns), errbuf, len(errbuf))
     if code != ERR_OK:
         raise NativeParseError(code, errbuf.value.decode(), -1)
+    out.consumed_bits = consumed  # per successful global frame index
     return status, bool(has_tns[0]), errbuf.value.decode()

@@ -82,6 +82,8 @@ class BatchDecoder:
         self._spec_buffers: list[native.SpecBatchArrays] | None = None
         # in-flight device steps awaiting finalize_step (timing completion)
         self._pending_steps: dict[int, tuple] = {}
+        self._last_status = np.zeros(len(self.streams), np.int32)
+        self._last_consumed = np.zeros(1, np.int64)
         from aacjax.runtime.stats import DecodeStats
         self.stats = DecodeStats(
             sample_rate=configs[0].sample_rate if configs else 44100)
@@ -171,6 +173,30 @@ class BatchDecoder:
                                 use_pallas=use_pallas)
         return self.finalize_step(pcm) if materialize else pcm
 
+    def decode_block(self, buffer_tail: bytes):
+        """Streaming fast path: natively parse + decode ONE raw_data_block
+        from the head of `buffer_tail` (which may hold many more frames —
+        the parser stops at the block's END element).
+
+        Only for single-stream, chunk_frames=1 runtimes.  Returns
+        (pcm [C,1,1024] float32 in 1/32768 scale, consumed_bits) or None
+        when the native parser could not cleanly decode a complete block —
+        the caller then reruns the python parser, which classifies the
+        miss (BitstreamUnderflow = wait for more data vs a real error).
+        """
+        if (not self.use_native or len(self.streams) != 1 or self.T != 1
+                or not buffer_tail):
+            return None
+        st = self.streams[0]
+        snap = (st.failed, st.last_error, st.frames_decoded)
+        parsed = self._parse_native([[buffer_tail]])
+        if int(self._last_status[0]) != 0:
+            st.failed, st.last_error, st.frames_decoded = snap
+            return None
+        consumed = int(self._last_consumed[0])
+        pcm = self.finalize_step(self._device_step(parsed, out_int16=False))
+        return pcm, consumed
+
     @staticmethod
     def _pad_entries(n: int) -> int:
         """Bucket coupling-entry counts so XLA compiles a handful of entry
@@ -193,6 +219,8 @@ class BatchDecoder:
             payloads_per_stream, self._sample_indices, self._chan_configs,
             self._base_slots, self._n_slots, self.prev_shapes, out)
         parse_seconds = time.perf_counter() - t0
+        self._last_status = status
+        self._last_consumed = out.consumed_bits
 
         for i, st in enumerate(self.streams):
             code = int(status[i])

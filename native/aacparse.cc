@@ -963,6 +963,10 @@ int aacparse_batch_spec(
     float* cce_time_gain,    // [time_cap]
     int32_t time_cap,
     int32_t* cce_counts,     // [2] out: {n_post, n_time}
+    int64_t* consumed_bits,  // [total frames] out (nullable): byte-aligned
+                             // bits consumed per successful frame — lets a
+                             // streaming caller hand in an oversized tail
+                             // buffer and learn where the block ended
     int32_t* stream_status,  // [n_streams]
     int32_t* has_tns_out,    // [1]
     char* errbuf, int errbuf_len) {
@@ -1244,6 +1248,8 @@ int aacparse_batch_spec(
           }
         }
       }
+      if (consumed_bits)  // align to the byte boundary like the python
+        consumed_bits[f_lo + t] = (br.bitpos() + 7) & ~int64_t{7};
       continue;
     sfail:
       // roll back every partial side effect of the corrupt frame
@@ -1282,6 +1288,6 @@ int aacparse_batch_spec(
   return OK;
 }
 
-int aacparse_version() { return 3; }
+int aacparse_version() { return 4; }
 
 }  // extern "C"

@@ -384,3 +384,64 @@ def test_native_frame_concealment_keeps_rest_of_stream():
     # the concealed frame plays the previous frame's decaying tail, not
     # garbage: it must be strictly quieter than the clean frame
     assert float(np.abs(got[:2, 2]).max()) <= float(np.abs(want[:2, 2]).max())
+
+
+def test_streaming_native_matches_python():
+    """AACDecoder on the native block path (decode_block + consumed-bits
+    reporting) produces the same PCM as the pure-python streaming path,
+    including TNS and coupling content (VERDICT round 1, #7)."""
+    from aacjax.api import AACDecoder
+    from aacjax.host.asc import make_asc
+    rng = np.random.default_rng(64)
+    config = _cfg(si=4, ch=2)
+    payloads = [_cce_payload(rng, config, p % 3) for p in range(4)]
+    payloads += _mk_payloads(rng, config, 3)
+    stream = b"".join(enc.adts_frame(p, config) for p in payloads)
+    cookie = make_asc(2, 4, 2)
+
+    def run(use_native):
+        dec = AACDecoder(cookie=cookie, use_native=use_native)
+        dec.feed(stream)
+        outs = []
+        while True:
+            c = dec.read_chunk()
+            if c is None:
+                break
+            outs.append(c)
+        return dec, np.concatenate(outs)
+
+    dn, got = run(True)
+    dp, want = run(False)
+    assert dn._runtime.use_native and not dp._runtime.use_native
+    assert got.shape == want.shape == (7 * 1024 * 2,)
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale)
+
+
+def test_streaming_native_partial_feed():
+    """Partial feeds on the native path: read_chunk returns None until a
+    complete block is buffered, then decodes it identically."""
+    from aacjax.api import AACDecoder
+    from aacjax.host.asc import make_asc
+    rng = np.random.default_rng(65)
+    config = _cfg(si=4, ch=2)
+    payloads = _mk_payloads(rng, config, 2)
+    stream = b"".join(enc.adts_frame(p, config) for p in payloads)
+    cookie = make_asc(2, 4, 2)
+
+    ref = AACDecoder(cookie=cookie, use_native=True)
+    ref.feed(stream)
+    want = [ref.read_chunk(), ref.read_chunk()]
+
+    dec = AACDecoder(cookie=cookie, use_native=True)
+    got = []
+    for i in range(0, len(stream), 100):
+        dec.feed(stream[i:i + 100])
+        while True:
+            c = dec.read_chunk()
+            if c is None:
+                break
+            got.append(c)
+    assert len(got) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
