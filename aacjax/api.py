@@ -224,7 +224,8 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
                 rest = adts.split_frames(bytes(dec._buffer),
                                          start=dec._bitpos // 8 + 1,
                                          resync_overruns=True)
-                chunks.append(np.zeros((FRAME, config.channels), np.float32))
+                chunks.append(np.zeros((config.frame_length,
+                                        config.channels), np.float32))
                 if not rest:
                     break
                 dec._bitpos = rest[0][1] * 8

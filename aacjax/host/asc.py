@@ -47,19 +47,31 @@ class StreamConfig:
         return 8 if self.chan_config == 7 else self.chan_config
 
     @property
+    def short_length(self) -> int:
+        return self.frame_length // 8  # 128, or 120 in 960 mode
+
+    @property
     def swb_offsets_long(self) -> np.ndarray:
+        if self.frame_length == 960:
+            return tables.SWB_OFFSET_960[self.sample_index]
         return tables.SWB_OFFSET_1024[self.sample_index]
 
     @property
     def swb_offsets_short(self) -> np.ndarray:
+        if self.frame_length == 960:
+            return tables.SWB_OFFSET_120[self.sample_index]
         return tables.SWB_OFFSET_128[self.sample_index]
 
     @property
     def swb_count_long(self) -> int:
+        if self.frame_length == 960:
+            return int(tables.SWB_LONG_WINDOW_COUNT_960[self.sample_index])
         return int(tables.SWB_LONG_WINDOW_COUNT[self.sample_index])
 
     @property
     def swb_count_short(self) -> int:
+        if self.frame_length == 960:
+            return int(tables.SWB_SHORT_WINDOW_COUNT_120[self.sample_index])
         return int(tables.SWB_SHORT_WINDOW_COUNT[self.sample_index])
 
 
@@ -87,9 +99,11 @@ def parse_asc(cookie: bytes) -> StreamConfig:
 
     chan_config = stream.read(4)
 
+    frame_length = 1024
     if profile in (AOT_AAC_MAIN, AOT_AAC_LC, AOT_AAC_LTP):
         if stream.read(1):  # frameLengthFlag => 960-sample frames
-            raise UnsupportedError("frameLengthFlag not supported")
+            # supported (the reference throws here, decoder.js:83-84)
+            frame_length = 960
         if stream.read(1):  # dependsOnCoreCoder
             stream.advance(14)  # coreCoderDelay
         if stream.read(1):  # extensionFlag
@@ -108,18 +122,20 @@ def parse_asc(cookie: bytes) -> StreamConfig:
         sample_index=sample_index,
         sample_rate=sample_rate,
         chan_config=chan_config,
-        frame_length=1024,
+        frame_length=frame_length,
     )
 
 
-def make_asc(profile: int, sample_index: int, chan_config: int) -> bytes:
+def make_asc(profile: int, sample_index: int, chan_config: int,
+             frame_length: int = 1024) -> bytes:
     """Build a minimal 2-byte ASC (inverse of parse_asc for LC streams)."""
     from aacjax.host.bitio import BitWriter
+    assert frame_length in (1024, 960)
     w = BitWriter()
     w.write(profile, 5)
     w.write(sample_index, 4)
     w.write(chan_config, 4)
-    w.write(0, 1)  # frameLengthFlag
+    w.write(1 if frame_length == 960 else 0, 1)  # frameLengthFlag
     w.write(0, 1)  # dependsOnCoreCoder
     w.write(0, 1)  # extensionFlag
     w.align()

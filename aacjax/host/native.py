@@ -60,6 +60,9 @@ def _load():
     lib = ctypes.CDLL(str(_LIB_PATH))
     if lib.aacparse_version() != _ABI_VERSION:
         return None  # stale binary that make could not refresh
+    lib.aacjax_spec_to_i16.restype = None
+    lib.aacjax_spec_to_i16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.aacparse_batch_spec.restype = ctypes.c_int
     lib.aacparse_batch_spec.argtypes = [ctypes.c_void_p] * 7 + [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -104,6 +107,9 @@ class SpecBatchArrays:
         self.cce_time_gain = np.zeros(self.time_cap, np.float32)
         self.cce_counts = np.zeros(2, np.int32)
         self.consumed_bits: np.ndarray | None = None  # set per parse call
+        # compact-transfer buffers (allocated on first use)
+        self.spec_i16: np.ndarray | None = None
+        self.spec_scale: np.ndarray | None = None
 
 
 def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
@@ -156,3 +162,22 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
         raise NativeParseError(code, errbuf.value.decode(), -1)
     out.consumed_bits = consumed  # per successful global frame index
     return status, bool(has_tns[0]), errbuf.value.decode()
+
+
+I16_BLOCK = 16  # bins per compact-transfer scale block (native kI16Block)
+
+
+def compact_spec(out: SpecBatchArrays) -> tuple[np.ndarray, np.ndarray]:
+    """Convert out.spec to block-scaled int16 fixed point (compact
+    transfer mode): returns (spec_i16 [C,T,1024],
+    spec_scale [C,T,64] f32 — one scale per 16-bin block).  Quantization
+    tracks the spectral envelope (~>90 dB decoded SNR); ~44% fewer
+    spectral H2D bytes."""
+    lib = _load()
+    if out.spec_i16 is None:
+        out.spec_i16 = np.zeros((out.C, out.T, FRAME), np.int16)
+        out.spec_scale = np.zeros((out.C, out.T, FRAME // I16_BLOCK),
+                                  np.float32)
+    lib.aacjax_spec_to_i16(_ptr(out.spec), out.C * out.T,
+                           _ptr(out.spec_i16), _ptr(out.spec_scale))
+    return out.spec_i16, out.spec_scale

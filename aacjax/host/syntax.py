@@ -98,6 +98,8 @@ class ICSInfo:
     window_count: int = 1
     swb_offsets: np.ndarray | None = None
     swb_count: int = 0
+    frame_len: int = FRAME_LEN       # 1024, or 960 in frameLengthFlag mode
+    short_len: int = 128             # frame_len // 8 (120 in 960 mode)
 
     def decode(self, stream: BitReader, config: StreamConfig,
                common_window: bool, prev_shape: int) -> None:
@@ -108,6 +110,8 @@ class ICSInfo:
         self.group_count = 1
         self.group_length = np.zeros(8, np.int32)
         self.group_length[0] = 1
+        self.frame_len = config.frame_length
+        self.short_len = config.short_length
         if self.window_sequence == EIGHT_SHORT_SEQUENCE:
             self.max_sfb = stream.read(4)
             for _ in range(7):
@@ -117,13 +121,13 @@ class ICSInfo:
                     self.group_count += 1
                     self.group_length[self.group_count - 1] = 1
             self.window_count = 8
-            self.swb_offsets = tables.SWB_OFFSET_128[config.sample_index]
-            self.swb_count = int(tables.SWB_SHORT_WINDOW_COUNT[config.sample_index])
+            self.swb_offsets = config.swb_offsets_short
+            self.swb_count = config.swb_count_short
         else:
             self.max_sfb = stream.read(6)
             self.window_count = 1
-            self.swb_offsets = tables.SWB_OFFSET_1024[config.sample_index]
-            self.swb_count = int(tables.SWB_LONG_WINDOW_COUNT[config.sample_index])
+            self.swb_offsets = config.swb_offsets_long
+            self.swb_count = config.swb_count_long
             if stream.read(1):  # predictor_data_present
                 raise UnsupportedError("Main/LTP prediction not implemented.")
         if self.max_sfb > self.swb_count:
@@ -196,7 +200,8 @@ class TNSData:
                     continue
                 inc = -1 if self.direction[w, filt] else 1
                 filters.append(TnsFilter(
-                    start=start + w * 128, end=end + w * 128,
+                    start=start + w * info.short_len,
+                    end=end + w * info.short_len,
                     inc=inc, order=order, lpc=lpc))
         return filters
 
@@ -244,7 +249,7 @@ class ChannelStream:
     def band_bins(self, g: int, sfb: int) -> tuple[int, int, int]:
         """(group_offset, band_offset_in_window, width) for group g, band sfb."""
         info = self.info
-        group_off = int(np.sum(info.group_length[:g])) * 128
+        group_off = int(np.sum(info.group_length[:g])) * info.short_len
         off = int(info.swb_offsets[sfb])
         width = int(info.swb_offsets[sfb + 1] - info.swb_offsets[sfb])
         return group_off, off, width
@@ -426,7 +431,7 @@ class ICSDecoder:
                         scale = float(ch.sf_gain[idx]) / np.sqrt(energy)
                         ch.noise_bin[off:off + width] = (
                             vals * np.float32(scale))
-                        off += 128
+                        off += info.short_len
                 else:
                     num = 2 if hcb >= FIRST_PAIR_BT else 4
                     off = off0
@@ -436,9 +441,9 @@ class ICSDecoder:
                             for j in range(num):
                                 ch.quant[off + k + j] = buf[j]
                         ch.scale_bin[off:off + width] = ch.sf_gain[idx]
-                        off += 128
+                        off += info.short_len
                 idx += 1
-            group_off += group_len * 128
+            group_off += group_len * info.short_len
 
 
 @dataclass

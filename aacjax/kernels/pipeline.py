@@ -57,19 +57,23 @@ class PipelineFlags:
     # after the device TNS pass; AFTER_IMDCT couples time samples)
     has_cce_post: bool = False
     has_cce_time: bool = False
+    # compact transfer: spectra arrive as per-row int16 fixed point with a
+    # per-channel-frame f32 scale (half the H2D bytes, ~1.5e-5 rel error)
+    spec_i16: bool = False
 
 
 @functools.lru_cache(maxsize=None)
-def _consts():
+def _consts(frame_len: int = FRAME):
     """Constant tables (numpy; embedded as XLA constants at trace time so
-    they are safe to cache across jit traces)."""
+    they are safe to cache across jit traces).  frame_len is 1024, or 960
+    in frameLengthFlag mode (all shapes scale with it)."""
     return dict(
-        m_long=W.imdct_long_matrix(),          # [1024, 2048]
-        m_short=W.imdct_short_matrix(),        # [128, 256]
-        f_table=W.first_half_windows(),        # [8, 1024]
-        s_table=W.second_half_windows(),       # [8, 1024]
-        rise=W.short_rise(),                   # [2, 128]
-        fall=W.short_fall(),                   # [2, 128]
+        m_long=W.imdct_long_matrix(frame_len),    # [L, 2L]
+        m_short=W.imdct_short_matrix(frame_len),  # [L/8, L/4]
+        f_table=W.first_half_windows(frame_len),  # [8, L]
+        s_table=W.second_half_windows(frame_len),  # [8, L]
+        rise=W.short_rise(frame_len),             # [2, L/8]
+        fall=W.short_fall(frame_len),             # [2, L/8]
     )
 
 
@@ -178,33 +182,34 @@ def filterbank(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
     the overlap carried into the next frame (filter_bank.js:88-204
     semantics for all four window sequences, linearized — see module doc).
     """
-    # fresh jnp constants per trace (cached numpy underneath)
-    c = {k: jnp.asarray(v) for k, v in _consts().items()}
     C, T, F = spec.shape
+    S = F // 8  # short-window length (128, or 120 in 960 mode)
+    # fresh jnp constants per trace (cached numpy underneath)
+    c = {k: jnp.asarray(v) for k, v in _consts(F).items()}
 
-    # Long path: one MXU matmul for IMDCT(2048).
+    # Long path: one MXU matmul for IMDCT(2F).
     long_out = jnp.einsum('ctk,kn->ctn', spec, c['m_long'],
-                          precision=jax.lax.Precision.HIGHEST)  # [C,T,2048]
+                          precision=jax.lax.Precision.HIGHEST)  # [C,T,2F]
 
-    # Short path: 8 x IMDCT(256).
-    blocks = jnp.einsum('ctwk,kn->ctwn', spec.reshape(C, T, 8, 128),
+    # Short path: 8 x IMDCT(2S).
+    blocks = jnp.einsum('ctwk,kn->ctwn', spec.reshape(C, T, 8, S),
                         c['m_short'],
-                        precision=jax.lax.Precision.HIGHEST)    # [C,T,8,256]
-    rise_cur = c['rise'][shape_idx]                             # [C,T,128]
+                        precision=jax.lax.Precision.HIGHEST)    # [C,T,8,2S]
+    rise_cur = c['rise'][shape_idx]                             # [C,T,S]
     rise_prev = c['rise'][prev_shape_idx]
     fall_cur = c['fall'][shape_idx]
     # Block 0's rising half uses the previous frame's window shape
     # (filter_bank.js:154: shortWindowsPrev).
     rises = jnp.concatenate(
         [rise_prev[:, :, None, :],
-         jnp.broadcast_to(rise_cur[:, :, None, :], (C, T, 7, 128))], axis=2)
-    wb = jnp.concatenate([blocks[..., :128] * rises,
-                          blocks[..., 128:] * fall_cur[:, :, None, :]],
-                         axis=-1)                               # [C,T,8,256]
+         jnp.broadcast_to(rise_cur[:, :, None, :], (C, T, 7, S))], axis=2)
+    wb = jnp.concatenate([blocks[..., :S] * rises,
+                          blocks[..., S:] * fall_cur[:, :, None, :]],
+                         axis=-1)                               # [C,T,8,2S]
     t_short = jnp.zeros((C, T, 2 * F), spec.dtype)
     for w in range(8):
-        off = W.MID + 128 * w
-        t_short = t_short.at[..., off:off + 256].add(wb[..., w, :])
+        off = W.mid(F) + S * w
+        t_short = t_short.at[..., off:off + 2 * S].add(wb[..., w, :])
 
     f_win = c['f_table'][f_idx]                                 # [C,T,1024]
     s_win = c['s_table'][s_idx]
@@ -310,7 +315,15 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
     (native/aacparse.cc aacparse_batch_spec), quartering the host->device
     transfer.  The device runs the FLOP-heavy tail: TNS + IMDCT matmuls +
     windowed overlap-add (+ int16 PCM conversion)."""
-    spec = batch['spec']
+    if flags.spec_i16:
+        # block-scaled int16 -> f32: scale [C,T,64] applies per 16-bin block
+        q = batch['spec_i16']
+        C_, T_, F_ = q.shape
+        nb = batch['spec_scale'].shape[-1]
+        spec = (q.astype(jnp.float32).reshape(C_, T_, nb, F_ // nb)
+                * batch['spec_scale'][..., None]).reshape(C_, T_, F_)
+    else:
+        spec = batch['spec']
     if flags.has_tns:
         spec = tns(spec, batch['tns_fwd_lpc'], batch['tns_fwd_start'],
                    batch['tns_fwd_end'], batch['tns_rev_lpc'],
@@ -322,7 +335,7 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
                         batch['cce_post_t'])
         spec = spec.at[dst, tt].add(batch['cce_post_gain'] * spec[src, tt])
     C, T, F = spec.shape
-    if flags.use_pallas and (C * T) % 8 == 0:
+    if flags.use_pallas and (C * T) % 8 == 0 and F == 1024:
         from aacjax.kernels.pallas_synth import synthesis
         first, second = synthesis(
             spec.reshape(C * T, F),

@@ -62,9 +62,21 @@ class BatchDecoder:
             self.streams.append(StreamState(cfg, base_slot=c, n_slots=n))
             c += n
         self.C = c
-        self.overlap = jnp.zeros((c, FRAME), jnp.float32)
-        self.use_native = (native.available() if use_native is None
-                           else use_native)
+        # frame length is a batch-wide constant (1024, or 960 in
+        # frameLengthFlag mode; mixing would need two pipelines)
+        frame_lens = {cfg.frame_length for cfg in configs} or {FRAME}
+        if len(frame_lens) > 1:
+            raise ValueError(
+                f"streams mix frame lengths {sorted(frame_lens)}; "
+                "use one BatchDecoder per frame length")
+        self.F = frame_lens.pop()
+        self.overlap = jnp.zeros((c, self.F), jnp.float32)
+        # the native parser handles the standard 1024 mode; 960 runs on
+        # the python parse path
+        self.use_native = ((native.available() and self.F == FRAME)
+                           if use_native is None else use_native)
+        if self.use_native and self.F != FRAME:
+            raise ValueError("native parser supports 1024-frame mode only")
         # one shared window-shape history; StreamStates view into it so the
         # native batch call can update everything in place
         self.prev_shapes = np.zeros(c, np.int32)
@@ -129,7 +141,8 @@ class BatchDecoder:
                     raise ValueError(f"{len(frames)} frames > chunk size {self.T}")
                 per_slot.append((st.base_slot, frames))
                 limits.append(st.n_slots)
-        batch, flags = pack_frames(per_slot, self.C, self.T, limits)
+        batch, flags = pack_frames(per_slot, self.C, self.T, limits,
+                                   frame_len=self.F)
         step_fn = jitted_decode_step(flags)
         pcm, self.overlap = step_fn(batch, self.overlap)
         return np.asarray(pcm)
@@ -140,14 +153,15 @@ class BatchDecoder:
         st = self.streams[stream_idx]
         nch = st.config.channels
         block = pcm[st.base_slot:st.base_slot + nch, :n_frames, :]
-        # [ch, T, 1024] -> [T*1024, ch]
+        # [ch, T, F] -> [T*F, ch]
         return np.ascontiguousarray(
-            block.reshape(nch, n_frames * FRAME).T)
+            block.reshape(nch, n_frames * self.F).T)
 
     # -- native raw-bytes fast path ------------------------------------------
     def step_raw(self, payloads_per_stream: list[list[bytes] | None],
                  out_int16: bool = False, materialize: bool = True,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 compact: bool | None = None):
         """Decode one chunk directly from raw_data_block payload bytes.
 
         Native path: ONE C call parses every stream — including coupling
@@ -165,10 +179,14 @@ class BatchDecoder:
         materialize=False returns the device array without blocking so
         callers can overlap the next chunk's host parse with this chunk's
         device work and D2H.
+
+        compact=True transfers spectra as per-row int16 fixed point (half
+        the H2D bytes, ~1.5e-5 relative error — below the codec's own
+        quantization noise); the default f32 transfer is bit-exact.
         """
         if not self.use_native:
             return self._step_python_raw(payloads_per_stream)
-        parsed = self._parse_native(payloads_per_stream)
+        parsed = self._parse_native(payloads_per_stream, compact=compact)
         pcm = self._device_step(parsed, out_int16=out_int16,
                                 use_pallas=use_pallas)
         return self.finalize_step(pcm) if materialize else pcm
@@ -206,9 +224,12 @@ class BatchDecoder:
             q *= 2
         return q
 
-    def _parse_native(self, payloads_per_stream, buf_slot: int = 0):
+    def _parse_native(self, payloads_per_stream, buf_slot: int = 0,
+                      compact: bool | None = None):
         """Native parse into buffer `buf_slot` (double-buffered for the
         pipelined path).  Returns a batch dict of numpy arrays."""
+        if compact is None:
+            compact = os.environ.get("AACJAX_COMPACT", "0") == "1"
         if self._spec_buffers is None:
             self._spec_buffers = [native.SpecBatchArrays(self.C, self.T),
                                   native.SpecBatchArrays(self.C, self.T)]
@@ -245,8 +266,15 @@ class BatchDecoder:
             valid.any(axis=1),
             (self.T - 1) - np.argmax(valid[:, ::-1], axis=1),
             -1).astype(np.int32)
+        if compact:
+            t0 = time.perf_counter()
+            spec_i16, spec_scale = native.compact_spec(out)
+            parse_seconds += time.perf_counter() - t0  # host prep work
+            spec_entries = dict(spec_i16=spec_i16, spec_scale=spec_scale)
+        else:
+            spec_entries = dict(spec=out.spec)
         batch = dict(
-            spec=out.spec,
+            **spec_entries,
             f_idx=np.ascontiguousarray(meta[:, :, 0]),
             s_idx=np.ascontiguousarray(meta[:, :, 1]),
             shape_idx=np.ascontiguousarray(meta[:, :, 2]),
@@ -281,6 +309,7 @@ class BatchDecoder:
             batch.update(cce_time_src=idx[:, 0], cce_time_dst=idx[:, 1],
                          cce_time_t=idx[:, 2], cce_time_gain=gain)
         batch['_has_tns'] = has_tns
+        batch['_spec_i16'] = compact
         batch['_has_cce_post'] = n_post > 0
         batch['_has_cce_time'] = n_time > 0
         batch['_parse_seconds'] = parse_seconds
@@ -292,6 +321,7 @@ class BatchDecoder:
     def _device_step(self, batch: dict, out_int16: bool,
                      use_pallas: bool | None = None):
         has_tns = batch.pop('_has_tns')
+        spec_i16 = batch.pop('_spec_i16')
         has_cce_post = batch.pop('_has_cce_post')
         has_cce_time = batch.pop('_has_cce_time')
         parse_seconds = batch.pop('_parse_seconds')
@@ -303,7 +333,8 @@ class BatchDecoder:
                               has_cce=False, out_int16=out_int16,
                               use_pallas=use_pallas,
                               has_cce_post=has_cce_post,
-                              has_cce_time=has_cce_time)
+                              has_cce_time=has_cce_time,
+                              spec_i16=spec_i16)
         step_fn = jitted_decode_spec_step(flags)
         t0 = time.perf_counter()
         pcm, self.overlap = step_fn(batch, self.overlap)
@@ -330,7 +361,8 @@ class BatchDecoder:
                                 n_stream_frames, n_channel_frames)
         return out
 
-    def decode_pipelined(self, chunk_iter, out_int16: bool = True):
+    def decode_pipelined(self, chunk_iter, out_int16: bool = True,
+                         compact: bool | None = None):
         """Generator decoding an iterator of payload chunks with host/device
         overlap: while the device (and the host<->device link) works on
         chunk k, the main thread parses chunk k+1 into the other buffer.
@@ -343,7 +375,8 @@ class BatchDecoder:
         slot = 0
         try:
             for chunk in chunk_iter:
-                parsed = self._parse_native(chunk, buf_slot=slot)
+                parsed = self._parse_native(chunk, buf_slot=slot,
+                                            compact=compact)
                 if pending is not None:
                     yield np.asarray(pending.result())
                     pending = None

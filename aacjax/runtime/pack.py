@@ -25,11 +25,13 @@ FRAME = 1024
 def expand_per_bin(info: ICSInfo, values: np.ndarray,
                    dtype=np.float32) -> np.ndarray:
     """Expand per-(group, sfb) values (idx layout, length group_count *
-    max_sfb) to a per-bin [1024] vector over the grouped window layout."""
-    out = np.zeros(FRAME, dtype)
+    max_sfb) to a per-bin [frame_len] vector over the grouped window
+    layout (window stride = frame_len // 8)."""
+    out = np.zeros(info.frame_len, dtype)
     idx = 0
     group_off = 0
     offsets = info.swb_offsets
+    stride = info.short_len
     for g in range(info.group_count):
         glen = int(info.group_length[g])
         for sfb in range(info.max_sfb):
@@ -38,21 +40,23 @@ def expand_per_bin(info: ICSInfo, values: np.ndarray,
                 off = int(offsets[sfb])
                 width = int(offsets[sfb + 1]) - off
                 for w in range(glen):
-                    base = group_off + w * 128 + off
+                    base = group_off + w * stride + off
                     out[base:base + width] = v
             idx += 1
-        group_off += glen * 128
+        group_off += glen * stride
     return out
 
 
 @dataclass
 class ChunkBuilder:
-    """Accumulates one [C, T] chunk of channel-frames for the device step."""
+    """Accumulates one [C, T] chunk of channel-frames for the device step.
+    F is the frame length (1024, or 960 in frameLengthFlag mode)."""
     C: int
     T: int
+    F: int = FRAME
 
     def __post_init__(self):
-        C, T = self.C, self.T
+        C, T, FRAME = self.C, self.T, self.F
         self.quant = np.zeros((C, T, FRAME), np.int32)
         self.scale = np.zeros((C, T, FRAME), np.float32)
         self.noise = np.zeros((C, T, FRAME), np.float32)
@@ -80,9 +84,10 @@ class ChunkBuilder:
     def add_channel_frame(self, slot: int, t: int, ch: ChannelStream,
                           include_tns: bool = True) -> None:
         info = ch.info
-        self.quant[slot, t] = ch.quant
-        self.scale[slot, t] = ch.scale_bin
-        self.noise[slot, t] = ch.noise_bin
+        F = self.F
+        self.quant[slot, t] = ch.quant[:F]
+        self.scale[slot, t] = ch.scale_bin[:F]
+        self.noise[slot, t] = ch.noise_bin[:F]
         seq = info.window_sequence
         self.f_idx[slot, t] = seq * 2 + info.prev_window_shape
         self.s_idx[slot, t] = seq * 2 + info.window_shape
@@ -103,8 +108,8 @@ class ChunkBuilder:
                     # reversed filter: transformed coordinates on the
                     # flipped spectrum (see kernels.pipeline.tns)
                     self.tns_rev_lpc[slot, t, nr, :f.order] = f.lpc
-                    self.tns_rev_start[slot, t, nr] = FRAME - f.end
-                    self.tns_rev_end[slot, t, nr] = FRAME - f.start
+                    self.tns_rev_start[slot, t, nr] = self.F - f.end
+                    self.tns_rev_end[slot, t, nr] = self.F - f.start
                     nr += 1
 
     # -- stereo ------------------------------------------------------------
@@ -115,8 +120,8 @@ class ChunkBuilder:
         key = (slot_l, slot_r)
         if key not in self._pairs:
             self._pairs[key] = {
-                'ms': np.zeros((self.T, FRAME), np.float32),
-                'is': np.zeros((self.T, FRAME), np.float32),
+                'ms': np.zeros((self.T, self.F), np.float32),
+                'is': np.zeros((self.T, self.F), np.float32),
             }
         p = self._pairs[key]
 
@@ -172,8 +177,8 @@ class ChunkBuilder:
     # -- finalize ----------------------------------------------------------
     def finish(self) -> tuple[dict, PipelineFlags]:
         pairs = list(self._pairs.items()) or [((0, 0), {
-            'ms': np.zeros((self.T, FRAME), np.float32),
-            'is': np.zeros((self.T, FRAME), np.float32)})]
+            'ms': np.zeros((self.T, self.F), np.float32),
+            'is': np.zeros((self.T, self.F), np.float32)})]
         P = len(pairs)
         pair_l = np.array([k[0] for k, _ in pairs], np.int32)
         pair_r = np.array([k[1] for k, _ in pairs], np.int32)
@@ -201,7 +206,7 @@ class ChunkBuilder:
                 Q = max(len(entries), 1)
                 src = np.zeros(Q, np.int32)
                 dst = np.zeros(Q, np.int32)
-                gain = np.zeros((Q, self.T, FRAME), np.float32)
+                gain = np.zeros((Q, self.T, self.F), np.float32)
                 for q, (s, d, t, g) in enumerate(entries):
                     src[q], dst[q] = s, d
                     gain[q, t] = g
@@ -263,8 +268,8 @@ class SlotOverflowError(Exception):
 
 def pack_frames(frames_per_slot_base: list[tuple[int, list[Frame]]],
                 C: int, T: int,
-                slot_limits: list[int] | None = None
-                ) -> tuple[dict, PipelineFlags]:
+                slot_limits: list[int] | None = None,
+                frame_len: int = FRAME) -> tuple[dict, PipelineFlags]:
     """Pack multiple streams' frames into one chunk.
 
     frames_per_slot_base: list of (base_slot, frames) per stream; each
@@ -275,7 +280,7 @@ def pack_frames(frames_per_slot_base: list[tuple[int, list[Frame]]],
     slot_limits: optional per-stream slot budgets (parallel list); when
     omitted each stream may use every slot from its base to C.
     """
-    b = ChunkBuilder(C, T)
+    b = ChunkBuilder(C, T, frame_len)
     for s, (base, frames) in enumerate(frames_per_slot_base):
         budget = (slot_limits[s] if slot_limits is not None else C - base)
         for t, frame in enumerate(frames):

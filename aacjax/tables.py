@@ -95,6 +95,32 @@ SWB_SHORT_WINDOW_COUNT = np.array(
 SWB_LONG_WINDOW_COUNT = np.array(
     [41, 41, 47, 49, 49, 51, 47, 47, 43, 43, 43, 40, 40], dtype=np.int32)
 
+
+# --------------------------------------------------------------------------
+# 960-sample frame mode (frameLengthFlag=1) SWB tables — spec constants
+# (ISO/IEC 14496-3) with no closed form and absent from the reference
+# (decoder.js:83-84 rejects the mode); extracted by symbol from the system
+# libavcodec and cross-validated by extracting the 1024/128 tables the
+# same way and matching them bit-for-bit against the independently
+# embedded tables above (tools/extract_ffmpeg_tables.py,
+# tests/test_tables.py).
+# --------------------------------------------------------------------------
+def _load_960():
+    import pathlib
+    d = np.load(pathlib.Path(__file__).parent / "host"
+                / "aac_960_tables.npz")
+    def per_index(offs, counts):
+        return [np.ascontiguousarray(offs[i][: int(counts[i]) + 1])
+                for i in range(13)]
+    return (per_index(d["swb_offset_960"], d["num_swb_960"]),
+            per_index(d["swb_offset_120"], d["num_swb_120"]),
+            d["num_swb_960"].astype(np.int32),
+            d["num_swb_120"].astype(np.int32))
+
+
+SWB_OFFSET_960, SWB_OFFSET_120, SWB_LONG_WINDOW_COUNT_960, \
+    SWB_SHORT_WINDOW_COUNT_120 = _load_960()
+
 # --------------------------------------------------------------------------
 # TNS (ISO/IEC 14496-3 §4.6.9)
 # --------------------------------------------------------------------------
@@ -185,15 +211,16 @@ def kbd_window(alpha: float, n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def long_window(shape: int) -> np.ndarray:
-    """shape 0 = sine, 1 = KBD(alpha=4); length 1024."""
-    return sine_window(1024) if shape == 0 else kbd_window(4.0, 1024)
+def long_window(shape: int, n: int = 1024) -> np.ndarray:
+    """shape 0 = sine, 1 = KBD(alpha=4); length 1024 (960 in
+    frameLengthFlag mode — same alpha, per ISO/IEC 14496-3 §4.6.11.3)."""
+    return sine_window(n) if shape == 0 else kbd_window(4.0, n)
 
 
 @functools.lru_cache(maxsize=None)
-def short_window(shape: int) -> np.ndarray:
-    """shape 0 = sine, 1 = KBD(alpha=6); length 128."""
-    return sine_window(128) if shape == 0 else kbd_window(6.0, 128)
+def short_window(shape: int, n: int = 128) -> np.ndarray:
+    """shape 0 = sine, 1 = KBD(alpha=6); length 128 (120 in 960 mode)."""
+    return sine_window(n) if shape == 0 else kbd_window(6.0, n)
 
 
 # --------------------------------------------------------------------------

@@ -208,9 +208,9 @@ def write_spectral_data(w: BitWriter, spec: ChannelSpec,
                 for k in range(0, width, num):
                     vals = [int(quant[off + k + j]) for j in range(num)]
                     huffman.encode_spectral(w, book, vals)
-                off += 128
+                off += config.short_length
             idx += 1
-        group_off += glen * 128
+        group_off += glen * config.short_length
 
 
 def write_ics(w: BitWriter, spec: ChannelSpec, config: StreamConfig,
@@ -388,27 +388,29 @@ def quantize_band(x: np.ndarray, sf: int) -> np.ndarray:
     return np.clip(q, -8191, 8191).astype(np.int64)
 
 
-def encode_pcm(pcm: np.ndarray, config: StreamConfig,
-               target_sf: int = 140) -> bytes:
+def encode_pcm_frames(pcm: np.ndarray, config: StreamConfig,
+                      target_sf: int = 140) -> list[bytes]:
     """Encode PCM [n_samples, channels] (float, reference's 32768 scale)
-    into an ADTS stream: ONLY_LONG windows, sine shape, book-11 bands.
+    into raw_data_block payloads: ONLY_LONG windows, sine shape, book-11
+    bands.  Honors config.frame_length (1024 or 960).
 
     Not rate-controlled — intended to produce realistic coefficient
     statistics for benchmarks and round-trip SNR tests.
     """
     nch = config.channels
+    FRAME = config.frame_length
     assert pcm.ndim == 2 and pcm.shape[1] == nch
     n_frames = pcm.shape[0] // FRAME
-    window = tables.long_window(0)
+    window = tables.long_window(0, FRAME)
     wfull = np.concatenate([window, window[::-1]])
-    amat = analysis_matrix(2048)
+    amat = analysis_matrix(2 * FRAME)
     offsets = config.swb_offsets_long
     max_sfb = config.swb_count_long
 
     # pad one frame of lookahead for the final MDCT
     padded = np.concatenate([np.zeros((FRAME, nch)), pcm,
                              np.zeros((2 * FRAME, nch))], axis=0)
-    out = bytearray()
+    payloads: list[bytes] = []
     for f in range(n_frames + 1):
         w = BitWriter()
         specs = []
@@ -459,5 +461,15 @@ def encode_pcm(pcm: np.ndarray, config: StreamConfig,
         else:
             for i, spec in enumerate(specs):
                 write_sce(w, spec, config, instance=i)
-        out += adts_frame(end_frame(w), config)
-    return bytes(out)
+        payloads.append(end_frame(w))
+    return payloads
+
+
+def encode_pcm(pcm: np.ndarray, config: StreamConfig,
+               target_sf: int = 140) -> bytes:
+    """encode_pcm_frames wrapped in ADTS framing (1024-frame mode only:
+    ADTS headers cannot signal frameLengthFlag — 960 streams must travel
+    as raw blocks plus an ASC cookie)."""
+    assert config.frame_length == 1024, "ADTS cannot carry 960-frame AAC"
+    return b"".join(adts_frame(p, config)
+                    for p in encode_pcm_frames(pcm, config, target_sf))

@@ -32,6 +32,12 @@ def _load():
     lib.ffdec_decode_adts.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "ffdec_decode_raw"):
+        lib.ffdec_decode_raw.restype = ctypes.c_int64
+        lib.ffdec_decode_raw.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.ffenc_encode_aac.restype = ctypes.c_int64
     lib.ffenc_encode_aac.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -62,6 +68,30 @@ def decode_adts(data: bytes) -> tuple[np.ndarray, int]:
                               _ptr(ch), _ptr(rate))
     if n < 0:
         raise RuntimeError(f"ffmpeg decode failed: {n}")
+    nch = int(ch[0])
+    return out[:n * nch].reshape(-1, nch).copy(), int(rate[0])
+
+
+def decode_raw(asc: bytes, payloads: list[bytes]) -> tuple[np.ndarray, int]:
+    """FFmpeg-decode raw raw_data_block packets with an explicit ASC
+    (for modes ADTS cannot signal: 960-sample frames, explicit SBR)."""
+    lib = _load()
+    if not hasattr(lib, "ffdec_decode_raw"):
+        raise RuntimeError("oracle built without ffdec_decode_raw")
+    blob = b"".join(payloads)
+    buf = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+    offsets = np.zeros(len(payloads) + 1, np.int64)
+    np.cumsum([len(p) for p in payloads], out=offsets[1:])
+    asc_buf = np.frombuffer(asc, np.uint8)
+    cap = len(blob) * 64 + (1 << 20)
+    out = np.zeros(cap, np.float32)
+    ch = np.zeros(1, np.int32)
+    rate = np.zeros(1, np.int32)
+    n = lib.ffdec_decode_raw(_ptr(asc_buf), len(asc), _ptr(buf),
+                             _ptr(offsets), len(payloads), _ptr(out), cap,
+                             _ptr(ch), _ptr(rate))
+    if n < 0:
+        raise RuntimeError(f"ffmpeg raw decode failed: {n}")
     nch = int(ch[0])
     return out[:n * nch].reshape(-1, nch).copy(), int(rate[0])
 

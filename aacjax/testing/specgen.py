@@ -118,11 +118,11 @@ def random_channel_spec(rng, config: StreamConfig, *,
                 a, b = int(offsets[sfb]), int(offsets[sfb + 1])
                 width = b - a
                 for w in range(glen):
-                    base = group_off + w * 128 + a
+                    base = group_off + w * config.short_length + a
                     quant[base:base + width] = random_quant_for_book(
                         rng, book, width)
             idx += 1
-        group_off += (glen if grouping else 1) * 128
+        group_off += (glen if grouping else 1) * config.short_length
 
     spec = ChannelSpec(window_sequence=seq, window_shape=shape,
                        max_sfb=max_sfb, grouping=grouping,

@@ -48,7 +48,7 @@ def make_corpus(n_unique: int, seconds: float, sr: int = 44100):
     return config, streams
 
 
-def measure_stages(dec, chunk, use_pallas, reps: int = 3) -> dict:
+def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
     """Decompose one chunk's decode into parse / H2D / device-compute /
     D2H wall seconds (min over reps, each stage synced) so the recorded
     bench JSON itself shows where time goes — separating host, link and
@@ -60,16 +60,18 @@ def measure_stages(dec, chunk, use_pallas, reps: int = 3) -> dict:
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        parsed = dec._parse_native(chunk)
+        parsed = dec._parse_native(chunk, compact=compact)
         t1 = time.perf_counter()
         has_tns = parsed.pop("_has_tns")
-        for k in ("_parse_seconds", "_n_stream_frames", "_n_channel_frames"):
+        spec_i16 = parsed.pop("_spec_i16")
+        for k in ("_parse_seconds", "_n_stream_frames", "_n_channel_frames",
+                  "_has_cce_post", "_has_cce_time"):
             parsed.pop(k)
         dev_batch = jax.block_until_ready(jax.device_put(parsed))
         t2 = time.perf_counter()
         flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
                               has_cce=False, out_int16=True,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, spec_i16=spec_i16)
         fn = jitted_decode_spec_step(flags)
         pcm, dec.overlap = fn(dev_batch, dec.overlap)
         jax.block_until_ready(pcm)
@@ -95,6 +97,10 @@ def main() -> int:
     ap.add_argument("--no-native", action="store_true")
     ap.add_argument("--no-stages", action="store_true",
                     help="skip the per-stage breakdown pass")
+    ap.add_argument("--no-compact", action="store_false", dest="compact",
+                    help="transfer exact f32 spectra instead of per-row "
+                         "int16 fixed point (compact halves H2D; ~1.5e-5 "
+                         "rel err, below the codec's own noise floor)")
     ap.add_argument("--pallas", action="store_true",
                     help="use the fused Pallas synthesis kernel")
     ap.add_argument("--pipelined", action="store_true",
@@ -137,7 +143,8 @@ def main() -> int:
     warm = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
                         use_native=use_native)
     warm.step_raw([p[:args.chunk] for p in per_stream_payloads],
-                  out_int16=True, use_pallas=use_pallas)
+                  out_int16=True, use_pallas=use_pallas,
+                  compact=args.compact)
 
     def chunks():
         for c in range(n_chunks):
@@ -159,13 +166,15 @@ def main() -> int:
             # host parse of chunk k+1 overlaps device/link work of chunk k
             # (wins on multi-core hosts; on a 1-core host the link transfer
             # itself is CPU-bound and overlap just thrashes)
-            for _pcm in dec.decode_pipelined(chunks(), out_int16=True):
+            for _pcm in dec.decode_pipelined(chunks(), out_int16=True,
+                                             compact=args.compact):
                 pass
         else:
             pending = None
             for chunk in chunks():
                 pcm = dec.step_raw(chunk, out_int16=True, materialize=False,
-                                   use_pallas=use_pallas)
+                                   use_pallas=use_pallas,
+                                   compact=args.compact)
                 if pending is not None:
                     dec.finalize_step(pending)
                 pending = pcm
@@ -185,13 +194,15 @@ def main() -> int:
         "metric": "aggregate_realtime_x",
         "value": round(best, 1),
         "unit": f"x_realtime ({args.streams} AAC-LC stereo streams, 1 chip, "
-                f"end-to-end incl. host parse + int16 PCM D2H)",
+                f"end-to-end incl. host parse + int16 PCM D2H"
+                f"{', compact i16 H2D' if args.compact else ''})",
         "vs_baseline": round(best / 1000.0, 3),
     }
     if use_native and not args.no_stages:
         # auditable per-stage accounting for ONE chunk (min over reps):
         # where the wall time actually goes on this host/link/chip
-        stages = measure_stages(warm, next(chunks()), use_pallas)
+        stages = measure_stages(warm, next(chunks()), use_pallas,
+                                args.compact)
         chunk_audio_s = args.streams * args.chunk * 1024 / sr
         stages["chunk_audio_s"] = round(chunk_audio_s, 2)
         stages["compute_realtime_x"] = round(

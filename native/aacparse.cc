@@ -1288,6 +1288,49 @@ int aacparse_batch_spec(
   return OK;
 }
 
+// Compact-transfer conversion: f32 spectra -> block-scaled int16 fixed
+// point.  Each 16-bin block of a row (channel-frame) is scaled so its max
+// magnitude maps to 32767, giving 15 significant bits *per block* — the
+// quantization floor tracks the spectral envelope, so a loud tonal bin
+// cannot inflate the noise of quiet bands (decoded SNR stays ~>90 dB,
+// below the codec's own quantization noise at any practical rate).  The
+// device multiplies the int16 payload by the per-block f32 scales.
+// Payload: 2 KB int16 + 256 B scales per channel-frame vs 4 KB f32 (~44%
+// less H2D); the f32 path stays the bit-exact default.
+constexpr int kI16Block = 16;
+constexpr int kI16Blocks = kFrameLen / kI16Block;  // 64
+
+void aacjax_spec_to_i16(const float* spec, int64_t n_rows,
+                        int16_t* out, float* scales) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const float* row = spec + r * kFrameLen;
+    int16_t* o = out + r * kFrameLen;
+    float* sc = scales + r * kI16Blocks;
+    for (int b = 0; b < kI16Blocks; ++b) {
+      const float* p = row + b * kI16Block;
+      float m = 0.0f;
+      for (int i = 0; i < kI16Block; ++i) {
+        float a = fabsf(p[i]);
+        if (a > m) m = a;
+      }
+      int16_t* q = o + b * kI16Block;
+      if (m == 0.0f) {  // silent block (also covers concealed frames)
+        sc[b] = 0.0f;
+        memset(q, 0, sizeof(int16_t) * kI16Block);
+        continue;
+      }
+      const float s = m / 32767.0f;
+      const float inv = 32767.0f / m;
+      sc[b] = s;
+      for (int i = 0; i < kI16Block; ++i) {
+        float v = p[i] * inv;
+        v = v > 32767.0f ? 32767.0f : (v < -32767.0f ? -32767.0f : v);
+        q[i] = static_cast<int16_t>(lrintf(v));
+      }
+    }
+  }
+}
+
 int aacparse_version() { return 4; }
 
 }  // extern "C"

@@ -91,6 +91,63 @@ done:
   return written;
 }
 
+
+// Decode raw AAC packets (raw_data_blocks) with an explicit
+// AudioSpecificConfig as extradata — needed for modes ADTS cannot signal
+// (frameLengthFlag / 960-sample frames, explicit SBR signaling).
+// Returns total samples per channel written, or negative on error.
+int64_t ffdec_decode_raw(const uint8_t* asc, int asc_len,
+                         const uint8_t* blob, const int64_t* offsets,
+                         int64_t n_frames, float* out,
+                         int64_t out_cap_samples, int* channels,
+                         int* sample_rate) {
+  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_AAC);
+  if (!codec) return -1;
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  if (!ctx) return -2;
+  ctx->extradata = av_mallocz(asc_len + AV_INPUT_BUFFER_PADDING_SIZE);
+  if (!ctx->extradata) { avcodec_free_context(&ctx); return -2; }
+  memcpy(ctx->extradata, asc, asc_len);
+  ctx->extradata_size = asc_len;
+  if (avcodec_open2(ctx, codec, NULL) < 0) { avcodec_free_context(&ctx); return -3; }
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+  int nch = 0, rate = 0;
+  int err = 0;
+  for (int64_t i = 0; i <= n_frames; ++i) {
+    if (i < n_frames) {
+      pkt->data = (uint8_t*)(blob + offsets[i]);
+      pkt->size = (int)(offsets[i + 1] - offsets[i]);
+      if (avcodec_send_packet(ctx, pkt) < 0) { err = -5; break; }
+    } else {
+      avcodec_send_packet(ctx, NULL);  // flush
+    }
+    while (1) {
+      int r = avcodec_receive_frame(ctx, frame);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+      if (r < 0) { err = -6; goto done; }
+      nch = ctx->ch_layout.nb_channels;
+      rate = ctx->sample_rate;
+      int ns = frame->nb_samples;
+      if ((written + ns) * nch > out_cap_samples) { err = -7; goto done; }
+      for (int s = 0; s < ns; ++s)
+        for (int c = 0; c < nch; ++c)
+          out[(written + s) * nch + c] = ((const float*)frame->data[c])[s];
+      written += ns;
+    }
+  }
+done:
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
+  if (err) return err;
+  *channels = nch;
+  *sample_rate = rate;
+  return written;
+}
+
 // Encode interleaved float PCM (-1..1 scale) with FFmpeg's native AAC
 // encoder.  Emits raw AAC packets back-to-back into `out` and packet
 // sizes into `pkt_sizes` (caller wraps them in ADTS headers).

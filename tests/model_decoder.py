@@ -21,26 +21,25 @@ from aacjax.host.syntax import (
     INTENSITY_BT, INTENSITY_BT2, NOISE_BT, SCEData,
 )
 
-FRAME = 1024
-MID = 448
-SHORT = 128
-
-
 class ModelDecoder:
     def __init__(self, config: StreamConfig, n_channels: int | None = None):
         self.config = config
+        # frame geometry: 1024/448/128, or 960/420/120 in 960 mode
+        self.F = config.frame_length
+        self.S = self.F // 8
+        self.MID = (self.F - self.S) // 2
         n = n_channels if n_channels is not None else config.channels
-        self.overlaps = [np.zeros(FRAME, np.float64) for _ in range(n)]
+        self.overlaps = [np.zeros(self.F, np.float64) for _ in range(n)]
         self.cce_overlaps: dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     def dequant(self, ch) -> np.ndarray:
-        q = ch.quant.astype(np.float64)
-        spec = np.sign(q) * np.abs(q) ** (4.0 / 3.0) * ch.scale_bin.astype(np.float64)
-        return spec + ch.noise_bin.astype(np.float64)
+        q = ch.quant[:self.F].astype(np.float64)
+        spec = (np.sign(q) * np.abs(q) ** (4.0 / 3.0)
+                * ch.scale_bin[:self.F].astype(np.float64))
+        return spec + ch.noise_bin[:self.F].astype(np.float64)
 
-    @staticmethod
-    def _band_iter(info):
+    def _band_iter(self, info):
         """Yields (idx, bin_start, width, group_len) over the grouped layout."""
         idx = 0
         group_off = 0
@@ -51,7 +50,7 @@ class ModelDecoder:
                 width = int(info.swb_offsets[sfb + 1]) - off
                 yield idx, group_off + off, width, glen
                 idx += 1
-            group_off += glen * 128
+            group_off += glen * self.S
 
     def apply_ms(self, cpe: CPEData, l: np.ndarray, r: np.ndarray) -> None:
         if not (cpe.common_window and cpe.mask_present):
@@ -63,7 +62,7 @@ class ModelDecoder:
                     or cpe.right.band_types[idx] >= NOISE_BT):
                 continue
             for w in range(glen):
-                s = start + w * 128
+                s = start + w * self.S
                 tmp = l[s:s + width] - r[s:s + width]
                 l[s:s + width] += r[s:s + width]
                 r[s:s + width] = tmp
@@ -78,7 +77,7 @@ class ModelDecoder:
                 c = -c
             scale = c * float(cpe.right.sf_gain[idx])
             for w in range(glen):
-                s = start + w * 128
+                s = start + w * self.S
                 r[s:s + width] = l[s:s + width] * scale
 
     def apply_tns(self, ch, spec: np.ndarray) -> None:
@@ -97,15 +96,16 @@ class ModelDecoder:
     def filterbank(self, info, spec: np.ndarray,
                    overlap: np.ndarray) -> np.ndarray:
         """IMDCT + window + OLA for one channel; mutates overlap in place."""
+        FRAME, SHORT, MID = self.F, self.S, self.MID
         seq = info.window_sequence
-        wl_cur = tables.long_window(info.window_shape)
-        ws_cur = tables.short_window(info.window_shape)
-        wl_prev = tables.long_window(info.prev_window_shape)
-        ws_prev = tables.short_window(info.prev_window_shape)
+        wl_cur = tables.long_window(info.window_shape, FRAME)
+        ws_cur = tables.short_window(info.window_shape, SHORT)
+        wl_prev = tables.long_window(info.prev_window_shape, FRAME)
+        ws_prev = tables.short_window(info.prev_window_shape, SHORT)
         out = np.zeros(FRAME, np.float64)
 
         if seq != 2:
-            buf = spec @ tables.imdct_matrix(2048)  # [2048]
+            buf = spec @ tables.imdct_matrix(2 * FRAME)  # [2*FRAME]
             if seq == 0:  # ONLY_LONG
                 out[:] = overlap + buf[:FRAME] * wl_prev
                 overlap[:] = buf[FRAME:] * wl_cur[::-1]
@@ -123,7 +123,7 @@ class ModelDecoder:
                                      + buf[MID + SHORT:FRAME])
                 overlap[:] = buf[FRAME:] * wl_cur[::-1]
         else:  # EIGHT_SHORT
-            m = tables.imdct_matrix(256)
+            m = tables.imdct_matrix(FRAME // 4)
             t = np.zeros(2 * FRAME, np.float64)
             for w in range(8):
                 block = spec[w * SHORT:(w + 1) * SHORT] @ m  # [256]
@@ -177,7 +177,7 @@ class ModelDecoder:
             if cce.coupling_point != AFTER_IMDCT:
                 continue
             if ci not in self.cce_overlaps:
-                self.cce_overlaps[ci] = np.zeros(FRAME, np.float64)
+                self.cce_overlaps[ci] = np.zeros(self.F, np.float64)
             self._frame_cce_time[ci] = self.filterbank(
                 cce.ics.info, self.dequant(cce.ics), self.cce_overlaps[ci])
 
@@ -192,12 +192,12 @@ class ModelDecoder:
                 continue
             g = float(gains[idx])
             for w in range(glen):
-                s = start + w * 128
+                s = start + w * self.S
                 dst[s:s + width] += g * src[s:s + width]
 
     # ------------------------------------------------------------------
     def decode_frame(self, frame: Frame) -> np.ndarray:
-        """Returns [n_samples=1024, channels] PCM in 1/32768 scale."""
+        """Returns [n_samples=frame_length, channels] PCM in 1/32768 scale."""
         self._prepare_cce_time(frame)
         outs = []
         channel = 0

@@ -34,16 +34,17 @@ def test_asc_explicit_sample_rate():
     assert cfg.sample_index == 7
 
 
-def test_asc_rejects_960_frames():
+def test_asc_960_frame_mode():
     from aacjax.host.bitio import BitWriter
     w = BitWriter()
     w.write(2, 5)
     w.write(4, 4)
     w.write(2, 4)
-    w.write(1, 1)          # frameLengthFlag = 960 — unsupported
+    w.write(1, 1)          # frameLengthFlag = 960-sample frames
     w.align()
-    with pytest.raises(UnsupportedError):
-        parse_asc(w.getvalue())
+    cfg = parse_asc(w.getvalue())
+    assert cfg.frame_length == 960
+    assert cfg.short_length == 120
 
 
 def test_asc_rejects_unknown_profile():

@@ -445,3 +445,36 @@ def test_streaming_native_partial_feed():
     assert len(got) == 2
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_compact_spec_transfer_close_to_exact():
+    """Compact (per-row int16 fixed point) spectral transfer stays within
+    its documented ~1.5e-5 relative error of the exact f32 path — below
+    the codec's own quantization noise floor — on realistic encoded
+    content (full-scale music-like PCM)."""
+    from aacjax.host import adts
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing.encoder import encode_pcm
+    config = _cfg(si=4, ch=2)
+    t = np.arange(1024 * 6) / 44100
+    rng = np.random.default_rng(99)
+    x = (20000 * np.sin(2 * np.pi * 440 * t)
+         + 3000 * rng.standard_normal(t.size))
+    stream = encode_pcm(np.stack([x, 0.8 * x], axis=1), config,
+                        target_sf=130)
+    payloads = [stream[s:e] for _, s, e in adts.split_frames(stream)]
+
+    def run(compact, out_int16):
+        dec = BatchDecoder([config], chunk_frames=len(payloads),
+                           use_native=True)
+        return dec.step_raw([payloads], compact=compact,
+                            out_int16=out_int16)
+
+    want = run(False, False)
+    got = run(True, False)
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=1e-4 * scale)
+    # and int16 PCM differs by at most 2 LSB
+    w16 = run(False, True)
+    g16 = run(True, True)
+    assert int(np.abs(g16.astype(np.int32) - w16.astype(np.int32)).max()) <= 2

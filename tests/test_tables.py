@@ -134,3 +134,32 @@ def test_swb_tables_consistent():
         assert np.all(np.diff(lo) > 0) and np.all(np.diff(sh) > 0)
         assert len(lo) - 1 == tables.SWB_LONG_WINDOW_COUNT[i]
         assert len(sh) - 1 == tables.SWB_SHORT_WINDOW_COUNT[i]
+
+
+def test_extracted_tables_cross_check():
+    """The libavcodec-extracted table file's 1024/128 entries must equal
+    the independently embedded spec tables bit-for-bit — this is what
+    validates the extractor that sourced the 960/120 tables
+    (tools/extract_ffmpeg_tables.py)."""
+    import pathlib
+    d = np.load(pathlib.Path(tables.__file__).parent / "host"
+                / "aac_960_tables.npz")
+    for i in range(13):
+        n = int(d["num_swb_1024"][i])
+        assert n == int(tables.SWB_LONG_WINDOW_COUNT[i])
+        assert np.array_equal(tables.SWB_OFFSET_1024[i][:n + 1],
+                              d["swb_offset_1024"][i][:n + 1])
+        ns = int(d["num_swb_128"][i])
+        assert ns == int(tables.SWB_SHORT_WINDOW_COUNT[i])
+        assert np.array_equal(tables.SWB_OFFSET_128[i][:ns + 1],
+                              d["swb_offset_128"][i][:ns + 1])
+    # 960 tables are self-consistent: monotone offsets ending at the frame
+    for i in range(13):
+        n = int(d["num_swb_960"][i])
+        offs = d["swb_offset_960"][i][:n + 1]
+        assert offs[0] == 0 and offs[-1] == 960
+        assert (np.diff(offs) > 0).all()
+        ns = int(d["num_swb_120"][i])
+        offs = d["swb_offset_120"][i][:ns + 1]
+        assert offs[0] == 0 and offs[-1] == 120
+        assert (np.diff(offs) > 0).all()
