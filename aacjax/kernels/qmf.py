@@ -1,0 +1,155 @@
+"""SBR QMF filterbanks as batched matmuls (ISO/IEC 14496-3 §4.6.18.4).
+
+The reference never implemented SBR (decoder.js:279-280 throws), so this
+is spec-driven.  Both filterbanks are expressed TPU-first:
+
+  * 32-band complex analysis of the core-rate signal: a static sliding-
+    window gather + 5-way fold + one [64 -> 32] complex matmul per slot,
+    batched over all slots of all channel-frames — no scan.
+  * 64-band complex synthesis to the 2x output rate: one [64 -> 128]
+    complex matmul per slot, then the 640-tap windowed sum expressed as a
+    10-tap FIR over the slot axis (each slot's v-vector contributes to the
+    next 10 output slots) — a static gather + weighted sum, no scan.
+
+Cross-slot state (the analysis 288-sample history and the synthesis
+9-slot v history) lives in HBM between chunks, exactly like the core
+decoder's overlap buffer.
+
+The 640-tap prototype filter is a spec constant with no closed form,
+extracted from libavcodec (tools/extract_ffmpeg_tables.py; see the
+extraction cross-validation in tests/test_tables.py).
+"""
+from __future__ import annotations
+
+import functools
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SBR_NPZ = pathlib.Path(__file__).parent.parent / "host" / "sbr_tables.npz"
+
+ANA_BANDS = 32      # analysis bands (core rate)
+SYN_BANDS = 64      # synthesis bands (2x rate)
+ANA_TAPS = 320      # downsampled prototype length
+SYN_TAPS = 640
+ANA_HIST = ANA_TAPS - ANA_BANDS   # 288 samples carried between chunks
+SYN_HIST = 9        # v-vectors carried between chunks
+
+
+@functools.lru_cache(maxsize=None)
+def prototype() -> np.ndarray:
+    """[640] float64 QMF prototype filter c(n)."""
+    return np.load(_SBR_NPZ)["qmf_window_us"].astype(np.float64)
+
+
+@functools.lru_cache(maxsize=None)
+def _analysis_consts():
+    c = prototype()
+    # Downsampled prototype c(2n); the x2 compensates the 2x band
+    # upsampling so the analysis(32) -> synthesis(64) chain has unit
+    # passthrough gain (verified in tests/test_qmf.py: ~62 dB
+    # reconstruction, the prototype's stopband floor).
+    win_ds = 2.0 * c[::2]                       # [320]
+    n = np.arange(64, dtype=np.float64)
+    k = np.arange(ANA_BANDS, dtype=np.float64)
+    # X[k] = sum_n u(n) exp(j pi/64 (k+0.5)(2n+0.5)): the half-sample
+    # offset is the 64-band convention's (2n+1) seen through the 2x
+    # downsampling, and is what makes alias terms cancel against the
+    # synthesis bank's (2n+255) phase.
+    ang = np.pi / 64.0 * (k[:, None] + 0.5) * (2.0 * n[None, :] + 0.5)
+    m = np.exp(1j * ang)                        # [32, 64]
+    return (win_ds.astype(np.float32),
+            m.real.astype(np.float32).T,        # [64, 32]
+            m.imag.astype(np.float32).T)
+
+
+@functools.lru_cache(maxsize=None)
+def _synthesis_consts():
+    c = prototype()
+    n = np.arange(128, dtype=np.float64)
+    k = np.arange(SYN_BANDS, dtype=np.float64)
+    # v(n) = 1/64 Re{ sum_k X[k] exp(j pi/128 (k+0.5)(2n+255)) }
+    ang = np.pi / 128.0 * (k[None, :] + 0.5) * (2.0 * n[:, None] + 255.0)
+    m = np.exp(1j * ang) / 64.0                 # [128, 64]
+    # g-selection: the windowed 640 taps pick alternating half-blocks of
+    # the 1280-sample v FIFO:  g(128i + n)      = v(256i + n)
+    #                          g(128i + 64 + n) = v(256i + 192 + n), n<64
+    gsel = np.zeros(SYN_TAPS, np.int64)
+    for i in range(5):
+        gsel[128 * i:128 * i + 64] = 256 * i + np.arange(64)
+        gsel[128 * i + 64:128 * i + 128] = 256 * i + 192 + np.arange(64)
+    # out(n) = sum_{j<10} w(64j + n);  w = g * c.  FIFO entry v(q) for
+    # q in [0,1280) lives in v-vector (slot - q//128) at row q%128, so tap
+    # (j, n) reads v[slot - jj][row] weighted by c[64j + n] where
+    # q = gsel[64j + n], jj = q // 128, row = q % 128.
+    taps_j = np.zeros((10, 64), np.int64)   # which past slot (0..9)
+    taps_r = np.zeros((10, 64), np.int64)   # which v row (0..127)
+    taps_w = np.zeros((10, 64), np.float64)
+    for j in range(10):
+        for nn in range(64):
+            q = gsel[64 * j + nn]
+            taps_j[j, nn] = q // 128
+            taps_r[j, nn] = q % 128
+            taps_w[j, nn] = c[64 * j + nn]
+    return (m.real.astype(np.float32), m.imag.astype(np.float32),
+            taps_j, taps_r, taps_w.astype(np.float32))
+
+
+def analysis(x: jax.Array, hist: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """32-band complex QMF analysis.
+
+    x [B, N] core-rate samples (N % 32 == 0); hist [B, 288] carried
+    samples (the previous chunk's tail).  Returns (X_re, X_im) [B, S, 32]
+    with S = N // 32 slots, plus the new history."""
+    win_ds, mr, mi = _analysis_consts()
+    B, N = x.shape
+    S = N // ANA_BANDS
+    buf = jnp.concatenate([hist, x], axis=1)          # [B, 288 + N]
+    # sliding window per slot: x-buffer covers the 320 newest samples,
+    # newest first: x(n) = buf[32(l+1) + 288 - 1 - n]
+    last = jnp.arange(S)[:, None] * ANA_BANDS + (ANA_HIST + ANA_BANDS - 1)
+    idx = last - jnp.arange(ANA_TAPS)[None, :]        # [S, 320]
+    z = buf[:, idx] * jnp.asarray(win_ds)             # [B, S, 320]
+    u = z.reshape(B, S, 5, 64).sum(axis=2)            # [B, S, 64]
+    xr = jnp.einsum('bsn,nk->bsk', u, jnp.asarray(mr),
+                    precision=jax.lax.Precision.HIGHEST)
+    xi = jnp.einsum('bsn,nk->bsk', u, jnp.asarray(mi),
+                    precision=jax.lax.Precision.HIGHEST)
+    new_hist = buf[:, -ANA_HIST:]
+    return xr, xi, new_hist
+
+
+def synthesis(xr: jax.Array, xi: jax.Array,
+              vhist: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """64-band real-output QMF synthesis.
+
+    xr/xi [B, S, 64]; vhist [B, 9, 128] carried v-vectors (previous
+    slots, vhist[:, 0] = most recent).  Returns (pcm [B, S*64], new
+    vhist)."""
+    mr, mi, taps_j, taps_r, taps_w = _synthesis_consts()
+    B, S, _ = xr.shape
+    v = (jnp.einsum('bsk,nk->bsn', xr, jnp.asarray(mr),
+                    precision=jax.lax.Precision.HIGHEST)
+         - jnp.einsum('bsk,nk->bsn', xi, jnp.asarray(mi),
+                      precision=jax.lax.Precision.HIGHEST))  # [B, S, 128]
+    # prepend history so slot s can read v[s - j] for j in 0..9
+    vall = jnp.concatenate([vhist[:, ::-1, :], v], axis=1)   # [B, 9+S, 128]
+    # gather [B, S, 10, 64]: slot s, tap j reads vall[:, 9 + s - taps_j]
+    s_idx = (jnp.arange(S)[:, None, None] + 9
+             - jnp.asarray(taps_j)[None, :, :])              # [S, 10, 64]
+    r_idx = jnp.broadcast_to(jnp.asarray(taps_r)[None], (S, 10, 64))
+    contrib = vall[:, s_idx, r_idx]                          # [B, S, 10, 64]
+    pcm = jnp.einsum('bsjn,jn->bsn', contrib, jnp.asarray(taps_w),
+                     precision=jax.lax.Precision.HIGHEST)
+    new_vhist = vall[:, -1:-10:-1, :]                        # newest first
+    return pcm.reshape(B, S * 64), new_vhist
+
+
+def analysis_init(B: int) -> jax.Array:
+    return jnp.zeros((B, ANA_HIST), jnp.float32)
+
+
+def synthesis_init(B: int) -> jax.Array:
+    return jnp.zeros((B, SYN_HIST, 128), jnp.float32)
