@@ -79,6 +79,11 @@ class AACDecoder:
         self._runtime: BatchDecoder | None = None
         self._cce_slots = cce_slots
         self._use_native = use_native  # None = auto (native when built)
+        # HE-AAC SBR: None = not yet known (implicit signaling detects it
+        # on the first parsed frame), True/False once known
+        self._sbr_mode: bool | None = None
+        self._sbr_ctx = None
+        self._sbr_procs: list = []
         if cookie is not None:
             self.set_cookie(cookie)
 
@@ -96,6 +101,8 @@ class AACDecoder:
         self._runtime = BatchDecoder([self.config], chunk_frames=1,
                                      cce_slots=self._cce_slots,
                                      use_native=self._use_native)
+        if self.config.sbr:
+            self._sbr_mode = True  # explicit signaling
 
     def feed(self, data: bytes) -> None:
         self._buffer.extend(data)
@@ -124,6 +131,10 @@ class AACDecoder:
         self._buffer.clear()
         self._bitpos = 0
         self._reader = None
+        self._sbr_ctx = None
+        self._sbr_procs = []
+        self._sbr_mode = (True if (self.config is not None
+                                   and self.config.sbr) else None)
         if self.config is not None:
             self._runtime = BatchDecoder([self.config], chunk_frames=1,
                                          cce_slots=self._cce_slots,
@@ -153,10 +164,12 @@ class AACDecoder:
             del self._buffer[:drop]
             self._bitpos -= drop * 8
             self._reader = None
-        if self._runtime.use_native and self._bitpos % 8 == 0:
-            # native streaming fast path: parse ONE block from the buffered
-            # tail; a miss (partial or corrupt data) falls through to the
-            # python parser, which classifies it (None vs raising)
+        if (self._runtime.use_native and self._bitpos % 8 == 0
+                and self._sbr_mode is False):
+            # native streaming fast path (only once the stream is known to
+            # carry no SBR: the C parser skips FIL extensions): parse ONE
+            # block from the buffered tail; a miss (partial or corrupt
+            # data) falls through to the python parser
             res = self._runtime.decode_block(
                 bytes(self._buffer[self._bitpos // 8:]))
             if res is not None:
@@ -170,16 +183,64 @@ class AACDecoder:
             self._reader = BitReader(bytes(self._buffer))
         self._reader.seek_bits(self._bitpos)
         st = self._runtime.streams[0]
+        if self._sbr_ctx is None and self._sbr_mode is not False:
+            from aacjax.host.sbr import SBRContext
+            self._sbr_ctx = SBRContext(
+                sample_rate=self.config.output_sample_rate if self.config.sbr
+                else 2 * self.config.sample_rate)
         try:
-            frame = decode_frame(self._reader, self.config, st.prev_shapes)
+            frame = decode_frame(self._reader, self.config, st.prev_shapes,
+                                 sbr_ctx=self._sbr_ctx)
         except BitstreamUnderflow:
             return None  # need more data
         self._bitpos = self._reader.bit_position
         self._runtime._update_shapes(st, frame)
         st.frames_decoded += 1
+        if self._sbr_mode is None:
+            # implicit signaling resolves on the first decoded frame
+            self._sbr_mode = any(
+                getattr(e, "sbr", None) is not None for e in frame.elements)
         pcm = self._runtime.step([[frame]])
         out = self._runtime.stream_pcm(pcm, 0, 1)
+        if self._sbr_mode:
+            out = self._apply_sbr(frame, out)
         return out.reshape(-1)
+
+    @property
+    def output_sample_rate(self) -> int:
+        """PCM rate of read_chunk output (2x core when SBR is active)."""
+        if self.config is None:
+            raise UnsupportedError("no configuration")
+        if self._sbr_mode:
+            return (self.config.output_sample_rate if self.config.sbr
+                    else 2 * self.config.sample_rate)
+        return self.config.sample_rate
+
+    def _apply_sbr(self, frame, pcm: np.ndarray) -> np.ndarray:
+        """HE-AAC tail: 2x upsample every core channel, reconstructing the
+        high band for elements that carried SBR payloads."""
+        from aacjax.host import sbr as sbrmod
+        from aacjax.host.sbr_decode import (SBRChannelProc, process_channel,
+                                            process_passthrough)
+        from aacjax.host.syntax import CPEData
+        outs = []
+        ch_idx = 0
+        for elem in frame.elements:
+            nch = 2 if isinstance(elem, CPEData) else 1
+            sf = getattr(elem, "sbr", None)
+            eq = sbrmod.dequant(sf) if sf is not None else None
+            for c in range(nch):
+                while len(self._sbr_procs) <= ch_idx:
+                    self._sbr_procs.append(SBRChannelProc())
+                proc = self._sbr_procs[ch_idx]
+                core = np.asarray(pcm[:, ch_idx], np.float64)
+                if sf is not None:
+                    out = process_channel(proc, core, sf, c, eq[c])
+                else:
+                    out = process_passthrough(proc, core)
+                outs.append(out.astype(np.float32))
+                ch_idx += 1
+        return np.stack(outs, axis=1)
 
 
 def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,

@@ -17,6 +17,7 @@ from aacjax.host.bitio import BitReader
 AOT_AAC_MAIN = 1
 AOT_AAC_LC = 2
 AOT_AAC_LTP = 4
+AOT_SBR = 5
 AOT_ESCAPE = 31
 
 CHANNEL_CONFIG_NONE = 0
@@ -31,9 +32,18 @@ class StreamConfig:
     """Frozen per-stream configuration (reference `this.config`)."""
     profile: int
     sample_index: int
-    sample_rate: int
+    sample_rate: int          # core decoder rate (tables are indexed by it)
     chan_config: int
     frame_length: int = 1024
+    # HE-AAC: explicit SBR signaling (AOT 5).  sbr=1 doubles the output
+    # rate; sbr=0 streams may still carry implicitly signaled SBR in FIL
+    # elements, detected at decode time.
+    sbr: int = 0
+    ext_sample_rate: int = 0
+
+    @property
+    def output_sample_rate(self) -> int:
+        return self.ext_sample_rate if self.sbr else self.sample_rate
 
     @property
     def channels(self) -> int:
@@ -75,14 +85,7 @@ class StreamConfig:
         return int(tables.SWB_SHORT_WINDOW_COUNT[self.sample_index])
 
 
-def parse_asc(cookie: bytes) -> StreamConfig:
-    """Parse an AudioSpecificConfig buffer (decoder.js:53-113)."""
-    stream = BitReader(cookie)
-
-    profile = stream.read(5)
-    if profile == AOT_ESCAPE:
-        profile = 32 + stream.read(6)
-
+def _read_rate(stream: BitReader) -> tuple[int, int]:
     sample_index = stream.read(4)
     if sample_index == 0x0F:
         sample_rate = stream.read(24)
@@ -96,8 +99,32 @@ def parse_asc(cookie: bytes) -> StreamConfig:
         if sample_index >= len(tables.SAMPLE_RATES):
             raise UnsupportedError(f"invalid sample index {sample_index}")
         sample_rate = int(tables.SAMPLE_RATES[sample_index])
+    return sample_index, sample_rate
 
+
+def parse_asc(cookie: bytes) -> StreamConfig:
+    """Parse an AudioSpecificConfig buffer (decoder.js:53-113; plus
+    HE-AAC explicit SBR signaling, which the reference rejects)."""
+    stream = BitReader(cookie)
+
+    profile = stream.read(5)
+    if profile == AOT_ESCAPE:
+        profile = 32 + stream.read(6)
+
+    sample_index, sample_rate = _read_rate(stream)
     chan_config = stream.read(4)
+
+    sbr = 0
+    ext_sample_rate = 0
+    if profile == AOT_SBR:
+        # explicit hierarchical signaling: the rate above is the core
+        # rate; the extension rate is the SBR output rate, and the core
+        # object type follows
+        sbr = 1
+        _ext_index, ext_sample_rate = _read_rate(stream)
+        profile = stream.read(5)
+        if profile == AOT_ESCAPE:
+            profile = 32 + stream.read(6)
 
     frame_length = 1024
     if profile in (AOT_AAC_MAIN, AOT_AAC_LC, AOT_AAC_LTP):
@@ -123,18 +150,31 @@ def parse_asc(cookie: bytes) -> StreamConfig:
         sample_rate=sample_rate,
         chan_config=chan_config,
         frame_length=frame_length,
+        sbr=sbr,
+        ext_sample_rate=ext_sample_rate,
     )
 
 
 def make_asc(profile: int, sample_index: int, chan_config: int,
-             frame_length: int = 1024) -> bytes:
-    """Build a minimal 2-byte ASC (inverse of parse_asc for LC streams)."""
+             frame_length: int = 1024, sbr: bool = False,
+             ext_sample_index: int | None = None) -> bytes:
+    """Build a minimal ASC (inverse of parse_asc for LC/HE streams)."""
     from aacjax.host.bitio import BitWriter
     assert frame_length in (1024, 960)
     w = BitWriter()
+    if sbr:
+        w.write(AOT_SBR, 5)
+        w.write(sample_index, 4)       # core rate
+        w.write(chan_config, 4)
+        if ext_sample_index is None:
+            # the usual 2x relationship: index of double the core rate
+            rates = [int(r) for r in tables.SAMPLE_RATES]
+            ext_sample_index = rates.index(2 * rates[sample_index])
+        w.write(ext_sample_index, 4)   # output rate
     w.write(profile, 5)
-    w.write(sample_index, 4)
-    w.write(chan_config, 4)
+    if not sbr:
+        w.write(sample_index, 4)
+        w.write(chan_config, 4)
     w.write(1 if frame_length == 960 else 0, 1)  # frameLengthFlag
     w.write(0, 1)  # dependsOnCoreCoder
     w.write(0, 1)  # extensionFlag

@@ -455,6 +455,7 @@ class CPEData:
     mask_present: bool
     ms_used: np.ndarray  # [128] bool, idx layout group*max_sfb
     id: int = 0
+    sbr: object = None   # SBRFrame when a FIL SBR extension followed
 
 
 @dataclass
@@ -475,6 +476,7 @@ class SCEData:
     ics: ChannelStream
     id: int = 0
     is_lfe: bool = False
+    sbr: object = None   # SBRFrame when a FIL SBR extension followed
 
 
 @dataclass
@@ -588,13 +590,18 @@ def decode_cce(stream: BitReader, config: StreamConfig) -> CCEData:
 
 
 def decode_frame(stream: BitReader, config: StreamConfig,
-                 prev_shapes: list[int]) -> Frame:
+                 prev_shapes: list[int], sbr_ctx=None) -> Frame:
     """Parse one raw_data_block (decoder.js:125-201 element loop).
 
     prev_shapes: per-decoder-channel previous window shapes (persisted by
     the caller across frames; spec-correct divergence — the reference
     effectively always uses shape 0 for the previous half because it
     recreates ICStream objects per frame, decoder.js:145).
+
+    sbr_ctx: optional aacjax.host.sbr.SBRContext; when given, FIL
+    extension payloads carrying SBR data (HE-AAC implicit signaling) are
+    parsed and attached to the preceding SCE/CPE element instead of being
+    skipped (the reference throws on any SBR content, decoder.js:279-280).
     """
     # interleaved ADTS header (decoder.js:128-130)
     if stream.bits_left >= 12 and stream.peek(12) == 0xFFF:
@@ -642,9 +649,26 @@ def decode_frame(stream: BitReader, config: StreamConfig,
         elif element_type == PCE_ELEMENT:
             raise UnsupportedError("PCE_ELEMENT not supported")
         elif element_type == FIL_ELEMENT:
-            if eid == 15:
-                eid += stream.read(8) - 1
-            stream.advance(eid * 8)
+            cnt = eid
+            if cnt == 15:
+                cnt += stream.read(8) - 1
+            if (sbr_ctx is not None and cnt > 0 and elements
+                    and isinstance(elements[-1], (SCEData, CPEData))
+                    and not getattr(elements[-1], "is_lfe", False)
+                    and stream.bits_left >= 4
+                    and stream.peek(4) in (13, 14)):  # EXT_SBR_DATA[_CRC]
+                from aacjax.host import sbr as sbrmod
+                start = stream.bit_position
+                ext_type = stream.read(4)
+                elements[-1].sbr = sbrmod.read_sbr_extension(
+                    stream, sbr_ctx, isinstance(elements[-1], CPEData),
+                    ext_type == sbrmod.EXT_SBR_DATA_CRC)
+                consumed = stream.bit_position - start
+                if consumed > cnt * 8:
+                    raise BitstreamError("SBR extension payload overrun")
+                stream.advance(cnt * 8 - consumed)
+            else:
+                stream.advance(cnt * 8)
         else:
             raise BitstreamError("Unknown element")
     stream.align()

@@ -54,11 +54,13 @@ def _analysis_consts():
     win_ds = 2.0 * c[::2]                       # [320]
     n = np.arange(64, dtype=np.float64)
     k = np.arange(ANA_BANDS, dtype=np.float64)
-    # X[k] = sum_n u(n) exp(j pi/64 (k+0.5)(2n+0.5)): the half-sample
-    # offset is the 64-band convention's (2n+1) seen through the 2x
-    # downsampling, and is what makes alias terms cancel against the
-    # synthesis bank's (2n+255) phase.
-    ang = np.pi / 64.0 * (k[:, None] + 0.5) * (2.0 * n[None, :] + 0.5)
+    # X[k] = sum_n u(n) exp(j pi/64 (k+0.5)(2n-0.5)).  The exact phase
+    # convention (paired with the synthesis bank's 2n+257) was pinned
+    # against libavcodec: with this pair, aacjax's whole SBR chain matches
+    # FFmpeg's HE-AAC output sample-exactly (~130 dB, float32 floor) in
+    # tests/test_sbr.py; self-reconstruction sits at the prototype's
+    # stopband (~62 dB, tests/test_qmf.py).
+    ang = np.pi / 64.0 * (k[:, None] + 0.5) * (2.0 * n[None, :] - 0.5)
     m = np.exp(1j * ang)                        # [32, 64]
     return (win_ds.astype(np.float32),
             m.real.astype(np.float32).T,        # [64, 32]
@@ -70,8 +72,9 @@ def _synthesis_consts():
     c = prototype()
     n = np.arange(128, dtype=np.float64)
     k = np.arange(SYN_BANDS, dtype=np.float64)
-    # v(n) = 1/64 Re{ sum_k X[k] exp(j pi/128 (k+0.5)(2n+255)) }
-    ang = np.pi / 128.0 * (k[None, :] + 0.5) * (2.0 * n[:, None] + 255.0)
+    # v(n) = 1/64 Re{ sum_k X[k] exp(j pi/128 (k+0.5)(2n+257)) } — the
+    # conjugate pair of the analysis phase above (see that comment)
+    ang = np.pi / 128.0 * (k[None, :] + 0.5) * (2.0 * n[:, None] + 257.0)
     m = np.exp(1j * ang) / 64.0                 # [128, 64]
     # g-selection: the windowed 640 taps pick alternating half-blocks of
     # the 1280-sample v FIFO:  g(128i + n)      = v(256i + n)

@@ -389,7 +389,8 @@ def quantize_band(x: np.ndarray, sf: int) -> np.ndarray:
 
 
 def encode_pcm_frames(pcm: np.ndarray, config: StreamConfig,
-                      target_sf: int = 140) -> list[bytes]:
+                      target_sf: int = 140,
+                      fil_payloads: list[bytes] | None = None) -> list[bytes]:
     """Encode PCM [n_samples, channels] (float, reference's 32768 scale)
     into raw_data_block payloads: ONLY_LONG windows, sine shape, book-11
     bands.  Honors config.frame_length (1024 or 960).
@@ -461,6 +462,11 @@ def encode_pcm_frames(pcm: np.ndarray, config: StreamConfig,
         else:
             for i, spec in enumerate(specs):
                 write_sce(w, spec, config, instance=i)
+        if fil_payloads is not None:
+            # e.g. an SBR extension following its element (HE-AAC implicit
+            # signaling; aacjax.testing.sbr_encoder)
+            from aacjax.testing.sbr_encoder import write_sbr_fil
+            write_sbr_fil(w, fil_payloads[min(f, len(fil_payloads) - 1)])
         payloads.append(end_frame(w))
     return payloads
 

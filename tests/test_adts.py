@@ -50,7 +50,7 @@ def test_asc_960_frame_mode():
 def test_asc_rejects_unknown_profile():
     from aacjax.host.bitio import BitWriter
     w = BitWriter()
-    w.write(5, 5)          # SBR object type
+    w.write(3, 5)          # AAC SSR — unsupported core object type
     w.write(4, 4)
     w.write(2, 4)
     w.align()

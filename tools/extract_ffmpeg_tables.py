@@ -126,6 +126,16 @@ def sbr_tables(archive: str) -> dict:
     o = ObjectTables(extract_member(archive, "aacsbr.o"))
     out = {"qmf_window_us": o.array("sbr_qmf_window_us", np.float32)}
     assert out["qmf_window_us"].shape == (640,)
+    noise = o.array("ff_sbr_noise_table", np.float32).reshape(-1, 2)
+    out["noise_table"] = noise[:512]  # (re, im) pairs, spec Table 4.A.88
+    out["sbr_offset"] = o.array("sbr_offset", np.int8).reshape(6, 16)
+    # local symbols carry a .N suffix that varies by compiler version
+    for name in o.syms:
+        if name.startswith("bands_warped"):
+            out["bands_warped"] = o.array(name, np.float32)
+        elif name.startswith("limgain"):
+            out["limgain"] = o.array(name, np.float32)
+    assert "bands_warped" in out and "limgain" in out
     widths = {1: np.uint8, 2: np.uint16, 4: np.uint32}
     for pre in ("t", "f"):
         for book in ("huffman_env_1_5dB", "huffman_env_bal_1_5dB",
