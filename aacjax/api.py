@@ -266,6 +266,48 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         raise UnsupportedError("no ADTS frames found")
     header = frames[0][0]
     config = parse_asc(adts.synthesize_cookie(header))
+
+    def _first_frame_has_sbr() -> bool:
+        """Implicitly signaled HE-AAC: probe the first frame for an SBR
+        FIL extension (throwaway parse; shapes copied)."""
+        from aacjax.host.sbr import SBRContext
+        _, s, e = frames[0]
+        try:
+            f = decode_frame(BitReader(data[s:e]), config,
+                             [0] * config.channels,
+                             sbr_ctx=SBRContext(2 * config.sample_rate))
+        except Exception:  # noqa: BLE001 — probe only
+            return False
+        return any(getattr(el, "sbr", None) is not None for el in f.elements)
+
+    if _first_frame_has_sbr():
+        # HE-AAC: decode through the streaming SBR path (2x output rate)
+        dec = AACDecoder(cookie=adts.synthesize_cookie(header),
+                         cce_slots=max(cce_slots, 1))
+        dec.feed(data)
+        chunks = []
+        while True:
+            try:
+                chunk = dec.read_chunk()
+            except Exception:  # noqa: BLE001 — concealment boundary
+                if on_error == "raise":
+                    raise
+                rest = adts.split_frames(bytes(dec._buffer),
+                                         start=dec._bitpos // 8 + 1,
+                                         resync_overruns=True)
+                chunks.append(np.zeros((2 * config.frame_length,
+                                        config.channels), np.float32))
+                if not rest:
+                    break
+                dec._bitpos = rest[0][1] * 8
+                continue
+            if chunk is None:
+                break
+            chunks.append(chunk.reshape(-1, config.channels))
+        if not chunks:
+            raise UnsupportedError("no decodable raw_data_blocks")
+        return np.concatenate(chunks, axis=0), dec.output_sample_rate
+
     if any(h.num_frames > 1 for h, _, _ in frames):
         # rare: multiple raw_data_blocks per ADTS frame — block boundaries
         # are only discoverable by parsing, so use the continuous-bitstream

@@ -405,9 +405,12 @@ def _middle_border(g: SBRGrid) -> int:
 
 
 def l_a(g: SBRGrid) -> int:
-    """Transient envelope index (−1 = none) — §4.6.18.7.6."""
+    """Transient envelope index (−1 = none) — §4.6.18.7.6.  Note the
+    value can equal num_env (pointer 1 on a VAR-trailing class): no
+    envelope of THIS frame is transient, but the next frame's first
+    envelope is (carried via the decoder's la_prev state)."""
     if g.frame_class in (FIXVAR, VARVAR):
-        return g.num_env + 1 - g.pointer if g.pointer > 1 else -1
+        return g.num_env + 1 - g.pointer if g.pointer > 0 else -1
     if g.frame_class == VARFIX:
         return g.pointer - 1 if g.pointer > 1 else -1
     return -1

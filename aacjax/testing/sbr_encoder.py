@@ -1,26 +1,22 @@
 """SBR bitstream writer (test corpus generation only).
 
 Emits sbr_extension_data payloads inside FIL elements — the implicit
-HE-AAC signaling that ADTS streams use.  Scope: FIXFIX frame classes with
-chosen envelope/noise scalefactors; enough to build conformance streams
-that libavcodec accepts and decodes, arbitrating aacjax's SBR decoder
-(the reference has no SBR at all, decoder.js:279-280).
+HE-AAC signaling that ADTS streams use.  Covers FIXFIX and FIXVAR frame
+classes, delta-freq and delta-time coding, stereo coupling with balance
+books, harmonic (sinusoid) flags and all inverse-filtering modes —
+enough to build conformance streams that libavcodec decodes, arbitrating
+aacjax's SBR decoder sample-exactly (the reference has no SBR at all,
+decoder.js:279-280).
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
 
-from aacjax.host.bitio import BitWriter
 from aacjax.host import sbr as sbrmod
-
-
-def _enc(writer: BitWriter, book, value: int) -> None:
-    lav = (len(book.values) - 1) // 2
-    ln, code = book.enc[(int(value),)]
-    del lav
-    writer.write(code, ln)
+from aacjax.host.bitio import BitWriter
 
 
 def _enc_delta(writer: BitWriter, book, delta: int) -> None:
@@ -30,13 +26,29 @@ def _enc_delta(writer: BitWriter, book, delta: int) -> None:
 
 @dataclass
 class SBRFrameSpec:
-    """One channel's SBR payload: FIXFIX grid with quantized values."""
-    num_env: int = 1                      # 1, 2 or 4 (FIXFIX)
-    freq_res: int = 1                     # single flag for all envelopes
+    """One channel's SBR payload."""
+    num_env: int = 1                      # FIXFIX: 1/2/4; FIXVAR: 1..4
+    freq_res: int = 1                     # all envelopes (both classes)
     invf: list[int] = field(default_factory=lambda: [1])   # per noise band
     env_q: np.ndarray | None = None       # [num_env, n_bands] quantized
     noise_q: np.ndarray | None = None     # [num_noise, n_q] quantized
-    df_env_time: bool = False             # delta-time coding (needs history)
+    df_env: list[int] | None = None       # per env; e=0 must be 0 (no
+                                          # cross-frame writer state)
+    df_noise: list[int] | None = None
+    frame_class: int = sbrmod.FIXFIX      # FIXFIX or FIXVAR
+    var_bord_1: int = 0                   # FIXVAR trailing border offset
+    rel_widths: list[int] | None = None   # FIXVAR relative widths (2a+2)
+    pointer: int = 0                      # FIXVAR transient pointer
+    add_harmonic: np.ndarray | None = None  # [n_high] bool
+
+    def amp_res(self, header: sbrmod.SBRHeader) -> int:
+        if self.frame_class == sbrmod.FIXFIX and self.num_env == 1:
+            return 0
+        return header.amp_res
+
+    @property
+    def num_noise(self) -> int:
+        return 2 if self.num_env > 1 else 1
 
 
 def write_sbr_header(w: BitWriter, h: sbrmod.SBRHeader) -> None:
@@ -61,51 +73,105 @@ def write_sbr_header(w: BitWriter, h: sbrmod.SBRHeader) -> None:
         w.write(h.smoothing_mode, 1)
 
 
-def _write_grid(w: BitWriter, spec: SBRFrameSpec) -> None:
-    w.write(0, 2)  # FIXFIX
-    w.write({1: 0, 2: 1, 4: 2}[spec.num_env], 2)
-    w.write(spec.freq_res, 1)
-
-
-def _write_channel(w: BitWriter, spec: SBRFrameSpec, h: sbrmod.SBRHeader,
-                   t: sbrmod.SBRTables) -> None:
-    books = sbrmod._books()
-    amp_res = 0 if spec.num_env == 1 else h.amp_res
-    _write_grid(w, spec)
-    num_noise = 2 if spec.num_env > 1 else 1
-    for _ in range(spec.num_env):
-        w.write(0, 1)   # bs_df_env: delta-freq (PCM start value)
-    for _ in range(num_noise):
-        w.write(0, 1)   # bs_df_noise
-    for v in spec.invf:
-        w.write(v, 2)
-    # envelopes (delta-freq coded)
-    if amp_res:
-        bits, fh = 6, books["f_huffman_env_3_0dB"]
+def _write_grid(w: BitWriter, s: SBRFrameSpec) -> None:
+    w.write(s.frame_class, 2)
+    if s.frame_class == sbrmod.FIXFIX:
+        w.write({1: 0, 2: 1, 4: 2}[s.num_env], 2)
+        w.write(s.freq_res, 1)
+    elif s.frame_class == sbrmod.FIXVAR:
+        w.write(s.var_bord_1, 2)
+        n_rel = s.num_env - 1
+        w.write(n_rel, 2)
+        widths = s.rel_widths or [2] * n_rel
+        for wd in widths:
+            assert wd % 2 == 0 and 2 <= wd <= 8
+            w.write((wd - 2) // 2, 2)
+        nbits = max(1, math.ceil(math.log2(s.num_env + 1)))
+        w.write(s.pointer, nbits)
+        for _ in range(s.num_env):  # reversed order, same value
+            w.write(s.freq_res, 1)
     else:
-        bits, fh = 7, books["f_huffman_env_1_5dB"]
-    n = t.n_bands(spec.freq_res)
-    env_q = spec.env_q
-    assert env_q.shape[1] >= n
-    for e in range(spec.num_env):
-        w.write(int(env_q[e, 0]), bits)
-        for j in range(1, n):
-            _enc_delta(w, fh, int(env_q[e, j]) - int(env_q[e, j - 1]))
-    # noise floors (delta-freq coded)
-    fh_n = books["f_huffman_env_3_0dB"]
-    noise_q = spec.noise_q
-    for e in range(num_noise):
-        w.write(int(noise_q[e, 0]), 5)
-        for j in range(1, t.n_q):
-            _enc_delta(w, fh_n, int(noise_q[e, j]) - int(noise_q[e, j - 1]))
-    w.write(0, 1)  # bs_add_harmonic_flag
-    # NOTE: bs_extended_data is written by the caller once per element
+        raise NotImplementedError("writer supports FIXFIX/FIXVAR")
+
+
+def _write_dtdf(w: BitWriter, s: SBRFrameSpec) -> None:
+    df_env = s.df_env or [0] * s.num_env
+    df_noise = s.df_noise or [0] * s.num_noise
+    for v in df_env:
+        w.write(v, 1)
+    for v in df_noise:
+        w.write(v, 1)
+
+
+def _env_books(amp_res: int, balance: bool):
+    b = sbrmod._books()
+    if balance:
+        if amp_res:
+            return 5, b["t_huffman_env_bal_3_0dB"], b["f_huffman_env_bal_3_0dB"]
+        return 6, b["t_huffman_env_bal_1_5dB"], b["f_huffman_env_bal_1_5dB"]
+    if amp_res:
+        return 6, b["t_huffman_env_3_0dB"], b["f_huffman_env_3_0dB"]
+    return 7, b["t_huffman_env_1_5dB"], b["f_huffman_env_1_5dB"]
+
+
+def _write_envelope(w: BitWriter, s: SBRFrameSpec, h: sbrmod.SBRHeader,
+                    t: sbrmod.SBRTables, balance: bool) -> None:
+    """Envelope values: delta-freq rows write a PCM start + freq deltas;
+    delta-time rows (e>0 only) code against the previous envelope.  With
+    balance (coupled ch1) every written symbol is value/2."""
+    bits, th, fh = _env_books(s.amp_res(h), balance)
+    n = t.n_bands(s.freq_res)
+    env = s.env_q
+    d = 2 if balance else 1
+    df_env = s.df_env or [0] * s.num_env
+    for e in range(s.num_env):
+        if df_env[e]:
+            assert e > 0, "writer cannot delta-time the first envelope"
+            for j in range(n):
+                _enc_delta(w, th, (int(env[e, j]) - int(env[e - 1, j])) // d)
+        else:
+            w.write(int(env[e, 0]) // d, bits)
+            for j in range(1, n):
+                _enc_delta(w, fh, (int(env[e, j]) - int(env[e, j - 1])) // d)
+
+
+def _write_noise(w: BitWriter, s: SBRFrameSpec, t: sbrmod.SBRTables,
+                 balance: bool) -> None:
+    b = sbrmod._books()
+    th = b["t_huffman_noise_bal_3_0dB"] if balance else b["t_huffman_noise_3_0dB"]
+    fh = (b["f_huffman_env_bal_3_0dB"] if balance
+          else b["f_huffman_env_3_0dB"])
+    d = 2 if balance else 1
+    df_noise = s.df_noise or [0] * s.num_noise
+    for e in range(s.num_noise):
+        if df_noise[e]:
+            assert e > 0
+            for j in range(t.n_q):
+                _enc_delta(w, th,
+                           (int(s.noise_q[e, j]) - int(s.noise_q[e - 1, j])) // d)
+        else:
+            w.write(int(s.noise_q[e, 0]) // d, 5)
+            for j in range(1, t.n_q):
+                _enc_delta(w, fh,
+                           (int(s.noise_q[e, j]) - int(s.noise_q[e, j - 1])) // d)
+
+
+def _write_harmonic(w: BitWriter, s: SBRFrameSpec, t: sbrmod.SBRTables) -> None:
+    if s.add_harmonic is not None and s.add_harmonic.any():
+        w.write(1, 1)
+        for b in range(t.n_high):
+            w.write(int(bool(s.add_harmonic[b])), 1)
+    else:
+        w.write(0, 1)
 
 
 def sbr_payload(specs: list[SBRFrameSpec], h: sbrmod.SBRHeader,
-                sample_rate_out: int, write_header: bool = True) -> bytes:
+                sample_rate_out: int, write_header: bool = True,
+                coupling: bool = False) -> bytes:
     """Build the sbr_extension_data bits for an SCE (1 spec) or CPE
-    (2 specs, non-coupled).  Returns whole bytes (caller wraps in FIL)."""
+    (2 specs).  With coupling=True both specs must share grid/invf and
+    spec[1] carries balance values.  Returns whole bytes (caller wraps in
+    a FIL element)."""
     t = sbrmod.derive_tables(h, sample_rate_out)
     w = BitWriter()
     w.write(sbrmod.EXT_SBR_DATA, 4)     # extension_type
@@ -114,42 +180,43 @@ def sbr_payload(specs: list[SBRFrameSpec], h: sbrmod.SBRHeader,
         write_sbr_header(w, h)
     if len(specs) == 1:
         w.write(0, 1)  # bs_data_extra
-        _write_channel(w, specs[0], h, t)
+        s = specs[0]
+        _write_grid(w, s)
+        _write_dtdf(w, s)
+        for v in s.invf:
+            w.write(v, 2)
+        _write_envelope(w, s, h, t, balance=False)
+        _write_noise(w, s, t, balance=False)
+        _write_harmonic(w, s, t)
     else:
         w.write(0, 1)  # bs_data_extra
-        w.write(0, 1)  # bs_coupling = 0
-        _write_grid(w, specs[0])
-        _write_grid(w, specs[1])
-        for spec in specs:
-            for _ in range(spec.num_env):
-                w.write(0, 1)
-            for _ in range(2 if spec.num_env > 1 else 1):
-                w.write(0, 1)
-        del spec
-        for s in specs:
-            for v in s.invf:
+        w.write(1 if coupling else 0, 1)
+        s0, s1 = specs
+        if coupling:
+            _write_grid(w, s0)
+            _write_dtdf(w, s0)
+            _write_dtdf(w, s1)
+            for v in s0.invf:
                 w.write(v, 2)
-        books = sbrmod._books()
-        for s in specs:
-            amp_res = 0 if s.num_env == 1 else h.amp_res
-            if amp_res:
-                bits, fh = 6, books["f_huffman_env_3_0dB"]
-            else:
-                bits, fh = 7, books["f_huffman_env_1_5dB"]
-            n = t.n_bands(s.freq_res)
-            for e in range(s.num_env):
-                w.write(int(s.env_q[e, 0]), bits)
-                for j in range(1, n):
-                    _enc_delta(w, fh, int(s.env_q[e, j]) - int(s.env_q[e, j - 1]))
-        fh_n = books["f_huffman_env_3_0dB"]
-        for s in specs:
-            for e in range(2 if s.num_env > 1 else 1):
-                w.write(int(s.noise_q[e, 0]), 5)
-                for j in range(1, t.n_q):
-                    _enc_delta(w, fh_n,
-                               int(s.noise_q[e, j]) - int(s.noise_q[e, j - 1]))
-        w.write(0, 1)  # add_harmonic ch0
-        w.write(0, 1)  # add_harmonic ch1
+            _write_envelope(w, s0, h, t, balance=False)
+            _write_noise(w, s0, t, balance=False)
+            _write_envelope(w, s1, h, t, balance=True)
+            _write_noise(w, s1, t, balance=True)
+        else:
+            _write_grid(w, s0)
+            _write_grid(w, s1)
+            _write_dtdf(w, s0)
+            _write_dtdf(w, s1)
+            for v in s0.invf:
+                w.write(v, 2)
+            for v in s1.invf:
+                w.write(v, 2)
+            _write_envelope(w, s0, h, t, balance=False)
+            _write_envelope(w, s1, h, t, balance=False)
+            _write_noise(w, s0, t, balance=False)
+            _write_noise(w, s1, t, balance=False)
+        _write_harmonic(w, s0, t)
+        _write_harmonic(w, s1, t)
     w.write(0, 1)      # bs_extended_data
     w.align()
     return w.getvalue()

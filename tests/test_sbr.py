@@ -189,3 +189,97 @@ def test_sbr_streaming_partial_feed_matches():
                 break
             got.append(c.reshape(-1, 1))
     np.testing.assert_allclose(np.concatenate(got), want, atol=1e-7)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_decode_adts_routes_he_aac():
+    """decode_adts detects implicitly signaled SBR and returns the 2x
+    output rate instead of silently emitting the core-only lowband."""
+    from aacjax.api import decode_adts
+    stream = make_he_stream(invf=1, n_frames=5)
+    pcm, rate = decode_adts(stream)
+    assert rate == 44100
+    assert pcm.shape == (6 * 2048, 1)  # encoder emits n_frames+1 blocks
+    want, _ = ffmpeg_oracle.decode_adts(stream)
+    a = want[4000:9000, 0].astype(np.float64)
+    b = pcm[4000:9000, 0].astype(np.float64)
+    snr = 10 * np.log10(np.sum(a ** 2) / max(np.sum((a - b) ** 2), 1e-30))
+    assert snr > 80
+
+
+def _stream_from_specs(specs, header=None, coupling=False, n_frames=6,
+                       seed=2, ch=None):
+    core_ch = ch or len(specs)
+    rng = np.random.default_rng(seed)
+    core_cfg = parse_asc(make_asc(2, 7, core_ch))
+    h = header or S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3,
+                              xover_band=0)
+    pay = sbr_payload(specs, h, 2 * core_cfg.sample_rate, coupling=coupling)
+    x = _lowpass_noise(rng, 1024 * n_frames, core_ch)
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=[pay])
+    return b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_sbr_coupled_stereo_matches_ffmpeg():
+    """bs_coupling=1: shared grid/invf, ch1 coded as balance with the
+    balance codebooks and delta 2; panning dequant must match."""
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 44100)
+    s0 = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                      env_q=np.full((2, t.n_high), 27, np.int64),
+                      noise_q=np.full((2, t.n_q), 24, np.int64))
+    s1 = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                      env_q=np.full((2, t.n_high), 14, np.int64),  # pan
+                      noise_q=np.full((2, t.n_q), 10, np.int64))
+    snr = oracle_snr(_stream_from_specs([s0, s1], coupling=True))
+    assert snr > 80.0, snr
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_sbr_delta_time_coding_matches_ffmpeg():
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 44100)
+    env = np.stack([np.full(t.n_high, 24), np.full(t.n_high, 28)])
+    noise = np.stack([np.full(t.n_q, 20), np.full(t.n_q, 23)])
+    s = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                     env_q=env.astype(np.int64),
+                     noise_q=noise.astype(np.int64),
+                     df_env=[0, 1], df_noise=[0, 1])
+    snr = oracle_snr(_stream_from_specs([s]))
+    assert snr > 80.0, snr
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_sbr_add_harmonic_matches_ffmpeg():
+    """Sinusoidal coding: harmonics injected at band centers with the
+    phase rotation/sign conventions."""
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 44100)
+    ah = np.zeros(t.n_high, bool)
+    ah[2] = ah[5] = True
+    s = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                     env_q=np.full((2, t.n_high), 26, np.int64),
+                     noise_q=np.full((2, t.n_q), 22, np.int64),
+                     add_harmonic=ah)
+    snr = oracle_snr(_stream_from_specs([s]))
+    assert snr > 80.0, snr
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+@pytest.mark.parametrize("pointer", [0, 1, 2])
+def test_sbr_fixvar_transient_matches_ffmpeg(pointer):
+    """FIXVAR grid (variable trailing border, no overhang) with a
+    transient pointer: exercises l_A gating, the noise-floor middle
+    border, and unequal envelope durations."""
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 44100)
+    s = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                     env_q=np.stack([np.full(t.n_high, 24),
+                                     np.full(t.n_high, 30)]).astype(np.int64),
+                     noise_q=np.full((2, t.n_q), 22, np.int64),
+                     frame_class=S.FIXVAR, var_bord_1=0,
+                     rel_widths=[6], pointer=pointer)
+    snr = oracle_snr(_stream_from_specs([s]))
+    assert snr > 80.0, (pointer, snr)
