@@ -23,6 +23,66 @@ AOT_ESCAPE = 31
 CHANNEL_CONFIG_NONE = 0
 
 
+@dataclass
+class PCEData:
+    """Parsed program_config_element (ISO/IEC 14496-3 §4.4.1.1 — the
+    reference throws on PCE, decoder.js:101-103/182-183)."""
+    instance_tag: int
+    object_type: int
+    sample_index: int
+    # (is_cpe, instance_tag) per front/side/back element, in order
+    front: list
+    side: list
+    back: list
+    lfe: list           # instance tags
+    assoc_data: list
+    valid_cc: list      # (ind_sw, tag)
+    comment: bytes = b""
+
+    @property
+    def channels(self) -> int:
+        n = sum(2 if cpe else 1
+                for cpe, _ in self.front + self.side + self.back)
+        return n + len(self.lfe)
+
+
+def decode_pce(stream: BitReader, instance_tag: int | None = None) -> PCEData:
+    """Parse a program_config_element (used both inside a
+    GASpecificConfig when channelConfiguration == 0 and as an in-stream
+    element)."""
+    if instance_tag is None:
+        instance_tag = stream.read(4)
+    object_type = stream.read(2)
+    sample_index = stream.read(4)
+    n_front = stream.read(4)
+    n_side = stream.read(4)
+    n_back = stream.read(4)
+    n_lfe = stream.read(2)
+    n_assoc = stream.read(3)
+    n_cc = stream.read(4)
+    if stream.read(1):  # mono_mixdown_present
+        stream.advance(4)
+    if stream.read(1):  # stereo_mixdown_present
+        stream.advance(4)
+    if stream.read(1):  # matrix_mixdown_idx_present
+        stream.advance(3)
+    rd2 = lambda: (bool(stream.read(1)), stream.read(4))
+    front = [rd2() for _ in range(n_front)]
+    side = [rd2() for _ in range(n_side)]
+    back = [rd2() for _ in range(n_back)]
+    lfe = [stream.read(4) for _ in range(n_lfe)]
+    assoc = [stream.read(4) for _ in range(n_assoc)]
+    cc = [(stream.read(1), stream.read(4)) for _ in range(n_cc)]
+    stream.align()
+    n_comment = stream.read(8)
+    comment = bytes(stream.read(8) for _ in range(n_comment))
+    return PCEData(instance_tag=instance_tag, object_type=object_type,
+                   sample_index=sample_index, front=front, side=side,
+                   back=back, lfe=lfe, assoc_data=assoc, valid_cc=cc,
+                   comment=comment)
+
+
+
 class UnsupportedError(Exception):
     """Feature present in the bitstream that this profile build rejects."""
 
@@ -40,6 +100,8 @@ class StreamConfig:
     # elements, detected at decode time.
     sbr: int = 0
     ext_sample_rate: int = 0
+    # channel count from an embedded PCE when chan_config == 0
+    pce_channels: int = 0
 
     @property
     def output_sample_rate(self) -> int:
@@ -53,7 +115,10 @@ class StreamConfig:
         # divergence from the reference, which instead labels value 8 as
         # SEVEN_PLUS_ONE (decoder.js:47) and would reject a legal
         # chanConfig-7 stream.  Value 8 is also accepted as 8 channels for
-        # reference compatibility.
+        # reference compatibility.  chanConfig 0 takes the layout from the
+        # ASC's embedded program_config_element.
+        if self.chan_config == 0:
+            return self.pce_channels
         return 8 if self.chan_config == 7 else self.chan_config
 
     @property
@@ -127,6 +192,7 @@ def parse_asc(cookie: bytes) -> StreamConfig:
             profile = 32 + stream.read(6)
 
     frame_length = 1024
+    pce_channels = 0
     if profile in (AOT_AAC_MAIN, AOT_AAC_LC, AOT_AAC_LTP):
         if stream.read(1):  # frameLengthFlag => 960-sample frames
             # supported (the reference throws here, decoder.js:83-84)
@@ -139,8 +205,13 @@ def parse_asc(cookie: bytes) -> StreamConfig:
             # branch — they are rejected below, in the reference too.
             stream.advance(1)
         if chan_config == CHANNEL_CONFIG_NONE:
-            stream.advance(4)  # element_instance_tag
-            raise UnsupportedError("PCE unimplemented")
+            # channel layout comes from an embedded program_config_element
+            # (the reference throws here, decoder.js:101-103)
+            pce = decode_pce(stream)
+            pce_channels = pce.channels
+            if pce.sample_index != sample_index:
+                sample_index = pce.sample_index
+                sample_rate = int(tables.SAMPLE_RATES[sample_index])
     else:
         raise UnsupportedError(f"AAC profile {profile} not supported.")
 
@@ -152,6 +223,7 @@ def parse_asc(cookie: bytes) -> StreamConfig:
         frame_length=frame_length,
         sbr=sbr,
         ext_sample_rate=ext_sample_rate,
+        pce_channels=pce_channels,
     )
 
 

@@ -721,6 +721,25 @@ def _read_add_harmonic(r: BitReader, tables: SBRTables) -> np.ndarray:
     return np.zeros(tables.n_high, bool)
 
 
+def frame_is_context_free(frame: SBRFrame) -> bool:
+    """True when the payload decodes identically regardless of carried
+    scalefactor state: every envelope/noise row delta-freq coded.  Such
+    parsed frames are safe to cache and share across streams."""
+    return all(not c.df_env.any() and not c.df_noise.any()
+               for c in frame.channels)
+
+
+def apply_frame_state(ctx: SBRContext, frame: SBRFrame) -> None:
+    """Advance a channel context's carried scalefactor state as if
+    `frame` had been parsed with it (used with cached context-free
+    frames)."""
+    for ch, c in enumerate(frame.channels):
+        st = ctx.state(ch)
+        st.env_facs_last = c.env_facs[-1].copy()
+        st.freq_res_last = int(c.grid.freq_res[c.grid.num_env])
+        st.noise_facs_last = c.noise_facs[-1].copy()
+
+
 # ---------------------------------------------------------------------------
 # Dequantization (§4.6.18.3.5; FFmpeg sbr_dequant semantics)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,161 @@
+"""Host-side packing of parsed SBR frames into dense, static-shaped
+arrays for the batched device pipeline (aacjax.kernels.sbr_batch).
+
+Mirrors the per-channel numpy reference (aacjax.host.sbr_decode) exactly
+— equality between the two paths is enforced by tests/test_sbr_batch.py
+— but emits per-slot/per-band tensors so the device program is
+branch-free:
+
+  per channel-frame (all [64]-band axes padded to the full QMF range):
+    env_id[32]      envelope index of each output slot (0..4)
+    e_orig[5,64]    target envelope energies, mapped per subband
+    q_map[5,64]     noise-floor energies, mapped per subband
+    s_idx[5,64]     sinusoid present in this exact subband
+    s_map[5,64]     sinusoid anywhere in the subband's (freq-res) band
+    delta[5]        the gain formula's noise-delta flag per envelope
+    bw[64]          chirp factor per target subband (host-smoothed state)
+    noise_base[32]  noise table base index per slot (sequential counter)
+    sine_idx[32]    sinusoid phase index per slot
+    interp[ ]       header interpol flag, static
+
+The sequential cross-frame state (envelope/noise scalefactor carry,
+chirp smoothing, l_A carry, sinusoid persistence, noise/sine counters)
+lives here on the host; the device carries only the QMF FIFOs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from aacjax.host import sbr as S
+from aacjax.host import sbr_decode as SD
+
+MAX_ENV = 5
+BANDS = 64
+SLOTS = 32
+
+
+@dataclass
+class SBRHostState:
+    """Per-channel host-side sequential state for the batched path."""
+    bw: np.ndarray = field(default_factory=lambda: np.zeros(5))
+    invf_prev: np.ndarray | None = None
+    index_noise: int = 0
+    index_sine: int = 0
+    la_prev: int = -1
+    s_index_prev: np.ndarray | None = None
+
+
+@dataclass
+class SBRDense:
+    """Dense arrays for [B, T] channel-frames."""
+    env_id: np.ndarray      # [B,T,32] i32
+    e_orig: np.ndarray      # [B,T,5,64] f32
+    q_map: np.ndarray       # [B,T,5,64] f32
+    s_idx: np.ndarray       # [B,T,5,64] f32 (0/1)
+    s_map: np.ndarray       # [B,T,5,64] f32 (0/1)
+    delta: np.ndarray       # [B,T,5] f32 (0/1)
+    transient: np.ndarray   # [B,T,5] f32 (1 = transient envelope: no noise)
+    bw: np.ndarray          # [B,T,64] f32
+    noise_base: np.ndarray  # [B,T,32] i32
+    sine_idx: np.ndarray    # [B,T,32] i32
+    covered: np.ndarray     # [B,T,32] f32 (slot belongs to an envelope)
+    has_sbr: np.ndarray     # [B,T] f32 (0 -> passthrough upsample)
+
+
+def alloc_dense(B: int, T: int) -> SBRDense:
+    return SBRDense(
+        env_id=np.zeros((B, T, SLOTS), np.int32),
+        e_orig=np.zeros((B, T, MAX_ENV, BANDS), np.float32),
+        q_map=np.zeros((B, T, MAX_ENV, BANDS), np.float32),
+        s_idx=np.zeros((B, T, MAX_ENV, BANDS), np.float32),
+        s_map=np.zeros((B, T, MAX_ENV, BANDS), np.float32),
+        delta=np.zeros((B, T, MAX_ENV), np.float32),
+        transient=np.zeros((B, T, MAX_ENV), np.float32),
+        bw=np.zeros((B, T, BANDS), np.float32),
+        noise_base=np.zeros((B, T, SLOTS), np.int32),
+        sine_idx=np.zeros((B, T, SLOTS), np.int32),
+        covered=np.zeros((B, T, SLOTS), np.float32),
+        has_sbr=np.zeros((B, T), np.float32),
+    )
+
+
+def pack_channel_frame(dense: SBRDense, b: int, t: int,
+                       state: SBRHostState, frame: S.SBRFrame, ch: int,
+                       e_orig_q: tuple[np.ndarray, np.ndarray]) -> None:
+    """Pack one channel's SBR frame into dense[b, t], advancing the
+    host-side sequential state exactly like sbr_decode.process_channel."""
+    tbl = frame.tables
+    g = frame.channels[ch].grid
+    cd = frame.channels[ch]
+    e_orig, q_orig = e_orig_q
+    kx, m = tbl.kx, tbl.m
+    la = S.l_a(g)
+    num_env = g.num_env
+    t_env = np.minimum(g.t_env[: num_env + 1], 16)
+    t_q = np.minimum(g.t_q[: g.num_noise + 1], 16)
+
+    # chirp (host-sequential; identical smoothing to the numpy path)
+    class _P:  # tiny adapter so SD._chirp can run on this state
+        pass
+    p = _P()
+    p.bw = state.bw
+    p.invf_prev = state.invf_prev
+    bw_bands = SD._chirp(p, cd.invf_mode)
+    state.invf_prev = p.invf_prev
+    f_noise = np.asarray(tbl.f_noise)
+    nb = np.clip(np.searchsorted(f_noise, np.arange(kx, kx + m),
+                                 side="right") - 1, 0, len(bw_bands) - 1)
+    dense.bw[b, t, kx: kx + m] = bw_bands[nb]
+
+    # sinusoid index mapping with persistence
+    s_prev = state.s_index_prev
+    if s_prev is None or len(s_prev) != m:
+        s_prev = np.zeros(m, bool)
+    f_high = np.asarray(tbl.f_high)
+    s_index = np.zeros((num_env, m), bool)
+    add = cd.add_harmonic
+    for e in range(num_env):
+        for band in range(tbl.n_high):
+            if not add[band]:
+                continue
+            mm = (int(f_high[band]) + int(f_high[band + 1])) // 2 - kx
+            if e >= la or s_prev[mm]:
+                s_index[e, mm] = True
+    state.s_index_prev = s_index[-1].copy() if num_env else s_prev
+
+    prev_la = state.la_prev
+    karr = np.arange(kx, kx + m)
+    for e in range(num_env):
+        res = int(g.freq_res[e + 1])
+        ftab = tbl.freq_table(res)
+        fi = np.clip(np.searchsorted(ftab, karr, side="right") - 1,
+                     0, len(ftab) - 2)
+        dense.e_orig[b, t, e, kx: kx + m] = e_orig[e][fi]
+        nenv = 1 if (g.num_noise > 1 and g.t_env[e] >= t_q[1]) else 0
+        dense.q_map[b, t, e, kx: kx + m] = q_orig[nenv][nb]
+        dense.s_idx[b, t, e, kx: kx + m] = s_index[e]
+        for band in range(len(ftab) - 1):
+            lo, hi = int(ftab[band]) - kx, int(ftab[band + 1]) - kx
+            if s_index[e, lo:hi].any():
+                dense.s_map[b, t, e, kx + lo: kx + hi] = 1.0
+        transient = (e == la or e == prev_la)
+        dense.delta[b, t, e] = 0.0 if transient else 1.0
+        dense.transient[b, t, e] = 1.0 if transient else 0.0
+        lo_s, hi_s = RATE_T(t_env[e]), RATE_T(t_env[e + 1])
+        ns = hi_s - lo_s
+        dense.env_id[b, t, lo_s:hi_s] = e
+        dense.covered[b, t, lo_s:hi_s] = 1.0
+        dense.noise_base[b, t, lo_s:hi_s] = (
+            state.index_noise + m * np.arange(ns)) & 0x1FF
+        dense.sine_idx[b, t, lo_s:hi_s] = (
+            state.index_sine + np.arange(ns)) & 3
+        state.index_noise = (state.index_noise + m * ns) & 0x1FF
+        state.index_sine = (state.index_sine + ns) & 3
+    state.la_prev = 0 if la == num_env else -1
+    dense.has_sbr[b, t] = 1.0
+
+
+def RATE_T(t_units) -> int:
+    return int(t_units) * 2

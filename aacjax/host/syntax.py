@@ -647,7 +647,12 @@ def decode_frame(stream: BitReader, config: StreamConfig,
                 stream.align()
             stream.advance(count * 8)
         elif element_type == PCE_ELEMENT:
-            raise UnsupportedError("PCE_ELEMENT not supported")
+            # in-stream program config: parse (consuming its bits exactly)
+            # and continue — channel layout is already fixed by the
+            # stream's configuration.  (The reference throws here,
+            # decoder.js:182-183.)
+            from aacjax.host.asc import decode_pce
+            decode_pce(stream, eid)
         elif element_type == FIL_ELEMENT:
             cnt = eid
             if cnt == 15:

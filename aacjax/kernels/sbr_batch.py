@@ -1,0 +1,273 @@
+"""Batched SBR reconstruction on device (JAX/XLA, TPU-first).
+
+One jitted program applies SBR to a whole [B, T] chunk of channel-frames:
+QMF analysis (batched matmuls, kernels.qmf), covariance-LPC inverse
+filtering (three lag dot-products + a 2x2 complex solve per subband line,
+fully vectorized), patch gathers, envelope gains with limiter and boost
+(band segment sums as indicator matmuls), noise/sinusoid assembly
+(static gathers into the spec noise-phase table), and QMF synthesis —
+no scans, no per-frame host round trips.
+
+The host packs all grid-dependent data densely (aacjax.host.sbr_pack)
+and keeps the sequential cross-frame state (scalefactor carry, chirp,
+counters); the device carries only the QMF/X_low FIFO state between
+chunks.  Numerics follow aacjax.host.sbr_decode, the per-channel
+reference that is sample-exact against libavcodec; equality between the
+two paths is enforced in tests/test_sbr_batch.py.
+"""
+from __future__ import annotations
+
+import functools
+import pathlib
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aacjax.kernels import qmf
+
+MAX_ENV = 5
+BANDS = 64
+SLOTS = 32      # QMF slots per frame
+HIST = 8        # carried X_low slots
+ADJ = 2         # envelope/output window offset (see host.sbr_decode)
+MAX_LIM = 16
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class SBRStaticConfig:
+    """Header/table-derived statics (one XLA program per value)."""
+    kx: int
+    m: int
+    src_band: tuple       # [64] patch source subband per target (0 pad)
+    patched: tuple        # [64] 1 where the subband is HF-generated
+    lim_ind: tuple        # [MAX_LIM * 64] flattened limiter indicators
+    limgain: float
+    n_lim: int
+
+    @classmethod
+    def from_tables(cls, t, limgain: float) -> "SBRStaticConfig":
+        src = np.zeros(BANDS, np.int64)
+        pat = np.zeros(BANDS, np.int64)
+        g = 0
+        for i in range(t.num_patches):
+            for x in range(t.patch_num_subbands[i]):
+                k = t.kx + g
+                src[k] = t.patch_start_subband[i] + x
+                pat[k] = 1
+                g += 1
+        lim = np.zeros((MAX_LIM, BANDS), np.float32)
+        f_lim = np.asarray(t.f_lim)
+        for b in range(min(t.n_lim, MAX_LIM)):
+            lim[b, int(f_lim[b]): int(f_lim[b + 1])] = 1.0
+        return cls(kx=int(t.kx), m=int(t.m),
+                   src_band=tuple(int(v) for v in src),
+                   patched=tuple(int(v) for v in pat),
+                   lim_ind=tuple(float(v) for v in lim.reshape(-1)),
+                   limgain=float(limgain), n_lim=int(t.n_lim))
+
+
+@functools.lru_cache(maxsize=None)
+def _noise_table() -> np.ndarray:
+    d = np.load(pathlib.Path(__file__).parent.parent / "host"
+                / "sbr_tables.npz")
+    return d["noise_table"].astype(np.float32)  # [512, 2]
+
+
+def sbr_state_init(B: int) -> dict:
+    return dict(
+        x_hist=jnp.zeros((B, qmf.ANA_HIST), jnp.float32),
+        v_hist=jnp.zeros((B, qmf.SYN_HIST, 128), jnp.float32),
+        xlow_r=jnp.zeros((B, HIST, 32), jnp.float32),
+        xlow_i=jnp.zeros((B, HIST, 32), jnp.float32),
+    )
+
+
+def _lpc_batch(wr, wi):
+    """Covariance LPC per [B,T,32] subband line over the 40-slot window.
+    wr/wi [B,T,40,32].  Returns (a0r, a0i, a1r, a1i) each [B,T,32]."""
+    def seg(a, lo, hi):
+        return a[:, :, lo:hi, :]
+
+    def cdots(ar, ai, br, bi):
+        """sum a * conj(b) over the slot axis -> (re, im)."""
+        re = jnp.sum(ar * br + ai * bi, axis=2)
+        im = jnp.sum(ai * br - ar * bi, axis=2)
+        return re, im
+
+    a_r, a_i = seg(wr, 2, 40), seg(wi, 2, 40)
+    b1r, b1i = seg(wr, 1, 39), seg(wi, 1, 39)
+    b2r, b2i = seg(wr, 0, 38), seg(wi, 0, 38)
+    p01r, p01i = cdots(a_r, a_i, b1r, b1i)
+    p02r, p02i = cdots(a_r, a_i, b2r, b2i)
+    p12r, p12i = cdots(b1r, b1i, b2r, b2i)
+    p11 = jnp.sum(b1r * b1r + b1i * b1i, axis=2)
+    p22 = jnp.sum(b2r * b2r + b2i * b2i, axis=2)
+
+    d = p11 * p22 - (p12r * p12r + p12i * p12i) / 1.000001
+    safe_d = jnp.where(d != 0, d, 1.0)
+    # a1 = (p01 * p12 - p02 * p11) / d        (plain complex product)
+    a1r = (p01r * p12r - p01i * p12i - p02r * p11) / safe_d
+    a1i = (p01r * p12i + p01i * p12r - p02i * p11) / safe_d
+    a1r = jnp.where(d != 0, a1r, 0.0)
+    a1i = jnp.where(d != 0, a1i, 0.0)
+    # a0 = -(p01 + a1 * conj(p12)) / p11
+    safe_p11 = jnp.where(p11 != 0, p11, 1.0)
+    a0r = -(p01r + a1r * p12r + a1i * p12i) / safe_p11
+    a0i = -(p01i + a1i * p12r - a1r * p12i) / safe_p11
+    a0r = jnp.where(p11 != 0, a0r, 0.0)
+    a0i = jnp.where(p11 != 0, a0i, 0.0)
+    bad = ((a0r * a0r + a0i * a0i >= 16.0)
+           | (a1r * a1r + a1i * a1i >= 16.0))
+    z = jnp.zeros_like(a0r)
+    return (jnp.where(bad, z, a0r), jnp.where(bad, z, a0i),
+            jnp.where(bad, z, a1r), jnp.where(bad, z, a1i))
+
+
+def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
+              cfg: SBRStaticConfig,
+              out_int16: bool = False) -> tuple[jax.Array, dict]:
+    """core_pcm [B, T, F] (1/32768-scale floats) -> pcm [B, T, 2F] plus
+    the updated QMF state.  dense: the host-packed arrays (sbr_pack)."""
+    B, T, F = core_pcm.shape
+    S = T * SLOTS
+    kx, m = cfg.kx, cfg.m
+    kvec = jnp.arange(BANDS)
+    patched = jnp.asarray(np.array(cfg.patched, np.float32))
+    src_band = jnp.asarray(np.array(cfg.src_band, np.int64))
+
+    # --- analysis (FFmpeg-unit scale: full-scale PCM) ---------------------
+    xr, xi, x_hist = qmf.analysis(
+        core_pcm.reshape(B, T * F) * jnp.float32(32768.0), state['x_hist'])
+    xall_r = jnp.concatenate([state['xlow_r'], xr], axis=1)  # [B, 8+S, 32]
+    xall_i = jnp.concatenate([state['xlow_i'], xi], axis=1)
+    new_state = dict(x_hist=x_hist,
+                     xlow_r=xall_r[:, -HIST:], xlow_i=xall_i[:, -HIST:])
+
+    # per-frame 40-slot windows
+    widx = (jnp.arange(T)[:, None] * SLOTS + jnp.arange(HIST + SLOTS)[None, :])
+    wr = xall_r[:, widx, :]                                  # [B,T,40,32]
+    wi = xall_i[:, widx, :]
+
+    # --- HF generation -----------------------------------------------------
+    a0r, a0i, a1r, a1i = _lpc_batch(wr, wi)                  # [B,T,32]
+    sr = wr[:, :, :, src_band]                               # [B,T,40,64]
+    si = wi[:, :, :, src_band]
+    a0r_k = a0r[:, :, src_band] * dense['bw']                # [B,T,64]
+    a0i_k = a0i[:, :, src_band] * dense['bw']
+    bw2 = dense['bw'] * dense['bw']
+    a1r_k = a1r[:, :, src_band] * bw2
+    a1i_k = a1i[:, :, src_band] * bw2
+    cur_r, cur_i = sr[:, :, ADJ: ADJ + SLOTS], si[:, :, ADJ: ADJ + SLOTS]
+    l1r, l1i = sr[:, :, ADJ - 1: ADJ - 1 + SLOTS], si[:, :, ADJ - 1: ADJ - 1 + SLOTS]
+    l2r, l2i = sr[:, :, ADJ - 2: ADJ - 2 + SLOTS], si[:, :, ADJ - 2: ADJ - 2 + SLOTS]
+    xh_r = (cur_r + l1r * a0r_k[:, :, None, :] - l1i * a0i_k[:, :, None, :]
+            + l2r * a1r_k[:, :, None, :] - l2i * a1i_k[:, :, None, :])
+    xh_i = (cur_i + l1r * a0i_k[:, :, None, :] + l1i * a0r_k[:, :, None, :]
+            + l2r * a1i_k[:, :, None, :] + l2i * a1r_k[:, :, None, :])
+    xh_r = xh_r * patched                                    # [B,T,32,64]
+    xh_i = xh_i * patched
+
+    # --- envelope energies -------------------------------------------------
+    oh = ((dense['env_id'][..., None] == jnp.arange(MAX_ENV)[None, None, None])
+          .astype(jnp.float32) * dense['covered'][..., None])  # [B,T,32,5]
+    counts = jnp.sum(oh, axis=2)                             # [B,T,5]
+    xh2 = xh_r * xh_r + xh_i * xh_i
+    e_curr = (jnp.einsum('btse,btsk->btek', oh, xh2, precision=_HI)
+              / jnp.maximum(counts, 1.0)[..., None])         # [B,T,5,64]
+
+    # --- gains (sbr_decode formulas, vectorized over envelopes) ------------
+    e_orig, q_map = dense['e_orig'], dense['q_map']
+    s_idx, s_map = dense['s_idx'], dense['s_map']
+    delta = dense['delta'][..., None]                        # [B,T,5,1]
+    q_m = jnp.sqrt(e_orig * q_map / (1.0 + q_map))
+    s_m = s_idx * jnp.sqrt(e_orig / (1.0 + q_map))
+    gain = jnp.where(
+        s_map != 0.0,
+        jnp.sqrt(e_orig * q_map / ((1.0 + e_curr) * (1.0 + q_map))),
+        jnp.sqrt(e_orig / ((1.0 + e_curr) * (1.0 + q_map * delta)))) + 1e-12
+
+    # limiter + boost per limiter band (disjoint bands -> one shot)
+    lim = jnp.asarray(np.array(cfg.lim_ind, np.float32)
+                      .reshape(MAX_LIM, BANDS))
+    eps = 1e-12
+    sum_o = jnp.einsum('btek,lk->btel', e_orig, lim, precision=_HI)
+    sum_c = jnp.einsum('btek,lk->btel', e_curr, lim, precision=_HI)
+    gmax_l = jnp.minimum(
+        cfg.limgain * jnp.sqrt((eps + sum_o) / (eps + sum_c)), 1e5)
+    in_lim = jnp.sum(lim, axis=0)                            # [64] 0/1
+    gmax = (jnp.einsum('btel,lk->btek', gmax_l, lim, precision=_HI)
+            + (1.0 - in_lim) * 1e5)
+    q_m = jnp.minimum(q_m, q_m * gmax / gain)
+    gain = jnp.minimum(gain, gmax)
+    sum_b = jnp.einsum(
+        'btek,lk->btel',
+        e_curr * gain * gain + s_m * s_m
+        + delta * (s_m == 0.0).astype(jnp.float32) * q_m * q_m,
+        lim, precision=_HI)
+    boost_l = jnp.minimum(jnp.sqrt((eps + sum_o) / (eps + sum_b)),
+                          1.584893192)
+    boost = (jnp.einsum('btel,lk->btek', boost_l, lim, precision=_HI)
+             + (1.0 - in_lim))
+    gain = gain * boost
+    q_m = q_m * boost
+    s_m = s_m * boost
+
+    # --- per-slot expansion + assembly --------------------------------------
+    g_slot = jnp.einsum('btse,btek->btsk', oh, gain, precision=_HI)
+    q_slot = jnp.einsum('btse,btek->btsk', oh, q_m, precision=_HI)
+    s_slot = jnp.einsum('btse,btek->btsk', oh, s_m, precision=_HI)
+    tr_slot = jnp.einsum('btse,bte->bts', oh, dense['transient'],
+                         precision=_HI)[..., None]
+
+    y_r = xh_r * g_slot
+    y_i = xh_i * g_slot
+
+    ntab = jnp.asarray(_noise_table())
+    noffs = (kvec - kx + 1)[None, None, None, :]
+    nidx = (dense['noise_base'][..., None] + noffs) & 0x1FF  # [B,T,32,64]
+    n_on = ((s_slot == 0.0).astype(jnp.float32) * (1.0 - tr_slot)
+            * dense['covered'][..., None] * patched)
+    y_r = y_r + n_on * q_slot * ntab[nidx, 0]
+    y_i = y_i + n_on * q_slot * ntab[nidx, 1]
+
+    # sinusoids: phase rotation (re, +im, -re, -im) with per-band sign on
+    # the imaginary phases
+    phase = dense['sine_idx'][..., None]                     # [B,T,32,1]
+    sign_k = jnp.where((kvec & 1) == 1, -1.0, 1.0)[None, None, None, :]
+    y_r = y_r + jnp.where(phase == 0, s_slot, 0.0) \
+              - jnp.where(phase == 2, s_slot, 0.0)
+    y_i = y_i + jnp.where(phase == 1, s_slot * sign_k, 0.0) \
+              - jnp.where(phase == 3, s_slot * sign_k, 0.0)
+
+    # --- final X + synthesis -------------------------------------------------
+    out_r, out_i = wr[:, :, ADJ: ADJ + SLOTS], wi[:, :, ADJ: ADJ + SLOTS]
+    has = dense['has_sbr'][..., None, None]                  # [B,T,1,1]
+    low_mask = jnp.where(has != 0.0,
+                         (kvec < kx).astype(jnp.float32),
+                         (kvec < 32).astype(jnp.float32))
+    pad = jnp.zeros((B, T, SLOTS, BANDS - 32), jnp.float32)
+    xlow64_r = jnp.concatenate([out_r, pad], axis=3)
+    xlow64_i = jnp.concatenate([out_i, pad], axis=3)
+    hf_mask = patched * has
+    Xr = xlow64_r * low_mask + y_r * hf_mask
+    Xi = xlow64_i * low_mask + y_i * hf_mask
+
+    pcm, v_hist = qmf.synthesis(Xr.reshape(B, S, BANDS),
+                                Xi.reshape(B, S, BANDS), state['v_hist'])
+    new_state['v_hist'] = v_hist
+    pcm = pcm.reshape(B, T, 2 * F)
+    if out_int16:
+        # already in native sample units before the 1/32768 normalization
+        out = jnp.clip(jnp.round(pcm), -32768.0, 32767.0).astype(jnp.int16)
+        return out, new_state
+    return pcm * jnp.float32(1.0 / 32768.0), new_state
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_sbr_apply(cfg: SBRStaticConfig, out_int16: bool = False):
+    def fn(core_pcm, dense, state):
+        return sbr_apply(core_pcm, dense, state, cfg, out_int16)
+    return jax.jit(fn, donate_argnums=(2,))

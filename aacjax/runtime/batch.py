@@ -191,6 +191,173 @@ class BatchDecoder:
                                 use_pallas=use_pallas)
         return self.finalize_step(pcm) if materialize else pcm
 
+    # -- HE-AAC (SBR) batched path -------------------------------------------
+    def _sbr_init(self) -> None:
+        from aacjax.host import sbr as sbrmod
+        from aacjax.host import sbr_pack as SP
+        from aacjax.kernels.sbr_batch import sbr_state_init
+        if not hasattr(self, '_sbr_ctxs'):
+            self._sbr_ctxs = [
+                sbrmod.SBRContext(sample_rate=2 * st.config.sample_rate)
+                for st in self.streams]
+            self._sbr_host_states = [SP.SBRHostState()
+                                     for _ in range(self.C)]
+            self._sbr_np_procs = [None] * self.C
+            self._sbr_dev_state = sbr_state_init(self.C)
+            self._sbr_cfg = None
+            # cache for context-free (all-delta-freq) SBR payloads, shared
+            # across streams: serving fleets repeat identical payloads
+            self._sbr_parse_cache: dict = {}
+
+    def _sbr_pack_payload(self, dense, np_jobs, sf, slot: int, nch: int,
+                          t: int) -> None:
+        """Pack one parsed SBRFrame into the dense arrays (or queue the
+        numpy fallback when its header differs from the batch header)."""
+        from aacjax.host import sbr as sbrmod
+        from aacjax.host import sbr_pack as SP
+        from aacjax.kernels.sbr_batch import SBRStaticConfig
+        if self._sbr_cfg is None:
+            self._sbr_cfg = (sf.header, SBRStaticConfig.from_tables(
+                sf.tables, float(sbrmod._consts()["limgain"][
+                    sf.header.limiter_gains])))
+        eq = sbrmod.dequant(sf)
+        for c in range(nch):
+            if sf.header == self._sbr_cfg[0]:
+                SP.pack_channel_frame(dense, slot + c, t,
+                                      self._sbr_host_states[slot + c],
+                                      sf, c, eq[c])
+            else:
+                np_jobs.append((slot + c, t, sf, c, eq[c]))
+
+    def _sbr_stage(self, core_pcm, dense, np_jobs,
+                   out_int16: bool = False) -> np.ndarray:
+        """Run the batched device SBR program on device-resident core PCM
+        and materialize; apply numpy fallbacks for non-uniform headers."""
+        from aacjax.host import sbr_decode as SD
+        from aacjax.host.sbr import SBRHeader, derive_tables
+        from aacjax.kernels.sbr_batch import SBRStaticConfig, jitted_sbr_apply
+        if self._sbr_cfg is None:
+            # no SBR payload seen yet anywhere: whole chunk upsample-only
+            hdr = SBRHeader()
+            self._sbr_cfg = (hdr, SBRStaticConfig.from_tables(
+                derive_tables(hdr, 2 * self.streams[0].config.sample_rate),
+                1.0))
+        fn = jitted_sbr_apply(self._sbr_cfg[1],
+                              out_int16 and not np_jobs)
+        pcm2, self._sbr_dev_state = fn(core_pcm, vars(dense),
+                                       self._sbr_dev_state)
+        # re-home the pending stats record to the chained result
+        pending = self._pending_steps.pop(id(core_pcm), None)
+        if pending is not None:
+            self._pending_steps[id(pcm2)] = pending
+        out = self.finalize_step(pcm2)
+        if np_jobs:
+            core_np = np.asarray(core_pcm)
+            for slot, t, sf, c, eq in np_jobs:
+                if self._sbr_np_procs[slot] is None:
+                    self._sbr_np_procs[slot] = SD.SBRChannelProc()
+                out[slot, t] = SD.process_channel(
+                    self._sbr_np_procs[slot],
+                    core_np[slot, t].astype(np.float64), sf, c, eq)
+        return out
+
+    def step_he_raw(self, payloads_per_stream: list[list[bytes] | None],
+                    compact: bool | None = None,
+                    out_int16: bool = False) -> np.ndarray:
+        """Decode one chunk of HE-AAC streams: core parse + decode exactly
+        like step_raw (native C++ parse when built — the C walker records
+        where each frame's SBR FIL payload sits, so python parses only the
+        ~30-byte SBR extensions), then the batched device SBR stage
+        chained on the device-resident core PCM.  Returns [C, T, 2*F]
+        float32 in the reference 1/32768 scale at the 2x output rate.
+
+        Streams whose SBR header differs from the chunk's first-seen
+        header fall back to the per-channel numpy SBR path (identical
+        output, host-side)."""
+        from aacjax.host import sbr as sbrmod
+        from aacjax.host import sbr_pack as SP
+        from aacjax.host.syntax import CPEData
+
+        self._sbr_init()
+        dense = SP.alloc_dense(self.C, self.T)
+        np_jobs: list = []
+
+        if self.use_native:
+            parsed = self._parse_native(payloads_per_stream,
+                                        compact=compact)
+            fil = self._last_fil_sbr
+            g = 0
+            cache = self._sbr_parse_cache
+            for i, payloads in enumerate(payloads_per_stream):
+                ctx = self._sbr_ctxs[i]
+                for t, payload in enumerate(payloads or []):
+                    for rec in fil[g]:
+                        bitpos, slot, nch = int(rec[0]), int(rec[1]), int(rec[2])
+                        if bitpos == 0:
+                            continue
+                        key = (payload, bitpos, nch)
+                        sf = cache.get(key)
+                        if sf is not None and sf.header == ctx.header:
+                            sbrmod.apply_frame_state(ctx, sf)
+                        else:
+                            r = BitReader(payload)
+                            r.seek_bits(bitpos)
+                            ext_type = r.read(4)
+                            sf = sbrmod.read_sbr_extension(
+                                r, ctx, nch == 2,
+                                ext_type == sbrmod.EXT_SBR_DATA_CRC)
+                            if sbrmod.frame_is_context_free(sf):
+                                if len(cache) > 512:
+                                    cache.clear()
+                                cache[key] = sf
+                        self._sbr_pack_payload(dense, np_jobs, sf, slot,
+                                               nch, t)
+                    g += 1
+            core_pcm = self._device_step(parsed, out_int16=False)
+            return self._sbr_stage(core_pcm, dense, np_jobs, out_int16)
+
+        # python path: full element walk with SBR contexts
+        frames_per_stream: list[list | None] = []
+        for i, payloads in enumerate(payloads_per_stream):
+            if not payloads:
+                frames_per_stream.append(None)
+                continue
+            st = self.streams[i]
+            frames = []
+            for payload in payloads:
+                frame = decode_frame(BitReader(payload), st.config,
+                                     st.prev_shapes,
+                                     sbr_ctx=self._sbr_ctxs[i])
+                self._update_shapes(st, frame)
+                st.frames_decoded += 1
+                frames.append(frame)
+            frames_per_stream.append(frames)
+
+        per_slot = []
+        limits = []
+        for st, frames in zip(self.streams, frames_per_stream):
+            if frames:
+                per_slot.append((st.base_slot, frames))
+                limits.append(st.n_slots)
+        batch, flags = pack_frames(per_slot, self.C, self.T, limits,
+                                   frame_len=self.F)
+        core_pcm, self.overlap = jitted_decode_step(flags)(
+            batch, self.overlap)                      # [C, T, F] device
+
+        for st, frames in zip(self.streams, frames_per_stream):
+            if not frames:
+                continue
+            for t, frame in enumerate(frames):
+                slot = st.base_slot
+                for elem in frame.elements:
+                    nch = 2 if isinstance(elem, CPEData) else 1
+                    sf = getattr(elem, 'sbr', None)
+                    if sf is not None:
+                        self._sbr_pack_payload(dense, np_jobs, sf, slot,
+                                               nch, t)
+                    slot += nch
+        return self._sbr_stage(core_pcm, dense, np_jobs)
+
     def decode_block(self, buffer_tail: bytes):
         """Streaming fast path: natively parse + decode ONE raw_data_block
         from the head of `buffer_tail` (which may hold many more frames —
@@ -242,6 +409,7 @@ class BatchDecoder:
         parse_seconds = time.perf_counter() - t0
         self._last_status = status
         self._last_consumed = out.consumed_bits
+        self._last_fil_sbr = out.fil_sbr
 
         for i, st in enumerate(self.streams):
             code = int(status[i])

@@ -87,6 +87,60 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
     return {k: round(v, 4) for k, v in best.items()}
 
 
+def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int) -> int:
+    """HE-AAC v1 (SBR) batched throughput: python host parse + the two
+    chained device programs (core decode -> batched SBR), 2x output rate.
+
+    The reference cannot decode HE-AAC at all (decoder.js:279-280), so
+    there is no baseline; vs_baseline uses the same >=1000x target."""
+    import numpy as np
+    from scipy import signal as sig
+
+    from aacjax.host import adts, sbr as S
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.sbr_encoder import SBRFrameSpec, sbr_payload
+
+    core_cfg = parse_asc(make_asc(2, 7, 2))  # 22050 core -> 44100 out
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 44100)
+    spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                        env_q=np.full((2, t.n_high), 25, np.int64),
+                        noise_q=np.full((2, t.n_q), 24, np.int64))
+    pay = sbr_payload([spec, spec], h, 44100)
+    n = int(seconds * 22050) // 1024 * 1024
+    rng = np.random.default_rng(7)
+    bl, al = sig.butter(8, 3600 / 11025.0)
+    x = sig.lfilter(bl, al, rng.standard_normal((n, 2)), axis=0) * 9000
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=122,
+                                   fil_payloads=[pay])
+    per_stream = [list(frames)] * n_streams
+    n_frames = len(frames) // chunk * chunk
+
+    warm = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk)
+    warm.step_he_raw([p[:chunk] for p in per_stream], out_int16=True)
+
+    best = 0.0
+    for _ in range(repeats):
+        dec = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk)
+        t1 = time.time()
+        for lo in range(0, n_frames, chunk):
+            dec.step_he_raw([p[lo:lo + chunk] for p in per_stream],
+                            out_int16=True)
+        wall = time.time() - t1
+        audio_seconds = n_streams * n_frames * 2048 / 44100.0
+        best = max(best, audio_seconds / wall)
+    print(json.dumps({
+        "metric": "he_aac_aggregate_realtime_x",
+        "value": round(best, 1),
+        "unit": f"x_realtime ({n_streams} HE-AAC v1 stereo streams, 1 chip, "
+                "end-to-end incl. python host parse; reference has no SBR)",
+        "vs_baseline": round(best / 1000.0, 3),
+    }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=512)
@@ -107,8 +161,14 @@ def main() -> int:
                     help="overlap host parse with device work (multi-core hosts)")
     ap.add_argument("--profile", metavar="LOGDIR", default=None,
                     help="capture a jax.profiler trace of the timed reps")
+    ap.add_argument("--he", action="store_true",
+                    help="benchmark the batched HE-AAC (SBR) pipeline "
+                         "instead of AAC-LC")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+
+    if args.he:
+        return bench_he(args.streams, args.seconds, args.chunk, args.repeats)
 
     from aacjax.host import adts, native
     from aacjax.runtime.batch import BatchDecoder

@@ -967,6 +967,15 @@ int aacparse_batch_spec(
                              // bits consumed per successful frame — lets a
                              // streaming caller hand in an oversized tail
                              // buffer and learn where the block ended
+    int64_t* fil_sbr,        // [total frames, 4, 3] out (nullable): per
+                             // frame, up to 4 SBR FIL extension records
+                             // (payload bit offset AFTER the count field,
+                             // preceding element's base slot, its channel
+                             // count); 0-filled rows = none.  Lets the
+                             // caller parse just the tiny HE-AAC SBR
+                             // payloads in python while this parser does
+                             // the core (the FIL bytes are still skipped
+                             // here as always)
     int32_t* stream_status,  // [n_streams]
     int32_t* has_tns_out,    // [1]
     char* errbuf, int errbuf_len) {
@@ -1162,6 +1171,19 @@ int aacparse_batch_spec(
           } else if (etype == FIL_ELEM) {
             int cnt = eid;
             if (cnt == 15) cnt += static_cast<int>(br.read(8, &ok)) - 1;
+            if (fil_sbr && cnt > 0 && n_elems > 0
+                && (br.peek_padded(4) == 13 || br.peek_padded(4) == 14)) {
+              int64_t* rec = fil_sbr + (static_cast<int64_t>(f_lo + t)) * 12;
+              for (int k = 0; k < 4; ++k) {
+                if (rec[k * 3] == 0) {
+                  const ElemRef& pe = elems[n_elems - 1];
+                  rec[k * 3 + 0] = br.bitpos();
+                  rec[k * 3 + 1] = pe.slot0;
+                  rec[k * 3 + 2] = pe.is_pair ? 2 : 1;
+                  break;
+                }
+              }
+            }
             if (!br.advance(static_cast<int64_t>(cnt) * 8)) {
               err = {ERR_BITSTREAM, "fil: eof"}; goto sfail;
             }
@@ -1256,6 +1278,9 @@ int aacparse_batch_spec(
       memcpy(prev_shapes + base, shape_snap, sizeof(int32_t) * snap_n);
       cce_counts[0] = post_snap;
       cce_counts[1] = time_snap;
+      if (fil_sbr)
+        memset(fil_sbr + (static_cast<int64_t>(f_lo + t)) * 12, 0,
+               sizeof(int64_t) * 12);
       for (int sl = base; sl < base + n_slots; ++sl) {
         memset(spec + (static_cast<size_t>(sl) * T + t) * kFrameLen, 0,
                sizeof(float) * kFrameLen);
@@ -1331,6 +1356,6 @@ void aacjax_spec_to_i16(const float* spec, int64_t n_rows,
   }
 }
 
-int aacparse_version() { return 4; }
+int aacparse_version() { return 5; }
 
 }  // extern "C"

@@ -116,3 +116,118 @@ def test_split_frames_truncated_tail():
     f2 = adts_frame(b"\xbb" * 30, cfg)
     frames = adts.split_frames(f1 + f2[:10])
     assert len(frames) == 1
+
+
+def _pce_asc(si=4, n_front_cpe=1):
+    """ASC with chanConfig=0 + embedded PCE declaring one front CPE."""
+    from aacjax.host.bitio import BitWriter
+    w = BitWriter()
+    w.write(2, 5)    # AOT LC
+    w.write(si, 4)
+    w.write(0, 4)    # chanConfig 0 -> PCE follows GASpecificConfig flags
+    w.write(0, 1)    # frameLengthFlag
+    w.write(0, 1)    # dependsOnCoreCoder
+    w.write(0, 1)    # extensionFlag
+    # program_config_element
+    w.write(0, 4)    # instance tag
+    w.write(1, 2)    # object type (LC-1)
+    w.write(si, 4)
+    w.write(n_front_cpe, 4)  # num front
+    w.write(0, 4)    # side
+    w.write(0, 4)    # back
+    w.write(0, 2)    # lfe
+    w.write(0, 3)    # assoc
+    w.write(0, 4)    # cc
+    w.write(0, 1); w.write(0, 1); w.write(0, 1)  # mixdowns absent
+    for i in range(n_front_cpe):
+        w.write(1, 1)    # element_is_cpe
+        w.write(i, 4)    # tag
+    w.align()
+    w.write(0, 8)    # comment length
+    return w.getvalue()
+
+
+def test_pce_chan_config_0():
+    """chanConfig=0 with an embedded PCE (the reference throws,
+    decoder.js:101-103): channel layout comes from the PCE; decode
+    matches libavcodec on the same raw stream + ASC."""
+    import numpy as np
+    from aacjax.host.bitio import BitWriter
+    from aacjax.api import AACDecoder
+    from aacjax.testing import encoder as enc, ffmpeg_oracle
+    from aacjax.testing.specgen import random_cpe_spec
+
+    cookie = _pce_asc()
+    cfg = parse_asc(cookie)
+    assert cfg.chan_config == 0 and cfg.channels == 2
+    assert cfg.sample_rate == 44100
+
+    rng = np.random.default_rng(17)
+    payloads = []
+    for _ in range(4):
+        w = BitWriter()
+        # PNS noise is decoder-specific by design -> excluded from the
+        # exact FFmpeg comparison (same policy as test_ffmpeg_oracle)
+        from aacjax.testing.specgen import random_channel_spec
+        from aacjax.testing.encoder import CPESpec
+        # long windows only: random sequences can form spec-illegal
+        # transitions that FFmpeg windows differently by design
+        left = random_channel_spec(rng, cfg, window_sequence=0,
+                                   allow_noise=False, allow_pulse=False,
+                                   allow_tns=False)
+        right = random_channel_spec(
+            rng, cfg, window_sequence=0, max_sfb=left.max_sfb,
+            window_shape=left.window_shape, allow_noise=False,
+            allow_pulse=False, allow_tns=False)
+        enc.write_cpe(w, CPESpec(left=left, right=right, common_window=True,
+                                 ms_type=0), cfg)
+        payloads.append(enc.end_frame(w))
+
+    dec = AACDecoder(cookie=cookie)
+    dec.feed(b"".join(payloads))
+    outs = []
+    while True:
+        c = dec.read_chunk()
+        if c is None:
+            break
+        outs.append(c.reshape(-1, 2))
+    got = np.concatenate(outs)
+    assert got.shape == (4 * 1024, 2)
+
+    if ffmpeg_oracle.available():
+        want, rate = ffmpeg_oracle.decode_raw(cookie, payloads)
+        assert rate == 44100 and want.shape[1] == 2
+        n = min(len(want), len(got))
+        # random spectra are unclipped full-range floats; compare
+        # relative to full scale (PNS/TNS excluded: their FFmpeg-accuracy
+        # policy lives in test_ffmpeg_oracle)
+        scale = max(1.0, float(np.abs(want).max()))
+        assert float(np.abs(want[:n] - got[:n]).max()) < 2e-5 * scale
+
+
+def test_in_stream_pce_is_consumed():
+    """A PCE element inside a raw_data_block parses (consuming its exact
+    bit count) instead of aborting the frame."""
+    import numpy as np
+    from aacjax.host.bitio import BitReader, BitWriter
+    from aacjax.host.syntax import decode_frame
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.specgen import random_channel_spec
+
+    cfg = parse_asc(make_asc(2, 4, 1))
+    rng = np.random.default_rng(3)
+    w = BitWriter()
+    # in-stream PCE first (element type 5 + its payload)
+    w.write(5, 3)
+    pce = BitReader(_pce_asc()[2:])  # reuse the PCE bits: skip ASC header
+    w.write(0, 4)  # instance tag
+    w.write(1, 2); w.write(4, 4)
+    w.write(0, 4); w.write(0, 4); w.write(0, 4); w.write(0, 2)
+    w.write(0, 3); w.write(0, 4)
+    w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    w.align()
+    w.write(0, 8)
+    enc.write_sce(w, random_channel_spec(rng, cfg, allow_pulse=False), cfg)
+    payload = enc.end_frame(w)
+    frame = decode_frame(BitReader(payload), cfg, [0])
+    assert len(frame.elements) == 1
