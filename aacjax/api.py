@@ -84,6 +84,9 @@ class AACDecoder:
         self._sbr_mode: bool | None = None
         self._sbr_ctx = None
         self._sbr_procs: list = []
+        # Parametric Stereo (HE-AAC v2): (PSProc, right-channel synthesis
+        # state) once ps_data has been seen; stays stereo thereafter
+        self._ps_state: tuple | None = None
         if cookie is not None:
             self.set_cookie(cookie)
 
@@ -133,6 +136,7 @@ class AACDecoder:
         self._reader = None
         self._sbr_ctx = None
         self._sbr_procs = []
+        self._ps_state = None
         self._sbr_mode = (True if (self.config is not None
                                    and self.config.sbr) else None)
         if self.config is not None:
@@ -218,9 +222,13 @@ class AACDecoder:
 
     def _apply_sbr(self, frame, pcm: np.ndarray) -> np.ndarray:
         """HE-AAC tail: 2x upsample every core channel, reconstructing the
-        high band for elements that carried SBR payloads."""
+        high band for elements that carried SBR payloads.  A mono stream
+        whose SBR extension carries ps_data (HE-AAC v2) becomes stereo
+        here: the adjusted QMF plane feeds the Parametric Stereo stage and
+        two synthesis filterbanks."""
         from aacjax.host import sbr as sbrmod
-        from aacjax.host.sbr_decode import (SBRChannelProc, process_channel,
+        from aacjax.host.sbr_decode import (SBRChannelProc, _qmf_synthesis_np,
+                                            process_channel,
                                             process_passthrough)
         from aacjax.host.syntax import CPEData
         outs = []
@@ -229,6 +237,29 @@ class AACDecoder:
             nch = 2 if isinstance(elem, CPEData) else 1
             sf = getattr(elem, "sbr", None)
             eq = sbrmod.dequant(sf) if sf is not None else None
+            ps = getattr(sf, "ps", None) if sf is not None else None
+            if nch == 1 and sf is not None and (
+                    ps is not None or self._ps_state is not None):
+                while len(self._sbr_procs) <= ch_idx:
+                    self._sbr_procs.append(SBRChannelProc())
+                proc = self._sbr_procs[ch_idx]
+                if self._ps_state is None:
+                    from aacjax.host.ps_decode import PSProc
+                    self._ps_state = (PSProc(),
+                                      np.zeros_like(proc.v_hist))
+                psproc, v_r = self._ps_state
+                core = np.asarray(pcm[:, ch_idx], np.float64)
+                X = process_channel(proc, core, sf, 0, eq[0], return_x=True)
+                from aacjax.host.ps_decode import apply_ps
+                xl, xr = apply_ps(psproc, X, ps)
+                left, proc.v_hist = _qmf_synthesis_np(xl, proc.v_hist)
+                right, v_r = _qmf_synthesis_np(xr, v_r)
+                self._ps_state = (psproc, v_r)
+                scale = np.float32(1.0 / 32768.0)
+                outs.append(left.astype(np.float32) * scale)
+                outs.append(right.astype(np.float32) * scale)
+                ch_idx += 1
+                continue
             for c in range(nch):
                 while len(self._sbr_procs) <= ch_idx:
                     self._sbr_procs.append(SBRChannelProc())
@@ -241,6 +272,16 @@ class AACDecoder:
                 outs.append(out.astype(np.float32))
                 ch_idx += 1
         return np.stack(outs, axis=1)
+
+    @property
+    def output_channels(self) -> int:
+        """Channel count of read_chunk output (2 for a mono HE-AAC v2
+        stream once ps_data has been seen)."""
+        if self.config is None:
+            raise UnsupportedError("no configuration")
+        if self._ps_state is not None and self.config.channels == 1:
+            return 2
+        return self.config.channels
 
 
 def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
@@ -296,16 +337,22 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
                                          start=dec._bitpos // 8 + 1,
                                          resync_overruns=True)
                 chunks.append(np.zeros((2 * config.frame_length,
-                                        config.channels), np.float32))
+                                        dec.output_channels), np.float32))
                 if not rest:
                     break
                 dec._bitpos = rest[0][1] * 8
                 continue
             if chunk is None:
                 break
-            chunks.append(chunk.reshape(-1, config.channels))
+            chunks.append(chunk.reshape(-1, dec.output_channels))
         if not chunks:
             raise UnsupportedError("no decodable raw_data_blocks")
+        # HE-AAC v2: ps_data may first appear mid-stream; upmix any
+        # earlier mono chunks so the output width is uniform
+        nch_out = max(c.shape[1] for c in chunks)
+        if any(c.shape[1] != nch_out for c in chunks):
+            chunks = [np.repeat(c, nch_out, axis=1) if c.shape[1] == 1
+                      else c for c in chunks]
         return np.concatenate(chunks, axis=0), dec.output_sample_rate
 
     if any(h.num_frames > 1 for h, _, _ in frames):

@@ -612,6 +612,7 @@ class SBRFrame:
     tables: SBRTables
     channels: list[SBRChannelData]
     coupling: bool = False
+    ps: object = None       # PSData when the extension carried HE-AAC v2
 
 
 @dataclass
@@ -620,6 +621,7 @@ class SBRContext:
     sample_rate: int                      # output rate (2x core)
     header: SBRHeader | None = None
     states: list[SBRChannelState] = field(default_factory=list)
+    ps_ctx: object = None                 # lazy aacjax.host.ps.PSContext
 
     def state(self, ch: int) -> SBRChannelState:
         while len(self.states) <= ch:
@@ -694,13 +696,28 @@ def read_sbr_extension(r: BitReader, ctx: SBRContext, is_cpe: bool,
                                            env0, noise0, ah0))
             channels.append(SBRChannelData(g1, df1[0], df1[1], invf1,
                                            env1, noise1, ah1))
-    if r.read(1):  # bs_extended_data (PS etc.) — skipped
+    ps_data = None
+    if r.read(1):  # bs_extended_data
         cnt = r.read(4)
         if cnt == 15:
             cnt += r.read(8)
-        r.advance(cnt * 8)
+        end = r.bit_position + 8 * cnt
+        # extension payload loop (Parametric Stereo rides here, id 2)
+        while end - r.bit_position > 7:
+            ext_id = r.read(2)
+            if ext_id == 2 and not is_cpe:   # EXTENSION_ID_PS (SCE only)
+                from aacjax.host import ps as psmod
+                if ctx.ps_ctx is None:
+                    ctx.ps_ctx = psmod.PSContext()
+                ps_data = psmod.read_ps_data(r, ctx.ps_ctx,
+                                             end - r.bit_position)
+            else:
+                break
+        if r.bit_position > end:
+            raise BitstreamError("SBR extension payload overrun")
+        r.advance(end - r.bit_position)
     return SBRFrame(header=header, tables=tables, channels=channels,
-                    coupling=coupling)
+                    coupling=coupling, ps=ps_data)
 
 
 def _read_channel(r: BitReader, header: SBRHeader, tables: SBRTables,

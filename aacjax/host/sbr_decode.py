@@ -160,9 +160,12 @@ def _map_bands(values: np.ndarray, table: np.ndarray, kx: int,
 
 def process_channel(proc: SBRChannelProc, core_pcm: np.ndarray,
                     frame: S.SBRFrame, ch: int,
-                    e_orig_q: tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+                    e_orig_q: tuple[np.ndarray, np.ndarray],
+                    return_x: bool = False) -> np.ndarray:
     """Apply SBR to one channel's core frame; returns 2x-rate PCM
-    [2 * len(core_pcm)]."""
+    [2 * len(core_pcm)] — or, with return_x, the adjusted QMF plane
+    [38, 64] complex (32 output slots + 6 lookahead) before synthesis,
+    for the Parametric Stereo stage."""
     t = frame.tables
     h = frame.header
     cd = frame.channels[ch]
@@ -300,12 +303,16 @@ def process_channel(proc: SBRChannelProc, core_pcm: np.ndarray,
             proc.index_sine = (proc.index_sine + 1) & 3
     proc.la_prev = 0 if la == num_env else -1
 
-    # --- final X and synthesis --------------------------------------------
-    # the frame's output window: buffer slots [ADJ, ADJ+32)
-    X = np.zeros((SLOTS, 64), np.complex128)
-    X[:, :kx] = xlow[ADJ: ADJ + SLOTS, :kx]
-    X[:, kx: kx + m] = y[ADJ: ADJ + SLOTS, kx: kx + m]
-    pcm, proc.v_hist = _qmf_synthesis_np(X, proc.v_hist)
+    # --- final X ------------------------------------------------------------
+    # output window = buffer slots [ADJ, ADJ+32); six further slots of
+    # lookahead (low bands from X_low; HF zeros unless a VAR overhang
+    # filled them) feed the Parametric Stereo hybrid filterbank
+    X = np.zeros((SLOTS + 6, 64), np.complex128)
+    X[:, :kx] = xlow[ADJ: ADJ + SLOTS + 6, :kx]
+    X[:, kx: kx + m] = y[ADJ: ADJ + SLOTS + 6, kx: kx + m]
+    if return_x:
+        return X
+    pcm, proc.v_hist = _qmf_synthesis_np(X[:SLOTS], proc.v_hist)
     return pcm * (1.0 / 32768.0)
 
 

@@ -167,7 +167,7 @@ def _write_harmonic(w: BitWriter, s: SBRFrameSpec, t: sbrmod.SBRTables) -> None:
 
 def sbr_payload(specs: list[SBRFrameSpec], h: sbrmod.SBRHeader,
                 sample_rate_out: int, write_header: bool = True,
-                coupling: bool = False) -> bytes:
+                coupling: bool = False, ps: "PSSpec | None" = None) -> bytes:
     """Build the sbr_extension_data bits for an SCE (1 spec) or CPE
     (2 specs).  With coupling=True both specs must share grid/invf and
     spec[1] carries balance values.  Returns whole bytes (caller wraps in
@@ -217,7 +217,27 @@ def sbr_payload(specs: list[SBRFrameSpec], h: sbrmod.SBRHeader,
             _write_noise(w, s1, t, balance=False)
         _write_harmonic(w, s0, t)
         _write_harmonic(w, s1, t)
-    w.write(0, 1)      # bs_extended_data
+    if ps is not None and len(specs) == 1:
+        tmp = BitWriter()
+        write_ps_data(tmp, ps)
+        nbits = tmp.bit_position + 2      # + extension id
+        cnt = (nbits + 7) // 8
+        w.write(1, 1)  # bs_extended_data
+        if cnt >= 15:
+            w.write(15, 4)
+            w.write(cnt - 15, 8)
+        else:
+            w.write(cnt, 4)
+        w.write(2, 2)  # EXTENSION_ID_PS
+        for byte in tmp._buf:
+            w.write(byte, 8)
+        if tmp._ncached:
+            w.write(tmp._cache, tmp._ncached)
+        pad = cnt * 8 - nbits
+        if pad:
+            w.write(0, pad)
+    else:
+        w.write(0, 1)  # bs_extended_data
     w.align()
     return w.getvalue()
 
@@ -234,3 +254,49 @@ def write_sbr_fil(w: BitWriter, payload: bytes) -> None:
         w.write(count, 4)
     for b in payload:
         w.write(b, 8)
+
+
+@dataclass
+class PSSpec:
+    """Parametric Stereo payload (HE-AAC v2 test streams): baseline PS
+    with IID/ICC in delta-freq coding, header on every frame."""
+    iid_mode: int = 0                   # 0/1/2 coarse 10/20/34 bands
+    icc_mode: int = 0
+    num_env: int = 1                    # 0,1,2,4 (frame class 0)
+    iid_par: np.ndarray | None = None   # [num_env, nr] quantized indices
+    icc_par: np.ndarray | None = None
+
+
+def write_ps_data(w: BitWriter, spec: PSSpec) -> None:
+    from aacjax.host import ps as psmod
+    books = psmod._books()
+
+    def enc(book, value):
+        ln, code = book.enc[(int(value),)]
+        w.write(code, ln)
+
+    w.write(1, 1)                        # bs_enable_ps_header
+    w.write(1 if spec.iid_par is not None else 0, 1)
+    if spec.iid_par is not None:
+        w.write(spec.iid_mode, 3)
+    w.write(1 if spec.icc_par is not None else 0, 1)
+    if spec.icc_par is not None:
+        w.write(spec.icc_mode, 3)
+    w.write(0, 1)                        # bs_enable_ext
+    w.write(0, 1)                        # frame_class FIX
+    w.write({0: 0, 1: 1, 2: 2, 4: 3}[spec.num_env], 2)
+    if spec.iid_par is not None:
+        dfb = books["iid_df1"] if spec.iid_mode >= 3 else books["iid_df0"]
+        for e in range(spec.num_env):
+            w.write(0, 1)                # delta-freq
+            acc = 0
+            for v in spec.iid_par[e]:
+                enc(dfb, int(v) - acc)
+                acc = int(v)
+    if spec.icc_par is not None:
+        for e in range(spec.num_env):
+            w.write(0, 1)
+            acc = 0
+            for v in spec.icc_par[e]:
+                enc(books["icc_df"], int(v) - acc)
+                acc = int(v)

@@ -155,6 +155,51 @@ def sbr_tables(archive: str) -> dict:
     return out
 
 
+def ps_tables(archive: str) -> dict:
+    """Parametric Stereo (HE-AAC v2) spec constants from aacps_common.o /
+    aacps_float.o: huffman books, QMF->parameter-band maps, hybrid filter
+    prototypes, and the IID/ICC dequantization tables."""
+    oc = ObjectTables(extract_member(archive, "aacps_common.o"))
+    of = ObjectTables(extract_member(archive, "aacps_float.o"))
+    out = {}
+    for book in ("iid_df0", "iid_dt0", "iid_df1", "iid_dt1",
+                 "icc_df", "icc_dt", "ipd_df", "opd_df"):
+        bits = oc.array(f"huff_{book}_bits", np.uint8)
+        codes_raw = oc.raw(f"huff_{book}_codes")
+        width = {1: np.uint8, 2: np.uint16, 4: np.uint32}[
+            len(codes_raw) // len(bits)]
+        out[f"huff_{book}_bits"] = bits
+        out[f"huff_{book}_codes"] = np.frombuffer(
+            codes_raw, width).astype(np.uint32)
+    out["k_to_i_20"] = oc.array("ff_k_to_i_20", np.int8)
+    out["k_to_i_34"] = oc.array("ff_k_to_i_34", np.int8)
+    for name, target in (("g0_Q12", "g0_q12"), ("g0_Q8", "g0_q8"),
+                         ("g1_Q8", "g1_q8"), ("g2_Q4", "g2_q4")):
+        out[target] = of.array(name, np.float32)
+    # local symbols carry compiler suffixes
+    for name in of.syms:
+        if name.startswith("f_center_20"):
+            out["f_center_20"] = of.array(name, np.int8)
+        elif name.startswith("f_center_34"):
+            out["f_center_34"] = of.array(name, np.int8)
+        elif name.startswith("fractional_delay_links"):
+            out["frac_delay_links"] = of.array(name, np.float32)
+        elif name.startswith("iid_par_dequant"):
+            out["iid_par_dequant"] = of.array(name, np.float32)
+        elif name.startswith("icc_invq"):
+            out["icc_invq"] = of.array(name, np.float32)
+        elif name.startswith("acos_icc_invq"):
+            out["acos_icc_invq"] = of.array(name, np.float32)
+        elif name.startswith("ipdopd_cos"):
+            out["ipdopd_cos"] = of.array(name, np.float32)
+        elif name.startswith("ipdopd_sin"):
+            out["ipdopd_sin"] = of.array(name, np.float32)
+    for key in ("f_center_20", "f_center_34", "iid_par_dequant",
+                "icc_invq", "acos_icc_invq"):
+        assert key in out, key
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--archive", default=DEFAULT_ARCHIVE)
@@ -167,6 +212,10 @@ def main() -> int:
     sbr = sbr_tables(args.archive)
     np.savez(REPO / "aacjax" / "host" / "sbr_tables.npz", **sbr)
     print("sbr_tables.npz:", sorted(sbr))
+
+    ps = ps_tables(args.archive)
+    np.savez(REPO / "aacjax" / "host" / "ps_tables.npz", **ps)
+    print("ps_tables.npz:", sorted(ps))
     return 0
 
 
