@@ -44,11 +44,14 @@ def _books() -> dict:
     t = tables()
     out = {}
     for name in ("iid_df0", "iid_dt0", "iid_df1", "iid_dt1",
-                 "icc_df", "icc_dt", "ipd_df", "opd_df"):
+                 "icc_df", "icc_dt", "ipd_df", "ipd_dt",
+                 "opd_df", "opd_dt"):
         bits = t[f"huff_{name}_bits"]
         codes = t[f"huff_{name}_codes"]
         n = len(bits)
-        lav = (n - 1) // 2
+        # iid/icc books decode centered deltas; ipd/opd deltas are the raw
+        # symbol index taken mod 8 (FFmpeg READ_PAR_DATA offset 0, mask 7)
+        lav = 0 if name.startswith(("ipd", "opd")) else (n - 1) // 2
         rows = np.zeros((n, 3), np.int64)
         rows[:, 0] = bits
         rows[:, 1] = codes
@@ -72,6 +75,9 @@ class PSData:
         default_factory=lambda: np.zeros(6, np.int64))
     iid_par: np.ndarray | None = None   # [num_env, nr_par] indices
     icc_par: np.ndarray | None = None
+    enable_ipdopd: bool = False
+    ipd_par: np.ndarray | None = None   # [num_env, nr_ipdopd] in 0..7
+    opd_par: np.ndarray | None = None
 
     @property
     def nr_par(self) -> int:
@@ -99,6 +105,11 @@ class PSContext:
         default_factory=lambda: np.zeros(34, np.int64))
     icc_prev: np.ndarray = field(
         default_factory=lambda: np.zeros(34, np.int64))
+    enable_ipdopd: bool = False
+    ipd_prev: np.ndarray = field(
+        default_factory=lambda: np.zeros(17, np.int64))
+    opd_prev: np.ndarray = field(
+        default_factory=lambda: np.zeros(17, np.int64))
 
 
 _NUM_ENV_TAB = ((0, 1, 2, 4), (1, 2, 3, 4))
@@ -120,6 +131,24 @@ def _read_pars(r: BitReader, dt: int, prev: np.ndarray, nr: int,
             out[i] = acc
     if (out < lo).any() or (out > hi).any():
         raise BitstreamError("PS parameter out of range")
+    return out
+
+
+def _read_phase_pars(r: BitReader, dt: int, prev: np.ndarray, nr: int,
+                     book_dt: HuffmanTable,
+                     book_df: HuffmanTable) -> np.ndarray:
+    """IPD/OPD parameters: raw-index huffman deltas accumulated mod 8."""
+    out = np.zeros(nr, np.int64)
+    if dt:
+        for i in range(nr):
+            d = int(book_dt.values[book_dt.decode(r)][0])
+            out[i] = (prev[i] + d) & 7
+    else:
+        acc = 0
+        for i in range(nr):
+            d = int(book_df.values[book_df.decode(r)][0])
+            acc = (acc + d) & 7
+            out[i] = acc
     return out
 
 
@@ -185,7 +214,36 @@ def read_ps_data(r: BitReader, ctx: PSContext, bits_left: int) -> PSData:
         cnt = r.read(4)
         if cnt == 15:
             cnt += r.read(8)
-        r.advance(cnt * 8)  # ipd/opd extension — not used by baseline PS
+        bits = cnt * 8
+        while bits > 7:
+            start = r.bit_position
+            ext_id = r.read(2)
+            if ext_id == 0:
+                # IPD/OPD phase parameters (ps_extension id 0)
+                ctx.enable_ipdopd = bool(r.read(1))
+                if ctx.enable_ipdopd:
+                    nr = NR_IPDOPD_PAR[ctx.iid_mode]
+                    ps.ipd_par = np.zeros((max(ps.num_env, 1), nr), np.int64)
+                    ps.opd_par = np.zeros((max(ps.num_env, 1), nr), np.int64)
+                    ipd_prev = ctx.ipd_prev[:nr]
+                    opd_prev = ctx.opd_prev[:nr]
+                    for e in range(ps.num_env):
+                        ps.ipd_par[e] = _read_phase_pars(
+                            r, r.read(1), ipd_prev, nr,
+                            b["ipd_dt"], b["ipd_df"])
+                        ipd_prev = ps.ipd_par[e]
+                        ps.opd_par[e] = _read_phase_pars(
+                            r, r.read(1), opd_prev, nr,
+                            b["opd_dt"], b["opd_df"])
+                        opd_prev = ps.opd_par[e]
+                    ctx.ipd_prev[:nr] = ipd_prev
+                    ctx.opd_prev[:nr] = opd_prev
+                r.read(1)  # reserved_ps
+            bits -= r.bit_position - start
+            if bits < 0:
+                raise BitstreamError("PS extension overran its count")
+        r.advance(bits)
+    ps.enable_ipdopd = ctx.enable_ipdopd
 
     # Fix up envelopes (FFmpeg ff_ps_read_data): when no envelope reaches
     # the last QMF slot — num_env == 0, or a VAR frame whose final border
@@ -209,4 +267,13 @@ def read_ps_data(r: BitReader, ctx: PSContext, bits_left: int) -> PSData:
                 (1, nr), np.int64)
             src = rows[e - 1] if e > 0 else ctx.icc_prev[:nr]
             ps.icc_par = np.concatenate([rows[:e], src[None, :]])
+        if ctx.enable_ipdopd:
+            nr = NR_IPDOPD_PAR[ctx.iid_mode]
+            for name, prev in (("ipd_par", ctx.ipd_prev),
+                               ("opd_par", ctx.opd_prev)):
+                rows = getattr(ps, name)
+                if rows is None:
+                    rows = np.zeros((1, nr), np.int64)
+                src = rows[e - 1] if e > 0 else prev[:nr]
+                setattr(ps, name, np.concatenate([rows[:e], src[None, :]]))
     return ps

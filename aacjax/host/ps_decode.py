@@ -13,6 +13,7 @@ tables come from the libavcodec extraction (ps_tables.npz).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -94,6 +95,16 @@ def _init_tables():
             ha[iid, icc, 2] = c2 * np.sin(beta + a)
             ha[iid, icc, 3] = c1 * np.sin(beta - a)
     out["HA"] = ha
+
+    # IPD/OPD smoothed-phase LUT [8,8,8] -> normalized complex
+    # (FFmpeg ps_tableinit pd_re/im_smooth): 0.25*oldest + 0.5*mid + cur
+    cosv = t["ipdopd_cos"].astype(np.float64)
+    sinv = t["ipdopd_sin"].astype(np.float64)
+    pd0 = (0.25 * (cosv + 1j * sinv))[:, None, None]
+    pd1 = (0.5 * (cosv + 1j * sinv))[None, :, None]
+    pd2 = (cosv + 1j * sinv)[None, None, :]
+    sm = pd0 + pd1 + pd2
+    out["pd_smooth"] = (sm / np.abs(sm)).reshape(-1)  # [512]
     return out
 
 
@@ -143,9 +154,14 @@ class PSProc:
     power_smooth: np.ndarray = field(default_factory=lambda: np.zeros(34))
     peak_decay_diff: np.ndarray = field(default_factory=lambda: np.zeros(34))
     h_prev: np.ndarray = field(
-        default_factory=lambda: np.zeros((34, 4)))   # carried H per band
+        default_factory=lambda: np.zeros((34, 4), np.complex128))
     ps_prev: object = None                            # last PSData
     is34_prev: bool | None = None
+    # IPD/OPD 6-bit phase histories per (remapped) parameter band
+    ipd_hist: np.ndarray = field(
+        default_factory=lambda: np.zeros(34, np.int64))
+    opd_hist: np.ndarray = field(
+        default_factory=lambda: np.zeros(34, np.int64))
 
 
 def _hybrid_filter(x: np.ndarray, filt: np.ndarray) -> np.ndarray:
@@ -303,6 +319,16 @@ def decorrelate(proc: PSProc, s: np.ndarray, is34: bool) -> np.ndarray:
     return d
 
 
+@functools.lru_cache(maxsize=None)
+def _conj_mask(is34: bool, nb: int) -> np.ndarray:
+    m = np.zeros(nb, bool)
+    if is34:
+        m[9:14] = True
+    else:
+        m[:2] = True
+    return m
+
+
 def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
              ) -> tuple[np.ndarray, np.ndarray]:
     """Mono QMF plane X [38, 64] -> (Xl, Xr) [32, 64] stereo planes."""
@@ -350,10 +376,34 @@ def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
             return row[_MAP_10_TO_34]
         return _map_20_to_34(row)         # 20 -> 34
 
+    # IPD/OPD phase parameters: remap to the processing resolution and
+    # rotate the mixing matrices for the low bands (cut 11 / 17)
+    ipdopd = ps.enable_ipdopd and ps.ipd_par is not None
+    ipd_cut = 17 if is34 else 11
+
+    def phase_row(par, e):
+        row = par[e]
+        if not is34:
+            if len(row) == 5:
+                row = np.concatenate([np.repeat(row, 2), [0]])
+        else:
+            if len(row) == 5:
+                row = np.pad(row, (0, 5))[_MAP_10_TO_34]
+            elif len(row) == 11:
+                row = _map_20_to_34(np.pad(row, (0, 9)))
+        return row[:ipd_cut]
+
+    if not ipdopd:
+        # FFmpeg resets the phase histories whenever ipdopd is off and
+        # interpolates real-only matrices
+        proc.ipd_hist[:] = 0
+        proc.opd_hist[:] = 0
+        proc.h_prev = proc.h_prev.real.astype(np.complex128)
+
     prev_h = proc.h_prev
     last_stop = -1
     for e in range(num_env):
-        h_target = np.zeros((npar, 4))
+        h_target = np.zeros((npar, 4), np.complex128)
         for b in range(npar):
             iid_idx = (int(par_row(ps.iid_par, e)[b])
                        if ps.enable_iid else 0)
@@ -361,29 +411,56 @@ def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
                        if ps.enable_icc else 0)
             mapped = iid_idx + (30 if fine else 7)
             h_target[b] = t["HA"][mapped, icc_idx]
+        if ipdopd:
+            ipd = phase_row(ps.ipd_par, e)
+            opd = phase_row(ps.opd_par, e)
+            for b in range(ipd_cut):
+                opd_idx = int(proc.opd_hist[b]) * 8 + int(opd[b])
+                ipd_idx = int(proc.ipd_hist[b]) * 8 + int(ipd[b])
+                proc.opd_hist[b] = opd_idx & 0x3F
+                proc.ipd_hist[b] = ipd_idx & 0x3F
+                opd_c = t["pd_smooth"][opd_idx]
+                adj = opd_c * np.conj(t["pd_smooth"][ipd_idx])
+                h_target[b, 0] *= opd_c
+                h_target[b, 1] *= adj
+                h_target[b, 2] *= opd_c
+                h_target[b, 3] *= adj
         start = int(ps.border_position[e])
         stop = int(ps.border_position[e + 1])
         stop = min(stop, SLOTS - 1)
         width = 1.0 / max(stop - start, 1)
         hstep = (h_target - prev_h[:npar]) * width
+
+        # Hybrid channels with negative center frequencies (k<=1 in
+        # 20-band mode, 9<=k<=13 in 34-band) NEGATE the imaginary H at
+        # the interpolation START only — the step still aims at the
+        # un-negated target, so their phase track runs -im_prev ->
+        # +im_target (libavcodec stereo_processing does exactly this;
+        # recovered from its binary and pinned by tests/test_ps.py).
+        imneg = -prev_h[:npar].imag.copy()
+        imneg_step = (h_target.imag - imneg) * width
+        cmask = _conj_mask(is34, nb)
+
+        def mix(h, h_imneg, n):
+            hk = h[k_to_i[:nb]]
+            if h_imneg is not None:
+                alt = hk.real + 1j * h_imneg[k_to_i[:nb]]
+                hk = np.where(cmask[:, None], alt, hk)
+            l[:, n] = s[:, n] * hk[:, 0] + d[:, n] * hk[:, 2]
+            r[:, n] = s[:, n] * hk[:, 1] + d[:, n] * hk[:, 3]
+
         h = prev_h[:npar].copy()
         for n in range(start + 1, stop + 1):
             h = h + hstep
-            for k in range(nb):
-                i = k_to_i[k]
-                l[k, n] = s[k, n] * h[i, 0] + d[k, n] * h[i, 2]
-                r[k, n] = s[k, n] * h[i, 1] + d[k, n] * h[i, 3]
-        prev_h = np.zeros((34, 4))
+            imneg = imneg + imneg_step
+            mix(h, imneg, n)
+        prev_h = np.zeros((34, 4), np.complex128)
         prev_h[:npar] = h_target
         last_stop = stop
     if 0 <= last_stop < SLOTS - 1:
         # envelopes ended before the frame did: hold the final matrices
-        h = prev_h[:npar]
         for n in range(last_stop + 1, SLOTS):
-            for k in range(nb):
-                i = k_to_i[k]
-                l[k, n] = s[k, n] * h[i, 0] + d[k, n] * h[i, 2]
-                r[k, n] = s[k, n] * h[i, 1] + d[k, n] * h[i, 3]
+            mix(prev_h[:npar], None, n)
     proc.h_prev = prev_h
     xl = hybrid_synthesis(l, is34)
     xr = hybrid_synthesis(r, is34)

@@ -265,6 +265,8 @@ class PSSpec:
     num_env: int = 1                    # 0,1,2,4 (frame class 0)
     iid_par: np.ndarray | None = None   # [num_env, nr] quantized indices
     icc_par: np.ndarray | None = None
+    ipd_par: np.ndarray | None = None   # [num_env, nr_ipdopd] in 0..7
+    opd_par: np.ndarray | None = None   # (written as PS extension id 0)
 
 
 def write_ps_data(w: BitWriter, spec: PSSpec) -> None:
@@ -282,7 +284,8 @@ def write_ps_data(w: BitWriter, spec: PSSpec) -> None:
     w.write(1 if spec.icc_par is not None else 0, 1)
     if spec.icc_par is not None:
         w.write(spec.icc_mode, 3)
-    w.write(0, 1)                        # bs_enable_ext
+    has_ext = spec.ipd_par is not None
+    w.write(1 if has_ext else 0, 1)      # bs_enable_ext
     w.write(0, 1)                        # frame_class FIX
     w.write({0: 0, 1: 1, 2: 2, 4: 3}[spec.num_env], 2)
     if spec.iid_par is not None:
@@ -300,3 +303,28 @@ def write_ps_data(w: BitWriter, spec: PSSpec) -> None:
             for v in spec.icc_par[e]:
                 enc(books["icc_df"], int(v) - acc)
                 acc = int(v)
+    if has_ext:
+        # PS extension id 0: IPD/OPD (delta-freq, raw mod-8 symbols)
+        ext = BitWriter()
+        ext.write(0, 2)                  # ps_extension_id
+        ext.write(1, 1)                  # enable_ipdopd
+        for e in range(spec.num_env):
+            for name, par in (("ipd", spec.ipd_par), ("opd", spec.opd_par)):
+                ext.write(0, 1)          # delta-freq
+                acc = 0
+                for v in par[e]:
+                    d = (int(v) - acc) & 7
+                    ln, code = books[f"{name}_df"].enc[(d,)]
+                    ext.write(code, ln)
+                    acc = int(v)
+        ext.write(0, 1)                  # reserved_ps
+        nbits = ext.bit_position
+        cnt = (nbits + 7) // 8
+        if cnt >= 15:
+            w.write(15, 4)
+            w.write(cnt - 15, 8)
+        else:
+            w.write(cnt, 4)
+        ext.align()
+        for byte in ext.getvalue():
+            w.write(byte, 8)

@@ -127,6 +127,25 @@ _ICC34 = np.arange(34) % 8
             iid_par=np.stack([_RAMP10, -_RAMP10, _RAMP10 // 2, _RAMP10]))),
     ("num_env=0 (synthetic envelope fixup)",
      PSSpec(iid_mode=0, num_env=0, iid_par=np.zeros((0, 10), np.int64))),
+    ("ipd+opd phase extension (nr5)",
+     PSSpec(iid_mode=0, iid_par=_RAMP10[None, :],
+            ipd_par=((np.arange(5) * 3) % 8)[None, :],
+            opd_par=((np.arange(5) * 5) % 8)[None, :])),
+    ("ipd+opd+icc nr11 (neg-center imag sawtooth)",
+     PSSpec(iid_mode=1, iid_par=_RAMP20[None, :],
+            icc_mode=1, icc_par=(np.arange(20) % 8)[None, :],
+            ipd_par=((np.arange(11) * 5) % 8)[None, :],
+            opd_par=((np.arange(11) * 3) % 8)[None, :])),
+    ("ipd+opd 34-band nr17",
+     PSSpec(iid_mode=2, iid_par=_RAMP34[None, :],
+            ipd_par=((np.arange(17) * 3) % 8)[None, :],
+            opd_par=((np.arange(17) * 5) % 8)[None, :])),
+    ("ipd+opd two envelopes (phase history)",
+     PSSpec(iid_mode=0, num_env=2, iid_par=np.stack([_RAMP10, -_RAMP10]),
+            ipd_par=np.stack([(np.arange(5) * 3) % 8,
+                              (np.arange(5) * 3 + 2) % 8]),
+            opd_par=np.stack([(np.arange(5) + 1) % 8,
+                              (np.arange(5) * 3) % 8]))),
 ])
 def test_ps_matches_ffmpeg_sample_exact(label, ps):
     snrs = oracle_snrs(ps)

@@ -163,7 +163,8 @@ def ps_tables(archive: str) -> dict:
     of = ObjectTables(extract_member(archive, "aacps_float.o"))
     out = {}
     for book in ("iid_df0", "iid_dt0", "iid_df1", "iid_dt1",
-                 "icc_df", "icc_dt", "ipd_df", "opd_df"):
+                 "icc_df", "icc_dt", "ipd_df", "ipd_dt",
+                 "opd_df", "opd_dt"):
         bits = oc.array(f"huff_{book}_bits", np.uint8)
         codes_raw = oc.raw(f"huff_{book}_codes")
         width = {1: np.uint8, 2: np.uint16, 4: np.uint32}[
