@@ -55,6 +55,13 @@ class SBRChannelProc:
     index_sine: int = 0
     la_prev: int = -1
     s_index_prev: np.ndarray | None = None   # sinusoid persistence [m]
+    # VAR-class envelope overhang: adjusted HF slots past the frame end
+    # (buffer slots [34, 40)) carried into the next frame's X, plus the
+    # previous frame's final envelope border (FFmpeg's Y double-buffer +
+    # t_env_num_env_old)
+    y_tail: np.ndarray = field(
+        default_factory=lambda: np.zeros((6, 64), np.complex128))
+    t_env_last: int = 0
 
 
 def _qmf_analysis_np(x: np.ndarray, hist: np.ndarray):
@@ -191,8 +198,11 @@ def process_channel(proc: SBRChannelProc, core_pcm: np.ndarray,
     kx = t.kx
     la = S.l_a(g)
     num_env = g.num_env
-    t_env = np.minimum(g.t_env[: num_env + 1], 16)        # overhang clamp
-    t_q = np.minimum(g.t_q[: g.num_noise + 1], 16)
+    # envelope borders may overhang the frame by up to 3 t-units (VAR
+    # classes); the 40-slot buffer holds ADJ + 2*19, and the adjusted
+    # overhang slots carry into the next frame's X via y_tail
+    t_env = np.minimum(g.t_env[: num_env + 1], 19)
+    t_q = np.minimum(g.t_q[: g.num_noise + 1], 19)
 
     s_prev = proc.s_index_prev
     if s_prev is None or len(s_prev) != m:
@@ -305,11 +315,18 @@ def process_channel(proc: SBRChannelProc, core_pcm: np.ndarray,
 
     # --- final X ------------------------------------------------------------
     # output window = buffer slots [ADJ, ADJ+32); six further slots of
-    # lookahead (low bands from X_low; HF zeros unless a VAR overhang
-    # filled them) feed the Parametric Stereo hybrid filterbank
+    # lookahead (low bands only — FFmpeg's sbr_x_gen leaves the HF of the
+    # lookahead zero) feed the Parametric Stereo hybrid filterbank.  The
+    # first i_temp slots take the PREVIOUS frame's adjusted overhang
+    # (this frame's first envelope starts at the overhang border).
+    i_temp = max(0, RATE * proc.t_env_last - SLOTS)
+    proc.t_env_last = int(t_env[num_env]) if num_env else 0
     X = np.zeros((SLOTS + 6, 64), np.complex128)
     X[:, :kx] = xlow[ADJ: ADJ + SLOTS + 6, :kx]
-    X[:, kx: kx + m] = y[ADJ: ADJ + SLOTS + 6, kx: kx + m]
+    X[:SLOTS, kx: kx + m] = y[ADJ: ADJ + SLOTS, kx: kx + m]
+    if i_temp:
+        X[:i_temp, kx: kx + m] = proc.y_tail[:i_temp, kx: kx + m]
+    proc.y_tail = y[ADJ + SLOTS: ADJ + SLOTS + 6].copy()
     if return_x:
         return X
     pcm, proc.v_hist = _qmf_synthesis_np(X[:SLOTS], proc.v_hist)
@@ -320,9 +337,11 @@ def process_passthrough(proc: SBRChannelProc,
                         core_pcm: np.ndarray) -> np.ndarray:
     """2x upsample a channel with no SBR payload this frame (spec
     upsampled-only mode) — keeps QMF state and delay aligned with
-    SBR-processed frames."""
-    X32, proc.x_hist = _qmf_analysis_np(core_pcm.astype(np.float64),
-                                        proc.x_hist)
+    SBR-processed frames.  Runs in the same 32768-scale domain as
+    process_channel so the carried filter states stay continuous when
+    payload and payload-less frames alternate."""
+    X32, proc.x_hist = _qmf_analysis_np(
+        core_pcm.astype(np.float64) * 32768.0, proc.x_hist)
     xlow = np.concatenate([proc.xlow_hist, X32], axis=0)
     proc.xlow_hist = xlow[-HIST:].copy()
     # same [ADJ, ADJ+32) output window as SBR frames so mixed streams
@@ -330,4 +349,4 @@ def process_passthrough(proc: SBRChannelProc,
     X = np.zeros((X32.shape[0], 64), np.complex128)
     X[:, :32] = xlow[ADJ: ADJ + X32.shape[0]]
     pcm, proc.v_hist = _qmf_synthesis_np(X, proc.v_hist)
-    return pcm
+    return pcm * (1.0 / 32768.0)

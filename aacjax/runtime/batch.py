@@ -203,16 +203,40 @@ class BatchDecoder:
             self._sbr_host_states = [SP.SBRHostState()
                                      for _ in range(self.C)]
             self._sbr_np_procs = [None] * self.C
+            # slots routed permanently to the numpy SBR path (deviant
+            # header or VAR envelope overhang): their cross-frame DSP
+            # state lives in the numpy proc, so they must not bounce
+            # back to the batched kernel's (now stale) device state
+            self._sbr_np_sticky = [False] * self.C
             self._sbr_dev_state = sbr_state_init(self.C)
             self._sbr_cfg = None
             # cache for context-free (all-delta-freq) SBR payloads, shared
             # across streams: serving fleets repeat identical payloads
             self._sbr_parse_cache: dict = {}
 
+    def _sbr_chunk_begin(self, payloads_per_stream) -> None:
+        """Per-chunk bookkeeping for the numpy fallback: frame counts per
+        slot, the per-slot SBR records for possible replay, and a
+        snapshot of the host sequential state (a slot that turns sticky
+        mid-chunk replays its whole chunk from the pre-chunk state)."""
+        import copy
+        self._chunk_nframes = [0] * self.C
+        for st, payloads in zip(self.streams, payloads_per_stream):
+            n = len(payloads or [])
+            for s in range(st.base_slot, st.base_slot + st.n_slots):
+                self._chunk_nframes[s] = n
+        self._chunk_sbr_records: list[list] = [[] for _ in range(self.C)]
+        self._host_state_snap = [
+            None if self._sbr_np_sticky[s] else
+            copy.deepcopy(self._sbr_host_states[s]) for s in range(self.C)]
+
     def _sbr_pack_payload(self, dense, np_jobs, sf, slot: int, nch: int,
                           t: int) -> None:
-        """Pack one parsed SBRFrame into the dense arrays (or queue the
-        numpy fallback when its header differs from the batch header)."""
+        """Pack one parsed SBRFrame into the dense arrays.  Slots whose
+        header deviates from the batch header, or whose grid overhangs
+        the frame (VAR classes — the batched kernel has no Y-carry), go
+        STICKY: all their frames decode on the per-channel numpy path
+        (seeded from the batched state at the transition)."""
         from aacjax.host import sbr as sbrmod
         from aacjax.host import sbr_pack as SP
         from aacjax.kernels.sbr_batch import SBRStaticConfig
@@ -222,17 +246,22 @@ class BatchDecoder:
                     sf.header.limiter_gains])))
         eq = sbrmod.dequant(sf)
         for c in range(nch):
-            if sf.header == self._sbr_cfg[0]:
+            g = sf.channels[c].grid
+            self._chunk_sbr_records[slot + c].append((t, sf, c, eq[c]))
+            if (sf.header != self._sbr_cfg[0]
+                    or int(g.t_env[g.num_env]) > 16):
+                self._sbr_np_sticky[slot + c] = True
+            if not self._sbr_np_sticky[slot + c]:
                 SP.pack_channel_frame(dense, slot + c, t,
                                       self._sbr_host_states[slot + c],
                                       sf, c, eq[c])
-            else:
-                np_jobs.append((slot + c, t, sf, c, eq[c]))
 
     def _sbr_stage(self, core_pcm, dense, np_jobs,
                    out_int16: bool = False) -> np.ndarray:
         """Run the batched device SBR program on device-resident core PCM
-        and materialize; apply numpy fallbacks for non-uniform headers."""
+        and materialize; replay sticky slots (deviant header / VAR
+        overhang) on the numpy path, seeded from the pre-chunk batched
+        state so the switch is continuous."""
         from aacjax.host import sbr_decode as SD
         from aacjax.host.sbr import SBRHeader, derive_tables
         from aacjax.kernels.sbr_batch import SBRStaticConfig, jitted_sbr_apply
@@ -242,23 +271,60 @@ class BatchDecoder:
             self._sbr_cfg = (hdr, SBRStaticConfig.from_tables(
                 derive_tables(hdr, 2 * self.streams[0].config.sample_rate),
                 1.0))
+        sticky = [s for s in range(self.C)
+                  if self._sbr_np_sticky[s] and self._chunk_nframes[s]]
+        # materialize pre-chunk filter states for newly-sticky slots NOW:
+        # the jitted step donates its state buffers
+        prev_state = self._sbr_dev_state
+        seeds = {
+            s: tuple(np.asarray(prev_state[k][s], np.float64)
+                     for k in ("x_hist", "v_hist", "xlow_r", "xlow_i"))
+            for s in sticky if self._sbr_np_procs[s] is None}
         fn = jitted_sbr_apply(self._sbr_cfg[1],
-                              out_int16 and not np_jobs)
-        pcm2, self._sbr_dev_state = fn(core_pcm, vars(dense),
-                                       self._sbr_dev_state)
+                              out_int16 and not sticky)
+        pcm2, self._sbr_dev_state = fn(core_pcm, vars(dense), prev_state)
         # re-home the pending stats record to the chained result
         pending = self._pending_steps.pop(id(core_pcm), None)
         if pending is not None:
             self._pending_steps[id(pcm2)] = pending
         out = self.finalize_step(pcm2)
-        if np_jobs:
+        if sticky:
+            if not out.flags.writeable:
+                out = np.array(out)  # device buffers are read-only views
             core_np = np.asarray(core_pcm)
-            for slot, t, sf, c, eq in np_jobs:
-                if self._sbr_np_procs[slot] is None:
-                    self._sbr_np_procs[slot] = SD.SBRChannelProc()
-                out[slot, t] = SD.process_channel(
-                    self._sbr_np_procs[slot],
-                    core_np[slot, t].astype(np.float64), sf, c, eq)
+            for slot in sticky:
+                proc = self._sbr_np_procs[slot]
+                if proc is None:
+                    # transition: inherit the batched path's per-slot
+                    # state (QMF/synthesis histories from the device
+                    # dict, sequential counters from the host snapshot)
+                    proc = SD.SBRChannelProc()
+                    hs = self._host_state_snap[slot]
+                    if hs is not None:
+                        proc.bw = np.asarray(hs.bw, np.float64).copy()
+                        proc.invf_prev = (None if hs.invf_prev is None
+                                          else np.array(hs.invf_prev))
+                        proc.index_noise = hs.index_noise
+                        proc.index_sine = hs.index_sine
+                        proc.la_prev = hs.la_prev
+                        proc.s_index_prev = (
+                            None if hs.s_index_prev is None
+                            else np.array(hs.s_index_prev))
+                    x_hist, v_hist, xlr, xli = seeds[slot]
+                    proc.x_hist = x_hist
+                    proc.v_hist = v_hist
+                    proc.xlow_hist = xlr + 1j * xli
+                    self._sbr_np_procs[slot] = proc
+                recs = {t: (sf, c, eq)
+                        for (t, sf, c, eq) in self._chunk_sbr_records[slot]}
+                for t in range(self._chunk_nframes[slot]):
+                    core = core_np[slot, t].astype(np.float64)
+                    if t in recs:
+                        sf, c, eq = recs[t]
+                        out[slot, t] = SD.process_channel(proc, core,
+                                                          sf, c, eq)
+                    else:
+                        out[slot, t] = SD.process_passthrough(proc, core)
         return out
 
     def step_he_raw(self, payloads_per_stream: list[list[bytes] | None],
@@ -279,6 +345,7 @@ class BatchDecoder:
         from aacjax.host.syntax import CPEData
 
         self._sbr_init()
+        self._sbr_chunk_begin(payloads_per_stream)
         dense = SP.alloc_dense(self.C, self.T)
         np_jobs: list = []
 

@@ -35,10 +35,12 @@ class SBRFrameSpec:
     df_env: list[int] | None = None       # per env; e=0 must be 0 (no
                                           # cross-frame writer state)
     df_noise: list[int] | None = None
-    frame_class: int = sbrmod.FIXFIX      # FIXFIX or FIXVAR
-    var_bord_1: int = 0                   # FIXVAR trailing border offset
-    rel_widths: list[int] | None = None   # FIXVAR relative widths (2a+2)
-    pointer: int = 0                      # FIXVAR transient pointer
+    frame_class: int = sbrmod.FIXFIX      # FIXFIX/FIXVAR/VARFIX/VARVAR
+    var_bord_1: int = 0                   # trailing border offset (t=16+x)
+    abs_bord_0: int = 0                   # VARFIX/VARVAR leading border
+    rel_widths: list[int] | None = None   # trailing-side widths (2a+2)
+    rel_widths_lead: list[int] | None = None  # VARVAR leading-side widths
+    pointer: int = 0                      # transient pointer
     add_harmonic: np.ndarray | None = None  # [n_high] bool
 
     def amp_res(self, header: sbrmod.SBRHeader) -> int:
@@ -90,8 +92,32 @@ def _write_grid(w: BitWriter, s: SBRFrameSpec) -> None:
         w.write(s.pointer, nbits)
         for _ in range(s.num_env):  # reversed order, same value
             w.write(s.freq_res, 1)
-    else:
-        raise NotImplementedError("writer supports FIXFIX/FIXVAR")
+    elif s.frame_class == sbrmod.VARFIX:
+        w.write(s.abs_bord_0, 2)
+        n_rel = s.num_env - 1
+        w.write(n_rel, 2)
+        for wd in (s.rel_widths_lead or [2] * n_rel):
+            assert wd % 2 == 0 and 2 <= wd <= 8
+            w.write((wd - 2) // 2, 2)
+        nbits = max(1, math.ceil(math.log2(s.num_env + 1)))
+        w.write(s.pointer, nbits)
+        for _ in range(s.num_env):
+            w.write(s.freq_res, 1)
+    else:  # VARVAR
+        w.write(s.abs_bord_0, 2)
+        w.write(s.var_bord_1, 2)
+        lead = s.rel_widths_lead or []
+        trail = s.rel_widths or []
+        assert len(lead) + len(trail) == s.num_env - 1
+        w.write(len(lead), 2)
+        w.write(len(trail), 2)
+        for wd in lead + trail:
+            assert wd % 2 == 0 and 2 <= wd <= 8
+            w.write((wd - 2) // 2, 2)
+        nbits = max(1, math.ceil(math.log2(s.num_env + 1)))
+        w.write(s.pointer, nbits)
+        for _ in range(s.num_env):
+            w.write(s.freq_res, 1)
 
 
 def _write_dtdf(w: BitWriter, s: SBRFrameSpec) -> None:

@@ -283,3 +283,91 @@ def test_sbr_fixvar_transient_matches_ffmpeg(pointer):
                      rel_widths=[6], pointer=pointer)
     snr = oracle_snr(_stream_from_specs([s]))
     assert snr > 80.0, (pointer, snr)
+
+
+def _overhang_stream(n_frames=7, seed=3):
+    """Frame sequence exercising every VAR grid class with envelope
+    borders PAST the frame end (t_env up to 19): the adjusted overhang
+    slots must carry into the next frame's X (FFmpeg's Y double-buffer;
+    aacjax's SBRChannelProc.y_tail).  Envelope amplitudes differ so a
+    wrong carry is loud."""
+    core_cfg = parse_asc(make_asc(2, 7, 1))
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 2 * core_cfg.sample_rate)
+    n = t.n_bands(1)
+
+    def spec(e0, e1, **kw):
+        ne = kw.pop("num_env", 2)
+        qs = np.stack([np.full(n, e0, np.int64),
+                       np.full(n, e1, np.int64)][:ne])
+        nn = 2 if ne > 1 else 1
+        return SBRFrameSpec(num_env=ne, freq_res=1, invf=[1] * t.n_q,
+                            env_q=qs,
+                            noise_q=np.full((nn, t.n_q), 30, np.int64),
+                            **kw)
+
+    seq = [
+        spec(25, 25),                                   # FIXFIX warmup
+        # FIXVAR trail t=18: last envelope overhangs by 2 t-units
+        spec(20, 40, frame_class=S.FIXVAR, var_bord_1=2, rel_widths=[4]),
+        # VARFIX continuing at the overhang border
+        spec(22, 22, frame_class=S.VARFIX, abs_bord_0=2,
+             rel_widths_lead=[6]),
+        # single-envelope FIXVAR with maximum overhang (t=19)
+        spec(38, 0, num_env=1, frame_class=S.FIXVAR, var_bord_1=3),
+        # VARVAR with leading border at the previous overhang
+        spec(18, 30, frame_class=S.VARVAR, abs_bord_0=3,
+             rel_widths_lead=[4], rel_widths=[]),
+        spec(25, 25),
+        spec(25, 25),
+    ]
+    pays = [sbr_payload([sp], h, 2 * core_cfg.sample_rate,
+                        write_header=(i == 0)) for i, sp in enumerate(seq)]
+    rng = np.random.default_rng(seed)
+    x = _lowpass_noise(rng, 1024 * n_frames, 1)
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    return b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_sbr_var_overhang_matches_ffmpeg():
+    """VAR-class envelope overhang (Y-carry) is sample-exact: per-frame
+    SNR vs libavcodec stays at the float32 floor through FIXVAR/VARFIX/
+    VARVAR transitions with overhanging borders."""
+    stream = _overhang_stream()
+    want, rate = ffmpeg_oracle.decode_adts(stream)
+    assert rate == 44100
+    got = decode_ours(stream)
+    # skip the first two frames (QMF warm-up differs, as in every SBR
+    # test); every later frame must match at f32 precision
+    for f in range(2, 7):
+        sl = slice(f * 2048 + 64, (f + 1) * 2048)
+        a = want[sl, 0].astype(np.float64)
+        b = got[sl, 0].astype(np.float64)
+        snr = 10 * np.log10(np.sum(a ** 2)
+                            / max(np.sum((a - b) ** 2), 1e-30))
+        assert snr > 80.0, (f, snr)
+
+
+def test_sbr_batch_overhang_routes_to_numpy():
+    """step_he_raw must not run overhang grids through the (clamped)
+    batched kernel: those slots go sticky to the numpy path and the
+    output matches the streaming decoder."""
+    from aacjax.runtime.batch import BatchDecoder
+    stream = _overhang_stream()
+    import aacjax.host.adts as adts
+    frames = adts.split_frames(stream)
+    cfg = parse_asc(adts.synthesize_cookie(frames[0][0]))
+    payloads = [stream[s:e] for _, s, e in frames]
+    dec = BatchDecoder([cfg], chunk_frames=len(payloads))
+    out = dec.step_he_raw([payloads])
+    assert np.isfinite(out).all()
+    assert any(dec._sbr_np_sticky)  # overhang slots routed off-device
+    want = decode_ours(stream)
+    got = out[0].reshape(-1, 1)
+    nn = min(len(want), len(got))
+    a = want[4096:nn - 64, 0].astype(np.float64)
+    b = got[4096:nn - 64, 0].astype(np.float64)
+    snr = 10 * np.log10(np.sum(a ** 2) / max(np.sum((a - b) ** 2), 1e-30))
+    assert snr > 60.0, snr
