@@ -308,9 +308,9 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
     header = frames[0][0]
     config = parse_asc(adts.synthesize_cookie(header))
 
-    def _first_frame_has_sbr() -> bool:
+    def _probe_sbr_ps() -> tuple[bool, bool]:
         """Implicitly signaled HE-AAC: probe the first frame for an SBR
-        FIL extension (throwaway parse; shapes copied)."""
+        FIL extension and a ps_data payload (throwaway parse)."""
         from aacjax.host.sbr import SBRContext
         _, s, e = frames[0]
         try:
@@ -318,11 +318,37 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
                              [0] * config.channels,
                              sbr_ctx=SBRContext(2 * config.sample_rate))
         except Exception:  # noqa: BLE001 — probe only
-            return False
-        return any(getattr(el, "sbr", None) is not None for el in f.elements)
+            return False, False
+        sfs = [getattr(el, "sbr", None) for el in f.elements]
+        return (any(sf is not None for sf in sfs),
+                any(getattr(sf, "ps", None) is not None for sf in sfs))
 
-    if _first_frame_has_sbr():
-        # HE-AAC: decode through the streaming SBR path (2x output rate)
+    has_sbr, has_ps = _probe_sbr_ps()
+    multi_rdb = any(h.num_frames > 1 for h, _, _ in frames)
+    if has_sbr and not has_ps and not multi_rdb:
+        # HE-AAC v1: batched device pipeline (core decode + device SBR
+        # stage chained on device-resident PCM, 2x output rate)
+        dec = BatchDecoder([config], chunk_frames=chunk_frames,
+                           cce_slots=cce_slots)
+        payloads = [data[s:e] for _, s, e in frames]
+        out = []
+        for i in range(0, len(payloads), chunk_frames):
+            group = payloads[i:i + chunk_frames]
+            pcm = dec.step_he_raw([group])        # [C, T, 2F]
+            if dec.streams[0].failed:
+                if on_error == "raise":
+                    raise UnsupportedError(
+                        f"stream failed: {dec.streams[0].last_error}")
+                dec.streams[0].failed = False  # concealed; keep decoding
+            nch = config.channels
+            base = dec.streams[0].base_slot
+            block = pcm[base: base + nch, : len(group), :]
+            out.append(np.ascontiguousarray(
+                block.reshape(nch, -1).T))
+        return np.concatenate(out, axis=0), 2 * config.sample_rate
+
+    if has_sbr:
+        # HE-AAC v2 (Parametric Stereo) or multi-rdb: streaming SBR path
         dec = AACDecoder(cookie=adts.synthesize_cookie(header),
                          cce_slots=max(cce_slots, 1))
         dec.feed(data)

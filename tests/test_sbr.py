@@ -371,3 +371,21 @@ def test_sbr_batch_overhang_routes_to_numpy():
     b = got[4096:nn - 64, 0].astype(np.float64)
     snr = 10 * np.log10(np.sum(a ** 2) / max(np.sum((a - b) ** 2), 1e-30))
     assert snr > 60.0, snr
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_decode_adts_he_batched_stereo_and_overhang():
+    """decode_adts routes PS-free HE-AAC through the batched device
+    pipeline (step_he_raw); output still matches libavcodec, including
+    a stream whose overhang grids divert its slot to the numpy path."""
+    from aacjax.api import decode_adts
+    for stream in (make_he_stream(ch=2, n_frames=5), _overhang_stream()):
+        pcm, rate = decode_adts(stream)
+        want, wrate = ffmpeg_oracle.decode_adts(stream)
+        assert rate == wrate == 44100
+        nn = min(len(want), len(pcm))
+        a = want[4096:nn - 64, 0].astype(np.float64)
+        b = pcm[4096:nn - 64, 0].astype(np.float64)
+        snr = 10 * np.log10(np.sum(a ** 2)
+                            / max(np.sum((a - b) ** 2), 1e-30))
+        assert snr > 60.0, snr
