@@ -21,7 +21,10 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #include "gen/aac_tables.h"
 
@@ -981,13 +984,22 @@ int aacparse_batch_spec(
     char* errbuf, int errbuf_len) {
   ensure_init();
   (void)total_slots;
-  bool any_tns = false;
-  static thread_local ChannelScratch scratch[2];
-  static thread_local CCE cce_store[kMaxCce];
-  cce_counts[0] = 0;
-  cce_counts[1] = 0;
+  if (errbuf_len > 0) errbuf[0] = '\0';
 
-  for (int s = 0; s < n_streams; ++s) {
+  // Streams write disjoint output regions (their own slots/frames), so
+  // they parallelize across host cores; only the CCE side arrays append
+  // through a counter, so each worker gets its own arena slice of the
+  // caller's capacity (compacted to a contiguous prefix after the join).
+  struct CceArena {
+    int32_t* post_idx; float* post_gain; int post_cap; int post_count;
+    int32_t* time_idx; float* time_gain; int time_cap; int time_count;
+  };
+
+  auto parse_stream = [&](int s, CceArena* arena, bool* any_tns_out,
+                          char* ebuf, int eblen) {
+    static thread_local ChannelScratch scratch[2];
+    static thread_local CCE cce_store[kMaxCce];
+    bool any_tns = false;
     stream_status[s] = OK;
     StreamConfig cfg{sample_index_arr[s], chan_config_arr[s]};
     int base = base_slot_arr[s];
@@ -995,7 +1007,7 @@ int aacparse_batch_spec(
     int f_lo = stream_frame_start[s];
     int f_hi = stream_frame_start[s + 1];
     int n_frames = f_hi - f_lo;
-    if (n_frames > T) { stream_status[s] = ERR_BOUNDS; continue; }
+    if (n_frames > T) { stream_status[s] = ERR_BOUNDS; return; }
 
     // zero this stream's meta + tns region (spec rows of valid frames are
     // fully overwritten; invalid frames carry valid=0 and are discarded)
@@ -1017,8 +1029,8 @@ int aacparse_batch_spec(
       // snapshot rollback state so a corrupt frame never leaks partial
       // side effects (shapes, coupling entries, half-written rows)
       memcpy(shape_snap, prev_shapes + base, sizeof(int32_t) * snap_n);
-      const int post_snap = cce_counts[0];
-      const int time_snap = cce_counts[1];
+      const int post_snap = arena->post_count;
+      const int time_snap = arena->time_count;
       const uint8_t* fdata = blob + frame_offsets[f_lo + t];
       int64_t flen = frame_offsets[f_lo + t + 1] - frame_offsets[f_lo + t];
       BitReader br(fdata, flen);
@@ -1223,15 +1235,15 @@ int aacparse_batch_spec(
               goto sfail;
             }
             for (int k = 0; k < nt; ++k) {
-              if (cce_counts[1] >= time_cap) {
+              if (arena->time_count >= arena->time_cap) {
                 err = {ERR_FALLBACK, "cce: time entries overflow"};
                 goto sfail;
               }
-              int q = cce_counts[1]++;
-              cce_time_idx[q * 3 + 0] = cc->slot;
-              cce_time_idx[q * 3 + 1] = dsts[k];
-              cce_time_idx[q * 3 + 2] = t;
-              cce_time_gain[q] = cc->gain[gidx[k]][0];
+              int q = arena->time_count++;
+              arena->time_idx[q * 3 + 0] = cc->slot;
+              arena->time_idx[q * 3 + 1] = dsts[k];
+              arena->time_idx[q * 3 + 2] = t;
+              arena->time_gain[q] = cc->gain[gidx[k]][0];
             }
           } else {
             // AFTER_TNS onto a target that actually has TNS this frame
@@ -1255,16 +1267,16 @@ int aacparse_batch_spec(
                 goto sfail;
               }
               for (int k = 0; k < nt; ++k) {
-                if (cce_counts[0] >= post_cap) {
+                if (arena->post_count >= arena->post_cap) {
                   err = {ERR_FALLBACK, "cce: post entries overflow"};
                   goto sfail;
                 }
-                int q = cce_counts[0]++;
-                cce_post_idx[q * 3 + 0] = cc->slot;
-                cce_post_idx[q * 3 + 1] = dsts[k];
-                cce_post_idx[q * 3 + 2] = t;
+                int q = arena->post_count++;
+                arena->post_idx[q * 3 + 0] = cc->slot;
+                arena->post_idx[q * 3 + 1] = dsts[k];
+                arena->post_idx[q * 3 + 2] = t;
                 expand_gain(cc->ch.info, cc->gain[gidx[k]],
-                            cce_post_gain + static_cast<size_t>(q) * kFrameLen);
+                            arena->post_gain + static_cast<size_t>(q) * kFrameLen);
               }
             }
           }
@@ -1276,8 +1288,8 @@ int aacparse_batch_spec(
     sfail:
       // roll back every partial side effect of the corrupt frame
       memcpy(prev_shapes + base, shape_snap, sizeof(int32_t) * snap_n);
-      cce_counts[0] = post_snap;
-      cce_counts[1] = time_snap;
+      arena->post_count = post_snap;
+      arena->time_count = time_snap;
       if (fil_sbr)
         memset(fil_sbr + (static_cast<int64_t>(f_lo + t)) * 12, 0,
                sizeof(int64_t) * 12);
@@ -1294,12 +1306,12 @@ int aacparse_batch_spec(
       }
       if (err.code == ERR_FALLBACK) {
         stream_status[s] = ERR_FALLBACK;
-        snprintf(errbuf, errbuf_len, "stream %d frame %d: %s", s, t, err.msg);
+        snprintf(ebuf, eblen, "stream %d frame %d: %s", s, t, err.msg);
         break;
       }
       if (first_err == OK) {
         first_err = err.code;
-        snprintf(errbuf, errbuf_len, "stream %d frame %d: %s", s, t, err.msg);
+        snprintf(ebuf, eblen, "stream %d frame %d: %s", s, t, err.msg);
       }
       // conceal: silent-but-present frame keeps the overlap-add chain
       // intact (zero spectrum; previous tail plays out; zero carry), then
@@ -1308,6 +1320,87 @@ int aacparse_batch_spec(
         meta[(static_cast<size_t>(sl) * T + t) * 6 + 5] = 1;
     }
     if (stream_status[s] == OK && first_err != OK) stream_status[s] = first_err;
+    *any_tns_out = *any_tns_out || any_tns;
+  };
+
+  int nthreads = 1;
+  if (const char* env = getenv("AACJAX_PARSE_THREADS")) {
+    nthreads = atoi(env);  // explicit: no auto heuristics (testing, tuning)
+  } else {
+    unsigned hw = std::thread::hardware_concurrency();
+    nthreads = hw ? static_cast<int>(hw) : 1;
+    if (nthreads > n_streams / 4) nthreads = n_streams / 4;  // amortize spawn
+  }
+  if (nthreads > 16) nthreads = 16;
+  if (nthreads > n_streams) nthreads = n_streams;
+  if (nthreads < 1) nthreads = 1;
+
+  bool any_tns = false;
+  if (nthreads == 1) {
+    CceArena arena{cce_post_idx, cce_post_gain, post_cap, 0,
+                   cce_time_idx,  cce_time_gain, time_cap, 0};
+    for (int s = 0; s < n_streams; ++s)
+      parse_stream(s, &arena, &any_tns, errbuf, errbuf_len);
+    cce_counts[0] = arena.post_count;
+    cce_counts[1] = arena.time_count;
+  } else {
+    std::vector<CceArena> arenas(nthreads);
+    std::vector<char> ebufs(static_cast<size_t>(nthreads) * 256, 0);
+    std::vector<uint8_t> tns_flags(nthreads, 0);
+    for (int k = 0; k < nthreads; ++k) {
+      const int64_t p_lo = static_cast<int64_t>(post_cap) * k / nthreads;
+      const int64_t p_hi = static_cast<int64_t>(post_cap) * (k + 1) / nthreads;
+      const int64_t t_lo = static_cast<int64_t>(time_cap) * k / nthreads;
+      const int64_t t_hi = static_cast<int64_t>(time_cap) * (k + 1) / nthreads;
+      arenas[k] = CceArena{
+          cce_post_idx + 3 * p_lo,
+          cce_post_gain + static_cast<int64_t>(kFrameLen) * p_lo,
+          static_cast<int>(p_hi - p_lo), 0,
+          cce_time_idx + 3 * t_lo,
+          cce_time_gain + t_lo,
+          static_cast<int>(t_hi - t_lo), 0};
+    }
+    std::vector<std::thread> workers;
+    workers.reserve(nthreads);
+    for (int k = 0; k < nthreads; ++k) {
+      const int lo = static_cast<int>(
+          static_cast<int64_t>(n_streams) * k / nthreads);
+      const int hi = static_cast<int>(
+          static_cast<int64_t>(n_streams) * (k + 1) / nthreads);
+      workers.emplace_back([&, k, lo, hi]() {
+        bool tns = false;
+        for (int s = lo; s < hi; ++s)
+          parse_stream(s, &arenas[k], &tns, ebufs.data() + k * 256, 256);
+        tns_flags[k] = tns ? 1 : 0;
+      });
+    }
+    for (auto& th : workers) th.join();
+    // compact per-thread CCE arenas into a contiguous prefix (dest is
+    // always at or left of src, and rows never overlap within a move)
+    int np = 0, nt = 0;
+    for (int k = 0; k < nthreads; ++k) {
+      const CceArena& a = arenas[k];
+      if (a.post_count && a.post_idx != cce_post_idx + 3 * np) {
+        memmove(cce_post_idx + 3 * np, a.post_idx,
+                sizeof(int32_t) * 3 * a.post_count);
+        memmove(cce_post_gain + static_cast<size_t>(kFrameLen) * np,
+                a.post_gain, sizeof(float) * kFrameLen * a.post_count);
+      }
+      np += a.post_count;
+      if (a.time_count && a.time_idx != cce_time_idx + 3 * nt) {
+        memmove(cce_time_idx + 3 * nt, a.time_idx,
+                sizeof(int32_t) * 3 * a.time_count);
+        memmove(cce_time_gain + nt, a.time_gain,
+                sizeof(float) * a.time_count);
+      }
+      nt += a.time_count;
+      any_tns = any_tns || tns_flags[k];
+      if (ebufs[static_cast<size_t>(k) * 256] && errbuf_len > 0 && !errbuf[0])
+        snprintf(errbuf, errbuf_len, "%s",
+                 ebufs.data() + static_cast<size_t>(k) * 256);
+    }
+    cce_counts[0] = np;
+    cce_counts[1] = nt;
   }
   has_tns_out[0] = any_tns ? 1 : 0;
   return OK;

@@ -478,3 +478,63 @@ def test_compact_spec_transfer_close_to_exact():
     w16 = run(False, True)
     g16 = run(True, True)
     assert int(np.abs(g16.astype(np.int32) - w16.astype(np.int32)).max()) <= 2
+
+
+def test_native_parse_threads_bit_exact():
+    """The multi-threaded batch parse (AACJAX_PARSE_THREADS) produces
+    bit-identical outputs to the serial path — spectra, meta, TNS, and
+    the compacted CCE side arrays — across a mixed batch (stereo, CCE
+    coupling, and a concealed corrupt frame)."""
+    import os
+    n_streams, T = 12, 3
+    config = _cfg(si=4, ch=2)
+
+    def build_payloads(s):
+        rng = np.random.default_rng(900 + s)
+        if s % 3 == 0:  # coupled stream (exercises the CCE arenas)
+            return [_cce_payload(rng, config, point=s % 2, target_tns=False)
+                    for _ in range(T)]
+        out = []
+        for _ in range(T):
+            w = BitWriter()
+            enc.write_cpe(w, random_cpe_spec(rng, config, common=True),
+                          config, instance=0)
+            out.append(enc.end_frame(w))
+        return out
+
+    payloads = [build_payloads(s) for s in range(n_streams)]
+    payloads[5][1] = b"\x3f\xff\xff\x00"  # corrupt: concealment rollback
+
+    def run(threads):
+        os.environ["AACJAX_PARSE_THREADS"] = str(threads)
+        try:
+            n_slots = 3
+            out = native.SpecBatchArrays(n_streams * n_slots, T)
+            prev = np.zeros(n_streams * n_slots, np.int32)
+            status, has_tns, _ = native.parse_batch_spec(
+                payloads,
+                np.full(n_streams, config.sample_index, np.int32),
+                np.full(n_streams, config.chan_config, np.int32),
+                np.arange(n_streams, dtype=np.int32) * n_slots,
+                np.full(n_streams, n_slots, np.int32), prev, out)
+            return out, status, has_tns, prev
+        finally:
+            del os.environ["AACJAX_PARSE_THREADS"]
+
+    a, st_a, tns_a, prev_a = run(1)
+    b, st_b, tns_b, prev_b = run(8)
+    np.testing.assert_array_equal(st_a, st_b)
+    assert st_a[5] != 0  # the corrupt frame was detected in both
+    assert tns_a == tns_b
+    np.testing.assert_array_equal(prev_a, prev_b)
+    for field in ("spec", "meta", "tns_lpc", "tns_range", "cce_counts"):
+        np.testing.assert_array_equal(getattr(a, field), getattr(b, field),
+                                      err_msg=field)
+    n_post, n_time = int(a.cce_counts[0]), int(a.cce_counts[1])
+    assert n_post + n_time > 0  # arenas exercised
+    # rows past the counts are uncompacted scratch; only the used prefix
+    # is the contract
+    for field, n in (("cce_post_idx", n_post), ("cce_post_gain", n_post),
+                     ("cce_time_idx", n_time), ("cce_time_gain", n_time)):
+        np.testing.assert_array_equal(getattr(a, field)[:n],
+                                      getattr(b, field)[:n], err_msg=field)
