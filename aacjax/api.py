@@ -325,13 +325,16 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
 
     has_sbr, has_ps = _probe_sbr_ps()
     multi_rdb = any(h.num_frames > 1 for h, _, _ in frames)
-    if has_sbr and not has_ps and not multi_rdb:
-        # HE-AAC v1: batched device pipeline (core decode + device SBR
-        # stage chained on device-resident PCM, 2x output rate)
+    if has_sbr and not multi_rdb:
+        # HE-AAC v1/v2: batched device pipeline (core decode + device SBR
+        # [+ Parametric Stereo] stages chained on device-resident PCM,
+        # 2x output rate; PS doubles the channel count)
         dec = BatchDecoder([config], chunk_frames=chunk_frames,
-                           cce_slots=cce_slots)
+                           cce_slots=max(cce_slots, 1) if has_ps
+                           else cce_slots)
         payloads = [data[s:e] for _, s, e in frames]
         out = []
+        nch = 2 if has_ps and config.channels == 1 else config.channels
         for i in range(0, len(payloads), chunk_frames):
             group = payloads[i:i + chunk_frames]
             pcm = dec.step_he_raw([group])        # [C, T, 2F]
@@ -340,7 +343,6 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
                     raise UnsupportedError(
                         f"stream failed: {dec.streams[0].last_error}")
                 dec.streams[0].failed = False  # concealed; keep decoding
-            nch = config.channels
             base = dec.streams[0].base_slot
             block = pcm[base: base + nch, : len(group), :]
             out.append(np.ascontiguousarray(
@@ -348,7 +350,7 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         return np.concatenate(out, axis=0), 2 * config.sample_rate
 
     if has_sbr:
-        # HE-AAC v2 (Parametric Stereo) or multi-rdb: streaming SBR path
+        # multi-raw_data_block HE-AAC: streaming SBR path
         dec = AACDecoder(cookie=adts.synthesize_cookie(header),
                          cce_slots=max(cce_slots, 1))
         dec.feed(data)

@@ -329,6 +329,74 @@ def _conj_mask(is34: bool, nb: int) -> np.ndarray:
     return m
 
 
+def _par_row(par: np.ndarray, e: int, npar: int) -> np.ndarray:
+    """Map a transmitted iid/icc row to the processing resolution
+    (FFmpeg map_idx_10_to_20 / 10_to_34 / 20_to_34)."""
+    row = par[e]
+    if len(row) == npar:
+        return row
+    if npar == 20:                    # 10 -> 20: repeat each entry
+        return np.repeat(row, 2)
+    if len(row) == 10:                # 10 -> 34
+        return row[_MAP_10_TO_34]
+    return _map_20_to_34(row)         # 20 -> 34
+
+
+def _phase_row(par: np.ndarray, e: int, is34: bool, cut: int) -> np.ndarray:
+    row = par[e]
+    if not is34:
+        if len(row) == 5:
+            row = np.concatenate([np.repeat(row, 2), [0]])
+    else:
+        if len(row) == 5:
+            row = np.pad(row, (0, 5))[_MAP_10_TO_34]
+        elif len(row) == 11:
+            row = _map_20_to_34(np.pad(row, (0, 9)))
+    return row[:cut]
+
+
+def resolve_frame_indices(ps: "P.PSData", ipd_hist: np.ndarray,
+                          opd_hist: np.ndarray):
+    """Resolve one frame's PS parameters to LUT indices — shared between
+    the numpy reference path and the batched-device packer so both have
+    identical semantics.
+
+    Returns (ha_idx [num_env, npar], icc_idx [num_env, npar],
+    opd_pd / ipd_pd [num_env, 17] 9-bit smoothed-phase indices where 0
+    means identity, ipdopd flag).  Advances the 6-bit phase histories in
+    place (resets them when ipdopd is off, as FFmpeg does)."""
+    is34 = ps.is34
+    npar = NR_PAR_BANDS[is34]
+    fine = ps.enable_iid and ps.iid_mode >= 3
+    off = 30 if fine else 7
+    num_env = ps.num_env
+    cut = 17 if is34 else 11
+    ipdopd = bool(ps.enable_ipdopd and ps.ipd_par is not None)
+    ha = np.full((num_env, npar), 7, np.int64)
+    ic = np.zeros((num_env, npar), np.int64)
+    opd_pd = np.zeros((num_env, 17), np.int64)
+    ipd_pd = np.zeros((num_env, 17), np.int64)
+    if not ipdopd:
+        ipd_hist[:] = 0
+        opd_hist[:] = 0
+    for e in range(num_env):
+        if ps.enable_iid:
+            ha[e] = _par_row(ps.iid_par, e, npar) + off
+        if ps.enable_icc:
+            ic[e] = _par_row(ps.icc_par, e, npar)
+        if ipdopd:
+            ipd = _phase_row(ps.ipd_par, e, is34, cut)
+            opd = _phase_row(ps.opd_par, e, is34, cut)
+            for b in range(cut):
+                oi = int(opd_hist[b]) * 8 + int(opd[b])
+                ii = int(ipd_hist[b]) * 8 + int(ipd[b])
+                opd_hist[b] = oi & 0x3F
+                ipd_hist[b] = ii & 0x3F
+                opd_pd[e, b] = oi
+                ipd_pd[e, b] = ii
+    return ha, ic, opd_pd, ipd_pd, ipdopd
+
+
 def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
              ) -> tuple[np.ndarray, np.ndarray]:
     """Mono QMF plane X [38, 64] -> (Xl, Xr) [32, 64] stereo planes."""
@@ -359,72 +427,28 @@ def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
     d = decorrelate(proc, s, is34)
 
     # mixing matrices per envelope, then per-slot linear interpolation
-    fine = ps.enable_iid and ps.iid_mode >= 3
-    h_now = proc.h_prev.copy()          # [34, 4]
     l = np.zeros((nb, SLOTS), np.complex128)
     r = np.zeros((nb, SLOTS), np.complex128)
     num_env = ps.num_env
-    # map coarse parameter resolutions up to the band count in use
-    # (FFmpeg map_idx_10_to_20 / map_idx_10_to_34 / map_idx_20_to_34)
-    def par_row(par, e):
-        row = par[e]
-        if len(row) == npar:
-            return row
-        if npar == 20:                    # 10 -> 20: repeat each entry
-            return np.repeat(row, 2)
-        if len(row) == 10:                # 10 -> 34
-            return row[_MAP_10_TO_34]
-        return _map_20_to_34(row)         # 20 -> 34
-
-    # IPD/OPD phase parameters: remap to the processing resolution and
-    # rotate the mixing matrices for the low bands (cut 11 / 17)
-    ipdopd = ps.enable_ipdopd and ps.ipd_par is not None
     ipd_cut = 17 if is34 else 11
-
-    def phase_row(par, e):
-        row = par[e]
-        if not is34:
-            if len(row) == 5:
-                row = np.concatenate([np.repeat(row, 2), [0]])
-        else:
-            if len(row) == 5:
-                row = np.pad(row, (0, 5))[_MAP_10_TO_34]
-            elif len(row) == 11:
-                row = _map_20_to_34(np.pad(row, (0, 9)))
-        return row[:ipd_cut]
+    ha, ic, opd_pd, ipd_pd, ipdopd = resolve_frame_indices(
+        ps, proc.ipd_hist, proc.opd_hist)
 
     if not ipdopd:
-        # FFmpeg resets the phase histories whenever ipdopd is off and
-        # interpolates real-only matrices
-        proc.ipd_hist[:] = 0
-        proc.opd_hist[:] = 0
+        # FFmpeg interpolates real-only matrices when ipdopd is off
         proc.h_prev = proc.h_prev.real.astype(np.complex128)
 
     prev_h = proc.h_prev
     last_stop = -1
     for e in range(num_env):
-        h_target = np.zeros((npar, 4), np.complex128)
-        for b in range(npar):
-            iid_idx = (int(par_row(ps.iid_par, e)[b])
-                       if ps.enable_iid else 0)
-            icc_idx = (int(par_row(ps.icc_par, e)[b])
-                       if ps.enable_icc else 0)
-            mapped = iid_idx + (30 if fine else 7)
-            h_target[b] = t["HA"][mapped, icc_idx]
+        h_target = t["HA"][ha[e], ic[e]].astype(np.complex128)  # [npar,4]
         if ipdopd:
-            ipd = phase_row(ps.ipd_par, e)
-            opd = phase_row(ps.opd_par, e)
-            for b in range(ipd_cut):
-                opd_idx = int(proc.opd_hist[b]) * 8 + int(opd[b])
-                ipd_idx = int(proc.ipd_hist[b]) * 8 + int(ipd[b])
-                proc.opd_hist[b] = opd_idx & 0x3F
-                proc.ipd_hist[b] = ipd_idx & 0x3F
-                opd_c = t["pd_smooth"][opd_idx]
-                adj = opd_c * np.conj(t["pd_smooth"][ipd_idx])
-                h_target[b, 0] *= opd_c
-                h_target[b, 1] *= adj
-                h_target[b, 2] *= opd_c
-                h_target[b, 3] *= adj
+            opd_c = t["pd_smooth"][opd_pd[e, :ipd_cut]]
+            adj = opd_c * np.conj(t["pd_smooth"][ipd_pd[e, :ipd_cut]])
+            h_target[:ipd_cut, 0] *= opd_c
+            h_target[:ipd_cut, 1] *= adj
+            h_target[:ipd_cut, 2] *= opd_c
+            h_target[:ipd_cut, 3] *= adj
         start = int(ps.border_position[e])
         stop = int(ps.border_position[e + 1])
         stop = min(stop, SLOTS - 1)

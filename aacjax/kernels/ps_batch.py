@@ -1,0 +1,369 @@
+"""Batched Parametric Stereo on device (JAX/XLA, TPU-first, 20-band).
+
+One jitted program turns a [B, T] chunk of mono SBR-adjusted QMF planes
+into stereo: hybrid filterbank analysis as sliding-window einsums
+against the full 13-tap complex/real filters, transient detection and
+the 3-link allpass decorrelator as lax.scans over the continuous
+T*32-slot axis (the only truly sequential recurrences), LUT-gathered
+mixing matrices (HA table + smoothed-phase table indexed by the
+host-packed knots, aacjax.host.ps_pack) with per-slot linear
+interpolation — including the negative-center channels' imaginary-start
+negation — and two QMF synthesis filterbanks.
+
+Chunk boundaries are exact: the hybrid FIR's low-band input is the
+continuous X_low stream (identical to the per-frame lookahead semantics
+because the 13-tap filters only ever see low QMF bands), and the
+delay/allpass/transient states carry between chunks.  Numerics follow
+aacjax.host.ps_decode, the reference that is sample-exact against
+libavcodec; equality between the two paths is enforced in
+tests/test_ps_batch.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aacjax.host import ps as P
+from aacjax.host.ps_decode import _make_filter, _tables
+from aacjax.kernels import qmf
+
+SLOTS = 32
+NB = 71                 # hybrid channels (20-band mode)
+NPAR = 20
+NAP = 30                # allpass bands
+SDB = 42                # short-delay band boundary
+MAX_DELAY = 14
+BANDS = 64
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=None)
+def _consts() -> dict:
+    """Device constants for 20-band PS (f32/complex pairs)."""
+    t = _tables()
+    pt = P.tables()
+    out = {}
+    # full 13-tap complex filter for QMF band 0 -> 8 sub-bands
+    f = _make_filter(pt["g0_q8"].astype(np.float64), 8)     # [8, 7]
+    full = np.zeros((8, 13), np.complex128)
+    full[:, :6] = f[:, :6]
+    full[:, 6] = f[:, 6].real
+    full[:, 7:] = np.conj(f[:, 5::-1])
+    out["filt13_r"] = full.real.astype(np.float32)
+    out["filt13_i"] = full.imag.astype(np.float32)
+    # full 13-tap real 2-band split filter (g1_Q2)
+    g1 = np.array([0.0, 0.01899487526049, 0.0, -0.07293139167538,
+                   0.0, 0.30596630545168, 0.5])
+    g2 = np.zeros(13)
+    g2[:7] = g1
+    g2[7:] = g1[5::-1]
+    out["g1_13"] = g2.astype(np.float32)
+    out["HA"] = t["HA"].astype(np.float32)                  # [46, 8, 4]
+    out["pd_r"] = t["pd_smooth"].real.astype(np.float32)    # [512]
+    out["pd_i"] = t["pd_smooth"].imag.astype(np.float32)
+    out["k_to_i"] = t["k_to_i_20"].astype(np.int32)[:NB]
+    out["phi_r"] = t["phi_fract_0"].real.astype(np.float32)  # [30]
+    out["phi_i"] = t["phi_fract_0"].imag.astype(np.float32)
+    out["qf_r"] = t["q_fract_0"].real.astype(np.float32)     # [30, 3]
+    out["qf_i"] = t["q_fract_0"].imag.astype(np.float32)
+    a = np.array([0.65143905753106, 0.56471812200776, 0.48954165955695])
+    gds = np.clip(1.0 - 0.05 * (np.arange(NAP) - 10), 0.0, 1.0)
+    out["ag"] = (a[None, :] * gds[:, None]).astype(np.float32)  # [30, 3]
+    # plain-delay offset per band into the [14 hist | S] line
+    doff = np.zeros(NB, np.int64)
+    doff[:SDB] = MAX_DELAY - MAX_DELAY   # (allpass bands unused; k<42: d=14)
+    doff[SDB:] = MAX_DELAY - 1
+    out["delay_off"] = doff
+    cm = np.zeros(NB, np.float32)
+    cm[:2] = 1.0                         # negative-center channels
+    out["conj_mask"] = cm
+    return out
+
+
+def ps_state_init(B: int) -> dict:
+    return dict(
+        hist4_r=jnp.zeros((B, 4, 5), jnp.float32),
+        hist4_i=jnp.zeros((B, 4, 5), jnp.float32),
+        delay_r=jnp.zeros((B, NB, MAX_DELAY), jnp.float32),
+        delay_i=jnp.zeros((B, NB, MAX_DELAY), jnp.float32),
+        ap_r=jnp.zeros((B, NAP, 3, 5), jnp.float32),
+        ap_i=jnp.zeros((B, NAP, 3, 5), jnp.float32),
+        peak=jnp.zeros((B, NPAR), jnp.float32),
+        psmooth=jnp.zeros((B, NPAR), jnp.float32),
+        pdiff=jnp.zeros((B, NPAR), jnp.float32),
+        v_l=jnp.zeros((B, qmf.SYN_HIST, 128), jnp.float32),
+        v_r=jnp.zeros((B, qmf.SYN_HIST, 128), jnp.float32),
+    )
+
+
+def _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S):
+    """Xr/Xi [B,S,64] (HF+low per slot), lo_r/i [B,S+12,5] the continuous
+    low-band line incl. 6 slots of history and 6 of lookahead ->
+    s [B,S,71] complex (re, im)."""
+    widx = jnp.arange(S)[:, None] + jnp.arange(13)[None, :]   # [S, 13]
+    w0r = lo_r[:, widx, 0]                                    # [B,S,13]
+    w0i = lo_i[:, widx, 0]
+    fr, fi = jnp.asarray(c["filt13_r"]), jnp.asarray(c["filt13_i"])
+    sub_r = (jnp.einsum('bsj,qj->bsq', w0r, fr, precision=_HI)
+             - jnp.einsum('bsj,qj->bsq', w0i, fi, precision=_HI))
+    sub_i = (jnp.einsum('bsj,qj->bsq', w0i, fr, precision=_HI)
+             + jnp.einsum('bsj,qj->bsq', w0r, fi, precision=_HI))
+    # fold: singles 6,7,0,1 then pairs 2+5, 3+4
+    def fold(sub):
+        return jnp.stack([sub[..., 6], sub[..., 7], sub[..., 0],
+                          sub[..., 1], sub[..., 2] + sub[..., 5],
+                          sub[..., 3] + sub[..., 4]], axis=-1)  # [B,S,6]
+    g1 = jnp.asarray(c["g1_13"])
+    outs_r, outs_i = [fold(sub_r)], [fold(sub_i)]
+    for qb, rev in ((1, 1), (2, 0)):
+        wr = lo_r[:, widx, qb]
+        wi = lo_i[:, widx, qb]
+        mid_r = jnp.einsum('bsj,j->bs', wr, g1, precision=_HI)
+        mid_i = jnp.einsum('bsj,j->bs', wi, g1, precision=_HI)
+        # g1_13 is symmetric: mid already contains mid+op; recover the
+        # two split outputs from mid_tap and op separately
+        ctr_r = wr[..., 6] * g1[6]
+        ctr_i = wi[..., 6] * g1[6]
+        op_r = mid_r - ctr_r
+        op_i = mid_i - ctr_i
+        plus_r, plus_i = ctr_r + op_r, ctr_i + op_i
+        minus_r, minus_i = ctr_r - op_r, ctr_i - op_i
+        pair_r = (jnp.stack([minus_r, plus_r], -1) if rev
+                  else jnp.stack([plus_r, minus_r], -1))
+        pair_i = (jnp.stack([minus_i, plus_i], -1) if rev
+                  else jnp.stack([plus_i, minus_i], -1))
+        outs_r.append(pair_r)
+        outs_i.append(pair_i)
+    outs_r.append(Xr[:, :, 3:])                               # [B,S,61]
+    outs_i.append(Xi[:, :, 3:])
+    return (jnp.concatenate(outs_r, axis=-1),
+            jnp.concatenate(outs_i, axis=-1))                 # [B,S,71]
+
+
+def _decorrelate(s_r, s_i, state, c, B, S):
+    """Transient-attenuated allpass decorrelation -> d [B,S,71]."""
+    k_to_i = jnp.asarray(c["k_to_i"])
+    # per-parameter-band power via indicator matmul
+    ind = (k_to_i[:, None] == jnp.arange(NPAR)[None, :]).astype(jnp.float32)
+    pw = jnp.einsum('bsk,kp->bsp', s_r * s_r + s_i * s_i, ind,
+                    precision=_HI)                            # [B,S,20]
+
+    def tstep(carry, x):
+        peak, psm, pdf = carry
+        decayed = jnp.float32(0.76592833836465) * peak
+        peak = jnp.maximum(decayed, x)
+        psm = psm + jnp.float32(0.25) * (x - psm)
+        pdf = pdf + jnp.float32(0.25) * (peak - x - pdf)
+        denom = jnp.float32(1.5) * pdf
+        g = jnp.where(denom > psm, psm / jnp.where(denom > 0, denom, 1.0),
+                      1.0)
+        return (peak, psm, pdf), g
+
+    (peak, psm, pdf), tg = jax.lax.scan(
+        tstep, (state["peak"], state["psmooth"], state["pdiff"]),
+        jnp.moveaxis(pw, 1, 0))                               # tg [S,B,20]
+    tg = jnp.moveaxis(tg, 0, 1)                               # [B,S,20]
+    tg_k = tg[:, :, c["k_to_i"]]                              # [B,S,71]
+
+    # delay lines: [14 hist | S] along slots
+    line_r = jnp.concatenate([state["delay_r"],
+                              jnp.moveaxis(s_r, 1, 2)], axis=2)  # [B,71,14+S]
+    line_i = jnp.concatenate([state["delay_i"],
+                              jnp.moveaxis(s_i, 1, 2)], axis=2)
+    new_delay_r = line_r[:, :, -MAX_DELAY:]
+    new_delay_i = line_i[:, :, -MAX_DELAY:]
+
+    # non-allpass bands: static per-band delay (14 below SDB, 1 above)
+    didx = (jnp.asarray(c["delay_off"])[None, :, None]
+            + jnp.arange(S)[None, None, :])                   # [1,71,S]
+    dp_r = jnp.take_along_axis(line_r, jnp.broadcast_to(didx, (B, NB, S)),
+                               axis=2)
+    dp_i = jnp.take_along_axis(line_i, jnp.broadcast_to(didx, (B, NB, S)),
+                               axis=2)                        # [B,71,S]
+
+    # allpass bands: input = 2-slot-delayed s rotated by phi_fract
+    xin_r_l = line_r[:, :NAP, MAX_DELAY - 2: MAX_DELAY - 2 + S]
+    xin_i_l = line_i[:, :NAP, MAX_DELAY - 2: MAX_DELAY - 2 + S]
+    phi_r = jnp.asarray(c["phi_r"])[None, :, None]
+    phi_i = jnp.asarray(c["phi_i"])[None, :, None]
+    xr = xin_r_l * phi_r - xin_i_l * phi_i                    # [B,30,S]
+    xi = xin_r_l * phi_i + xin_i_l * phi_r
+    qf_r = jnp.asarray(c["qf_r"])                             # [30,3]
+    qf_i = jnp.asarray(c["qf_i"])
+    ag = jnp.asarray(c["ag"])                                 # [30,3]
+
+    def apstep(carry, x):
+        ar, ai = carry                                        # [B,30,3,5]
+        cr, ci = x                                            # [B,30]
+        new_ar, new_ai = [], []
+        for m in range(3):
+            ld_r = ar[:, :, m, 2 - m]
+            ld_i = ai[:, :, m, 2 - m]
+            nr = ld_r * qf_r[:, m] - ld_i * qf_i[:, m] - ag[:, m] * cr
+            ni = ld_r * qf_i[:, m] + ld_i * qf_r[:, m] - ag[:, m] * ci
+            new_ar.append(jnp.concatenate(
+                [ar[:, :, m, 1:], (cr + ag[:, m] * nr)[:, :, None]], axis=2))
+            new_ai.append(jnp.concatenate(
+                [ai[:, :, m, 1:], (ci + ag[:, m] * ni)[:, :, None]], axis=2))
+            cr, ci = nr, ni
+        return ((jnp.stack(new_ar, axis=2), jnp.stack(new_ai, axis=2)),
+                (cr, ci))
+
+    (ap_r, ap_i), (out_r, out_i) = jax.lax.scan(
+        apstep, (state["ap_r"], state["ap_i"]),
+        (jnp.moveaxis(xr, 2, 0), jnp.moveaxis(xi, 2, 0)))
+    out_r = jnp.moveaxis(out_r, 0, 2)                         # [B,30,S]
+    out_i = jnp.moveaxis(out_i, 0, 2)
+
+    d_r = jnp.concatenate([out_r, dp_r[:, NAP:]], axis=1)     # [B,71,S]
+    d_i = jnp.concatenate([out_i, dp_i[:, NAP:]], axis=1)
+    d_r = jnp.moveaxis(d_r, 1, 2) * tg_k                      # [B,S,71]
+    d_i = jnp.moveaxis(d_i, 1, 2) * tg_k
+    new_state = dict(peak=peak, psmooth=psm, pdiff=pdf,
+                     delay_r=new_delay_r, delay_i=new_delay_i,
+                     ap_r=ap_r, ap_i=ap_i)
+    return d_r, d_i, new_state
+
+
+def _mixing_h(dense, c, B, T):
+    """Host-packed knot indices -> per-slot H [B,T,32,20,4] (re, im) and
+    the imneg interpolation track (imaginary-start negation)."""
+    HA = jnp.asarray(c["HA"])
+    pd_r = jnp.asarray(c["pd_r"])
+    pd_i = jnp.asarray(c["pd_i"])
+    ha = dense["ps_ha"][:, :, :, :NPAR]                       # [B,T,6,20]
+    ic = dense["ps_icc"][:, :, :, :NPAR]
+    base = HA[jnp.maximum(ha, 0), ic]                         # [B,T,6,20,4]
+    base = base * (ha >= 0).astype(jnp.float32)[..., None]
+    opd = dense["ps_opd"]                                     # [B,T,6,17]
+    ipd = dense["ps_ipd"]
+    o_r, o_i = pd_r[opd], pd_i[opd]
+    i_r, i_i = pd_r[ipd], pd_i[ipd]
+    adj_r = o_r * i_r + o_i * i_i                             # opd*conj(ipd)
+    adj_i = o_i * i_r - o_r * i_i
+    rot_r = jnp.stack([o_r, adj_r, o_r, adj_r], axis=-1)      # [B,T,6,17,4]
+    rot_i = jnp.stack([o_i, adj_i, o_i, adj_i], axis=-1)
+    pad_shape = rot_r.shape[:3] + (NPAR - 17, 4)
+    rot_r = jnp.concatenate(
+        [rot_r, jnp.ones(pad_shape, jnp.float32)], axis=3)
+    rot_i = jnp.concatenate(
+        [rot_i, jnp.zeros(pad_shape, jnp.float32)], axis=3)
+    K_r = base * rot_r                                        # [B,T,6,20,4]
+    K_i = base * rot_i
+
+    al = dense["ps_alpha"][..., None, None]                   # [B,T,32,1,1]
+    idx_lo = jnp.broadcast_to(
+        dense["ps_knot_lo"][..., None, None],
+        (B, T, SLOTS, NPAR, 4)).astype(jnp.int32)
+    idx_hi = jnp.broadcast_to(
+        dense["ps_knot_hi"][..., None, None],
+        (B, T, SLOTS, NPAR, 4)).astype(jnp.int32)
+    # gather knots per slot along the knot axis (arr [B,T,6,20,4])
+    lo_r = jnp.take_along_axis(K_r, idx_lo, axis=2)
+    lo_i = jnp.take_along_axis(K_i, idx_lo, axis=2)
+    hi_r = jnp.take_along_axis(K_r, idx_hi, axis=2)
+    hi_i = jnp.take_along_axis(K_i, idx_hi, axis=2)
+    h_r = (1.0 - al) * lo_r + al * hi_r                       # [B,T,32,20,4]
+    h_i = (1.0 - al) * lo_i + al * hi_i
+    h_imneg = -(1.0 - al) * lo_i + al * hi_i
+    return h_r, h_i, h_imneg
+
+
+def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
+             B: int, T: int) -> tuple:
+    """Mono SBR plane -> stereo QMF planes + dual synthesis.
+
+    Xr/Xi [B,S,64] (32768 scale); xall_lo_r/i [B, 8+S, 5] = the SBR
+    stage's continuous low-band analysis line (8 history rows + S; its
+    last 6 rows are this chunk's hybrid-filter lookahead).  Returns
+    (pcm_l, pcm_r [B, S*64] in 32768 scale, new_state)."""
+    c = _consts()
+    S = T * SLOTS
+    # continuous hybrid-FIR input: X slot n lives at xall row n+2, and
+    # the FIR needs X slots [n-6, n+6] -> prepend 4 carried rows so row r
+    # of `lo` is X slot r-6
+    lo_r = jnp.concatenate([state["hist4_r"], xall_lo_r], axis=1)
+    lo_i = jnp.concatenate([state["hist4_i"], xall_lo_i], axis=1)
+    new_hist4_r = xall_lo_r[:, S - 4: S]
+    new_hist4_i = xall_lo_i[:, S - 4: S]
+    s_r, s_i = _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S)
+    d_r, d_i, dec_state = _decorrelate(s_r, s_i, state, c, B, S)
+    h_r, h_i, h_imneg = _mixing_h(dense, c, B, T)
+
+    k_to_i = c["k_to_i"]
+    hk_r = h_r[:, :, :, k_to_i]                               # [B,T,32,71,4]
+    hk_i = h_i[:, :, :, k_to_i]
+    hk_in = h_imneg[:, :, :, k_to_i]
+    cmask = jnp.asarray(c["conj_mask"])[None, None, None, :, None]
+    hk_i = hk_i * (1.0 - cmask) + hk_in * cmask
+    hk_r = hk_r.reshape(B, S, NB, 4)
+    hk_i = hk_i.reshape(B, S, NB, 4)
+
+    has = dense["ps_has"].reshape(B, T, 1, 1)
+    has_s = jnp.broadcast_to(has, (B, T, SLOTS, 1)).reshape(B, S, 1)
+
+    def cmul(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    l_r, l_i = cmul(s_r, s_i, hk_r[..., 0], hk_i[..., 0])
+    t2_r, t2_i = cmul(d_r, d_i, hk_r[..., 2], hk_i[..., 2])
+    l_r, l_i = l_r + t2_r, l_i + t2_i
+    r_r, r_i = cmul(s_r, s_i, hk_r[..., 1], hk_i[..., 1])
+    t3_r, t3_i = cmul(d_r, d_i, hk_r[..., 3], hk_i[..., 3])
+    r_r, r_i = r_r + t3_r, r_i + t3_i
+
+    def hybrid_synthesis(ch_r, ch_i):
+        b0_r = jnp.sum(ch_r[..., :6], axis=-1, keepdims=True)
+        b0_i = jnp.sum(ch_i[..., :6], axis=-1, keepdims=True)
+        b1_r = (ch_r[..., 6] + ch_r[..., 7])[..., None]
+        b1_i = (ch_i[..., 6] + ch_i[..., 7])[..., None]
+        b2_r = (ch_r[..., 8] + ch_r[..., 9])[..., None]
+        b2_i = (ch_i[..., 8] + ch_i[..., 9])[..., None]
+        return (jnp.concatenate([b0_r, b1_r, b2_r, ch_r[..., 10:]], -1),
+                jnp.concatenate([b0_i, b1_i, b2_i, ch_i[..., 10:]], -1))
+
+    Xl_r, Xl_i = hybrid_synthesis(l_r, l_i)                   # [B,S,64]
+    Xl_r = jnp.where(has_s != 0.0, Xl_r, Xr)
+    Xl_i = jnp.where(has_s != 0.0, Xl_i, Xi)
+    Xr2_r, Xr2_i = hybrid_synthesis(r_r, r_i)
+    Xr2_r = jnp.where(has_s != 0.0, Xr2_r, Xr)
+    Xr2_i = jnp.where(has_s != 0.0, Xr2_i, Xi)
+
+    pcm_l, v_l = qmf.synthesis(Xl_r, Xl_i, state["v_l"])
+    pcm_r, v_r = qmf.synthesis(Xr2_r, Xr2_i, state["v_r"])
+    new_state = dict(state)
+    new_state.update(dec_state)
+    new_state["hist4_r"] = new_hist4_r
+    new_state["hist4_i"] = new_hist4_i
+    new_state["v_l"] = v_l
+    new_state["v_r"] = v_r
+    return pcm_l, pcm_r, new_state
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_sbr_ps_apply(cfg, out_int16: bool = False):
+    """One jitted program: core PCM -> SBR -> PS -> stereo PCM routed to
+    output slots (ps_dense['out_src'/'out_role']: slot c emits channel
+    role (0=L, 1=R) of source slot src[c])."""
+    from aacjax.kernels.sbr_batch import sbr_apply
+
+    def fn(core_pcm, dense, ps_dense, state, ps_state):
+        B, T, F = core_pcm.shape
+        Xr, Xi, lo_r, lo_i, new_state = sbr_apply(
+            core_pcm, dense, state, cfg, emit_x=True)
+        new_state["v_hist"] = state["v_hist"]  # PS owns synthesis state
+        pcm_l, pcm_r, new_ps = ps_apply(Xr, Xi, lo_r, lo_i,
+                                        ps_dense, ps_state, B, T)
+        src = ps_dense["out_src"]
+        role = ps_dense["out_role"][:, None]
+        out = jnp.where(role != 0, pcm_r[src], pcm_l[src])
+        out = out.reshape(B, T, 2 * F)
+        if out_int16:
+            return (jnp.clip(jnp.round(out), -32768.0, 32767.0)
+                    .astype(jnp.int16), new_state, new_ps)
+        return out * jnp.float32(1.0 / 32768.0), new_state, new_ps
+
+    return jax.jit(fn, donate_argnums=(3, 4))

@@ -128,9 +128,15 @@ def _lpc_batch(wr, wi):
 
 def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
               cfg: SBRStaticConfig,
-              out_int16: bool = False) -> tuple[jax.Array, dict]:
+              out_int16: bool = False,
+              emit_x: bool = False):
     """core_pcm [B, T, F] (1/32768-scale floats) -> pcm [B, T, 2F] plus
-    the updated QMF state.  dense: the host-packed arrays (sbr_pack)."""
+    the updated QMF state.  dense: the host-packed arrays (sbr_pack).
+
+    With emit_x, returns (Xr, Xi [B, T*32, 64], xall low-band line
+    [B, 8+T*32, 5] re/im, new_state) BEFORE synthesis — the Parametric
+    Stereo stage (kernels.ps_batch) consumes the plane and runs its own
+    dual synthesis (the v_hist state stays untouched)."""
     B, T, F = core_pcm.shape
     S = T * SLOTS
     kx, m = cfg.kx, cfg.m
@@ -254,6 +260,10 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     hf_mask = patched * has
     Xr = xlow64_r * low_mask + y_r * hf_mask
     Xi = xlow64_i * low_mask + y_i * hf_mask
+
+    if emit_x:
+        return (Xr.reshape(B, S, BANDS), Xi.reshape(B, S, BANDS),
+                xall_r[:, :, :5], xall_i[:, :, :5], new_state)
 
     pcm, v_hist = qmf.synthesis(Xr.reshape(B, S, BANDS),
                                 Xi.reshape(B, S, BANDS), state['v_hist'])

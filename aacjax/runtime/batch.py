@@ -213,22 +213,64 @@ class BatchDecoder:
             # cache for context-free (all-delta-freq) SBR payloads, shared
             # across streams: serving fleets repeat identical payloads
             self._sbr_parse_cache: dict = {}
+            # Parametric Stereo (HE-AAC v2) batched stage
+            from aacjax.host import ps_pack as PP
+            self._ps_enabled = False
+            self._ps_dense = None
+            self._ps_pack_states = [PP.PSPackState() for _ in range(self.C)]
+            self._ps_pair = [-1] * self.C   # R-output slot per PS source
+            self._ps_dev_state = None
+            self._ps_np: list = [None] * self.C  # sticky (PSProc, vl, vr)
+
+    def _ps_engage(self, slot: int) -> None:
+        """First ps_data on `slot`: allocate the chunk's PS dense arrays,
+        assign the stereo pair slot, and flip the chunk to the combined
+        SBR+PS program."""
+        from aacjax.host import ps_pack as PP
+        from aacjax.runtime.pack import SlotOverflowError
+        if self._ps_pair[slot] < 0:
+            st = next(s for s in self.streams
+                      if s.base_slot <= slot < s.base_slot + s.n_slots)
+            pair = slot + 1
+            if pair >= st.base_slot + st.n_slots:
+                raise SlotOverflowError(
+                    "HE-AAC v2 (Parametric Stereo) emits 2 channels from a "
+                    "mono stream and needs a spare slot; raise cce_slots "
+                    "(BatchDecoder/decode_adts) to at least 1")
+            self._ps_pair[slot] = pair
+        if self._ps_dense is None:
+            self._ps_dense = PP.alloc_ps_dense(self.C, self.T)
+        self._ps_enabled = True
 
     def _sbr_chunk_begin(self, payloads_per_stream) -> None:
         """Per-chunk bookkeeping for the numpy fallback: frame counts per
         slot, the per-slot SBR records for possible replay, and a
         snapshot of the host sequential state (a slot that turns sticky
         mid-chunk replays its whole chunk from the pre-chunk state)."""
-        import copy
+        from aacjax.host.sbr_pack import SBRHostState
         self._chunk_nframes = [0] * self.C
         for st, payloads in zip(self.streams, payloads_per_stream):
             n = len(payloads or [])
             for s in range(st.base_slot, st.base_slot + st.n_slots):
                 self._chunk_nframes[s] = n
         self._chunk_sbr_records: list[list] = [[] for _ in range(self.C)]
+        if self._ps_dense is not None:
+            from aacjax.host import ps_pack as PP
+            self._ps_dense = PP.alloc_ps_dense(self.C, self.T)
+
+        def clone(hs):
+            return SBRHostState(
+                bw=hs.bw.copy(),
+                invf_prev=(None if hs.invf_prev is None
+                           else hs.invf_prev.copy()),
+                index_noise=hs.index_noise, index_sine=hs.index_sine,
+                la_prev=hs.la_prev,
+                s_index_prev=(None if hs.s_index_prev is None
+                              else hs.s_index_prev.copy()))
+
         self._host_state_snap = [
             None if self._sbr_np_sticky[s] else
-            copy.deepcopy(self._sbr_host_states[s]) for s in range(self.C)]
+            clone(self._sbr_host_states[s]) for s in range(self.C)]
 
     def _sbr_pack_payload(self, dense, np_jobs, sf, slot: int, nch: int,
                           t: int) -> None:
@@ -245,6 +287,7 @@ class BatchDecoder:
                 sf.tables, float(sbrmod._consts()["limgain"][
                     sf.header.limiter_gains])))
         eq = sbrmod.dequant(sf)
+        ps = getattr(sf, "ps", None) if nch == 1 else None
         for c in range(nch):
             g = sf.channels[c].grid
             self._chunk_sbr_records[slot + c].append((t, sf, c, eq[c]))
@@ -255,6 +298,16 @@ class BatchDecoder:
                 SP.pack_channel_frame(dense, slot + c, t,
                                       self._sbr_host_states[slot + c],
                                       sf, c, eq[c])
+        if nch == 1 and (
+                ps is not None
+                or self._ps_pack_states[slot].ps_prev is not None):
+            from aacjax.host import ps_pack as PP
+            self._ps_engage(slot)
+            if not self._sbr_np_sticky[slot]:
+                if not PP.pack_ps_frame(self._ps_dense, slot, t,
+                                        self._ps_pack_states[slot], ps):
+                    # 34-band PS mode: the batched kernel is 20-band
+                    self._sbr_np_sticky[slot] = True
 
     def _sbr_stage(self, core_pcm, dense, np_jobs,
                    out_int16: bool = False) -> np.ndarray:
@@ -280,9 +333,39 @@ class BatchDecoder:
             s: tuple(np.asarray(prev_state[k][s], np.float64)
                      for k in ("x_hist", "v_hist", "xlow_r", "xlow_i"))
             for s in sticky if self._sbr_np_procs[s] is None}
-        fn = jitted_sbr_apply(self._sbr_cfg[1],
-                              out_int16 and not sticky)
-        pcm2, self._sbr_dev_state = fn(core_pcm, vars(dense), prev_state)
+        if self._ps_enabled:
+            import jax.numpy as jnp
+            from aacjax.kernels.ps_batch import (jitted_sbr_ps_apply,
+                                                 ps_state_init)
+            if self._ps_dev_state is None:
+                self._ps_dev_state = ps_state_init(self.C)
+                # PS owns the L synthesis from here: continue the mono
+                # path's filterbank state seamlessly
+                self._ps_dev_state["v_l"] = prev_state["v_hist"].copy()
+            out_src = np.arange(self.C, dtype=np.int32)
+            out_role = np.zeros(self.C, np.int32)
+            for s, p in enumerate(self._ps_pair):
+                if p >= 0:
+                    out_src[p] = s
+                    out_role[p] = 1
+            d = self._ps_dense
+            ps_dense = dict(
+                ps_ha=jnp.asarray(d.ha_idx), ps_icc=jnp.asarray(d.icc_idx),
+                ps_opd=jnp.asarray(d.opd_pd), ps_ipd=jnp.asarray(d.ipd_pd),
+                ps_knot_lo=jnp.asarray(d.knot_lo),
+                ps_knot_hi=jnp.asarray(d.knot_hi),
+                ps_alpha=jnp.asarray(d.alpha), ps_has=jnp.asarray(d.has_ps),
+                out_src=jnp.asarray(out_src), out_role=jnp.asarray(out_role))
+            fn = jitted_sbr_ps_apply(self._sbr_cfg[1],
+                                     out_int16 and not sticky)
+            pcm2, self._sbr_dev_state, self._ps_dev_state = fn(
+                core_pcm, vars(dense), ps_dense, prev_state,
+                self._ps_dev_state)
+        else:
+            fn = jitted_sbr_apply(self._sbr_cfg[1],
+                                  out_int16 and not sticky)
+            pcm2, self._sbr_dev_state = fn(core_pcm, vars(dense),
+                                           prev_state)
         # re-home the pending stats record to the chained result
         pending = self._pending_steps.pop(id(core_pcm), None)
         if pending is not None:
@@ -317,14 +400,39 @@ class BatchDecoder:
                     self._sbr_np_procs[slot] = proc
                 recs = {t: (sf, c, eq)
                         for (t, sf, c, eq) in self._chunk_sbr_records[slot]}
+                pair = self._ps_pair[slot]
                 for t in range(self._chunk_nframes[slot]):
                     core = core_np[slot, t].astype(np.float64)
                     if t in recs:
                         sf, c, eq = recs[t]
-                        out[slot, t] = SD.process_channel(proc, core,
-                                                          sf, c, eq)
+                        if pair >= 0:
+                            # PS stream (e.g. 34-band mode): full numpy
+                            # stereo path.  The PS DSP state starts cold
+                            # at the transition (one-frame settle).
+                            from aacjax.host.ps_decode import (PSProc,
+                                                               apply_ps)
+                            if self._ps_np[slot] is None:
+                                self._ps_np[slot] = (
+                                    PSProc(),
+                                    np.array(proc.v_hist),
+                                    np.array(proc.v_hist) * 0.0)
+                            psproc, vl, vr = self._ps_np[slot]
+                            X = SD.process_channel(proc, core, sf, 0,
+                                                   eq, return_x=True)
+                            xl, xr = apply_ps(psproc, X,
+                                              getattr(sf, "ps", None))
+                            pl, vl = SD._qmf_synthesis_np(xl, vl)
+                            pr, vr = SD._qmf_synthesis_np(xr, vr)
+                            self._ps_np[slot] = (psproc, vl, vr)
+                            out[slot, t] = pl * (1.0 / 32768.0)
+                            out[pair, t] = pr * (1.0 / 32768.0)
+                        else:
+                            out[slot, t] = SD.process_channel(proc, core,
+                                                              sf, c, eq)
                     else:
                         out[slot, t] = SD.process_passthrough(proc, core)
+                        if pair >= 0:
+                            out[pair, t] = out[slot, t]
         return out
 
     def step_he_raw(self, payloads_per_stream: list[list[bytes] | None],

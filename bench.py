@@ -87,9 +87,11 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
     return {k: round(v, 4) for k, v in best.items()}
 
 
-def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int) -> int:
-    """HE-AAC v1 (SBR) batched throughput: python host parse + the two
-    chained device programs (core decode -> batched SBR), 2x output rate.
+def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
+             ps: bool = False) -> int:
+    """HE-AAC batched throughput: host parse + the chained device
+    programs (core decode -> batched SBR [-> batched Parametric Stereo
+    with --ps: mono v2 streams emitting stereo]), 2x output rate.
 
     The reference cannot decode HE-AAC at all (decoder.js:279-280), so
     there is no baseline; vs_baseline uses the same >=1000x target."""
@@ -102,28 +104,42 @@ def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int) -> int:
     from aacjax.testing import encoder as enc
     from aacjax.testing.sbr_encoder import SBRFrameSpec, sbr_payload
 
-    core_cfg = parse_asc(make_asc(2, 7, 2))  # 22050 core -> 44100 out
+    from aacjax.testing.sbr_encoder import PSSpec
+
+    core_cfg = parse_asc(make_asc(2, 7, 1 if ps else 2))  # 22050 -> 44100
     h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
     t = S.derive_tables(h, 44100)
     spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
                         env_q=np.full((2, t.n_high), 25, np.int64),
                         noise_q=np.full((2, t.n_q), 24, np.int64))
-    pay = sbr_payload([spec, spec], h, 44100)
+    if ps:
+        psd = PSSpec(iid_mode=0, num_env=2,
+                     iid_par=np.stack([np.arange(10) % 15 - 7,
+                                       7 - np.arange(10) % 15]),
+                     icc_mode=0, icc_par=np.arange(20).reshape(2, 10) % 8,
+                     ipd_par=np.arange(10).reshape(2, 5) % 8,
+                     opd_par=np.arange(10)[::-1].reshape(2, 5) % 8)
+        pay = sbr_payload([spec], h, 44100, ps=psd)
+    else:
+        pay = sbr_payload([spec, spec], h, 44100)
     n = int(seconds * 22050) // 1024 * 1024
     rng = np.random.default_rng(7)
     bl, al = sig.butter(8, 3600 / 11025.0)
-    x = sig.lfilter(bl, al, rng.standard_normal((n, 2)), axis=0) * 9000
+    nch = 1 if ps else 2
+    x = sig.lfilter(bl, al, rng.standard_normal((n, nch)), axis=0) * 9000
     frames = enc.encode_pcm_frames(x, core_cfg, target_sf=122,
                                    fil_payloads=[pay])
     per_stream = [list(frames)] * n_streams
     n_frames = len(frames) // chunk * chunk
 
-    warm = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk)
+    slots = dict(cce_slots=1) if ps else {}
+    warm = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk, **slots)
     warm.step_he_raw([p[:chunk] for p in per_stream], out_int16=True)
 
     best = 0.0
     for _ in range(repeats):
-        dec = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk)
+        dec = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk,
+                           **slots)
         t1 = time.time()
         for lo in range(0, n_frames, chunk):
             dec.step_he_raw([p[lo:lo + chunk] for p in per_stream],
@@ -131,10 +147,13 @@ def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int) -> int:
         wall = time.time() - t1
         audio_seconds = n_streams * n_frames * 2048 / 44100.0
         best = max(best, audio_seconds / wall)
+    label = ("HE-AAC v2 mono->stereo (SBR+PS)" if ps
+             else "HE-AAC v1 stereo")
     print(json.dumps({
-        "metric": "he_aac_aggregate_realtime_x",
+        "metric": ("he_aac_v2_aggregate_realtime_x" if ps
+                   else "he_aac_aggregate_realtime_x"),
         "value": round(best, 1),
-        "unit": f"x_realtime ({n_streams} HE-AAC v1 stereo streams, 1 chip, "
+        "unit": f"x_realtime ({n_streams} {label} streams, 1 chip, "
                 "end-to-end incl. python host parse; reference has no SBR)",
         "vs_baseline": round(best / 1000.0, 3),
     }))
@@ -164,11 +183,15 @@ def main() -> int:
     ap.add_argument("--he", action="store_true",
                     help="benchmark the batched HE-AAC (SBR) pipeline "
                          "instead of AAC-LC")
+    ap.add_argument("--ps", action="store_true",
+                    help="with --he: HE-AAC v2 (Parametric Stereo) "
+                         "mono->stereo streams")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
-    if args.he:
-        return bench_he(args.streams, args.seconds, args.chunk, args.repeats)
+    if args.he or args.ps:
+        return bench_he(args.streams, args.seconds, args.chunk,
+                        args.repeats, ps=args.ps)
 
     from aacjax.host import adts, native
     from aacjax.runtime.batch import BatchDecoder
