@@ -93,3 +93,51 @@ def test_corrupt_stream_cannot_poison_batch():
     solo = BatchDecoder([config], chunk_frames=2, use_native=True)
     want = solo.step_raw([good])
     np.testing.assert_array_equal(pcm[:2], want[:2])
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_he_aac_survives_mutations(seed):
+    """Bit-flipped HE-AAC v1/v2 streams (flips aimed at the SBR FIL /
+    ps_data region) must decode, conceal, or raise a clean error — no
+    crashes, NaNs in delivered PCM, or unbounded loops."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_ps import make_ps_stream, PSSpec
+    from test_sbr import make_he_stream
+    from aacjax.api import UnsupportedError, decode_adts
+
+    rng = np.random.default_rng(seed)
+    if seed % 2:
+        stream = bytearray(make_he_stream(ch=1, n_frames=4, seed=seed))
+    else:
+        nr = 10
+        stream = bytearray(make_ps_stream(PSSpec(
+            iid_mode=0, iid_par=rng.integers(-7, 8, (1, nr))), n_frames=4,
+            seed=seed))
+    # flip a handful of bits in the back half of random frames (the SBR
+    # FIL extension rides at the frame tail)
+    for _ in range(4):
+        pos = int(rng.integers(len(stream) // 2, len(stream)))
+        stream[pos] ^= 1 << int(rng.integers(8))
+    try:
+        pcm, rate = decode_adts(bytes(stream), on_error="skip")
+        assert np.isfinite(pcm).all()
+    except (BitstreamError, UnsupportedError):
+        pass
+
+
+def test_ps_parser_survives_garbage():
+    """Random bytes through read_ps_data: clean BitstreamError or a
+    parsed struct, never a crash."""
+    from aacjax.host.bitio import BitstreamUnderflow
+    from aacjax.host.ps import PSContext, read_ps_data
+    for seed in range(50):
+        rng = np.random.default_rng(1000 + seed)
+        data = rng.integers(0, 256, size=int(rng.integers(2, 40))).astype(
+            np.uint8).tobytes()
+        ctx = PSContext()
+        ctx.header_seen = bool(seed % 2)
+        try:
+            read_ps_data(BitReader(data), ctx, len(data) * 8)
+        except (BitstreamError, BitstreamUnderflow):
+            pass
