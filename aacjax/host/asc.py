@@ -2,8 +2,10 @@
 
 Reproduces the reference setCookie semantics (decoder.js:53-113): profile
 escape codes, explicit 24-bit sample rate, GASpecificConfig with
-frameLengthFlag / dependsOnCoreCoder / extensionFlag handling, and the same
-unsupported-feature errors (frameLengthFlag, PCE, non-LC profiles).
+frameLengthFlag / dependsOnCoreCoder / extensionFlag handling — and goes
+past the reference's rejections: frameLengthFlag=1 (960 mode), PCE
+(chanConfig 0), AOT 5 (explicit HE-AAC), and AOT 1 (Main profile, whose
+backward prediction the reference throws on) all parse and decode.
 """
 from __future__ import annotations
 
@@ -130,6 +132,12 @@ class StreamConfig:
         if self.frame_length == 960:
             return tables.SWB_OFFSET_960[self.sample_index]
         return tables.SWB_OFFSET_1024[self.sample_index]
+
+    @property
+    def pred_sfb_max(self) -> int:
+        """Highest predicted sfb for Main-profile backward prediction
+        (ISO/IEC 14496-3 Table 4.128, extracted from libavcodec)."""
+        return int(tables.PRED_SFB_MAX[self.sample_index])
 
     @property
     def swb_offsets_short(self) -> np.ndarray:

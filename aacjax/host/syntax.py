@@ -100,6 +100,13 @@ class ICSInfo:
     swb_count: int = 0
     frame_len: int = FRAME_LEN       # 1024, or 960 in frameLengthFlag mode
     short_len: int = 128             # frame_len // 8 (120 in 960 mode)
+    # Main-profile backward prediction (absent upstream: ics.js has no
+    # predictor parse; decoder throws on the bit)
+    predictor_present: bool = False
+    predictor_reset_group: int = 0   # 0 = no group reset this frame
+    prediction_used: np.ndarray | None = None   # [sfb] bools
+    pred_bins: int = 0               # state bins = swb_offset[pred_sfb_max]
+    main_profile: bool = False       # stream is AOT 1 (predictor active)
 
     def decode(self, stream: BitReader, config: StreamConfig,
                common_window: bool, prev_shape: int) -> None:
@@ -129,10 +136,26 @@ class ICSInfo:
             self.swb_offsets = config.swb_offsets_long
             self.swb_count = config.swb_count_long
             if stream.read(1):  # predictor_data_present
-                raise UnsupportedError("Main/LTP prediction not implemented.")
+                from aacjax.host.asc import AOT_AAC_MAIN
+                if config.profile != AOT_AAC_MAIN:
+                    raise UnsupportedError("LTP prediction not implemented.")
+                # Main-profile backward prediction (ISO/IEC 14496-3
+                # §4.6.2.1; libavcodec decode_prediction semantics)
+                self.predictor_present = True
+                if stream.read(1):  # predictor_reset
+                    self.predictor_reset_group = stream.read(5)
+                    if not 1 <= self.predictor_reset_group <= 30:
+                        raise BitstreamError("invalid predictor reset group")
+                n = min(self.max_sfb, config.pred_sfb_max)
+                self.prediction_used = np.array(
+                    [bool(stream.read(1)) for _ in range(n)])
         if self.max_sfb > self.swb_count:
             raise BitstreamError(
                 f"max_sfb {self.max_sfb} > swb_count {self.swb_count}")
+        self.main_profile = config.profile == 1  # AOT_AAC_MAIN
+        if self.main_profile and self.window_sequence != EIGHT_SHORT_SEQUENCE:
+            self.pred_bins = min(672, int(self.swb_offsets[
+                min(config.pred_sfb_max, self.swb_count)]))
 
 
 @dataclass

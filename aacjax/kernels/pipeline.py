@@ -60,6 +60,9 @@ class PipelineFlags:
     # compact transfer: spectra arrive as per-row int16 fixed point with a
     # per-channel-frame f32 scale (half the H2D bytes, ~1.5e-5 rel error)
     spec_i16: bool = False
+    # Main-profile backward prediction: a stateful device stage between
+    # M/S and intensity (cross-frame [C,672,6] predictor state)
+    has_pred: bool = False
 
 
 @functools.lru_cache(maxsize=None)
@@ -81,16 +84,13 @@ def _consts(frame_len: int = FRAME):
 # Stages
 # ---------------------------------------------------------------------------
 def dequantize(quant: jax.Array, scale: jax.Array, noise: jax.Array) -> jax.Array:
-    """spec = sign(q) * |q|^(4/3) * scale + noise.
-
-    Reference fuses this into the Huffman loop via an 8191-entry table
-    (ics.js:250-254); here it is one VPU elementwise pass over the batch,
-    computed directly so escape values beyond the table range are exact
-    (SURVEY.md §7 quirk 5).
+    """spec = iq * scale + noise, where iq = sign(q) * |q|^(4/3) arrives
+    pre-computed from the host packer (float32 of a float64 pow — the
+    same rounding as the native parser and libavcodec, which keeps the
+    bit-precision-sensitive Main-profile predictor in sync; the
+    reference fuses a table lookup into its Huffman loop, ics.js:250-254).
     """
-    q = quant.astype(jnp.float32)
-    mag = jnp.power(jnp.abs(q), jnp.float32(4.0 / 3.0))
-    return jnp.sign(q) * mag * scale + noise
+    return quant * scale + noise
 
 
 def stereo(spec: jax.Array, pair_l: jax.Array, pair_r: jax.Array,
@@ -109,6 +109,124 @@ def stereo(spec: jax.Array, pair_l: jax.Array, pair_r: jax.Array,
     r2 = jnp.where(m != 0, l - r, r)
     r3 = jnp.where(is_scale != 0, l2 * is_scale, r2)
     return spec.at[pair_l].set(l2).at[pair_r].set(r3)
+
+
+def stereo_ms(spec, pair_l, pair_r, ms_mask) -> jax.Array:
+    """M/S butterflies only (the Main-profile predictor sits between
+    M/S and intensity, so the two halves run separately)."""
+    l = spec[pair_l]
+    r = spec[pair_r]
+    l2 = jnp.where(ms_mask != 0, l + r, l)
+    r2 = jnp.where(ms_mask != 0, l - r, r)
+    return spec.at[pair_l].set(l2).at[pair_r].set(r2)
+
+
+def stereo_is(spec, pair_l, pair_r, is_scale) -> jax.Array:
+    """Intensity stereo only (reads the post-M/S, post-prediction left)."""
+    l2 = spec[pair_l]
+    r2 = spec[pair_r]
+    r3 = jnp.where(is_scale != 0, l2 * is_scale, r2)
+    return spec.at[pair_r].set(r3)
+
+
+# -- Main-profile backward prediction ---------------------------------------
+PRED_BINS = 672
+_PRED_A = 0.953125      # 61/64
+_PRED_ALPHA = 0.90625   # 29/32
+
+
+def _flt16(x: jax.Array, mode: str) -> jax.Array:
+    """IEEE-754 16-bit-mantissa truncation helpers (libavcodec
+    flt16_round/even/trunc) — the predictor state is specified in this
+    reduced precision so independent decoders stay bit-synchronized."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    if mode == "round":
+        b = (b + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
+    elif mode == "even":
+        b = (b + jnp.uint32(0x7FFF)
+             + ((b >> 16) & jnp.uint32(1))) & jnp.uint32(0xFFFF0000)
+    else:  # trunc
+        b = b & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def apply_prediction(spec: jax.Array, batch: dict,
+                     pred_state: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Backward-adaptive second-order lattice predictor per spectral bin
+    (ISO/IEC 14496-3 §4.6.2, libavcodec `predict` numerics incl. the
+    float16 state truncation).  Runs as one lax.scan over the frame axis
+    — bins are independent, so each step is pure VPU elementwise math
+    over [C, 672].
+
+    spec [C,T,F] post-M/S; pred_state [C,672,6] = (r0, r1, cor0, cor1,
+    var0, var1).  pred_mode: 0 none, 1 predict+update, 2 reset-all."""
+    C, T, F = spec.shape
+    kvec = jnp.arange(PRED_BINS)
+
+    # Plain f32 multiplies: the flt16 state truncation bounds any
+    # platform rounding differences vs libavcodec to sub-ULP-of-output
+    # level (verified ~127 dB+ across chunkings, tests/test_main_profile);
+    # catastrophic divergence only ever came from semantic mismatches.
+    def fmul(x, y):
+        return x * y
+
+    def step(st, xs):
+        s_t, mode, rg, nbins, used = xs
+        r0, r1 = st[..., 0], st[..., 1]
+        cor0, cor1 = st[..., 2], st[..., 3]
+        var0, var1 = st[..., 4], st[..., 5]
+        a = jnp.float32(_PRED_A)
+        al = jnp.float32(_PRED_ALPHA)
+        k1 = jnp.where(var0 > 1.0,
+                       fmul(cor0, _flt16(a / var0, "even")), 0.0)
+        k2 = jnp.where(var1 > 1.0,
+                       fmul(cor1, _flt16(a / var1, "even")), 0.0)
+        pv = _flt16(fmul(k1, r0) + fmul(k2, r1), "round")
+        long_f = (mode == 1)[:, None]
+        coef = s_t[:, :PRED_BINS] + fmul(
+            pv, used * long_f.astype(jnp.float32))
+        e0 = coef
+        e1 = e0 - fmul(k1, r0)
+        half = jnp.float32(0.5)
+        cor1n = _flt16(fmul(al, cor1) + fmul(r1, e1), "trunc")
+        var1n = _flt16(fmul(al, var1)
+                       + fmul(half, fmul(r1, r1) + fmul(e1, e1)), "trunc")
+        cor0n = _flt16(fmul(al, cor0) + fmul(r0, e0), "trunc")
+        var0n = _flt16(fmul(al, var0)
+                       + fmul(half, fmul(r0, r0) + fmul(e0, e0)), "trunc")
+        r1n = _flt16(fmul(a, r0 - fmul(k1, e0)), "trunc")
+        r0n = _flt16(fmul(a, e0), "trunc")
+        # state updates only run for bins below this frame's pred_sfb_max
+        # boundary, on long Main frames
+        upd = long_f & (kvec[None, :] < nbins[:, None])
+        # group reset applies AFTER the frame; short frames reset all
+        rm = (((kvec[None, :] % 30) == (rg[:, None] - 1))
+              & (rg[:, None] > 0) & long_f) | (mode == 2)[:, None]
+
+        def sel(new, old, init):
+            v = jnp.where(upd, new, old)
+            return jnp.where(rm, jnp.float32(init), v)
+
+        st_new = jnp.stack(
+            [sel(r0n, r0, 0.0), sel(r1n, r1, 0.0),
+             sel(cor0n, cor0, 0.0), sel(cor1n, cor1, 0.0),
+             sel(var0n, var0, 1.0), sel(var1n, var1, 1.0)], axis=-1)
+        out_t = jnp.concatenate([coef, s_t[:, PRED_BINS:]], axis=1)
+        return st_new, out_t
+
+    xs = (jnp.moveaxis(spec, 1, 0),
+          jnp.moveaxis(batch['pred_mode'], 1, 0),
+          jnp.moveaxis(batch['pred_reset'], 1, 0),
+          jnp.moveaxis(batch['pred_nbins'], 1, 0),
+          jnp.moveaxis(batch['pred_used'], 1, 0))
+    new_state, out = jax.lax.scan(step, pred_state, xs)
+    return jnp.moveaxis(out, 0, 1), new_state
+
+
+def pred_state_init(C: int):
+    st = np.zeros((C, PRED_BINS, 6), np.float32)
+    st[..., 4:] = 1.0     # var0/var1 start at 1
+    return jnp.asarray(st)
 
 
 def _tns_directional_scan(x: jax.Array, lpc: jax.Array, start: jax.Array,
@@ -258,12 +376,21 @@ def couple_time(pcm: jax.Array, src: jax.Array, dst: jax.Array,
 # Full step
 # ---------------------------------------------------------------------------
 def decode_step(batch: dict, overlap_in: jax.Array,
-                flags: PipelineFlags) -> tuple[jax.Array, jax.Array]:
+                flags: PipelineFlags, pred_state: jax.Array | None = None):
     """Decode T frames for C channel slots.  Returns (pcm [C,T,1024] in the
-    reference's 1/32768 float scale, new overlap [C,1024])."""
+    reference's 1/32768 float scale, new overlap [C,1024]) — plus the new
+    predictor state when flags.has_pred."""
     spec = dequantize(batch['quant'], batch['scale'], batch['noise'])
 
-    if flags.has_stereo:
+    if flags.has_pred:
+        # Main profile: the backward predictor sits between M/S and
+        # intensity (libavcodec decode_cpe ordering)
+        spec = stereo_ms(spec, batch['pair_l'], batch['pair_r'],
+                         batch['ms_mask'])
+        spec, pred_state = apply_prediction(spec, batch, pred_state)
+        spec = stereo_is(spec, batch['pair_l'], batch['pair_r'],
+                         batch['is_scale'])
+    elif flags.has_stereo:
         spec = stereo(spec, batch['pair_l'], batch['pair_r'],
                       batch['ms_mask'], batch['is_scale'])
 
@@ -295,14 +422,22 @@ def decode_step(batch: dict, overlap_in: jax.Array,
         # full-scale samples; the reference divides by 32768 only to
         # normalize floats — decoder.js:211)
         out = jnp.clip(jnp.round(pcm), -32768.0, 32767.0).astype(jnp.int16)
-        return out, new_overlap
-    # Output scale matches the reference's interleave loop (decoder.js:211).
-    return pcm * jnp.float32(1.0 / 32768.0), new_overlap
+    else:
+        # Output scale matches the reference's interleave loop
+        # (decoder.js:211).
+        out = pcm * jnp.float32(1.0 / 32768.0)
+    if flags.has_pred:
+        return out, new_overlap, pred_state
+    return out, new_overlap
 
 
 @functools.lru_cache(maxsize=None)
 def jitted_decode_step(flags: PipelineFlags):
     """Compiled decode step; overlap buffer is donated (updated in place)."""
+    if flags.has_pred:
+        def fn_pred(batch, overlap, pred_state):
+            return decode_step(batch, overlap, flags, pred_state)
+        return jax.jit(fn_pred, donate_argnums=(1, 2))
     def fn(batch, overlap_in):
         return decode_step(batch, overlap_in, flags)
     return jax.jit(fn, donate_argnums=(1,))

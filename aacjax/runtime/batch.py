@@ -71,9 +71,12 @@ class BatchDecoder:
                 "use one BatchDecoder per frame length")
         self.F = frame_lens.pop()
         self.overlap = jnp.zeros((c, self.F), jnp.float32)
-        # the native parser handles the standard 1024 mode; 960 runs on
-        # the python parse path
-        self.use_native = ((native.available() and self.F == FRAME)
+        # the native parser handles the standard LC 1024 mode; 960 mode
+        # and Main-profile streams (backward prediction is a stateful
+        # device stage fed by the python packer) run on the python path
+        any_main = any(cfg.profile == 1 for cfg in configs)
+        self.use_native = ((native.available() and self.F == FRAME
+                            and not any_main)
                            if use_native is None else use_native)
         if self.use_native and self.F != FRAME:
             raise ValueError("native parser supports 1024-frame mode only")
@@ -144,7 +147,15 @@ class BatchDecoder:
         batch, flags = pack_frames(per_slot, self.C, self.T, limits,
                                    frame_len=self.F)
         step_fn = jitted_decode_step(flags)
-        pcm, self.overlap = step_fn(batch, self.overlap)
+        if flags.has_pred:
+            # Main profile: cross-frame predictor state rides the step
+            from aacjax.kernels.pipeline import pred_state_init
+            if getattr(self, '_pred_state', None) is None:
+                self._pred_state = pred_state_init(self.C)
+            pcm, self.overlap, self._pred_state = step_fn(
+                batch, self.overlap, self._pred_state)
+        else:
+            pcm, self.overlap = step_fn(batch, self.overlap)
         return np.asarray(pcm)
 
     def stream_pcm(self, pcm: np.ndarray, stream_idx: int,
@@ -760,14 +771,19 @@ class BatchDecoder:
 
     # -- state save/restore (checkpoint/resume, SURVEY.md §5) ---------------
     def save_state(self) -> dict:
-        return {
+        out = {
             'overlap': np.asarray(self.overlap),
             'prev_shapes': self.prev_shapes.copy(),
             'frames_decoded': [st.frames_decoded for st in self.streams],
         }
+        if getattr(self, '_pred_state', None) is not None:
+            out['pred_state'] = np.asarray(self._pred_state)
+        return out
 
     def restore_state(self, state: dict) -> None:
         self.overlap = jnp.asarray(state['overlap'])
         self.prev_shapes[:] = state['prev_shapes']  # in place: keeps views
         for st, n in zip(self.streams, state['frames_decoded']):
             st.frames_decoded = n
+        if 'pred_state' in state:
+            self._pred_state = jnp.asarray(state['pred_state'])

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import functools
+
 import numpy as np
 
 from aacjax.host.syntax import (
@@ -47,6 +49,28 @@ def expand_per_bin(info: ICSInfo, values: np.ndarray,
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _iq_lut() -> np.ndarray:
+    # float32(pow(i, 4/3) in float64) — identical rounding to the native
+    # parser's LUT and libavcodec's cbrt table, so every path (and the
+    # Main-profile predictor, which is bit-precision-sensitive) sees the
+    # same spectra
+    return (np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)
+            ).astype(np.float32)
+
+
+def _inverse_quant(q: np.ndarray) -> np.ndarray:
+    """sign(q) * |q|^(4/3) as float32-of-float64 (host-side: the device
+    multiplies by the scale; SURVEY.md §7 quirk 5 escape values beyond
+    the table range stay exact via the float64 pow)."""
+    a = np.abs(q.astype(np.int64))
+    lut = _iq_lut()
+    small = a < 8192
+    mag = np.where(small, lut[np.minimum(a, 8191)],
+                   (a.astype(np.float64) ** (4.0 / 3.0)).astype(np.float32))
+    return (np.sign(q) * mag).astype(np.float32)
+
+
 @dataclass
 class ChunkBuilder:
     """Accumulates one [C, T] chunk of channel-frames for the device step.
@@ -57,7 +81,7 @@ class ChunkBuilder:
 
     def __post_init__(self):
         C, T, FRAME = self.C, self.T, self.F
-        self.quant = np.zeros((C, T, FRAME), np.int32)
+        self.quant = np.zeros((C, T, FRAME), np.float32)
         self.scale = np.zeros((C, T, FRAME), np.float32)
         self.noise = np.zeros((C, T, FRAME), np.float32)
         self.f_idx = np.zeros((C, T), np.int32)
@@ -79,13 +103,21 @@ class ChunkBuilder:
         self.has_tns = False
         # CCE FMA lists
         self._cce: dict[str, list] = {'pre': [], 'post': [], 'time': []}
+        # Main-profile backward prediction (device stage between M/S and
+        # intensity): mode 0 = none, 1 = predict+update (long frame),
+        # 2 = reset-all (short frame)
+        self.pred_mode = np.zeros((C, T), np.int32)
+        self.pred_reset = np.zeros((C, T), np.int32)
+        self.pred_nbins = np.zeros((C, T), np.int32)
+        self.pred_used = np.zeros((C, T, 672), np.float32)
+        self.has_pred = False
 
     # -- channels ----------------------------------------------------------
     def add_channel_frame(self, slot: int, t: int, ch: ChannelStream,
                           include_tns: bool = True) -> None:
         info = ch.info
         F = self.F
-        self.quant[slot, t] = ch.quant[:F]
+        self.quant[slot, t] = _inverse_quant(ch.quant[:F])
         self.scale[slot, t] = ch.scale_bin[:F]
         self.noise[slot, t] = ch.noise_bin[:F]
         seq = info.window_sequence
@@ -95,6 +127,21 @@ class ChunkBuilder:
         self.prev_shape_idx[slot, t] = info.prev_window_shape
         self.is_short[slot, t] = seq == 2
         self.last_valid[slot] = max(self.last_valid[slot], t)
+        if info.main_profile:
+            self.has_pred = True
+            if seq == 2:
+                self.pred_mode[slot, t] = 2       # short: reset all
+            else:
+                self.pred_mode[slot, t] = 1
+                self.pred_reset[slot, t] = info.predictor_reset_group
+                self.pred_nbins[slot, t] = info.pred_bins
+                if info.predictor_present and info.prediction_used is not None:
+                    offs = info.swb_offsets
+                    for sfb, u in enumerate(info.prediction_used):
+                        if u:
+                            lo = int(offs[sfb])
+                            hi = min(int(offs[sfb + 1]), 672)
+                            self.pred_used[slot, t, lo:hi] = 1.0
         if include_tns and ch.tns_filters:
             self.has_tns = True
             nf = nr = 0
@@ -194,7 +241,11 @@ class ChunkBuilder:
             ms_mask=ms_mask, is_scale=is_scale,
         )
         flags = PipelineFlags(has_stereo=True, has_tns=self.has_tns,
-                              has_cce=any(self._cce.values()))
+                              has_cce=any(self._cce.values()),
+                              has_pred=self.has_pred)
+        if flags.has_pred:
+            batch.update(pred_mode=self.pred_mode, pred_reset=self.pred_reset,
+                         pred_nbins=self.pred_nbins, pred_used=self.pred_used)
         if flags.has_tns:
             batch.update(
                 tns_fwd_lpc=self.tns_fwd_lpc, tns_fwd_start=self.tns_fwd_start,

@@ -121,6 +121,18 @@ def _load_960():
 SWB_OFFSET_960, SWB_OFFSET_120, SWB_LONG_WINDOW_COUNT_960, \
     SWB_SHORT_WINDOW_COUNT_120 = _load_960()
 
+
+def _load_pred_sfb_max():
+    import pathlib
+    d = np.load(pathlib.Path(__file__).parent / "host"
+                / "aac_960_tables.npz")
+    return d["pred_sfb_max"].astype(np.int32)
+
+
+# Main-profile backward prediction: highest predicted sfb per sampling
+# index (ISO/IEC 14496-3 Table 4.128; extracted like the tables above)
+PRED_SFB_MAX = _load_pred_sfb_max()
+
 # --------------------------------------------------------------------------
 # TNS (ISO/IEC 14496-3 §4.6.9)
 # --------------------------------------------------------------------------

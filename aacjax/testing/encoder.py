@@ -58,6 +58,9 @@ class ChannelSpec:
     quant: np.ndarray | None = None        # [1024] in grouped layout
     tns: list[list[TnsFilterSpec]] | None = None  # per window
     pulse: tuple[int, list[int], list[int]] | None = None  # (swb, offsets, amps)
+    # Main-profile backward prediction side info (long windows only)
+    pred_used: np.ndarray | None = None    # [n<=min(max_sfb,pred_sfb_max)]
+    pred_reset_group: int = 0              # 1..30; 0 = no reset
 
     @property
     def group_count(self) -> int:
@@ -100,7 +103,17 @@ def write_ics_info(w: BitWriter, spec: ChannelSpec) -> None:
             w.write(b, 1)
     else:
         w.write(spec.max_sfb, 6)
-        w.write(0, 1)  # predictor_data_present
+        if spec.pred_used is not None:
+            w.write(1, 1)  # predictor_data_present (Main profile)
+            if spec.pred_reset_group:
+                w.write(1, 1)
+                w.write(spec.pred_reset_group, 5)
+            else:
+                w.write(0, 1)
+            for u in spec.pred_used:
+                w.write(1 if u else 0, 1)
+        else:
+            w.write(0, 1)  # predictor_data_present
 
 
 def write_section_data(w: BitWriter, spec: ChannelSpec) -> None:

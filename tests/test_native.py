@@ -40,9 +40,8 @@ def python_reference_batch(config, payloads, n_slots, T):
 def expected_spec_f32(batch):
     """Reproduce the native finalize_spec + apply_stereo float32 math from
     the Python pack arrays (identical op order -> bit-exact)."""
-    q = batch['quant'].astype(np.float64)
-    iq = (np.sign(q) * np.abs(q) ** (4.0 / 3.0)).astype(np.float32)
-    spec = iq * batch['scale'] + batch['noise']
+    # batch['quant'] now carries host-side iq = sign(q)*|q|^(4/3)
+    spec = batch['quant'] * batch['scale'] + batch['noise']
     l = spec[batch['pair_l']]
     r = spec[batch['pair_r']]
     ms = batch['ms_mask']

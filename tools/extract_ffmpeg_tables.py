@@ -119,6 +119,10 @@ def swb_tables(archive: str) -> dict:
             packed[i, len(t):] = t[-1]
         out[f"swb_offset_{base}"] = packed
         out[f"num_swb_{base}"] = counts.astype(np.int32)
+    # Main-profile backward prediction: highest predicted sfb per
+    # sampling index (ISO/IEC 14496-3 Table 4.128)
+    out["pred_sfb_max"] = o.array("ff_aac_pred_sfb_max",
+                                  np.uint8).astype(np.int32)
     return out
 
 
