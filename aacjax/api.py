@@ -204,6 +204,14 @@ class AACDecoder:
             # implicit signaling resolves on the first decoded frame
             self._sbr_mode = any(
                 getattr(e, "sbr", None) is not None for e in frame.elements)
+        if self.config.profile == 4:
+            # AAC-LTP: sequential time-feedback profile on the fp64
+            # reference path (see decode_adts)
+            if getattr(self, "_refdec", None) is None:
+                from aacjax.host.refdec import ModelDecoder
+                self._refdec = ModelDecoder(self.config)
+            out = self._refdec.decode_frame(frame).astype(np.float32)
+            return out.reshape(-1)
         pcm = self._runtime.step([[frame]])
         out = self._runtime.stream_pcm(pcm, 0, 1)
         if self._sbr_mode:
@@ -322,6 +330,38 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         sfs = [getattr(el, "sbr", None) for el in f.elements]
         return (any(sf is not None for sf in sfs),
                 any(getattr(sf, "ps", None) is not None for sf in sfs))
+
+    if config.profile == 4:
+        # AAC-LTP: each frame's prediction reads the previous frames'
+        # TIME output — an inherently sequential loop that would
+        # serialize the batched pipeline; the rare profile decodes on
+        # the fp64 reference path (aacjax.host.refdec)
+        from aacjax.host.refdec import ModelDecoder
+        dec = ModelDecoder(config)
+        prev_shapes = [0] * config.channels
+        out = []
+        for _, s, e in frames:
+            try:
+                frame = decode_frame(BitReader(data[s:e]), config,
+                                     prev_shapes)
+            except Exception:  # noqa: BLE001 — concealment boundary
+                if on_error == "raise":
+                    raise
+                out.append(np.zeros((config.frame_length, config.channels),
+                                    np.float32))
+                continue
+            ch = 0
+            for el in frame.elements:
+                infos = ([el.ics.info] if hasattr(el, "ics")
+                         else [el.left.info, el.right.info])
+                for info in infos:
+                    if ch < len(prev_shapes):
+                        prev_shapes[ch] = info.window_shape
+                    ch += 1
+            out.append(dec.decode_frame(frame).astype(np.float32))
+        if not out:
+            raise UnsupportedError("no decodable raw_data_blocks")
+        return np.concatenate(out, axis=0), config.sample_rate
 
     has_sbr, has_ps = _probe_sbr_ps()
     multi_rdb = any(h.num_frames > 1 for h, _, _ in frames)

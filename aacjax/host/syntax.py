@@ -107,6 +107,7 @@ class ICSInfo:
     prediction_used: np.ndarray | None = None   # [sfb] bools
     pred_bins: int = 0               # state bins = swb_offset[pred_sfb_max]
     main_profile: bool = False       # stream is AOT 1 (predictor active)
+    ltp: "LTPData | None" = None     # AOT 4 long-term prediction data
 
     def decode(self, stream: BitReader, config: StreamConfig,
                common_window: bool, prev_shape: int) -> None:
@@ -136,19 +137,25 @@ class ICSInfo:
             self.swb_offsets = config.swb_offsets_long
             self.swb_count = config.swb_count_long
             if stream.read(1):  # predictor_data_present
-                from aacjax.host.asc import AOT_AAC_MAIN
-                if config.profile != AOT_AAC_MAIN:
-                    raise UnsupportedError("LTP prediction not implemented.")
-                # Main-profile backward prediction (ISO/IEC 14496-3
-                # §4.6.2.1; libavcodec decode_prediction semantics)
+                from aacjax.host.asc import AOT_AAC_LTP, AOT_AAC_MAIN
                 self.predictor_present = True
-                if stream.read(1):  # predictor_reset
-                    self.predictor_reset_group = stream.read(5)
-                    if not 1 <= self.predictor_reset_group <= 30:
-                        raise BitstreamError("invalid predictor reset group")
-                n = min(self.max_sfb, config.pred_sfb_max)
-                self.prediction_used = np.array(
-                    [bool(stream.read(1)) for _ in range(n)])
+                if config.profile == AOT_AAC_MAIN:
+                    # Main-profile backward prediction (ISO/IEC 14496-3
+                    # §4.6.2.1; libavcodec decode_prediction semantics)
+                    if stream.read(1):  # predictor_reset
+                        self.predictor_reset_group = stream.read(5)
+                        if not 1 <= self.predictor_reset_group <= 30:
+                            raise BitstreamError(
+                                "invalid predictor reset group")
+                    n = min(self.max_sfb, config.pred_sfb_max)
+                    self.prediction_used = np.array(
+                        [bool(stream.read(1)) for _ in range(n)])
+                elif config.profile == AOT_AAC_LTP:
+                    if stream.read(1):  # ltp_data_present
+                        self.ltp = read_ltp_data(stream, self.max_sfb)
+                else:
+                    raise UnsupportedError(
+                        "prediction data in a non-predictive profile")
         if self.max_sfb > self.swb_count:
             raise BitstreamError(
                 f"max_sfb {self.max_sfb} > swb_count {self.swb_count}")
@@ -156,6 +163,22 @@ class ICSInfo:
         if self.main_profile and self.window_sequence != EIGHT_SHORT_SEQUENCE:
             self.pred_bins = min(672, int(self.swb_offsets[
                 min(config.pred_sfb_max, self.swb_count)]))
+
+
+@dataclass
+class LTPData:
+    """AAC-LTP side info (ISO/IEC 14496-3 §4.6.6; ltp_data())."""
+    lag: int
+    coef_idx: int
+    used: np.ndarray        # [min(max_sfb, 40)] bools
+
+
+def read_ltp_data(stream: BitReader, max_sfb: int) -> LTPData:
+    lag = stream.read(11)
+    coef_idx = stream.read(3)
+    used = np.array([bool(stream.read(1))
+                     for _ in range(min(max_sfb, 40))])
+    return LTPData(lag=lag, coef_idx=coef_idx, used=used)
 
 
 @dataclass
@@ -519,6 +542,13 @@ def decode_cpe(stream: BitReader, config: StreamConfig,
     if common_window:
         info = ICSInfo()
         info.decode(stream, config, True, prev_shapes[0])
+        # AAC-LTP: the shared ics_info carries channel 0's ltp_data; the
+        # second channel's ltp_data_present bit follows immediately
+        # (ISO/IEC 14496-3 cpe syntax; libavcodec decode_cpe)
+        right_ltp = None
+        if info.predictor_present and config.profile == 4:
+            if stream.read(1):
+                right_ltp = read_ltp_data(stream, info.max_sfb)
         mask = stream.read(2)
         mask_present = mask != 0
         if mask == 1:
@@ -535,6 +565,7 @@ def decode_cpe(stream: BitReader, config: StreamConfig,
         # shallow copy of the info.
         rinfo = copy.copy(info)
         rinfo.prev_window_shape = prev_shapes[1]
+        rinfo.ltp = right_ltp
         right = dec.decode(stream, rinfo, prev_shapes[1])
     else:
         left = dec.decode(stream, None, prev_shapes[0])

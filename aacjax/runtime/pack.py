@@ -117,6 +117,12 @@ class ChunkBuilder:
                           include_tns: bool = True) -> None:
         info = ch.info
         F = self.F
+        if info.ltp is not None:
+            from aacjax.host.syntax import UnsupportedError
+            raise UnsupportedError(
+                "AAC-LTP frames decode on the reference path "
+                "(aacjax.host.refdec) — decode_adts/AACDecoder route "
+                "profile-4 streams there automatically")
         self.quant[slot, t] = _inverse_quant(ch.quant[:F])
         self.scale[slot, t] = ch.scale_bin[:F]
         self.noise[slot, t] = ch.noise_bin[:F]

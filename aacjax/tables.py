@@ -133,6 +133,14 @@ def _load_pred_sfb_max():
 # index (ISO/IEC 14496-3 Table 4.128; extracted like the tables above)
 PRED_SFB_MAX = _load_pred_sfb_max()
 
+# AAC-LTP (AOT 4) prediction-coefficient codebook (ISO/IEC 14496-3
+# Table 4.69; float32 values extracted by symbol from libavcodec's
+# ltp_coef, the conformance oracle for tests/test_ltp.py)
+LTP_COEF = np.array([0.570828974246979, 0.696615993976593,
+                     0.813004016876221, 0.911303997039795,
+                     0.984899997711182, 1.067893981933594,
+                     1.194601058959961, 1.369532942771912], np.float64)
+
 # --------------------------------------------------------------------------
 # TNS (ISO/IEC 14496-3 §4.6.9)
 # --------------------------------------------------------------------------

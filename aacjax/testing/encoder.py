@@ -61,6 +61,10 @@ class ChannelSpec:
     # Main-profile backward prediction side info (long windows only)
     pred_used: np.ndarray | None = None    # [n<=min(max_sfb,pred_sfb_max)]
     pred_reset_group: int = 0              # 1..30; 0 = no reset
+    # AAC-LTP (AOT 4) side info (long windows only)
+    ltp_lag: int | None = None             # 0..2047
+    ltp_coef_idx: int = 0
+    ltp_used: np.ndarray | None = None     # [min(max_sfb, 40)]
 
     @property
     def group_count(self) -> int:
@@ -103,7 +107,11 @@ def write_ics_info(w: BitWriter, spec: ChannelSpec) -> None:
             w.write(b, 1)
     else:
         w.write(spec.max_sfb, 6)
-        if spec.pred_used is not None:
+        if spec.ltp_lag is not None:
+            w.write(1, 1)  # predictor_data_present (LTP profile)
+            w.write(1, 1)  # ltp_data_present
+            write_ltp_data(w, spec)
+        elif spec.pred_used is not None:
             w.write(1, 1)  # predictor_data_present (Main profile)
             if spec.pred_reset_group:
                 w.write(1, 1)
@@ -114,6 +122,15 @@ def write_ics_info(w: BitWriter, spec: ChannelSpec) -> None:
                 w.write(1 if u else 0, 1)
         else:
             w.write(0, 1)  # predictor_data_present
+
+
+def write_ltp_data(w: BitWriter, spec: ChannelSpec) -> None:
+    w.write(spec.ltp_lag, 11)
+    w.write(spec.ltp_coef_idx, 3)
+    used = spec.ltp_used
+    n = min(spec.max_sfb, 40)
+    for i in range(n):
+        w.write(1 if (used is not None and used[i]) else 0, 1)
 
 
 def write_section_data(w: BitWriter, spec: ChannelSpec) -> None:
@@ -267,6 +284,16 @@ def write_cpe(w: BitWriter, spec: CPESpec, config: StreamConfig,
     w.write(1 if spec.common_window else 0, 1)
     if spec.common_window:
         write_ics_info(w, spec.left)
+        if spec.left.ltp_lag is not None or spec.right.ltp_lag is not None:
+            # second channel's ltp_data_present follows the shared
+            # ics_info (AAC-LTP cpe syntax); requires the shared info to
+            # carry the predictor bit, i.e. left.ltp_lag set
+            assert spec.left.ltp_lag is not None
+            if spec.right.ltp_lag is not None:
+                w.write(1, 1)
+                write_ltp_data(w, spec.right)
+            else:
+                w.write(0, 1)
         w.write(spec.ms_type, 2)
         if spec.ms_type == 1:
             n = spec.left.group_count * spec.left.max_sfb

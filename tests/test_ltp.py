@@ -1,0 +1,167 @@
+"""AAC-LTP (AOT 4) long-term prediction — rejected by the reference
+(ics.js throws on the predictor bit) and previously by aacjax.
+
+Each frame's prediction reads the previous frames' TIME-domain output
+(a 3-frame ltp_state incl. a windowed estimate of the current frame's
+tail), windows it, forward-MDCTs it, TNS-analysis filters it, and adds
+into the used sfbs.  That per-frame time feedback is inherently
+sequential, so the profile decodes on the fp64 reference path
+(aacjax.host.refdec); decode_adts / AACDecoder route it automatically.
+
+Oracle: libavcodec decoding the same self-generated LTP streams —
+sample-exact (~110-140 dB, f32/f64 floor).  The buf_mdct middle-half
+convention (m[k] = x[512+k]) used by update_ltp was pinned numerically
+against the model filterbank.
+"""
+import numpy as np
+import pytest
+
+from aacjax.api import AACDecoder, decode_adts
+from aacjax.host.asc import make_asc, parse_asc
+from aacjax.host.bitio import BitReader, BitWriter
+from aacjax.host.syntax import decode_frame
+from aacjax.testing import encoder as enc
+from aacjax.testing import ffmpeg_oracle
+from aacjax.testing.specgen import random_channel_spec
+
+HAVE_ORACLE = ffmpeg_oracle.available()
+CFG = parse_asc(make_asc(4, 4, 1))    # LTP profile, 44.1 kHz, mono
+CFG2 = parse_asc(make_asc(4, 4, 2))
+
+
+def _stream(n_frames=8, seed=5, short_frames=(), tns=False, lag_fn=None):
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for f in range(n_frames):
+        short = f in short_frames
+        if short:
+            seq = 2
+        elif f + 1 in short_frames:
+            seq = 1
+        elif f - 1 in short_frames:
+            seq = 3
+        else:
+            seq = 0
+        spec = random_channel_spec(
+            rng, CFG, window_sequence=seq,
+            allow_tns=False, force_tns=tns and not short,
+            allow_noise=False, allow_pulse=False,
+            **({} if short else dict(max_sfb=45)))
+        if f >= 1 and not short:
+            spec.ltp_lag = (lag_fn(f, rng) if lag_fn
+                            else int(rng.integers(64, 2048)))
+            spec.ltp_coef_idx = int(rng.integers(8))
+            spec.ltp_used = rng.integers(0, 2, 40) > 0
+        w = BitWriter()
+        enc.write_sce(w, spec, CFG, instance=0)
+        payloads.append(enc.end_frame(w))
+    return b"".join(enc.adts_frame(p, CFG) for p in payloads)
+
+
+def _snr(a, b):
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    return 10 * np.log10(float(np.sum(a ** 2))
+                         / max(float(np.sum((a - b) ** 2)), 1e-30))
+
+
+def _check(stream, skip=()):
+    want, rate = ffmpeg_oracle.decode_adts(stream)
+    got, grate = decode_adts(stream)
+    assert rate == grate
+    nn = min(len(want), len(got))
+    for f in range(nn // 1024):
+        if f in skip:
+            continue
+        sl = slice(f * 1024, (f + 1) * 1024)
+        for ch in range(want.shape[1]):
+            snr = _snr(want[sl, ch], got[sl, ch])
+            assert snr > 90.0, (f, ch, snr)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ltp_matches_ffmpeg_sample_exact():
+    _check(_stream())
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ltp_extreme_lags():
+    """lag edge cases: minimum useful, exactly one frame, maximum."""
+    lags = {1: 1, 2: 1024, 3: 2047, 4: 2048 - 1, 5: 500, 6: 1500, 7: 2000}
+    _check(_stream(lag_fn=lambda f, rng: lags[f]))
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ltp_short_window_interruption():
+    """EIGHT_SHORT frames don't predict but still roll the time history
+    (update_ltp), incl. the LONG_START/LONG_STOP saved_ltp shapes."""
+    _check(_stream(n_frames=9, short_frames=(3, 4)))
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ltp_with_tns():
+    """The predicted spectrum is TNS-ANALYSIS filtered (FIR, the inverse
+    of the decoder's AR synthesis filter) before the add."""
+    _check(_stream(tns=True))
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ltp_stereo_common_window():
+    """CPE with common window: the shared ics_info carries channel 0's
+    ltp_data; channel 1's ltp_data_present bit follows it."""
+    from aacjax.testing.encoder import CPESpec
+    rng = np.random.default_rng(11)
+    payloads = []
+    for f in range(6):
+        chs = []
+        for _ in range(2):
+            s = random_channel_spec(rng, CFG2, window_sequence=0,
+                                    max_sfb=42, allow_tns=False,
+                                    allow_noise=False, allow_pulse=False)
+            if f >= 1:
+                s.ltp_lag = int(rng.integers(64, 2048))
+                s.ltp_coef_idx = int(rng.integers(8))
+                s.ltp_used = rng.integers(0, 2, 40) > 0
+            chs.append(s)
+        if f >= 1 and f % 2 == 0:
+            chs[1].ltp_lag = None          # ch1 opts out some frames
+        cpe = CPESpec(left=chs[0], right=chs[1], common_window=True,
+                      ms_type=1, ms_used=rng.integers(0, 2, 128).astype(bool))
+        w = BitWriter()
+        enc.write_cpe(w, cpe, CFG2, instance=0)
+        payloads.append(enc.end_frame(w))
+    stream = b"".join(enc.adts_frame(p, CFG2) for p in payloads)
+    _check(stream)
+
+
+def test_ltp_streaming_decoder():
+    """AACDecoder routes profile 4 to the reference path; output matches
+    decode_adts."""
+    stream = _stream(n_frames=5)
+    want, _ = decode_adts(stream)
+    dec = AACDecoder()
+    dec.feed(stream)
+    outs = []
+    while True:
+        c = dec.read_chunk()
+        if c is None:
+            break
+        outs.append(c.reshape(-1, 1))
+    got = np.concatenate(outs)
+    np.testing.assert_allclose(got, want, atol=2e-7 * np.abs(want).max())
+
+
+def test_ltp_parse_roundtrip():
+    rng = np.random.default_rng(1)
+    spec = random_channel_spec(rng, CFG, window_sequence=0, max_sfb=40,
+                               allow_tns=False, allow_noise=False,
+                               allow_pulse=False)
+    spec.ltp_lag = 777
+    spec.ltp_coef_idx = 5
+    spec.ltp_used = rng.integers(0, 2, 40) > 0
+    w = BitWriter()
+    enc.write_sce(w, spec, CFG, instance=0)
+    frame = decode_frame(BitReader(enc.end_frame(w)), CFG, [0])
+    ltp = frame.elements[0].ics.info.ltp
+    assert ltp is not None and ltp.lag == 777 and ltp.coef_idx == 5
+    np.testing.assert_array_equal(ltp.used, spec.ltp_used)

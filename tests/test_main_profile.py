@@ -167,16 +167,9 @@ def test_main_prediction_parse_roundtrip():
     assert info.pred_bins == int(CFG.swb_offsets_long[CFG.pred_sfb_max])
 
 
-def test_ltp_still_rejected():
-    """AOT 4 (LTP) predictor data still raises a clear error."""
+def test_ssr_still_rejected():
+    """AOT 3 (SSR gain control) raises a clear error at config time —
+    also unsupported by both the reference and libavcodec."""
     from aacjax.api import UnsupportedError
-    cfg = parse_asc(make_asc(4, 4, 1))
-    rng = np.random.default_rng(2)
-    spec = random_channel_spec(rng, cfg, window_sequence=0, max_sfb=40,
-                               allow_tns=False, allow_noise=False,
-                               allow_pulse=False)
-    spec.pred_used = np.ones(5, bool)  # writer emits the predictor bit
-    w = BitWriter()
-    enc.write_sce(w, spec, cfg, instance=0)
     with pytest.raises(UnsupportedError):
-        decode_frame(BitReader(enc.end_frame(w)), cfg, [0])
+        parse_asc(make_asc(3, 4, 1))
