@@ -73,27 +73,28 @@ def alloc_ps_dense(B: int, T: int) -> PSDense:
 
 
 def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
-                  ps) -> bool:
+                  ps, chunk_is34: bool = False) -> bool:
     """Pack one frame's PS parameters for `slot`.  ps may be None (frame
     without ps_data: the previous frame's parameters replay, matching
     apply_ps).  Returns False when the frame needs the numpy fallback
-    (34-band mode — the batched kernel is 20-band)."""
+    (its band mode differs from the chunk's compiled kernel mode)."""
     if ps is None:
         ps = st.ps_prev
     if ps is None:
         return True              # no parameters yet: kernel emits L=R=mono
-    if ps.is34:
+    if bool(ps.is34) != chunk_is34:
         return False
-    if st.is34_prev:             # 34 -> 20 switch: restart like PSProc
+    if st.is34_prev is not None and st.is34_prev != bool(ps.is34):
+        # band-scheme switch: restart like PSProc
         st.ha_prev[:] = -1
         st.icc_prev[:] = 0
         st.opd_pd_prev[:] = 0
         st.ipd_pd_prev[:] = 0
         st.ipd_hist[:] = 0
         st.opd_hist[:] = 0
-    st.is34_prev = False
+    st.is34_prev = bool(ps.is34)
     st.ps_prev = ps
-    npar = NR_PAR_BANDS[False]
+    npar = NR_PAR_BANDS[ps.is34]
 
     ha, ic, opd_pd, ipd_pd, ipdopd = resolve_frame_indices(
         ps, st.ipd_hist, st.opd_hist)

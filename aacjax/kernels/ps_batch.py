@@ -1,4 +1,5 @@
-"""Batched Parametric Stereo on device (JAX/XLA, TPU-first, 20-band).
+"""Batched Parametric Stereo on device (JAX/XLA, TPU-first; 20- and
+34-band modes compile as separate programs).
 
 One jitted program turns a [B, T] chunk of mono SBR-adjusted QMF planes
 into stereo: hybrid filterbank analysis as sliding-window einsums
@@ -31,86 +32,120 @@ from aacjax.host.ps_decode import _make_filter, _tables
 from aacjax.kernels import qmf
 
 SLOTS = 32
-NB = 71                 # hybrid channels (20-band mode)
-NPAR = 20
-NAP = 30                # allpass bands
-SDB = 42                # short-delay band boundary
 MAX_DELAY = 14
 BANDS = 64
 _HI = jax.lax.Precision.HIGHEST
 
+# per-mode geometry (20-band / 34-band): hybrid channel count, parameter
+# bands, allpass bands, short-delay boundary, decay cutoff, phase cut
+_NB = (71, 91)
+_NPAR = (20, 34)
+_NAP = (30, 50)
+_SDB = (42, 62)
+_DECAY_CUTOFF = (10, 32)
 
-@functools.lru_cache(maxsize=None)
-def _consts() -> dict:
-    """Device constants for 20-band PS (f32/complex pairs)."""
-    t = _tables()
-    pt = P.tables()
-    out = {}
-    # full 13-tap complex filter for QMF band 0 -> 8 sub-bands
-    f = _make_filter(pt["g0_q8"].astype(np.float64), 8)     # [8, 7]
-    full = np.zeros((8, 13), np.complex128)
+
+def _full13(f: np.ndarray) -> np.ndarray:
+    """7-tap conjugate-symmetric prototype -> full 13-tap complex filter."""
+    full = np.zeros((f.shape[0], 13), np.complex128)
     full[:, :6] = f[:, :6]
     full[:, 6] = f[:, 6].real
     full[:, 7:] = np.conj(f[:, 5::-1])
-    out["filt13_r"] = full.real.astype(np.float32)
-    out["filt13_i"] = full.imag.astype(np.float32)
-    # full 13-tap real 2-band split filter (g1_Q2)
-    g1 = np.array([0.0, 0.01899487526049, 0.0, -0.07293139167538,
-                   0.0, 0.30596630545168, 0.5])
-    g2 = np.zeros(13)
-    g2[:7] = g1
-    g2[7:] = g1[5::-1]
-    out["g1_13"] = g2.astype(np.float32)
+    return full
+
+
+@functools.lru_cache(maxsize=None)
+def _consts(is34: bool = False) -> dict:
+    """Device constants per PS mode (f32/complex pairs)."""
+    t = _tables()
+    pt = P.tables()
+    nb, nap, sdb = _NB[is34], _NAP[is34], _SDB[is34]
+    out = {}
+    if not is34:
+        f = _full13(_make_filter(pt["g0_q8"].astype(np.float64), 8))
+        out["filt13_r"] = [f.real.astype(np.float32)]
+        out["filt13_i"] = [f.imag.astype(np.float32)]
+        # full 13-tap real 2-band split filter (g1_Q2)
+        g1 = np.array([0.0, 0.01899487526049, 0.0, -0.07293139167538,
+                       0.0, 0.30596630545168, 0.5])
+        g2 = np.zeros(13)
+        g2[:7] = g1
+        g2[7:] = g1[5::-1]
+        out["g1_13"] = g2.astype(np.float32)
+        out["k_to_i"] = t["k_to_i_20"].astype(np.int32)[:nb]
+    else:
+        fs = [_full13(_make_filter(pt["g0_q12"].astype(np.float64), 12)),
+              _full13(_make_filter(pt["g1_q8"].astype(np.float64), 8)),
+              _full13(_make_filter(pt["g2_q4"].astype(np.float64), 4))]
+        out["filt13_r"] = [f.real.astype(np.float32) for f in fs]
+        out["filt13_i"] = [f.imag.astype(np.float32) for f in fs]
+        out["k_to_i"] = t["k_to_i_34"].astype(np.int32)[:nb]
     out["HA"] = t["HA"].astype(np.float32)                  # [46, 8, 4]
     out["pd_r"] = t["pd_smooth"].real.astype(np.float32)    # [512]
     out["pd_i"] = t["pd_smooth"].imag.astype(np.float32)
-    out["k_to_i"] = t["k_to_i_20"].astype(np.int32)[:NB]
-    out["phi_r"] = t["phi_fract_0"].real.astype(np.float32)  # [30]
-    out["phi_i"] = t["phi_fract_0"].imag.astype(np.float32)
-    out["qf_r"] = t["q_fract_0"].real.astype(np.float32)     # [30, 3]
-    out["qf_i"] = t["q_fract_0"].imag.astype(np.float32)
+    out["phi_r"] = t[f"phi_fract_{int(is34)}"].real.astype(np.float32)
+    out["phi_i"] = t[f"phi_fract_{int(is34)}"].imag.astype(np.float32)
+    out["qf_r"] = t[f"q_fract_{int(is34)}"].real.astype(np.float32)
+    out["qf_i"] = t[f"q_fract_{int(is34)}"].imag.astype(np.float32)
     a = np.array([0.65143905753106, 0.56471812200776, 0.48954165955695])
-    gds = np.clip(1.0 - 0.05 * (np.arange(NAP) - 10), 0.0, 1.0)
-    out["ag"] = (a[None, :] * gds[:, None]).astype(np.float32)  # [30, 3]
+    gds = np.clip(1.0 - 0.05 * (np.arange(nap) - _DECAY_CUTOFF[is34]),
+                  0.0, 1.0)
+    out["ag"] = (a[None, :] * gds[:, None]).astype(np.float32)  # [nap, 3]
     # plain-delay offset per band into the [14 hist | S] line
-    doff = np.zeros(NB, np.int64)
-    doff[:SDB] = MAX_DELAY - MAX_DELAY   # (allpass bands unused; k<42: d=14)
-    doff[SDB:] = MAX_DELAY - 1
-    out["delay_off"] = doff
-    cm = np.zeros(NB, np.float32)
-    cm[:2] = 1.0                         # negative-center channels
+    doff = np.zeros(nb, np.int64)
+    doff[sdb:] = MAX_DELAY - 1           # short-delay bands: delay 1
+    out["delay_off"] = doff              # others: delay 14 (offset 0)
+    cm = np.zeros(nb, np.float32)
+    if is34:
+        cm[9:14] = 1.0                   # negative-center channels
+    else:
+        cm[:2] = 1.0
     out["conj_mask"] = cm
     return out
 
 
-def ps_state_init(B: int) -> dict:
+def ps_state_init(B: int, is34: bool = False) -> dict:
+    nb, nap, npar = _NB[is34], _NAP[is34], _NPAR[is34]
     return dict(
         hist4_r=jnp.zeros((B, 4, 5), jnp.float32),
         hist4_i=jnp.zeros((B, 4, 5), jnp.float32),
-        delay_r=jnp.zeros((B, NB, MAX_DELAY), jnp.float32),
-        delay_i=jnp.zeros((B, NB, MAX_DELAY), jnp.float32),
-        ap_r=jnp.zeros((B, NAP, 3, 5), jnp.float32),
-        ap_i=jnp.zeros((B, NAP, 3, 5), jnp.float32),
-        peak=jnp.zeros((B, NPAR), jnp.float32),
-        psmooth=jnp.zeros((B, NPAR), jnp.float32),
-        pdiff=jnp.zeros((B, NPAR), jnp.float32),
+        delay_r=jnp.zeros((B, nb, MAX_DELAY), jnp.float32),
+        delay_i=jnp.zeros((B, nb, MAX_DELAY), jnp.float32),
+        ap_r=jnp.zeros((B, nap, 3, 5), jnp.float32),
+        ap_i=jnp.zeros((B, nap, 3, 5), jnp.float32),
+        peak=jnp.zeros((B, npar), jnp.float32),
+        psmooth=jnp.zeros((B, npar), jnp.float32),
+        pdiff=jnp.zeros((B, npar), jnp.float32),
         v_l=jnp.zeros((B, qmf.SYN_HIST, 128), jnp.float32),
         v_r=jnp.zeros((B, qmf.SYN_HIST, 128), jnp.float32),
     )
 
 
-def _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S):
+def _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S, is34):
     """Xr/Xi [B,S,64] (HF+low per slot), lo_r/i [B,S+12,5] the continuous
     low-band line incl. 6 slots of history and 6 of lookahead ->
-    s [B,S,71] complex (re, im)."""
+    s [B,S,nb] complex (re, im)."""
     widx = jnp.arange(S)[:, None] + jnp.arange(13)[None, :]   # [S, 13]
-    w0r = lo_r[:, widx, 0]                                    # [B,S,13]
-    w0i = lo_i[:, widx, 0]
-    fr, fi = jnp.asarray(c["filt13_r"]), jnp.asarray(c["filt13_i"])
-    sub_r = (jnp.einsum('bsj,qj->bsq', w0r, fr, precision=_HI)
-             - jnp.einsum('bsj,qj->bsq', w0i, fi, precision=_HI))
-    sub_i = (jnp.einsum('bsj,qj->bsq', w0i, fr, precision=_HI)
-             + jnp.einsum('bsj,qj->bsq', w0r, fi, precision=_HI))
+
+    def fir(qb, fset):
+        wr = lo_r[:, widx, qb]                                # [B,S,13]
+        wi = lo_i[:, widx, qb]
+        fr = jnp.asarray(c["filt13_r"][fset])
+        fi = jnp.asarray(c["filt13_i"][fset])
+        return ((jnp.einsum('bsj,qj->bsq', wr, fr, precision=_HI)
+                 - jnp.einsum('bsj,qj->bsq', wi, fi, precision=_HI)),
+                (jnp.einsum('bsj,qj->bsq', wi, fr, precision=_HI)
+                 + jnp.einsum('bsj,qj->bsq', wr, fi, precision=_HI)))
+
+    if is34:
+        # 12 + 8 + 4 + 4 + 4 sub-channels from QMF bands 0-4, 59 direct
+        parts = [fir(0, 0), fir(1, 1), fir(2, 2), fir(3, 2), fir(4, 2)]
+        outs_r = [p[0] for p in parts] + [Xr[:, :, 5:]]
+        outs_i = [p[1] for p in parts] + [Xi[:, :, 5:]]
+        return (jnp.concatenate(outs_r, axis=-1),
+                jnp.concatenate(outs_i, axis=-1))             # [B,S,91]
+
+    sub_r, sub_i = fir(0, 0)
     # fold: singles 6,7,0,1 then pairs 2+5, 3+4
     def fold(sub):
         return jnp.stack([sub[..., 6], sub[..., 7], sub[..., 0],
@@ -143,8 +178,9 @@ def _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S):
             jnp.concatenate(outs_i, axis=-1))                 # [B,S,71]
 
 
-def _decorrelate(s_r, s_i, state, c, B, S):
-    """Transient-attenuated allpass decorrelation -> d [B,S,71]."""
+def _decorrelate(s_r, s_i, state, c, B, S, is34):
+    """Transient-attenuated allpass decorrelation -> d [B,S,nb]."""
+    NB, NPAR, NAP = _NB[is34], _NPAR[is34], _NAP[is34]
     k_to_i = jnp.asarray(c["k_to_i"])
     # per-parameter-band power via indicator matmul
     ind = (k_to_i[:, None] == jnp.arange(NPAR)[None, :]).astype(jnp.float32)
@@ -165,8 +201,8 @@ def _decorrelate(s_r, s_i, state, c, B, S):
     (peak, psm, pdf), tg = jax.lax.scan(
         tstep, (state["peak"], state["psmooth"], state["pdiff"]),
         jnp.moveaxis(pw, 1, 0))                               # tg [S,B,20]
-    tg = jnp.moveaxis(tg, 0, 1)                               # [B,S,20]
-    tg_k = tg[:, :, c["k_to_i"]]                              # [B,S,71]
+    tg = jnp.moveaxis(tg, 0, 1)                               # [B,S,npar]
+    tg_k = tg[:, :, c["k_to_i"]]                              # [B,S,nb]
 
     # delay lines: [14 hist | S] along slots
     line_r = jnp.concatenate([state["delay_r"],
@@ -228,13 +264,14 @@ def _decorrelate(s_r, s_i, state, c, B, S):
     return d_r, d_i, new_state
 
 
-def _mixing_h(dense, c, B, T):
-    """Host-packed knot indices -> per-slot H [B,T,32,20,4] (re, im) and
-    the imneg interpolation track (imaginary-start negation)."""
+def _mixing_h(dense, c, B, T, is34):
+    """Host-packed knot indices -> per-slot H [B,T,32,npar,4] (re, im)
+    and the imneg interpolation track (imaginary-start negation)."""
+    NPAR = _NPAR[is34]
     HA = jnp.asarray(c["HA"])
     pd_r = jnp.asarray(c["pd_r"])
     pd_i = jnp.asarray(c["pd_i"])
-    ha = dense["ps_ha"][:, :, :, :NPAR]                       # [B,T,6,20]
+    ha = dense["ps_ha"][:, :, :, :NPAR]                       # [B,T,6,npar]
     ic = dense["ps_icc"][:, :, :, :NPAR]
     base = HA[jnp.maximum(ha, 0), ic]                         # [B,T,6,20,4]
     base = base * (ha >= 0).astype(jnp.float32)[..., None]
@@ -273,14 +310,15 @@ def _mixing_h(dense, c, B, T):
 
 
 def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
-             B: int, T: int) -> tuple:
+             B: int, T: int, is34: bool = False) -> tuple:
     """Mono SBR plane -> stereo QMF planes + dual synthesis.
 
     Xr/Xi [B,S,64] (32768 scale); xall_lo_r/i [B, 8+S, 5] = the SBR
     stage's continuous low-band analysis line (8 history rows + S; its
     last 6 rows are this chunk's hybrid-filter lookahead).  Returns
     (pcm_l, pcm_r [B, S*64] in 32768 scale, new_state)."""
-    c = _consts()
+    c = _consts(is34)
+    NB = _NB[is34]
     S = T * SLOTS
     # continuous hybrid-FIR input: X slot n lives at xall row n+2, and
     # the FIR needs X slots [n-6, n+6] -> prepend 4 carried rows so row r
@@ -289,12 +327,12 @@ def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
     lo_i = jnp.concatenate([state["hist4_i"], xall_lo_i], axis=1)
     new_hist4_r = xall_lo_r[:, S - 4: S]
     new_hist4_i = xall_lo_i[:, S - 4: S]
-    s_r, s_i = _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S)
-    d_r, d_i, dec_state = _decorrelate(s_r, s_i, state, c, B, S)
-    h_r, h_i, h_imneg = _mixing_h(dense, c, B, T)
+    s_r, s_i = _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S, is34)
+    d_r, d_i, dec_state = _decorrelate(s_r, s_i, state, c, B, S, is34)
+    h_r, h_i, h_imneg = _mixing_h(dense, c, B, T, is34)
 
     k_to_i = c["k_to_i"]
-    hk_r = h_r[:, :, :, k_to_i]                               # [B,T,32,71,4]
+    hk_r = h_r[:, :, :, k_to_i]                               # [B,T,32,nb,4]
     hk_i = h_i[:, :, :, k_to_i]
     hk_in = h_imneg[:, :, :, k_to_i]
     cmask = jnp.asarray(c["conj_mask"])[None, None, None, :, None]
@@ -315,15 +353,26 @@ def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
     t3_r, t3_i = cmul(d_r, d_i, hk_r[..., 3], hk_i[..., 3])
     r_r, r_i = r_r + t3_r, r_i + t3_i
 
-    def hybrid_synthesis(ch_r, ch_i):
-        b0_r = jnp.sum(ch_r[..., :6], axis=-1, keepdims=True)
-        b0_i = jnp.sum(ch_i[..., :6], axis=-1, keepdims=True)
-        b1_r = (ch_r[..., 6] + ch_r[..., 7])[..., None]
-        b1_i = (ch_i[..., 6] + ch_i[..., 7])[..., None]
-        b2_r = (ch_r[..., 8] + ch_r[..., 9])[..., None]
-        b2_i = (ch_i[..., 8] + ch_i[..., 9])[..., None]
-        return (jnp.concatenate([b0_r, b1_r, b2_r, ch_r[..., 10:]], -1),
-                jnp.concatenate([b0_i, b1_i, b2_i, ch_i[..., 10:]], -1))
+    if is34:
+        groups = ((0, 12), (12, 20), (20, 24), (24, 28), (28, 32))
+
+        def hybrid_synthesis(ch_r, ch_i):
+            sums_r = [jnp.sum(ch_r[..., lo:hi], axis=-1, keepdims=True)
+                      for lo, hi in groups]
+            sums_i = [jnp.sum(ch_i[..., lo:hi], axis=-1, keepdims=True)
+                      for lo, hi in groups]
+            return (jnp.concatenate(sums_r + [ch_r[..., 32:]], -1),
+                    jnp.concatenate(sums_i + [ch_i[..., 32:]], -1))
+    else:
+        def hybrid_synthesis(ch_r, ch_i):
+            b0_r = jnp.sum(ch_r[..., :6], axis=-1, keepdims=True)
+            b0_i = jnp.sum(ch_i[..., :6], axis=-1, keepdims=True)
+            b1_r = (ch_r[..., 6] + ch_r[..., 7])[..., None]
+            b1_i = (ch_i[..., 6] + ch_i[..., 7])[..., None]
+            b2_r = (ch_r[..., 8] + ch_r[..., 9])[..., None]
+            b2_i = (ch_i[..., 8] + ch_i[..., 9])[..., None]
+            return (jnp.concatenate([b0_r, b1_r, b2_r, ch_r[..., 10:]], -1),
+                    jnp.concatenate([b0_i, b1_i, b2_i, ch_i[..., 10:]], -1))
 
     Xl_r, Xl_i = hybrid_synthesis(l_r, l_i)                   # [B,S,64]
     Xl_r = jnp.where(has_s != 0.0, Xl_r, Xr)
@@ -344,7 +393,7 @@ def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
 
 
 @functools.lru_cache(maxsize=None)
-def jitted_sbr_ps_apply(cfg, out_int16: bool = False):
+def jitted_sbr_ps_apply(cfg, out_int16: bool = False, is34: bool = False):
     """One jitted program: core PCM -> SBR -> PS -> stereo PCM routed to
     output slots (ps_dense['out_src'/'out_role']: slot c emits channel
     role (0=L, 1=R) of source slot src[c])."""
@@ -356,7 +405,7 @@ def jitted_sbr_ps_apply(cfg, out_int16: bool = False):
             core_pcm, dense, state, cfg, emit_x=True)
         new_state["v_hist"] = state["v_hist"]  # PS owns synthesis state
         pcm_l, pcm_r, new_ps = ps_apply(Xr, Xi, lo_r, lo_i,
-                                        ps_dense, ps_state, B, T)
+                                        ps_dense, ps_state, B, T, is34)
         src = ps_dense["out_src"]
         role = ps_dense["out_role"][:, None]
         out = jnp.where(role != 0, pcm_r[src], pcm_l[src])

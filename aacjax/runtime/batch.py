@@ -227,6 +227,7 @@ class BatchDecoder:
             # Parametric Stereo (HE-AAC v2) batched stage
             from aacjax.host import ps_pack as PP
             self._ps_enabled = False
+            self._ps_is34 = None   # chunk kernel mode, fixed at first ps
             self._ps_dense = None
             self._ps_pack_states = [PP.PSPackState() for _ in range(self.C)]
             self._ps_pair = [-1] * self.C   # R-output slot per PS source
@@ -314,10 +315,13 @@ class BatchDecoder:
                 or self._ps_pack_states[slot].ps_prev is not None):
             from aacjax.host import ps_pack as PP
             self._ps_engage(slot)
+            if self._ps_is34 is None and ps is not None:
+                self._ps_is34 = bool(ps.is34)   # chunk kernel mode
             if not self._sbr_np_sticky[slot]:
                 if not PP.pack_ps_frame(self._ps_dense, slot, t,
-                                        self._ps_pack_states[slot], ps):
-                    # 34-band PS mode: the batched kernel is 20-band
+                                        self._ps_pack_states[slot], ps,
+                                        bool(self._ps_is34)):
+                    # band mode differs from the chunk's compiled kernel
                     self._sbr_np_sticky[slot] = True
 
     def _sbr_stage(self, core_pcm, dense, np_jobs,
@@ -349,7 +353,8 @@ class BatchDecoder:
             from aacjax.kernels.ps_batch import (jitted_sbr_ps_apply,
                                                  ps_state_init)
             if self._ps_dev_state is None:
-                self._ps_dev_state = ps_state_init(self.C)
+                self._ps_dev_state = ps_state_init(self.C,
+                                                   bool(self._ps_is34))
                 # PS owns the L synthesis from here: continue the mono
                 # path's filterbank state seamlessly
                 self._ps_dev_state["v_l"] = prev_state["v_hist"].copy()
@@ -368,7 +373,8 @@ class BatchDecoder:
                 ps_alpha=jnp.asarray(d.alpha), ps_has=jnp.asarray(d.has_ps),
                 out_src=jnp.asarray(out_src), out_role=jnp.asarray(out_role))
             fn = jitted_sbr_ps_apply(self._sbr_cfg[1],
-                                     out_int16 and not sticky)
+                                     out_int16 and not sticky,
+                                     bool(self._ps_is34))
             pcm2, self._sbr_dev_state, self._ps_dev_state = fn(
                 core_pcm, vars(dense), ps_dense, prev_state,
                 self._ps_dev_state)

@@ -58,14 +58,29 @@ def _frame_X(low, hf, b, t):
     return X
 
 
-def test_ps_batch_matches_numpy_reference():
+def _random_specs_34(rng, b):
+    out = []
+    for t in range(T):
+        ne = (1, 2, 4, 2)[t % 4]
+        kw = dict(iid_mode=2, iid_par=rng.integers(-7, 8, (ne, 34)),
+                  num_env=ne, icc_mode=2, icc_par=rng.integers(0, 8, (ne, 34)))
+        if b != 1:
+            kw["ipd_par"] = rng.integers(0, 8, (ne, 17))
+            kw["opd_par"] = rng.integers(0, 8, (ne, 17))
+        out.append(PSSpec(**kw))
+    return out
+
+
+@pytest.mark.parametrize("is34", [False, True])
+def test_ps_batch_matches_numpy_reference(is34):
     jax = pytest.importorskip("jax")
     import jax.numpy as jnp
     from aacjax.kernels.ps_batch import ps_apply, ps_state_init
 
     rng = np.random.default_rng(11)
     low, hf = _build_planes(rng)
-    specs = [_random_specs(rng, b) for b in range(B)]
+    gen = _random_specs_34 if is34 else _random_specs
+    specs = [gen(rng, b) for b in range(B)]
 
     # ---- numpy reference: per frame, chained state -----------------------
     ref_l = np.zeros((B, S * 64))
@@ -90,7 +105,7 @@ def test_ps_batch_matches_numpy_reference():
     for b in range(B):
         for t in range(T):
             ps = _ps_data(specs[b][t], ctxs[b])
-            assert PP.pack_ps_frame(dense, b, t, states[b], ps)
+            assert PP.pack_ps_frame(dense, b, t, states[b], ps, is34)
     Xr = np.zeros((B, S, 64), np.float32)
     Xi = np.zeros((B, S, 64), np.float32)
     Xr[:, :, :5] = low[:, :S].real
@@ -112,10 +127,10 @@ def test_ps_batch_matches_numpy_reference():
         "ps_alpha": jnp.asarray(dense.alpha),
         "ps_has": jnp.asarray(dense.has_ps),
     }
-    fn = jax.jit(lambda *a: ps_apply(*a, B=B, T=T))
+    fn = jax.jit(lambda *a: ps_apply(*a, B=B, T=T, is34=is34))
     pcm_l, pcm_r, _ = fn(jnp.asarray(Xr), jnp.asarray(Xi),
                          jnp.asarray(xall_lo_r), jnp.asarray(xall_lo_i),
-                         pdense, ps_state_init(B))
+                         pdense, ps_state_init(B, is34))
     got_l = np.asarray(pcm_l)
     got_r = np.asarray(pcm_r)
     scale = float(np.abs(ref_l).max())
@@ -136,8 +151,8 @@ def _oracle():
 
 def test_decode_adts_ps_batched_matches_oracle():
     """decode_adts routes HE-AAC v2 through the combined batched
-    SBR+PS device program; stereo output is sample-exact vs libavcodec,
-    including a 34-band stream that diverts to the sticky numpy path."""
+    SBR+PS device program; stereo output is sample-exact vs libavcodec
+    for both the 20-band and 34-band kernel modes."""
     if not _oracle():
         pytest.skip("libavcodec oracle not built")
     from test_ps import _ICC10, _RAMP10, _snr, make_ps_stream
@@ -148,7 +163,10 @@ def test_decode_adts_ps_batched_matches_oracle():
                icc_mode=0, icc_par=_ICC10[None, :],
                ipd_par=((np.arange(5) * 3) % 8)[None, :],
                opd_par=(np.arange(5) % 8)[None, :]),
-        PSSpec(iid_mode=2, iid_par=(np.arange(34) % 15 - 7)[None, :]),
+        PSSpec(iid_mode=2, iid_par=(np.arange(34) % 15 - 7)[None, :],
+               icc_mode=2, icc_par=(np.arange(34) % 8)[None, :],
+               ipd_par=((np.arange(17) * 3) % 8)[None, :],
+               opd_par=((np.arange(17) * 5) % 8)[None, :]),
     ]
     for ps in cases:
         stream = make_ps_stream(ps)
