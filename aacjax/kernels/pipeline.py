@@ -30,6 +30,7 @@ C, T and filter/pair/coupling counts to fixed sizes.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -229,6 +230,42 @@ def pred_state_init(C: int):
     return jnp.asarray(st)
 
 
+# -- float-float ("double-f32") helpers for the TNS recurrence --------------
+# The AR feedback amplifies per-step rounding by the filter gain; with
+# pathological (but legal) order-12 filters a plain f32 recursion can be
+# ~1e-3 full-scale off the fp64 reference (FFmpeg's f32 TNS is ~0.4 off
+# on the same content).  Keeping the recursion state as an unevaluated
+# f32 hi+lo pair restores f64-class accuracy without device float64:
+# products split exactly via mantissa bit-masking (fusion-proof, unlike
+# Dekker's multiply-based split), sums via Knuth TwoSum (adds only, so
+# FMA contraction cannot break it).
+
+def _split_hi(a: jax.Array) -> jax.Array:
+    """Top 12 mantissa bits of each f32 (exact, product-safe half)."""
+    b = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    return jax.lax.bitcast_convert_type(b & jnp.uint32(0xFFFFF000),
+                                        jnp.float32)
+
+
+def _two_prod(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """a*b = p + e exactly (f32 pair)."""
+    p = a * b
+    a_hi = _split_hi(a)
+    a_lo = a - a_hi
+    b_hi = _split_hi(b)
+    b_lo = b - b_hi
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def _two_sum(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """a+b = s + e exactly (Knuth TwoSum, 6 adds)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
 def _tns_directional_scan(x: jax.Array, lpc: jax.Array, start: jax.Array,
                           end: jax.Array) -> jax.Array:
     """All-pole (AR) TNS filtering along the bin axis, batched.
@@ -238,11 +275,15 @@ def _tns_directional_scan(x: jax.Array, lpc: jax.Array, start: jax.Array,
     masked to stay inside the active filter's range — exactly the
     spec-correct sequential recurrence (ISO/IEC 14496-3 §4.6.9.3; the
     reference's equivalent loop at tns.js:156-161 never executes due to
-    the NaN-region bug, see SURVEY.md §7 quirk 2).
+    the NaN-region bug, see SURVEY.md §7 quirk 2).  The recurrence runs
+    in compensated float-float arithmetic (see helpers above) so the
+    device output tracks the fp64 reference to ~1e-6 even on torture
+    filters; AACJAX_TNS_FAST=1 opts into the plain f32 scan.
     """
     B, F = x.shape
+    fast = os.environ.get("AACJAX_TNS_FAST", "0") == "1"
 
-    def step(hist, inputs):
+    def step_fast(hist, inputs):
         # hist: [B, 20] previous outputs, hist[:, i] = y[n-1-i]
         xn, n = inputs
         active = (start <= n) & (n < end)                  # [B, S]
@@ -255,9 +296,39 @@ def _tns_directional_scan(x: jax.Array, lpc: jax.Array, start: jax.Array,
         hist = jnp.concatenate([yn[:, None], hist[:, :-1]], axis=1)
         return hist, yn
 
+    def step_ff(carry, inputs):
+        hist_hi, hist_lo = carry                           # [B, 20] each
+        xn, n = inputs
+        active = (start <= n) & (n < end)
+        lpc_n = jnp.einsum('bs,bso->bo', active.astype(x.dtype), lpc)
+        start_n = jnp.sum(jnp.where(active, start, 0), axis=1)
+        lags = jnp.arange(1, TNS_ORDER + 1, dtype=jnp.int32)
+        tap_ok = ((n - lags[None, :]) >= start_n[:, None]).astype(x.dtype)
+        c = lpc_n * tap_ok                                 # exact mask*lpc? no:
+        # lpc_n is a gather (sum over one active filter) -> exact; the
+        # tap mask is 0/1 so c = lpc or 0, exact.
+        p_hi, p_lo = _two_prod(c, hist_hi)                 # [B, 20] pairs
+        p_lo = p_lo + c * hist_lo
+        # compensated accumulation of the 20 taps + x_n
+        s, e = -p_hi[:, 0], -p_lo[:, 0]
+        for i in range(1, TNS_ORDER):
+            s, e2 = _two_sum(s, -p_hi[:, i])
+            e = e + e2 - p_lo[:, i]
+        y_hi, e2 = _two_sum(xn, s)
+        y_lo = e + e2
+        # renormalize the pair
+        y_hi, e3 = _two_sum(y_hi, y_lo)
+        y_lo = e3
+        hist_hi = jnp.concatenate([y_hi[:, None], hist_hi[:, :-1]], axis=1)
+        hist_lo = jnp.concatenate([y_lo[:, None], hist_lo[:, :-1]], axis=1)
+        return (hist_hi, hist_lo), y_hi
+
     ns = jnp.arange(F, dtype=jnp.int32)
     hist0 = jnp.zeros((B, TNS_ORDER), x.dtype)
-    _, ys = jax.lax.scan(step, hist0, (x.T, ns))
+    if fast:
+        _, ys = jax.lax.scan(step_fast, hist0, (x.T, ns))
+    else:
+        _, ys = jax.lax.scan(step_ff, (hist0, hist0), (x.T, ns))
     return ys.T
 
 
@@ -275,9 +346,9 @@ def tns(spec: jax.Array, fwd_lpc, fwd_start, fwd_end,
     def flat(a):
         return a.reshape((C * T,) + a.shape[2:])
 
-    y_f = _tns_directional_scan(x, flat(fwd_lpc), flat(fwd_start), flat(fwd_end))
-    xr = x[:, ::-1]
-    y_r = _tns_directional_scan(xr, flat(rev_lpc), flat(rev_start),
+    y_f = _tns_directional_scan(x, flat(fwd_lpc), flat(fwd_start),
+                                flat(fwd_end))
+    y_r = _tns_directional_scan(x[:, ::-1], flat(rev_lpc), flat(rev_start),
                                 flat(rev_end))[:, ::-1]
 
     ns = jnp.arange(F, dtype=jnp.int32)[None, None, :]

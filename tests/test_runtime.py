@@ -362,3 +362,40 @@ def test_device_seconds_is_synced():
     # exceed it
     assert s.parse_seconds + s.device_seconds <= wall + 1e-3
     assert s.parse_seconds + s.device_seconds >= 0.25 * wall
+
+
+def test_tns_torture_filter_accuracy():
+    """Legal order-12 TNS filters can have gains that amplify f32
+    rounding ~1e4x in the AR feedback; the compensated float-float scan
+    must stay at the fp64 model's accuracy (the parity north star's
+    worst corpus case — plain f32 measured ~9e-4 here, FFmpeg ~0.4)."""
+    import sys as _s
+    import pathlib as _p
+    _s.path.insert(0, str(_p.Path(__file__).parent))
+    from model_decoder import ModelDecoder
+    from aacjax.testing.specgen import random_cpe_spec
+
+    rng = np.random.default_rng(0)
+    # the parity CLI corpus, fast-forwarded to its worst case (case 9)
+    config = None
+    payloads = []
+    for case in range(10):
+        si = int(rng.integers(0, 12))
+        stereo = bool(rng.integers(0, 2))
+        config = parse_asc(make_asc(2, si, 2 if stereo else 1))
+        payloads = []
+        for _ in range(4):
+            w = BitWriter()
+            if stereo:
+                enc.write_cpe(w, random_cpe_spec(rng, config), config)
+            else:
+                enc.write_sce(w, random_channel_spec(rng, config), config)
+            payloads.append(enc.end_frame(w))
+    dec = BatchDecoder([config], chunk_frames=len(payloads))
+    frames = dec.parse_stream_frames(0, payloads)
+    got = dec.stream_pcm(dec.step([frames]), 0, len(payloads))
+    model = ModelDecoder(config)
+    want = np.concatenate([model.decode_frame(f) for f in frames], axis=0)
+    scale = max(1.0, float(np.abs(want).max()))
+    err = float(np.abs(got - want).max()) / scale
+    assert err < 1e-5, err   # observed ~2e-6 with the float-float scan
