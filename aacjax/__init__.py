@@ -10,7 +10,9 @@ them over a jax.sharding.Mesh.
 Public API mirrors the reference decoder's surface (aac.js: decoder.js,
 adts_demuxer.js): see aacjax.api.
 """
-from aacjax.api import AACDecoder, StreamConfig, decode_adts, probe  # noqa: F401
+from aacjax.api import (AACDecoder, StreamConfig, decode_adts,  # noqa: F401
+                        decode_loas, probe)
+from aacjax.host.latm import probe_loas  # noqa: F401
 from aacjax.host.asc import make_asc, parse_asc  # noqa: F401
 from aacjax.runtime.batch import BatchDecoder  # noqa: F401
 

@@ -292,6 +292,54 @@ class AACDecoder:
         return self.config.channels
 
 
+def decode_loas(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
+                on_error: str = "raise") -> tuple[np.ndarray, int]:
+    """Decode a LOAS/LATM byte stream (ISO/IEC 14496-3 §1.7.3 — the
+    broadcast transport; the reference has no LATM demuxer at all).
+
+    Demuxes the AudioMuxElements (aacjax.host.latm), then routes the
+    raw_data_block payloads through the normal pipeline: configs that
+    ADTS can express are re-framed and decoded on the batched device
+    path (incl. the HE-AAC/PS probing and profile routing of
+    decode_adts); others (960 mode, explicit AOT-5 signaling,
+    PCE-in-ASC) decode on the streaming path with the embedded ASC as
+    the cookie."""
+    from aacjax.host import latm
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error: {on_error}")
+    mux, payloads = latm.split_loas(data, on_error=on_error)
+    if mux is None or not payloads:
+        raise UnsupportedError("no LOAS frames found")
+    config = mux.config
+    if (config.frame_length == 1024 and not config.sbr
+            and 1 <= config.chan_config <= 7
+            and config.profile in (1, 2, 4)):
+        stream = b"".join(adts.wrap_frame(p, config) for p in payloads)
+        return decode_adts(stream, chunk_frames=chunk_frames,
+                           cce_slots=cce_slots, on_error=on_error)
+    # general path: streaming decoder seeded with the embedded ASC
+    dec = AACDecoder(cookie=mux.asc_raw, cce_slots=max(cce_slots, 1))
+    dec.feed(b"".join(payloads))
+    chunks = []
+    while True:
+        try:
+            chunk = dec.read_chunk()
+        except Exception:  # noqa: BLE001 — concealment boundary
+            if on_error == "raise":
+                raise
+            break  # raw payload stream: no container resync points left
+        if chunk is None:
+            break
+        chunks.append(chunk.reshape(-1, dec.output_channels))
+    if not chunks:
+        raise UnsupportedError("no decodable raw_data_blocks")
+    nch_out = max(c.shape[1] for c in chunks)
+    if any(c.shape[1] != nch_out for c in chunks):
+        chunks = [np.repeat(c, nch_out, axis=1) if c.shape[1] == 1 else c
+                  for c in chunks]
+    return np.concatenate(chunks, axis=0), dec.output_sample_rate
+
+
 def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
                 on_error: str = "raise") -> tuple[np.ndarray, int]:
     """Decode a whole ADTS byte stream through the batched device pipeline.

@@ -13,12 +13,15 @@ import sys
 
 def cmd_decode(args) -> int:
     import numpy as np
-    from aacjax.api import decode_adts
+    from aacjax.api import decode_adts, decode_loas
+    from aacjax.host.latm import probe_loas
 
     data = open(args.input, "rb").read()
-    pcm, rate = decode_adts(data, chunk_frames=args.chunk,
-                            cce_slots=args.cce_slots,
-                            on_error="skip" if args.conceal else "raise")
+    # sniff LOAS first: adts.probe can false-positive on binary payloads
+    decode = decode_loas if probe_loas(data) else decode_adts
+    pcm, rate = decode(data, chunk_frames=args.chunk,
+                       cce_slots=args.cce_slots,
+                       on_error="skip" if args.conceal else "raise")
     as_wav = args.output.lower().endswith(".wav")
     if as_wav and pcm.shape[1] > 2:
         from aacjax.api import to_canonical_order
@@ -64,6 +67,17 @@ def cmd_probe(args) -> int:
     from aacjax.host.asc import parse_asc
 
     data = open(args.input, "rb").read()
+    from aacjax.host import latm
+    if latm.probe_loas(data):
+        mux, payloads = latm.split_loas(data, on_error="skip")
+        cfg = mux.config if mux else None
+        result = {"loas": True, "adts": False}
+        if cfg:
+            result.update(sample_rate=cfg.sample_rate,
+                          channels=cfg.channels,
+                          profile=cfg.profile, frames=len(payloads))
+        print(json.dumps(result))
+        return 0
     ok = adts.probe(data)
     result = {"adts": bool(ok)}
     if ok:

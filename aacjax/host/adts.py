@@ -118,3 +118,24 @@ def split_frames(data: bytes, start: int = 0,
         frames.append((header, pos + header.header_bytes, end))
         pos = end
     return frames
+
+
+def wrap_frame(payload: bytes, config) -> bytes:
+    """Wrap a raw_data_block in a 7-byte ADTS header — the inverse of
+    split_frames for configs ADTS can signal (used e.g. to route LATM
+    payloads through the batched ADTS decode path)."""
+    from aacjax.host.bitio import BitWriter
+    w = BitWriter()
+    length = len(payload) + 7
+    w.write(0xFFF, 12)
+    w.write(0b000, 3)            # MPEG-4, layer 00
+    w.write(1, 1)                # protection_absent
+    w.write(config.profile - 1, 2)
+    w.write(config.sample_index, 4)
+    w.write(0, 1)                # private
+    w.write(config.chan_config, 3)
+    w.write(0, 4)                # original/home/(c)/(c)start
+    w.write(length, 13)
+    w.write(0x7FF, 11)           # buffer fullness (VBR)
+    w.write(0, 2)                # numFrames - 1
+    return w.getvalue() + payload

@@ -178,8 +178,13 @@ def _read_rate(stream: BitReader) -> tuple[int, int]:
 def parse_asc(cookie: bytes) -> StreamConfig:
     """Parse an AudioSpecificConfig buffer (decoder.js:53-113; plus
     HE-AAC explicit SBR signaling, which the reference rejects)."""
-    stream = BitReader(cookie)
+    return parse_asc_bits(BitReader(cookie))
 
+
+def parse_asc_bits(stream: BitReader) -> StreamConfig:
+    """Bit-level AudioSpecificConfig parse — consumes exactly the ASC
+    from an ongoing reader (LATM StreamMuxConfig embeds the ASC inline
+    with no length field when audioMuxVersion == 0)."""
     profile = stream.read(5)
     if profile == AOT_ESCAPE:
         profile = 32 + stream.read(6)
@@ -240,8 +245,19 @@ def make_asc(profile: int, sample_index: int, chan_config: int,
              ext_sample_index: int | None = None) -> bytes:
     """Build a minimal ASC (inverse of parse_asc for LC/HE streams)."""
     from aacjax.host.bitio import BitWriter
-    assert frame_length in (1024, 960)
     w = BitWriter()
+    write_asc_bits(w, profile, sample_index, chan_config, frame_length,
+                   sbr, ext_sample_index)
+    w.align()
+    return w.getvalue()
+
+
+def write_asc_bits(w, profile: int, sample_index: int, chan_config: int,
+                   frame_length: int = 1024, sbr: bool = False,
+                   ext_sample_index: int | None = None) -> None:
+    """Emit the ASC at the bit level (no byte padding — LATM embeds the
+    AudioSpecificConfig inline in the StreamMuxConfig)."""
+    assert frame_length in (1024, 960)
     if sbr:
         w.write(AOT_SBR, 5)
         w.write(sample_index, 4)       # core rate
@@ -258,5 +274,3 @@ def make_asc(profile: int, sample_index: int, chan_config: int,
     w.write(1 if frame_length == 960 else 0, 1)  # frameLengthFlag
     w.write(0, 1)  # dependsOnCoreCoder
     w.write(0, 1)  # extensionFlag
-    w.align()
-    return w.getvalue()

@@ -519,3 +519,57 @@ def encode_pcm(pcm: np.ndarray, config: StreamConfig,
     assert config.frame_length == 1024, "ADTS cannot carry 960-frame AAC"
     return b"".join(adts_frame(p, config)
                     for p in encode_pcm_frames(pcm, config, target_sf))
+
+
+def loas_stream(payloads: list[bytes], config: StreamConfig,
+                subframes: int = 1, mux_period: int = 0,
+                flt: int = 0) -> bytes:
+    """Wrap raw_data_block payloads into a LOAS AudioSyncStream carrying
+    LATM AudioMuxElements (single program/layer).  subframes packs that
+    many payloads per mux element (len(payloads) must divide evenly);
+    mux_period=N re-sends the StreamMuxConfig every N elements (0 = only
+    in the first); flt is the frameLengthType (0 byte-escape lengths,
+    1 fixed — all payloads must then be equal length)."""
+    from aacjax.host.asc import write_asc_bits
+    assert len(payloads) % subframes == 0
+    groups = [payloads[i:i + subframes]
+              for i in range(0, len(payloads), subframes)]
+    out = bytearray()
+    for gi, group in enumerate(groups):
+        w = BitWriter()
+        send_cfg = gi == 0 or (mux_period and gi % mux_period == 0)
+        w.write(0 if send_cfg else 1, 1)     # useSameStreamMux
+        if send_cfg:
+            w.write(0, 1)                    # audioMuxVersion
+            w.write(1, 1)                    # allStreamsSameTimeFraming
+            w.write(subframes - 1, 6)        # numSubFrames
+            w.write(0, 4)                    # numProgram - 1
+            w.write(0, 3)                    # numLayer - 1
+            write_asc_bits(w, config.profile, config.sample_index,
+                           config.chan_config, config.frame_length,
+                           bool(config.sbr))
+            w.write(flt, 3)                  # frameLengthType
+            if flt == 0:
+                w.write(0xCC, 8)             # latmBufferFullness
+            else:
+                assert all(len(p) == len(group[0]) for g in groups
+                           for p in g)
+                w.write(len(group[0]) - 20, 9)
+            w.write(0, 1)                    # otherDataPresent
+            w.write(0, 1)                    # crcCheckPresent
+        for p in group:  # per subframe: PayloadLengthInfo(); PayloadMux()
+            if flt == 0:
+                n = len(p)
+                while n >= 255:
+                    w.write(255, 8)
+                    n -= 255
+                w.write(n, 8)
+            for b in p:
+                w.write(b, 8)
+        w.align()
+        ame = w.getvalue()
+        hdr = BitWriter()
+        hdr.write(0x2B7, 11)
+        hdr.write(len(ame), 13)
+        out += hdr.getvalue() + ame
+    return bytes(out)

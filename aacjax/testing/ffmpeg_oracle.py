@@ -32,6 +32,11 @@ def _load():
     lib.ffdec_decode_adts.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "ffdec_decode_loas"):
+        lib.ffdec_decode_loas.restype = ctypes.c_int64
+        lib.ffdec_decode_loas.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
     if hasattr(lib, "ffdec_decode_raw"):
         lib.ffdec_decode_raw.restype = ctypes.c_int64
         lib.ffdec_decode_raw.argtypes = [
@@ -68,6 +73,22 @@ def decode_adts(data: bytes) -> tuple[np.ndarray, int]:
                               _ptr(ch), _ptr(rate))
     if n < 0:
         raise RuntimeError(f"ffmpeg decode failed: {n}")
+    nch = int(ch[0])
+    return out[:n * nch].reshape(-1, nch).copy(), int(rate[0])
+
+
+def decode_loas(data: bytes) -> tuple[np.ndarray, int]:
+    """FFmpeg-decode a LOAS/LATM stream -> (pcm [n, ch] float32, rate)."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    cap = len(data) * 64 + (1 << 20)
+    out = np.zeros(cap, np.float32)
+    ch = np.zeros(1, np.int32)
+    rate = np.zeros(1, np.int32)
+    n = lib.ffdec_decode_loas(_ptr(buf), len(data), _ptr(out), cap,
+                              _ptr(ch), _ptr(rate))
+    if n < 0:
+        raise RuntimeError(f"ffmpeg LATM decode failed: {n}")
     nch = int(ch[0])
     return out[:n * nch].reshape(-1, nch).copy(), int(rate[0])
 

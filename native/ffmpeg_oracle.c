@@ -215,3 +215,79 @@ int64_t ffenc_encode_aac(const float* pcm, int64_t n_samples, int channels,
   avcodec_free_context(&ctx);
   return err ? err : npkts;
 }
+
+
+// Decode a LOAS/LATM byte stream (AudioSyncStream framing, LATM mux) —
+// arbitrates aacjax's LATM demuxer (aacjax/host/latm.py).
+int64_t ffdec_decode_loas(const uint8_t* data, int64_t len, float* out,
+                          int64_t out_cap_samples, int* channels,
+                          int* sample_rate) {
+  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_AAC_LATM);
+  if (!codec) return -1;
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  if (!ctx) return -2;
+  if (avcodec_open2(ctx, codec, NULL) < 0) { avcodec_free_context(&ctx); return -3; }
+
+  AVCodecParserContext* parser = av_parser_init(AV_CODEC_ID_AAC_LATM);
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+  int nch = 0, rate = 0;
+  int err = 0;
+
+  const uint8_t* p = data;
+  int64_t remaining = len;
+  while (remaining > 0) {
+    uint8_t* opkt = NULL;
+    int opkt_size = 0;
+    int used = av_parser_parse2(parser, ctx, &opkt, &opkt_size,
+                                p, (int)remaining, AV_NOPTS_VALUE,
+                                AV_NOPTS_VALUE, 0);
+    if (used < 0) { err = -4; break; }
+    p += used;
+    remaining -= used;
+    if (opkt_size == 0) {
+      if (remaining <= 0) break;
+      continue;
+    }
+    pkt->data = opkt;
+    pkt->size = opkt_size;
+    if (avcodec_send_packet(ctx, pkt) < 0) { err = -5; break; }
+    while (1) {
+      int r = avcodec_receive_frame(ctx, frame);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+      if (r < 0) { err = -6; goto done; }
+      nch = ctx->ch_layout.nb_channels;
+      rate = ctx->sample_rate;
+      int ns = frame->nb_samples;
+      if ((written + ns) * nch > out_cap_samples) { err = -7; goto done; }
+      for (int s = 0; s < ns; ++s)
+        for (int c = 0; c < nch; ++c)
+          out[(written + s) * nch + c] =
+              ((const float*)frame->data[c])[s];
+      written += ns;
+    }
+  }
+  avcodec_send_packet(ctx, NULL);
+  while (1) {
+    int r = avcodec_receive_frame(ctx, frame);
+    if (r < 0) break;
+    nch = ctx->ch_layout.nb_channels;
+    rate = ctx->sample_rate;
+    int ns = frame->nb_samples;
+    if ((written + ns) * nch > out_cap_samples) { err = -7; break; }
+    for (int s = 0; s < ns; ++s)
+      for (int c = 0; c < nch; ++c)
+        out[(written + s) * nch + c] = ((const float*)frame->data[c])[s];
+    written += ns;
+  }
+done:
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  av_parser_close(parser);
+  avcodec_free_context(&ctx);
+  if (err) return err;
+  *channels = nch;
+  *sample_rate = rate;
+  return written;
+}
