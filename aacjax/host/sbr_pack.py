@@ -45,12 +45,17 @@ class SBRHostState:
     index_sine: int = 0
     la_prev: int = -1
     s_index_prev: np.ndarray | None = None
+    t_env_last: int = 0     # previous frame's final border (Y-carry)
+
+
+# adjusted slots per frame: 32 output + up to 6 VAR-class overhang
+YSLOTS = 38
 
 
 @dataclass
 class SBRDense:
     """Dense arrays for [B, T] channel-frames."""
-    env_id: np.ndarray      # [B,T,32] i32
+    env_id: np.ndarray      # [B,T,38] i32 (32 output + 6 overhang slots)
     e_orig: np.ndarray      # [B,T,5,64] f32
     q_map: np.ndarray       # [B,T,5,64] f32
     s_idx: np.ndarray       # [B,T,5,64] f32 (0/1)
@@ -58,15 +63,17 @@ class SBRDense:
     delta: np.ndarray       # [B,T,5] f32 (0/1)
     transient: np.ndarray   # [B,T,5] f32 (1 = transient envelope: no noise)
     bw: np.ndarray          # [B,T,64] f32
-    noise_base: np.ndarray  # [B,T,32] i32
+    noise_base: np.ndarray  # [B,T,38] i32
     sine_idx: np.ndarray    # [B,T,32] i32
     covered: np.ndarray     # [B,T,32] f32 (slot belongs to an envelope)
     has_sbr: np.ndarray     # [B,T] f32 (0 -> passthrough upsample)
+    i_temp: np.ndarray      # [B,T] i32: first slots take the previous
+                            # frame's adjusted overhang (Y double-buffer)
 
 
 def alloc_dense(B: int, T: int) -> SBRDense:
     return SBRDense(
-        env_id=np.zeros((B, T, SLOTS), np.int32),
+        env_id=np.zeros((B, T, YSLOTS), np.int32),
         e_orig=np.zeros((B, T, MAX_ENV, BANDS), np.float32),
         q_map=np.zeros((B, T, MAX_ENV, BANDS), np.float32),
         s_idx=np.zeros((B, T, MAX_ENV, BANDS), np.float32),
@@ -74,10 +81,11 @@ def alloc_dense(B: int, T: int) -> SBRDense:
         delta=np.zeros((B, T, MAX_ENV), np.float32),
         transient=np.zeros((B, T, MAX_ENV), np.float32),
         bw=np.zeros((B, T, BANDS), np.float32),
-        noise_base=np.zeros((B, T, SLOTS), np.int32),
-        sine_idx=np.zeros((B, T, SLOTS), np.int32),
-        covered=np.zeros((B, T, SLOTS), np.float32),
+        noise_base=np.zeros((B, T, YSLOTS), np.int32),
+        sine_idx=np.zeros((B, T, YSLOTS), np.int32),
+        covered=np.zeros((B, T, YSLOTS), np.float32),
         has_sbr=np.zeros((B, T), np.float32),
+        i_temp=np.zeros((B, T), np.int32),
     )
 
 
@@ -93,8 +101,13 @@ def pack_channel_frame(dense: SBRDense, b: int, t: int,
     kx, m = tbl.kx, tbl.m
     la = S.l_a(g)
     num_env = g.num_env
-    t_env = np.minimum(g.t_env[: num_env + 1], 16)
-    t_q = np.minimum(g.t_q[: g.num_noise + 1], 16)
+    # VAR-class borders may overhang the frame (t_env up to 19); the
+    # adjusted overhang slots carry into the next frame via the kernel's
+    # Y double-buffer (dense.i_temp + the y_tail device state)
+    t_env = np.minimum(g.t_env[: num_env + 1], 19)
+    t_q = np.minimum(g.t_q[: g.num_noise + 1], 19)
+    dense.i_temp[b, t] = max(0, 2 * state.t_env_last - 32)
+    state.t_env_last = int(t_env[num_env]) if num_env else 0
 
     # chirp (host-sequential; identical smoothing to the numpy path)
     class _P:  # tiny adapter so SD._chirp can run on this state

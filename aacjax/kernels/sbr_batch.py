@@ -29,7 +29,8 @@ from aacjax.kernels import qmf
 
 MAX_ENV = 5
 BANDS = 64
-SLOTS = 32      # QMF slots per frame
+SLOTS = 32      # QMF output slots per frame
+YSLOTS = 38     # adjusted slots (32 + up to 6 VAR-class overhang)
 HIST = 8        # carried X_low slots
 ADJ = 2         # envelope/output window offset (see host.sbr_decode)
 MAX_LIM = 16
@@ -82,6 +83,9 @@ def sbr_state_init(B: int) -> dict:
         v_hist=jnp.zeros((B, qmf.SYN_HIST, 128), jnp.float32),
         xlow_r=jnp.zeros((B, HIST, 32), jnp.float32),
         xlow_i=jnp.zeros((B, HIST, 32), jnp.float32),
+        # previous chunk's final-frame adjusted overhang (Y double-buffer)
+        ytail_r=jnp.zeros((B, YSLOTS - SLOTS, BANDS), jnp.float32),
+        ytail_i=jnp.zeros((B, YSLOTS - SLOTS, BANDS), jnp.float32),
     )
 
 
@@ -151,6 +155,7 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     xall_i = jnp.concatenate([state['xlow_i'], xi], axis=1)
     new_state = dict(x_hist=x_hist,
                      xlow_r=xall_r[:, -HIST:], xlow_i=xall_i[:, -HIST:])
+    YS = YSLOTS
 
     # per-frame 40-slot windows
     widx = (jnp.arange(T)[:, None] * SLOTS + jnp.arange(HIST + SLOTS)[None, :])
@@ -166,19 +171,19 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     bw2 = dense['bw'] * dense['bw']
     a1r_k = a1r[:, :, src_band] * bw2
     a1i_k = a1i[:, :, src_band] * bw2
-    cur_r, cur_i = sr[:, :, ADJ: ADJ + SLOTS], si[:, :, ADJ: ADJ + SLOTS]
-    l1r, l1i = sr[:, :, ADJ - 1: ADJ - 1 + SLOTS], si[:, :, ADJ - 1: ADJ - 1 + SLOTS]
-    l2r, l2i = sr[:, :, ADJ - 2: ADJ - 2 + SLOTS], si[:, :, ADJ - 2: ADJ - 2 + SLOTS]
+    cur_r, cur_i = sr[:, :, ADJ: ADJ + YS], si[:, :, ADJ: ADJ + YS]
+    l1r, l1i = sr[:, :, ADJ - 1: ADJ - 1 + YS], si[:, :, ADJ - 1: ADJ - 1 + YS]
+    l2r, l2i = sr[:, :, ADJ - 2: ADJ - 2 + YS], si[:, :, ADJ - 2: ADJ - 2 + YS]
     xh_r = (cur_r + l1r * a0r_k[:, :, None, :] - l1i * a0i_k[:, :, None, :]
             + l2r * a1r_k[:, :, None, :] - l2i * a1i_k[:, :, None, :])
     xh_i = (cur_i + l1r * a0i_k[:, :, None, :] + l1i * a0r_k[:, :, None, :]
             + l2r * a1i_k[:, :, None, :] + l2i * a1r_k[:, :, None, :])
-    xh_r = xh_r * patched                                    # [B,T,32,64]
+    xh_r = xh_r * patched                                    # [B,T,38,64]
     xh_i = xh_i * patched
 
     # --- envelope energies -------------------------------------------------
     oh = ((dense['env_id'][..., None] == jnp.arange(MAX_ENV)[None, None, None])
-          .astype(jnp.float32) * dense['covered'][..., None])  # [B,T,32,5]
+          .astype(jnp.float32) * dense['covered'][..., None])  # [B,T,38,5]
     counts = jnp.sum(oh, axis=2)                             # [B,T,5]
     xh2 = xh_r * xh_r + xh_i * xh_i
     e_curr = (jnp.einsum('btse,btsk->btek', oh, xh2, precision=_HI)
@@ -249,6 +254,25 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
               - jnp.where(phase == 3, s_slot * sign_k, 0.0)
 
     # --- final X + synthesis -------------------------------------------------
+    # VAR-class Y-carry: each frame's first i_temp slots take the
+    # PREVIOUS frame's adjusted overhang (slots 32..38 of y) — a
+    # shifted-frame gather, like the overlap-add (FFmpeg's Y double
+    # buffer; host.sbr_decode y_tail semantics)
+    tail_r = jnp.concatenate([state['ytail_r'][:, None],
+                              y_r[:, :-1, SLOTS:YS]], axis=1)  # [B,T,6,64]
+    tail_i = jnp.concatenate([state['ytail_i'][:, None],
+                              y_i[:, :-1, SLOTS:YS]], axis=1)
+    carry = (jnp.arange(YS - SLOTS)[None, None, :, None]
+             < dense['i_temp'][..., None, None])              # [B,T,6,1]
+    yo_r = jnp.concatenate(
+        [jnp.where(carry, tail_r, y_r[:, :, :YS - SLOTS]),
+         y_r[:, :, YS - SLOTS:SLOTS]], axis=2)                # [B,T,32,64]
+    yo_i = jnp.concatenate(
+        [jnp.where(carry, tail_i, y_i[:, :, :YS - SLOTS]),
+         y_i[:, :, YS - SLOTS:SLOTS]], axis=2)
+    new_state['ytail_r'] = y_r[:, -1, SLOTS:YS]
+    new_state['ytail_i'] = y_i[:, -1, SLOTS:YS]
+
     out_r, out_i = wr[:, :, ADJ: ADJ + SLOTS], wi[:, :, ADJ: ADJ + SLOTS]
     has = dense['has_sbr'][..., None, None]                  # [B,T,1,1]
     low_mask = jnp.where(has != 0.0,
@@ -258,8 +282,8 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     xlow64_r = jnp.concatenate([out_r, pad], axis=3)
     xlow64_i = jnp.concatenate([out_i, pad], axis=3)
     hf_mask = patched * has
-    Xr = xlow64_r * low_mask + y_r * hf_mask
-    Xi = xlow64_i * low_mask + y_i * hf_mask
+    Xr = xlow64_r * low_mask + yo_r * hf_mask
+    Xi = xlow64_i * low_mask + yo_i * hf_mask
 
     if emit_x:
         return (Xr.reshape(B, S, BANDS), Xi.reshape(B, S, BANDS),

@@ -287,10 +287,11 @@ class BatchDecoder:
     def _sbr_pack_payload(self, dense, np_jobs, sf, slot: int, nch: int,
                           t: int) -> None:
         """Pack one parsed SBRFrame into the dense arrays.  Slots whose
-        header deviates from the batch header, or whose grid overhangs
-        the frame (VAR classes — the batched kernel has no Y-carry), go
-        STICKY: all their frames decode on the per-channel numpy path
-        (seeded from the batched state at the transition)."""
+        header deviates from the batch header (or whose PS band mode
+        differs from the chunk's) go STICKY: all their frames decode on
+        the per-channel numpy path (seeded from the batched state at
+        the transition).  VAR-class envelope overhang runs on-device
+        (the kernel's Y double-buffer)."""
         from aacjax.host import sbr as sbrmod
         from aacjax.host import sbr_pack as SP
         from aacjax.kernels.sbr_batch import SBRStaticConfig
@@ -301,10 +302,10 @@ class BatchDecoder:
         eq = sbrmod.dequant(sf)
         ps = getattr(sf, "ps", None) if nch == 1 else None
         for c in range(nch):
-            g = sf.channels[c].grid
             self._chunk_sbr_records[slot + c].append((t, sf, c, eq[c]))
-            if (sf.header != self._sbr_cfg[0]
-                    or int(g.t_env[g.num_env]) > 16):
+            if sf.header != self._sbr_cfg[0]:
+                # deviant header: this slot's grid tables don't fit the
+                # chunk's compiled static config
                 self._sbr_np_sticky[slot + c] = True
             if not self._sbr_np_sticky[slot + c]:
                 SP.pack_channel_frame(dense, slot + c, t,

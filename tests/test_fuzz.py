@@ -141,3 +141,31 @@ def test_ps_parser_survives_garbage():
             read_ps_data(BitReader(data), ctx, len(data) * 8)
         except (BitstreamError, BitstreamUnderflow):
             pass
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_loas_survives_mutations(seed):
+    """Bit-flipped LOAS streams decode, conceal, or raise cleanly."""
+    from aacjax import decode_loas
+    from aacjax.host.asc import UnsupportedError
+    from aacjax.host.bitio import BitstreamUnderflow
+    from aacjax.testing.encoder import loas_stream
+    from aacjax.testing.specgen import random_cpe_spec
+
+    rng = np.random.default_rng(2000 + seed)
+    config = _cfg(si=4, ch=2)
+    payloads = []
+    for _ in range(5):
+        w = BitWriter()
+        enc.write_cpe(w, random_cpe_spec(rng, config, common=True), config)
+        payloads.append(enc.end_frame(w))
+    stream = bytearray(loas_stream(payloads, config,
+                                   subframes=1 if seed % 2 else 5))
+    for _ in range(3):
+        pos = int(rng.integers(0, len(stream)))
+        stream[pos] ^= 1 << int(rng.integers(8))
+    try:
+        pcm, _ = decode_loas(bytes(stream), on_error="skip")
+        assert np.isfinite(pcm).all()
+    except (BitstreamError, BitstreamUnderflow, UnsupportedError):
+        pass

@@ -350,27 +350,32 @@ def test_sbr_var_overhang_matches_ffmpeg():
         assert snr > 80.0, (f, snr)
 
 
-def test_sbr_batch_overhang_routes_to_numpy():
-    """step_he_raw must not run overhang grids through the (clamped)
-    batched kernel: those slots go sticky to the numpy path and the
-    output matches the streaming decoder."""
+def test_sbr_batch_overhang_on_device():
+    """VAR-class overhang runs in the batched kernel itself (Y double
+    buffer): no slot goes sticky, and the output matches the streaming
+    decoder at the f32 floor — including across a chunk boundary."""
     from aacjax.runtime.batch import BatchDecoder
     stream = _overhang_stream()
     import aacjax.host.adts as adts
     frames = adts.split_frames(stream)
     cfg = parse_asc(adts.synthesize_cookie(frames[0][0]))
     payloads = [stream[s:e] for _, s, e in frames]
-    dec = BatchDecoder([cfg], chunk_frames=len(payloads))
-    out = dec.step_he_raw([payloads])
-    assert np.isfinite(out).all()
-    assert any(dec._sbr_np_sticky)  # overhang slots routed off-device
     want = decode_ours(stream)
-    got = out[0].reshape(-1, 1)
-    nn = min(len(want), len(got))
-    a = want[4096:nn - 64, 0].astype(np.float64)
-    b = got[4096:nn - 64, 0].astype(np.float64)
-    snr = 10 * np.log10(np.sum(a ** 2) / max(np.sum((a - b) ** 2), 1e-30))
-    assert snr > 60.0, snr
+    for chunk in (len(payloads), 3):
+        dec = BatchDecoder([cfg], chunk_frames=chunk)
+        outs = []
+        for lo in range(0, len(payloads), chunk):
+            group = payloads[lo:lo + chunk]
+            out = dec.step_he_raw([group])
+            outs.append(out[0, :len(group)].reshape(-1, 1))
+        assert not any(dec._sbr_np_sticky)  # overhang stays on-device
+        got = np.concatenate(outs)
+        nn = min(len(want), len(got))
+        a = want[4096:nn - 64, 0].astype(np.float64)
+        b = got[4096:nn - 64, 0].astype(np.float64)
+        snr = 10 * np.log10(np.sum(a ** 2)
+                            / max(np.sum((a - b) ** 2), 1e-30))
+        assert snr > 60.0, (chunk, snr)
 
 
 @pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
