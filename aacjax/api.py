@@ -108,8 +108,30 @@ class AACDecoder:
             self._sbr_mode = True  # explicit signaling
 
     def feed(self, data: bytes) -> None:
+        if getattr(self, "_transport", None) == "loas":
+            self._feed_loas(data)
+            return
         self._buffer.extend(data)
         self._reader = None  # buffer changed; rebuild lazily
+        if self.config is None and getattr(self, "_transport", None) is None:
+            # LOAS/LATM transport sniff: once a full first AudioSyncStream
+            # frame (plus the next syncword) is buffered, switch to the
+            # incremental LATM demuxer; while the buffer merely LOOKS like
+            # LOAS (0x56 0xEx at the start), hold off the ADTS sniff so
+            # 0xFFF patterns inside LATM payloads can't mis-latch it
+            from aacjax.host.latm import probe_loas
+            buf = bytes(self._buffer)
+            if probe_loas(buf):
+                self._transport = "loas"
+                self._loas_buf = bytearray()
+                self._loas_pos = 0
+                self._loas_mux = None
+                self._buffer.clear()
+                self._feed_loas(buf)
+                return
+            if (len(buf) >= 2 and buf[0] == 0x56
+                    and (buf[1] & 0xE0) == 0xE0):
+                return  # probably LOAS, first frame still in flight
         if self.config is None:
             # Auto-configure from the first ADTS header, like the demuxer's
             # synthesized cookie (adts_demuxer.js:66-70) — a complete header
@@ -127,6 +149,42 @@ class AACDecoder:
                     self.set_cookie(adts.synthesize_cookie(header))
                     self._bitpos = pos * 8
                     break
+
+    def _feed_loas(self, data: bytes) -> None:
+        """Incremental LOAS demux: complete AudioSyncStream frames yield
+        raw_data_block payloads into the normal decode buffer; a partial
+        trailing frame waits for the next feed."""
+        from aacjax.host import latm
+        from aacjax.host.bitio import BitReader
+        self._loas_buf.extend(data)
+        buf = self._loas_buf
+        pos = self._loas_pos
+        while pos + 3 <= len(buf):
+            r = BitReader(bytes(buf[pos: pos + 3]))
+            if r.read(11) != latm.LOAS_SYNC:
+                pos += 1  # resync scan
+                continue
+            length = r.read(13)
+            if pos + 3 + length > len(buf):
+                break     # frame still in flight
+            fr = BitReader(bytes(buf[pos + 3: pos + 3 + length]))
+            try:
+                self._loas_mux, payloads = latm.read_audio_mux_element(
+                    fr, self._loas_mux)
+            except Exception:  # noqa: BLE001 — scan past a corrupt frame
+                pos += 1
+                continue
+            if self.config is None:
+                self.set_cookie(self._loas_mux.asc_raw)
+            for p in payloads:
+                self._buffer.extend(p)
+            self._reader = None
+            pos += 3 + length
+        # drop consumed prefix
+        if pos > 4096:
+            del self._loas_buf[:pos]
+            pos = 0
+        self._loas_pos = pos
 
     def reset(self) -> None:
         """Drop buffered data and decoder state (overlap, shape history);

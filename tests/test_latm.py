@@ -148,3 +148,27 @@ def test_loas_corruption_resync():
     assert 0 < len(got) <= len(payloads)
     pcm, _ = decode_loas(bytes(stream), on_error="skip")
     assert np.isfinite(pcm).all()
+
+
+def test_streaming_decoder_feeds_loas():
+    """AACDecoder.feed auto-detects LOAS and demuxes incrementally:
+    byte-dribbled feeding produces the same PCM as decode_loas."""
+    from aacjax import AACDecoder
+    config, payloads = _payloads(n=6)
+    stream = enc.loas_stream(payloads, config, subframes=2)
+    want, _ = decode_loas(stream)
+
+    dec = AACDecoder()
+    out = []
+    step = 777    # deliberately misaligned with frame boundaries
+    for lo in range(0, len(stream), step):
+        dec.feed(stream[lo:lo + step])
+        while True:
+            c = dec.read_chunk()
+            if c is None:
+                break
+            out.append(c.reshape(-1, dec.output_channels))
+    got = np.concatenate(out)
+    assert got.shape == want.shape
+    # streaming path uses the same pipeline modulo chunking; f32 only
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
