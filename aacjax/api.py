@@ -375,6 +375,23 @@ def decode_loas(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         stream = b"".join(adts.wrap_frame(p, config) for p in payloads)
         return decode_adts(stream, chunk_frames=chunk_frames,
                            cce_slots=cce_slots, on_error=on_error)
+    if config.profile == 23:
+        # ER AAC-LD (AOT 23, 512/480-sample frames — a profile the
+        # reference rejects outright): no cross-frame time feedback, so
+        # the demuxed raw_data_blocks run through the batched device
+        # pipeline at the LD frame length
+        dec = BatchDecoder([config], chunk_frames=chunk_frames)
+        out = []
+        for i in range(0, len(payloads), chunk_frames):
+            group = payloads[i:i + chunk_frames]
+            pcm = dec.step_raw([group])
+            if dec.streams[0].failed:
+                if on_error == "raise":
+                    raise UnsupportedError(
+                        f"stream failed: {dec.streams[0].last_error}")
+                dec.streams[0].failed = False  # concealed; keep decoding
+            out.append(dec.stream_pcm(pcm, 0, len(group)))
+        return np.concatenate(out, axis=0), config.sample_rate
     # general path: streaming decoder seeded with the embedded ASC
     dec = AACDecoder(cookie=mux.asc_raw, cce_slots=max(cce_slots, 1))
     dec.feed(b"".join(payloads))

@@ -20,6 +20,7 @@ AOT_AAC_MAIN = 1
 AOT_AAC_LC = 2
 AOT_AAC_LTP = 4
 AOT_SBR = 5
+AOT_ER_AAC_LD = 23
 AOT_ESCAPE = 31
 
 CHANNEL_CONFIG_NONE = 0
@@ -131,6 +132,10 @@ class StreamConfig:
     def swb_offsets_long(self) -> np.ndarray:
         if self.frame_length == 960:
             return tables.SWB_OFFSET_960[self.sample_index]
+        if self.frame_length == 512:
+            return tables.SWB_OFFSET_512[self.sample_index]
+        if self.frame_length == 480:
+            return tables.SWB_OFFSET_480[self.sample_index]
         return tables.SWB_OFFSET_1024[self.sample_index]
 
     @property
@@ -149,7 +154,17 @@ class StreamConfig:
     def swb_count_long(self) -> int:
         if self.frame_length == 960:
             return int(tables.SWB_LONG_WINDOW_COUNT_960[self.sample_index])
+        if self.frame_length == 512:
+            return int(tables.NUM_SWB_512[self.sample_index])
+        if self.frame_length == 480:
+            return int(tables.NUM_SWB_480[self.sample_index])
         return int(tables.SWB_LONG_WINDOW_COUNT[self.sample_index])
+
+    @property
+    def tns_max_bands_ld(self) -> int:
+        t = (tables.TNS_MAX_BANDS_512 if self.frame_length == 512
+             else tables.TNS_MAX_BANDS_480)
+        return int(t[self.sample_index])
 
     @property
     def swb_count_short(self) -> int:
@@ -205,6 +220,40 @@ def parse_asc_bits(stream: BitReader) -> StreamConfig:
             profile = 32 + stream.read(6)
 
     frame_length = 1024
+    if profile == AOT_ER_AAC_LD:
+        # ER AAC Low Delay (the reference rejects every ER profile):
+        # GASpecificConfig with 512/480 frames, ER resilience flags and
+        # an epConfig trailer
+        if stream.read(1):  # frameLengthFlag => 480-sample frames
+            frame_length = 480
+        else:
+            frame_length = 512
+        if stream.read(1):  # dependsOnCoreCoder
+            stream.advance(14)
+        ext = stream.read(1)  # extensionFlag (1 for ER profiles)
+        pce_channels = 0
+        if chan_config == CHANNEL_CONFIG_NONE:
+            pce = decode_pce(stream)
+            pce_channels = pce.channels
+        if ext:
+            if stream.read(1) or stream.read(1) or stream.read(1):
+                raise UnsupportedError(
+                    "ER resilience tools (RVLC/HCR) not supported.")
+            if stream.read(1):  # extensionFlag3
+                raise UnsupportedError("extensionFlag3 not supported.")
+        ep = stream.read(2)  # epConfig
+        if ep != 0:
+            raise UnsupportedError(f"epConfig {ep} not supported.")
+        counts = (tables.NUM_SWB_512 if frame_length == 512
+                  else tables.NUM_SWB_480)
+        if counts[sample_index] == 0:
+            raise UnsupportedError(
+                f"AAC-LD undefined at sampling index {sample_index}")
+        return StreamConfig(
+            profile=profile, sample_index=sample_index,
+            sample_rate=sample_rate, chan_config=chan_config,
+            frame_length=frame_length, sbr=0, ext_sample_rate=0,
+            pce_channels=pce_channels)
     pce_channels = 0
     if profile in (AOT_AAC_MAIN, AOT_AAC_LC, AOT_AAC_LTP):
         if stream.read(1):  # frameLengthFlag => 960-sample frames
@@ -257,6 +306,18 @@ def write_asc_bits(w, profile: int, sample_index: int, chan_config: int,
                    ext_sample_index: int | None = None) -> None:
     """Emit the ASC at the bit level (no byte padding — LATM embeds the
     AudioSpecificConfig inline in the StreamMuxConfig)."""
+    if profile == AOT_ER_AAC_LD:
+        assert frame_length in (512, 480) and not sbr
+        w.write(profile, 5)
+        w.write(sample_index, 4)
+        w.write(chan_config, 4)
+        w.write(1 if frame_length == 480 else 0, 1)  # frameLengthFlag
+        w.write(0, 1)   # dependsOnCoreCoder
+        w.write(1, 1)   # extensionFlag (mandatory for ER profiles)
+        w.write(0, 3)   # section/scalefactor/spectral resilience off
+        w.write(0, 1)   # extensionFlag3
+        w.write(0, 2)   # epConfig 0
+        return
     assert frame_length in (1024, 960)
     if sbr:
         w.write(AOT_SBR, 5)

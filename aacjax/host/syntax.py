@@ -115,6 +115,11 @@ class ICSInfo:
         self.window_sequence = stream.read(2)
         self.prev_window_shape = prev_shape
         self.window_shape = stream.read(1)
+        if config.profile == 23 and self.window_sequence != ONLY_LONG_SEQUENCE:
+            # AAC-LD frames are always long (ISO/IEC 14496-3 §4.6.20.2;
+            # shape selects sine vs low-overlap instead of sine vs KBD)
+            raise BitstreamError(
+                f"window_sequence {self.window_sequence} in AAC-LD")
         self.group_count = 1
         self.group_length = np.zeros(8, np.int32)
         self.group_length[0] = 1
@@ -153,6 +158,10 @@ class ICSInfo:
                 elif config.profile == AOT_AAC_LTP:
                     if stream.read(1):  # ltp_data_present
                         self.ltp = read_ltp_data(stream, self.max_sfb)
+                elif config.profile == 23:
+                    # LD LTP uses a different lag coding (§4.6.20.3);
+                    # libavcodec also rejects it (decode_ics_info)
+                    raise UnsupportedError("LTP in ER AAC-LD not supported")
                 else:
                     raise UnsupportedError(
                         "prediction data in a non-predictive profile")
@@ -316,26 +325,37 @@ class ICSDecoder:
             info.decode(stream, self.config, False, prev_shape)
         self._decode_band_types(stream, ch)
         self._decode_scale_factors(stream, ch)
+        er = self.config.profile == 23  # ER AAC-LD syntax ordering
         ch.pulse_present = bool(stream.read(1))
         pulse = None
         if ch.pulse_present:
+            if er:
+                raise BitstreamError("Pulse tool not allowed in ER AAC")
             if info.window_sequence == EIGHT_SHORT_SEQUENCE:
                 raise BitstreamError(
                     "Pulse tool not allowed in eight short sequence.")
             pulse = self._decode_pulse(stream, ch)
         ch.tns_present = bool(stream.read(1))
         tns = TNSData()
-        if ch.tns_present:
+        if ch.tns_present and not er:
             tns.decode(stream, info)
         if stream.read(1):  # gain control (SSR)
             raise UnsupportedError("gain control/SSR not supported")
+        if ch.tns_present and er:
+            # ER syntax: tns_data follows the gain-control bit
+            tns.decode(stream, info)
         self._decode_spectral(stream, ch)
         if pulse is not None:
             self._apply_pulse(ch, pulse)
         if ch.tns_present:
-            max_bands = (tables.TNS_MAX_BANDS_128
-                         if info.window_sequence == EIGHT_SHORT_SEQUENCE
-                         else tables.TNS_MAX_BANDS_1024)[self.config.sample_index]
+            if er:
+                max_bands = self.config.tns_max_bands_ld
+            else:
+                max_bands = int((tables.TNS_MAX_BANDS_128
+                                 if info.window_sequence
+                                 == EIGHT_SHORT_SEQUENCE
+                                 else tables.TNS_MAX_BANDS_1024)
+                                [self.config.sample_index])
             ch.tns_filters = tns.resolve_filters(info, int(max_bands))
         return ch
 
@@ -643,6 +663,55 @@ def decode_cce(stream: BitReader, config: StreamConfig) -> CCEData:
                    id_select=id_select, ch_select=ch_select, gain=gains)
 
 
+# ISO/IEC 14496-3 Table 1.19 element layout per channelConfiguration
+# (ER raw_data_blocks carry these in fixed order with no id tags)
+_ER_LAYOUTS = {
+    1: ("SCE",),
+    2: ("CPE",),
+    3: ("SCE", "CPE"),
+    4: ("SCE", "CPE", "SCE"),
+    5: ("SCE", "CPE", "CPE"),
+    6: ("SCE", "CPE", "CPE", "LFE"),
+    7: ("SCE", "CPE", "CPE", "CPE", "LFE"),
+}
+
+
+def decode_er_frame(stream: BitReader, config: StreamConfig,
+                    prev_shapes: list[int]) -> Frame:
+    """Parse one ER raw_data_block (ER AAC-LD, AOT 23): channel elements
+    come in the fixed Table-1.19 order for the channelConfiguration, with
+    no element id tags and no END element (the reference rejects every
+    ER profile)."""
+    layout = _ER_LAYOUTS.get(config.chan_config)
+    if layout is None:
+        raise UnsupportedError(
+            f"ER channelConfiguration {config.chan_config} not supported")
+    elements = []
+    channel = 0
+    for kind in layout:
+        # each element is preceded by a 4-bit element_instance_tag (the
+        # element TYPE is implicit in the layout; libavcodec
+        # aac_decode_er_frame skip_bits(gb, 4))
+        tag = stream.read(4)
+        if kind in ("SCE", "LFE"):
+            dec = ICSDecoder(config)
+            prev = (prev_shapes[channel]
+                    if channel < len(prev_shapes) else 0)
+            ics = dec.decode(stream, None, prev)
+            elements.append(SCEData(ics=ics, id=tag, is_lfe=kind == "LFE"))
+            channel += 1
+        else:
+            shapes = tuple(
+                prev_shapes[channel + k]
+                if channel + k < len(prev_shapes) else 0 for k in range(2))
+            cpe = decode_cpe(stream, config, shapes)
+            cpe.id = tag
+            elements.append(cpe)
+            channel += 2
+    stream.align()  # raw_data_blocks are byte-aligned in every transport
+    return Frame(elements=elements, cces=[])
+
+
 def decode_frame(stream: BitReader, config: StreamConfig,
                  prev_shapes: list[int], sbr_ctx=None) -> Frame:
     """Parse one raw_data_block (decoder.js:125-201 element loop).
@@ -657,6 +726,8 @@ def decode_frame(stream: BitReader, config: StreamConfig,
     parsed and attached to the preceding SCE/CPE element instead of being
     skipped (the reference throws on any SBR content, decoder.js:279-280).
     """
+    if config.profile == 23:  # ER AAC-LD: fixed layout, no SBR extensions
+        return decode_er_frame(stream, config, prev_shapes)
     # interleaved ADTS header (decoder.js:128-130)
     if stream.bits_left >= 12 and stream.peek(12) == 0xFFF:
         read_header(stream)

@@ -129,6 +129,27 @@ def _load_pred_sfb_max():
     return d["pred_sfb_max"].astype(np.int32)
 
 
+def _load_ld():
+    import pathlib
+    d = np.load(pathlib.Path(__file__).parent / "host"
+                / "aac_960_tables.npz")
+    def per_index(offs, counts):
+        return [np.ascontiguousarray(offs[i][: max(int(counts[i]), 0) + 1])
+                for i in range(13)]
+    return (per_index(d["swb_offset_512"], d["num_swb_512"]),
+            per_index(d["swb_offset_480"], d["num_swb_480"]),
+            d["num_swb_512"].astype(np.int32),
+            d["num_swb_480"].astype(np.int32),
+            d["tns_max_bands_512"].astype(np.int32),
+            d["tns_max_bands_480"].astype(np.int32))
+
+
+# AAC-LD (AOT 23) 512/480-sample frame tables — extracted like the 960
+# tables above (modes undefined at a sampling rate have zero band counts)
+SWB_OFFSET_512, SWB_OFFSET_480, NUM_SWB_512, NUM_SWB_480, \
+    TNS_MAX_BANDS_512, TNS_MAX_BANDS_480 = _load_ld()
+
+
 # Main-profile backward prediction: highest predicted sfb per sampling
 # index (ISO/IEC 14496-3 Table 4.128; extracted like the tables above)
 PRED_SFB_MAX = _load_pred_sfb_max()
@@ -233,7 +254,20 @@ def kbd_window(alpha: float, n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def long_window(shape: int, n: int = 1024) -> np.ndarray:
     """shape 0 = sine, 1 = KBD(alpha=4); length 1024 (960 in
-    frameLengthFlag mode — same alpha, per ISO/IEC 14496-3 §4.6.11.3)."""
+    frameLengthFlag mode — same alpha, per ISO/IEC 14496-3 §4.6.11.3).
+
+    Lengths 512/480 are AAC-LD frames, where shape selects the LD pair
+    instead: 0 = sine, 1 = the LD low-overlap window (ISO/IEC 14496-3
+    §4.6.20.2; libavcodec imdct_and_windowing_ld) — zeros for the first
+    3n/8 samples, an n/4-sample sine rise, then ones.  Dispatching on n
+    here means every window consumer (device tables, model decoder) gets
+    the LD shapes without plumbing a separate flag."""
+    if n in (512, 480):
+        if shape == 0:
+            return sine_window(n)
+        q = n // 4
+        z = (n - q) // 2
+        return np.concatenate([np.zeros(z), sine_window(q), np.ones(z)])
     return sine_window(n) if shape == 0 else kbd_window(4.0, n)
 
 

@@ -244,13 +244,16 @@ def write_spectral_data(w: BitWriter, spec: ChannelSpec,
 
 
 def write_ics(w: BitWriter, spec: ChannelSpec, config: StreamConfig,
-              common_window: bool) -> None:
+              common_window: bool, er: bool = False) -> None:
+    """er=True emits the ER ordering (AAC-LD): pulse forbidden, and
+    tns_data follows the gain-control bit instead of preceding it."""
     w.write(spec.global_gain, 8)
     if not common_window:
         write_ics_info(w, spec)
     write_section_data(w, spec)
     write_scale_factors(w, spec)
     if spec.pulse is not None:
+        assert not er, "pulse data is forbidden in ER syntax"
         w.write(1, 1)
         swb, poffs, pamps = spec.pulse
         w.write(len(poffs) - 1, 2)
@@ -261,12 +264,13 @@ def write_ics(w: BitWriter, spec: ChannelSpec, config: StreamConfig,
             w.write(pa, 4)
     else:
         w.write(0, 1)
-    if spec.tns is not None and any(spec.tns):
-        w.write(1, 1)
+    tns_on = spec.tns is not None and any(spec.tns)
+    w.write(1 if tns_on else 0, 1)
+    if tns_on and not er:
         write_tns(w, spec)
-    else:
-        w.write(0, 1)
     w.write(0, 1)  # gain control
+    if tns_on and er:
+        write_tns(w, spec)
     write_spectral_data(w, spec, config)
 
 
@@ -384,6 +388,32 @@ def write_dse(w: BitWriter, payload: bytes, align: bool = True,
 
 def end_frame(w: BitWriter) -> bytes:
     w.write(7, 3)  # END
+    w.align()
+    return w.getvalue()
+
+
+def write_er_frame(elements, config: StreamConfig) -> bytes:
+    """ER raw_data_block (AAC-LD, AOT 23): channel elements in the fixed
+    Table-1.19 order with no id tags and no END element.  elements:
+    list of ('SCE'|'LFE', ChannelSpec) or ('CPE', CPESpec)."""
+    w = BitWriter()
+    for kind, spec in elements:
+        w.write(0, 4)  # element_instance_tag (type is implicit)
+        if kind in ("SCE", "LFE"):
+            write_ics(w, spec, config, common_window=False, er=True)
+        elif kind == "CPE":
+            w.write(1 if spec.common_window else 0, 1)
+            if spec.common_window:
+                write_ics_info(w, spec.left)
+                w.write(spec.ms_type, 2)
+                if spec.ms_type == 1:
+                    n = spec.left.group_count * spec.left.max_sfb
+                    for i in range(n):
+                        w.write(int(spec.ms_used[i]), 1)
+            write_ics(w, spec.left, config, spec.common_window, er=True)
+            write_ics(w, spec.right, config, spec.common_window, er=True)
+        else:
+            raise ValueError(kind)
     w.align()
     return w.getvalue()
 

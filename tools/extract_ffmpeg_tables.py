@@ -86,7 +86,8 @@ class ObjectTables:
                             tname = cand.name
                             break
                 out[r["r_offset"] - lo] = tname
-        return [out[k] for k in sorted(out)]
+        n = sym["st_size"] // 8
+        return [out.get(i * 8) for i in range(n)]
 
 
 def extract_member(archive: str, member: str) -> pathlib.Path:
@@ -99,15 +100,21 @@ def swb_tables(archive: str) -> dict:
     o = ObjectTables(extract_member(archive, "aactab.o"))
     out = {}
     for base, short in (("960", False), ("120", True),
-                        ("1024", False), ("128", True)):
+                        ("1024", False), ("128", True),
+                        ("512", False), ("480", False)):
         names = o.pointer_targets(f"ff_swb_offset_{base}")
         assert len(names) == 13, (base, names)
         counts = o.array(f"ff_aac_num_swb_{base}", np.uint8)
         # materialize per-sample-rate-index offset tables (count+1 entries,
         # exactly like aacjax.tables.SWB_OFFSET_*: offsets + terminator)
-        frame = {"960": 960, "120": 120, "1024": 1024, "128": 128}[base]
+        frame = {"960": 960, "120": 120, "1024": 1024, "128": 128,
+                 "512": 512, "480": 480}[base]
         per_index = []
         for i, nm in enumerate(names):
+            if nm is None:      # mode undefined at this sampling rate
+                assert int(counts[i]) == 0, (base, i, counts[i])
+                per_index.append(np.zeros(1, np.int32))
+                continue
             tbl = o.array(nm, np.uint16).astype(np.int32)
             n = int(counts[i])
             assert len(tbl) >= n + 1 and int(tbl[n]) == frame, (nm, tbl, n)
@@ -123,6 +130,11 @@ def swb_tables(archive: str) -> dict:
     # sampling index (ISO/IEC 14496-3 Table 4.128)
     out["pred_sfb_max"] = o.array("ff_aac_pred_sfb_max",
                                   np.uint8).astype(np.int32)
+    # AAC-LD TNS band limits per sampling index
+    out["tns_max_bands_512"] = o.array("ff_tns_max_bands_512",
+                                       np.uint8).astype(np.int32)
+    out["tns_max_bands_480"] = o.array("ff_tns_max_bands_480",
+                                       np.uint8).astype(np.int32)
     return out
 
 
