@@ -375,11 +375,11 @@ def decode_loas(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         stream = b"".join(adts.wrap_frame(p, config) for p in payloads)
         return decode_adts(stream, chunk_frames=chunk_frames,
                            cce_slots=cce_slots, on_error=on_error)
-    if config.profile == 23:
-        # ER AAC-LD (AOT 23, 512/480-sample frames — a profile the
-        # reference rejects outright): no cross-frame time feedback, so
-        # the demuxed raw_data_blocks run through the batched device
-        # pipeline at the LD frame length
+    if config.profile in (17, 23):
+        # ER AAC-LC / AAC-LD (AOT 17/23 — profiles the reference rejects
+        # outright): no cross-frame time feedback, so the demuxed
+        # raw_data_blocks run through the batched device pipeline at the
+        # profile's frame length (1024/960 or 512/480)
         dec = BatchDecoder([config], chunk_frames=chunk_frames)
         out = []
         for i in range(0, len(payloads), chunk_frames):

@@ -20,6 +20,7 @@ AOT_AAC_MAIN = 1
 AOT_AAC_LC = 2
 AOT_AAC_LTP = 4
 AOT_SBR = 5
+AOT_ER_AAC_LC = 17
 AOT_ER_AAC_LD = 23
 AOT_ESCAPE = 31
 
@@ -220,14 +221,16 @@ def parse_asc_bits(stream: BitReader) -> StreamConfig:
             profile = 32 + stream.read(6)
 
     frame_length = 1024
-    if profile == AOT_ER_AAC_LD:
-        # ER AAC Low Delay (the reference rejects every ER profile):
-        # GASpecificConfig with 512/480 frames, ER resilience flags and
-        # an epConfig trailer
-        if stream.read(1):  # frameLengthFlag => 480-sample frames
-            frame_length = 480
+    if profile in (AOT_ER_AAC_LC, AOT_ER_AAC_LD):
+        # ER AAC LC / Low Delay (the reference rejects every ER
+        # profile): GASpecificConfig — 1024/960 frames for ER-LC,
+        # 512/480 for LD — plus ER resilience flags and an epConfig
+        # trailer
+        short = bool(stream.read(1))  # frameLengthFlag
+        if profile == AOT_ER_AAC_LD:
+            frame_length = 480 if short else 512
         else:
-            frame_length = 512
+            frame_length = 960 if short else 1024
         if stream.read(1):  # dependsOnCoreCoder
             stream.advance(14)
         ext = stream.read(1)  # extensionFlag (1 for ER profiles)
@@ -244,11 +247,12 @@ def parse_asc_bits(stream: BitReader) -> StreamConfig:
         ep = stream.read(2)  # epConfig
         if ep != 0:
             raise UnsupportedError(f"epConfig {ep} not supported.")
-        counts = (tables.NUM_SWB_512 if frame_length == 512
-                  else tables.NUM_SWB_480)
-        if counts[sample_index] == 0:
-            raise UnsupportedError(
-                f"AAC-LD undefined at sampling index {sample_index}")
+        if profile == AOT_ER_AAC_LD:
+            counts = (tables.NUM_SWB_512 if frame_length == 512
+                      else tables.NUM_SWB_480)
+            if counts[sample_index] == 0:
+                raise UnsupportedError(
+                    f"AAC-LD undefined at sampling index {sample_index}")
         return StreamConfig(
             profile=profile, sample_index=sample_index,
             sample_rate=sample_rate, chan_config=chan_config,
@@ -306,12 +310,18 @@ def write_asc_bits(w, profile: int, sample_index: int, chan_config: int,
                    ext_sample_index: int | None = None) -> None:
     """Emit the ASC at the bit level (no byte padding — LATM embeds the
     AudioSpecificConfig inline in the StreamMuxConfig)."""
-    if profile == AOT_ER_AAC_LD:
-        assert frame_length in (512, 480) and not sbr
+    if profile in (AOT_ER_AAC_LC, AOT_ER_AAC_LD):
+        assert not sbr
+        if profile == AOT_ER_AAC_LD:
+            assert frame_length in (512, 480)
+            short = frame_length == 480
+        else:
+            assert frame_length in (1024, 960)
+            short = frame_length == 960
         w.write(profile, 5)
         w.write(sample_index, 4)
         w.write(chan_config, 4)
-        w.write(1 if frame_length == 480 else 0, 1)  # frameLengthFlag
+        w.write(1 if short else 0, 1)  # frameLengthFlag
         w.write(0, 1)   # dependsOnCoreCoder
         w.write(1, 1)   # extensionFlag (mandatory for ER profiles)
         w.write(0, 3)   # section/scalefactor/spectral resilience off

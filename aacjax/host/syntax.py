@@ -325,7 +325,7 @@ class ICSDecoder:
             info.decode(stream, self.config, False, prev_shape)
         self._decode_band_types(stream, ch)
         self._decode_scale_factors(stream, ch)
-        er = self.config.profile == 23  # ER AAC-LD syntax ordering
+        er = self.config.profile in (17, 23)  # ER syntax ordering
         ch.pulse_present = bool(stream.read(1))
         pulse = None
         if ch.pulse_present:
@@ -348,7 +348,7 @@ class ICSDecoder:
         if pulse is not None:
             self._apply_pulse(ch, pulse)
         if ch.tns_present:
-            if er:
+            if self.config.profile == 23:
                 max_bands = self.config.tns_max_bands_ld
             else:
                 max_bands = int((tables.TNS_MAX_BANDS_128
@@ -678,7 +678,7 @@ _ER_LAYOUTS = {
 
 def decode_er_frame(stream: BitReader, config: StreamConfig,
                     prev_shapes: list[int]) -> Frame:
-    """Parse one ER raw_data_block (ER AAC-LD, AOT 23): channel elements
+    """Parse one ER raw_data_block (ER AAC-LC/LD, AOT 17/23): channel elements
     come in the fixed Table-1.19 order for the channelConfiguration, with
     no element id tags and no END element (the reference rejects every
     ER profile)."""
@@ -726,7 +726,7 @@ def decode_frame(stream: BitReader, config: StreamConfig,
     parsed and attached to the preceding SCE/CPE element instead of being
     skipped (the reference throws on any SBR content, decoder.js:279-280).
     """
-    if config.profile == 23:  # ER AAC-LD: fixed layout, no SBR extensions
+    if config.profile in (17, 23):  # ER profiles: fixed layout, no SBR
         return decode_er_frame(stream, config, prev_shapes)
     # interleaved ADTS header (decoder.js:128-130)
     if stream.bits_left >= 12 and stream.peek(12) == 0xFFF:

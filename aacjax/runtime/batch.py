@@ -71,12 +71,14 @@ class BatchDecoder:
                 "use one BatchDecoder per frame length")
         self.F = frame_lens.pop()
         self.overlap = jnp.zeros((c, self.F), jnp.float32)
-        # the native parser handles the standard LC 1024 mode; 960 mode
-        # and Main-profile streams (backward prediction is a stateful
-        # device stage fed by the python packer) run on the python path
+        # the native parser handles the standard LC 1024 mode; 960 mode,
+        # Main-profile streams (backward prediction is a stateful device
+        # stage fed by the python packer) and ER-syntax profiles (AOT
+        # 17/23 fixed element layout) run on the python path
         any_main = any(cfg.profile == 1 for cfg in configs)
+        any_er = any(cfg.profile in (17, 23) for cfg in configs)
         self.use_native = ((native.available() and self.F == FRAME
-                            and not any_main)
+                            and not any_main and not any_er)
                            if use_native is None else use_native)
         if self.use_native and self.F != FRAME:
             raise ValueError("native parser supports 1024-frame mode only")

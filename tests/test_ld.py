@@ -235,6 +235,60 @@ def test_ld_ltp_unsupported():
         decode_er_frame(BitReader(bytes(bad)), cfg, [0])
 
 
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+@pytest.mark.parametrize("frame_length", [1024, 960])
+def test_er_lc_oracle(frame_length):
+    """ER AAC-LC (AOT 17): standard frame lengths with the ER element
+    layout and ICS ordering — all window sequences (legal chains; on
+    illegal chains decoders legitimately differ), short grouping, TNS."""
+    from aacjax.testing.specgen import legal_sequence_chain
+    cfg = parse_asc(make_asc(17, 4, 1, frame_length=frame_length))
+    assert cfg.profile == 17 and cfg.frame_length == frame_length
+    rng = np.random.default_rng(41)
+    seqs = legal_sequence_chain(rng, 10)
+    payloads = [enc.write_er_frame(
+        [("SCE", random_channel_spec(rng, cfg, window_sequence=s,
+                                     allow_pulse=False,
+                                     allow_noise=False))], cfg)
+        for s in seqs]
+    loas = enc.loas_stream(payloads, cfg)
+    mine, rate = decode_loas(loas)
+    assert mine.shape == (10 * frame_length, 1)
+    ref, _ = ffmpeg_oracle.decode_loas(loas)
+    n = min(len(ref), len(mine))
+    err = float(np.abs(ref[:n] - mine[:n]).max())
+    peak = max(float(np.abs(ref[:n]).max()), 1e-9)
+    assert err / peak < 2e-5, err / peak
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_er_lc_stereo_cpe_oracle():
+    rng = np.random.default_rng(47)
+    cfg = parse_asc(make_asc(17, 3, 2, frame_length=1024))
+    loas = enc.loas_stream(ld_cpe_payloads(rng, cfg, 8), cfg)
+    mine, rate = decode_loas(loas)
+    assert rate == 48000 and mine.shape[1] == 2
+    ref, _ = ffmpeg_oracle.decode_loas(loas)
+    n = min(len(ref), len(mine))
+    err = float(np.abs(ref[:n] - mine[:n]).max())
+    peak = max(float(np.abs(ref[:n]).max()), 1e-9)
+    assert err / peak < 2e-4, err / peak
+
+
+def test_er_pulse_forbidden():
+    """The pulse bit must be 0 in every ER profile (libavcodec: 'Pulse
+    tool not allowed in ER AAC')."""
+    cfg = parse_asc(make_asc(17, 4, 1, frame_length=1024))
+    rng = np.random.default_rng(53)
+    spec = random_channel_spec(rng, cfg, window_sequence=0, max_sfb=4,
+                               allow_pulse=False, allow_noise=False,
+                               allow_tns=False)
+    enc.write_er_frame([("SCE", spec)], cfg)  # clean spec writes fine
+    spec.pulse = (0, [1], [2])
+    with pytest.raises(AssertionError):
+        enc.write_er_frame([("SCE", spec)], cfg)
+
+
 def test_ld_dispatch_via_decode_frame():
     """decode_frame routes profile-23 configs to the ER parser, so every
     runtime path (streaming, batched python parse) handles LD."""
