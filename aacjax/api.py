@@ -43,6 +43,16 @@ CANONICAL_ORDER = {
     # C, FLC, FRC, FL, FR, BL, BR, LFE -> FL FR C LFE BL BR FLC FRC
     7: [3, 4, 0, 7, 5, 6, 1, 2],
     8: [1, 2, 0, 7, 5, 6, 3, 4],  # L R C LFE SL SR (side pair first)
+    # 11 = 6.1: elements C, L/R, BL/BR, BC, LFE; libavcodec output order
+    # pinned empirically (spectral markers): L R C LFE BL BR BC
+    11: [1, 2, 0, 6, 3, 4, 5],
+    # 12 = 7.1 (back): elements C, L/R, SL/SR, BL/BR, LFE — same output
+    # permutation as config 8
+    12: [1, 2, 0, 7, 5, 6, 3, 4],
+    # 13 = 22.2 (Amd.4): 16 elements / 24 channels; permutation pinned
+    # empirically against libavcodec with per-channel spectral markers
+    13: [3, 4, 0, 10, 7, 8, 1, 2, 9, 11, 5, 6, 13, 14, 12, 17, 18, 19,
+         15, 16, 20, 21, 22, 23],
 }
 
 

@@ -123,7 +123,9 @@ class StreamConfig:
         # ASC's embedded program_config_element.
         if self.chan_config == 0:
             return self.pce_channels
-        return 8 if self.chan_config == 7 else self.chan_config
+        # 11 = 6.1, 12 = 7.1 (back), 13 = 22.2 (ISO/IEC 14496-3 Amd.4)
+        return {7: 8, 11: 7, 12: 8, 13: 24}.get(
+            self.chan_config, self.chan_config)
 
     @property
     def short_length(self) -> int:
@@ -207,6 +209,10 @@ def parse_asc_bits(stream: BitReader) -> StreamConfig:
 
     sample_index, sample_rate = _read_rate(stream)
     chan_config = stream.read(4)
+    if chan_config in (9, 10, 14, 15):
+        # 9/10/15 are reserved; 14 (7.1 top-front) has no layout in the
+        # conformance oracle to pin an output order against
+        raise UnsupportedError(f"channelConfiguration {chan_config}")
 
     sbr = 0
     ext_sample_rate = 0

@@ -62,7 +62,7 @@ int64_t ffdec_decode_adts(const uint8_t* data, int64_t len, float* out,
       for (int s = 0; s < ns; ++s)
         for (int c = 0; c < nch; ++c)
           out[(written + s) * nch + c] =
-              ((const float*)frame->data[c])[s];
+              ((const float*)frame->extended_data[c])[s];
       written += ns;
     }
   }
@@ -77,7 +77,7 @@ int64_t ffdec_decode_adts(const uint8_t* data, int64_t len, float* out,
     if ((written + ns) * nch > out_cap_samples) { err = -7; break; }
     for (int s = 0; s < ns; ++s)
       for (int c = 0; c < nch; ++c)
-        out[(written + s) * nch + c] = ((const float*)frame->data[c])[s];
+        out[(written + s) * nch + c] = ((const float*)frame->extended_data[c])[s];
     written += ns;
   }
 done:
@@ -134,7 +134,7 @@ int64_t ffdec_decode_raw(const uint8_t* asc, int asc_len,
       if ((written + ns) * nch > out_cap_samples) { err = -7; goto done; }
       for (int s = 0; s < ns; ++s)
         for (int c = 0; c < nch; ++c)
-          out[(written + s) * nch + c] = ((const float*)frame->data[c])[s];
+          out[(written + s) * nch + c] = ((const float*)frame->extended_data[c])[s];
       written += ns;
     }
   }
@@ -186,7 +186,7 @@ int64_t ffenc_encode_aac(const float* pcm, int64_t n_samples, int channels,
     av_frame_make_writable(frame);
     frame->nb_samples = ns;
     for (int c = 0; c < channels; ++c) {
-      float* plane = (float*)frame->data[c];
+      float* plane = (float*)frame->extended_data[c];
       for (int s = 0; s < ns; ++s) plane[s] = pcm[(pos + s) * channels + c];
     }
     pos += ns;
@@ -264,7 +264,7 @@ int64_t ffdec_decode_loas(const uint8_t* data, int64_t len, float* out,
       for (int s = 0; s < ns; ++s)
         for (int c = 0; c < nch; ++c)
           out[(written + s) * nch + c] =
-              ((const float*)frame->data[c])[s];
+              ((const float*)frame->extended_data[c])[s];
       written += ns;
     }
   }
@@ -278,7 +278,7 @@ int64_t ffdec_decode_loas(const uint8_t* data, int64_t len, float* out,
     if ((written + ns) * nch > out_cap_samples) { err = -7; break; }
     for (int s = 0; s < ns; ++s)
       for (int c = 0; c < nch; ++c)
-        out[(written + s) * nch + c] = ((const float*)frame->data[c])[s];
+        out[(written + s) * nch + c] = ((const float*)frame->extended_data[c])[s];
     written += ns;
   }
 done:
