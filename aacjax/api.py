@@ -360,25 +360,17 @@ class AACDecoder:
         return self.config.channels
 
 
-def decode_loas(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
-                on_error: str = "raise") -> tuple[np.ndarray, int]:
-    """Decode a LOAS/LATM byte stream (ISO/IEC 14496-3 §1.7.3 — the
-    broadcast transport; the reference has no LATM demuxer at all).
-
-    Demuxes the AudioMuxElements (aacjax.host.latm), then routes the
-    raw_data_block payloads through the normal pipeline: configs that
-    ADTS can express are re-framed and decoded on the batched device
-    path (incl. the HE-AAC/PS probing and profile routing of
-    decode_adts); others (960 mode, explicit AOT-5 signaling,
-    PCE-in-ASC) decode on the streaming path with the embedded ASC as
-    the cookie."""
-    from aacjax.host import latm
-    if on_error not in ("raise", "skip"):
-        raise ValueError(f"on_error: {on_error}")
-    mux, payloads = latm.split_loas(data, on_error=on_error)
-    if mux is None or not payloads:
-        raise UnsupportedError("no LOAS frames found")
-    config = mux.config
+def _decode_raw_payloads(config: StreamConfig, asc_raw: bytes,
+                         payloads: list[bytes], chunk_frames: int,
+                         cce_slots: int, on_error: str
+                         ) -> tuple[np.ndarray, int]:
+    """Route demuxed raw_data_block payloads (one access unit each —
+    LATM or MP4 samples) through the decode pipeline: configs that ADTS
+    can express are re-framed onto the batched device path (incl. the
+    HE-AAC/PS probing and profile routing of decode_adts); ER profiles
+    run batched at their native frame length; everything else (960
+    mode, explicit AOT-5 signaling, PCE-in-ASC) decodes on the
+    streaming path with the embedded ASC as the cookie."""
     if (config.frame_length == 1024 and not config.sbr
             and 1 <= config.chan_config <= 7
             and config.profile in (1, 2, 4)):
@@ -403,7 +395,7 @@ def decode_loas(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
             out.append(dec.stream_pcm(pcm, 0, len(group)))
         return np.concatenate(out, axis=0), config.sample_rate
     # general path: streaming decoder seeded with the embedded ASC
-    dec = AACDecoder(cookie=mux.asc_raw, cce_slots=max(cce_slots, 1))
+    dec = AACDecoder(cookie=asc_raw, cce_slots=max(cce_slots, 1))
     dec.feed(b"".join(payloads))
     chunks = []
     while True:
@@ -423,6 +415,58 @@ def decode_loas(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         chunks = [np.repeat(c, nch_out, axis=1) if c.shape[1] == 1 else c
                   for c in chunks]
     return np.concatenate(chunks, axis=0), dec.output_sample_rate
+
+
+def decode_loas(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
+                on_error: str = "raise") -> tuple[np.ndarray, int]:
+    """Decode a LOAS/LATM byte stream (ISO/IEC 14496-3 §1.7.3 — the
+    broadcast transport; the reference has no LATM demuxer at all).
+
+    Demuxes the AudioMuxElements (aacjax.host.latm) and routes the
+    raw_data_block payloads through _decode_raw_payloads."""
+    from aacjax.host import latm
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error: {on_error}")
+    mux, payloads = latm.split_loas(data, on_error=on_error)
+    if mux is None or not payloads:
+        raise UnsupportedError("no LOAS frames found")
+    return _decode_raw_payloads(mux.config, mux.asc_raw, payloads,
+                                chunk_frames, cce_slots, on_error)
+
+
+def decode_m4a(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
+               on_error: str = "raise", trim: bool = True
+               ) -> tuple[np.ndarray, int]:
+    """Decode an MP4/M4A file buffer (classic or fragmented layout).
+
+    The reference registers for codec id 'mp4a' (decoder.js:30-31) but
+    depends on the Aurora ecosystem's separate MP4 demuxer for the esds
+    cookie and sample payloads; aacjax ships the demuxer
+    (aacjax.host.mp4) so .m4a files decode end-to-end.
+
+    trim=True applies the container's iTunes-style gapless metadata
+    (edts/elst): the encoder-delay priming samples are dropped and the
+    output is cut to the signaled valid duration, so the PCM lines up
+    with the source material.  Returns (pcm [n, channels], rate).
+    """
+    from aacjax.host import mp4
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error: {on_error}")
+    track, payloads = mp4.split_samples(data)
+    if not payloads:
+        raise UnsupportedError("MP4 track has no samples")
+    pcm, rate = _decode_raw_payloads(track.config, track.asc_raw, payloads,
+                                     chunk_frames, cce_slots, on_error)
+    if trim and (track.priming or track.total_samples):
+        # elst units are the media timescale (the core sample rate);
+        # scale to output samples (2x when SBR is active)
+        ts = track.timescale or track.config.sample_rate
+        priming = round(track.priming * rate / ts)
+        pcm = pcm[priming:]
+        if track.total_samples:
+            total = round(track.total_samples * rate / ts)
+            pcm = pcm[:total]
+    return pcm, rate
 
 
 def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,

@@ -13,12 +13,23 @@ import sys
 
 def cmd_decode(args) -> int:
     import numpy as np
-    from aacjax.api import decode_adts, decode_loas
+    from aacjax.api import decode_adts, decode_loas, decode_m4a
+    from aacjax.host import mp4
     from aacjax.host.latm import probe_loas
 
     data = open(args.input, "rb").read()
-    # sniff LOAS first: adts.probe can false-positive on binary payloads
-    decode = decode_loas if probe_loas(data) else decode_adts
+    # sniff MP4/LOAS first: adts.probe can false-positive on binary payloads
+    chan_config = None
+    if mp4.probe(data):
+        decode = decode_m4a
+        try:
+            chan_config = mp4.parse(data).config.chan_config
+        except Exception:  # noqa: BLE001 — decode reports the real error
+            pass
+    elif probe_loas(data):
+        decode = decode_loas
+    else:
+        decode = decode_adts
     pcm, rate = decode(data, chunk_frames=args.chunk,
                        cce_slots=args.cce_slots,
                        on_error="skip" if args.conceal else "raise")
@@ -26,11 +37,12 @@ def cmd_decode(args) -> int:
     if as_wav and pcm.shape[1] > 2:
         from aacjax.api import to_canonical_order
         from aacjax.host import adts as _adts
-        # only the first header is needed for chan_config; scan a prefix
-        # instead of re-segmenting the whole file
-        first = _adts.split_frames(data[:1 << 16])
-        if first:
-            pcm = to_canonical_order(pcm, first[0][0].chan_config)
+        if chan_config is None:
+            # only the first header is needed for chan_config; scan a
+            # prefix instead of re-segmenting the whole file
+            first = _adts.split_frames(data[:1 << 16])
+            chan_config = first[0][0].chan_config if first else 0
+        pcm = to_canonical_order(pcm, chan_config)
     if args.int16 or as_wav:
         out = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
         fmt = "int16"
