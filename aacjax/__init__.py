@@ -14,6 +14,7 @@ from aacjax.api import (AACDecoder, StreamConfig, decode_adts,  # noqa: F401
                         decode_loas, decode_m4a, probe)
 from aacjax.host.latm import probe_loas  # noqa: F401
 from aacjax.host.mp4 import probe as probe_m4a  # noqa: F401
+from aacjax.file import AACFile  # noqa: F401
 from aacjax.host.asc import make_asc, parse_asc  # noqa: F401
 from aacjax.runtime.batch import BatchDecoder  # noqa: F401
 
