@@ -1,0 +1,188 @@
+"""Production encoder (aacjax/encode.py): psychoacoustics, rate control,
+window switching, M/S.  The reference is decode-only; correctness here is
+established by (a) our own battle-tested decoder as the roundtrip oracle,
+(b) libavcodec decoding the streams bit-compatibly, (c) rate accuracy."""
+import numpy as np
+import pytest
+
+from aacjax import decode_adts, decode_m4a
+from aacjax.encode import (AACEncoder, detect_transients, encode_adts,
+                           encode_m4a, spectral_bits,
+                           window_sequence_plan)
+from aacjax.host import adts
+from aacjax.host.asc import parse_asc
+from aacjax.host.bitio import BitReader, BitWriter
+from aacjax.host.syntax import decode_frame
+from aacjax.testing import ffmpeg_oracle
+
+HAVE_ORACLE = ffmpeg_oracle.available()
+SR = 44100
+
+
+def _music(seconds=2.0, ch=2, seed=0):
+    """Tonal content + low-level noise: the realistic easy-ish case."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * seconds))[:, None] / SR
+    freqs = np.array([[523.25, 659.26][:ch]])
+    x = 9000 * np.sin(2 * np.pi * freqs * t)
+    x += 2000 * np.sin(2 * np.pi * 2.5 * freqs * t + 0.3)
+    x += 150 * rng.standard_normal(x.shape)
+    return x
+
+
+def _roundtrip_snr(x, stream):
+    out, rate = decode_adts(stream)
+    d = out[1024:1024 + len(x)] * 32768
+    n = len(d)
+    err = d - x[:n]
+    return 10 * np.log10(np.sum(x[:n] ** 2) / np.sum(err ** 2))
+
+
+def test_bitrate_accuracy():
+    """Noisy content saturates the budget: actual rate within 12%."""
+    rng = np.random.default_rng(1)
+    x = 3000 * rng.standard_normal((SR, 2))
+    for target in (96_000, 192_000):
+        stream = AACEncoder(SR, 2, target).encode(x)
+        actual = len(stream) * 8 / (len(x) / SR)
+        assert abs(actual - target) / target < 0.12, (target, actual)
+
+
+def test_quality_scales_with_bitrate():
+    x = _music(seconds=1.2)
+    snrs = []
+    for br in (48_000, 128_000, 320_000):
+        stream = AACEncoder(SR, 2, br).encode(x)
+        snrs.append(_roundtrip_snr(x, stream))
+    assert snrs[0] > 15, snrs
+    assert snrs[-1] > 28, snrs
+    assert snrs[0] < snrs[1] < snrs[2] + 1e-9, snrs
+
+
+def test_mono_and_other_rates():
+    for sr, br in ((22050, 48_000), (48000, 96_000)):
+        t = np.arange(sr)[:, None] / sr
+        x = 8000 * np.sin(2 * np.pi * 440 * t) + \
+            100 * np.random.default_rng(2).standard_normal((sr, 1))
+        enc = AACEncoder(sr, 1, br)
+        stream = enc.encode(x)
+        out, rate = decode_adts(stream)
+        assert rate == sr
+        d = out[1024:1024 + len(x)] * 32768
+        n = len(d)
+        snr = 10 * np.log10(np.sum(x[:n] ** 2)
+                            / np.sum((d - x[:n]) ** 2))
+        assert snr > 15, (sr, br, snr)
+
+
+def test_window_switching_on_transients():
+    """Clicks force the LONG_START -> EIGHT_SHORT -> LONG_STOP chain and
+    the stream stays decodable and aligned."""
+    x = _music(seconds=2.0)
+    for k in range(3):
+        x[SR // 2 * k + 8000: SR // 2 * k + 8200] *= 8.0
+    stream = AACEncoder(SR, 2, 128_000).encode(x)
+    frames = adts.split_frames(stream)
+    cfg = parse_asc(adts.synthesize_cookie(frames[0][0]))
+    seqs = set()
+    shapes = [0, 0]
+    for h, s, e in frames:
+        fr = decode_frame(BitReader(stream[s:e]), cfg, shapes)
+        seqs.add(fr.elements[0].left.info.window_sequence)
+    assert seqs == {0, 1, 2, 3}, seqs
+    assert _roundtrip_snr(x, stream) > 10
+
+
+def test_window_plan_legality():
+    """Every generated plan obeys the transition rules for random flags."""
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        flags = (rng.random(24) < 0.3).astype(np.int64)
+        tr = np.stack([flags, rng.integers(0, 8, 24)], axis=1)
+        seq = window_sequence_plan(tr)
+        for f in range(1, len(seq)):
+            if seq[f - 1] in (1, 2):      # START/SHORT exit short
+                assert seq[f] in (2, 3), (f, seq)
+            else:                          # ONLY_LONG/STOP exit long
+                assert seq[f] in (0, 1), (f, seq)
+        assert all(seq[f] == 2 for f in np.nonzero(flags)[0])
+
+
+def test_ms_engages_on_correlated_content():
+    rng = np.random.default_rng(4)
+    t = np.arange(SR)[:, None] / SR
+    mono = 8000 * np.sin(2 * np.pi * 523 * t) \
+        + 200 * rng.standard_normal((SR, 1))
+    x = np.concatenate([mono, mono * 0.95], axis=1)  # highly correlated
+    stream = AACEncoder(SR, 2, 128_000).encode(x)
+    frames = adts.split_frames(stream)
+    cfg = parse_asc(adts.synthesize_cookie(frames[0][0]))
+    shapes = [0, 0]
+    ms_bands = 0
+    for h, s, e in frames[2:10]:
+        fr = decode_frame(BitReader(stream[s:e]), cfg, shapes)
+        cpe = fr.elements[0]
+        ms_bands += int(np.count_nonzero(cpe.ms_used))
+    assert ms_bands > 0
+    assert _roundtrip_snr(x, stream) > 20
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec not available")
+def test_streams_decode_identically_in_ffmpeg():
+    """Conformance: libavcodec's decode of our encoder's output matches
+    our decoder (covers section data, scalefactors, all window
+    sequences, grouping, M/S, book selection incl. escapes)."""
+    x = _music(seconds=1.5)
+    x[10000:10200] *= 6.0   # force short windows too
+    stream = AACEncoder(SR, 2, 160_000).encode(x)
+    ours, rate = decode_adts(stream)
+    ref, ref_rate = ffmpeg_oracle.decode_adts(stream)
+    assert rate == ref_rate
+    n = min(len(ours), len(ref))
+    assert np.max(np.abs(ours[:n] - ref[:n])) < 1e-4
+
+
+def test_encode_adts_one_call():
+    x = _music(seconds=0.5, ch=1).reshape(-1)
+    stream = encode_adts(x, SR, 96_000)
+    out, rate = decode_adts(stream)
+    assert rate == SR and out.shape[1] == 1
+
+
+def test_encode_m4a_gapless():
+    """encode_m4a embeds elst priming/duration: decode_m4a returns PCM
+    sample-aligned with the input (no delay, no padding)."""
+    x = _music(seconds=1.0)
+    data = encode_m4a(x, SR, 128_000)
+    out, rate = decode_m4a(data)
+    assert rate == SR
+    assert out.shape[0] == len(x)
+    d = out * 32768
+    snr = 10 * np.log10(np.sum(x ** 2) / np.sum((d - x) ** 2))
+    assert snr > 15, snr
+
+
+def test_spectral_bits_matches_writer():
+    """The vectorized cost function equals the actual written bits for
+    every book (incl. sign bits and book-11 escapes)."""
+    from aacjax.host import huffman
+    rng = np.random.default_rng(5)
+    for book in range(1, 12):
+        n = 4 if book in huffman.QUAD_BOOKS else 2
+        lav = {1: 1, 2: 1, 3: 2, 4: 2, 5: 4, 6: 4, 7: 7, 8: 7,
+               9: 12, 10: 12, 11: 400}[book]
+        q = rng.integers(-lav, lav + 1, size=32 * n)
+        w = BitWriter()
+        for i in range(0, len(q), n):
+            huffman.encode_spectral(w, book, [int(v) for v in q[i:i + n]])
+        assert spectral_bits(q, book) == w.bit_position, book
+
+
+def test_detect_transients():
+    rng = np.random.default_rng(6)
+    x = 100 * rng.standard_normal((1024 * 8, 1))
+    x[1024 * 3 + 640: 1024 * 3 + 800] += 9000.0
+    tr = detect_transients(x, 1024)
+    assert tr[3, 0] == 1
+    assert tr[3, 1] == 5     # attack sub-block 640/128
+    assert tr[:3, 0].sum() == 0
