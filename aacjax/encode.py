@@ -47,6 +47,13 @@ from aacjax.testing.encoder import (ChannelSpec, CPESpec, adts_frame,
 ONLY_LONG, LONG_START, EIGHT_SHORT, LONG_STOP = 0, 1, 2, 3
 
 
+@__import__("functools").lru_cache(maxsize=8)
+def _analysis_matrix_cached(n: int) -> np.ndarray:
+    """Forward-MDCT matrices are pure functions of the length; generating
+    the 2048-point one costs ~2 s, so share across encoder instances."""
+    return analysis_matrix(n)
+
+
 # ---------------------------------------------------------------------------
 # Vectorized Huffman bit costing (exact codeword lengths from the books)
 # ---------------------------------------------------------------------------
@@ -122,6 +129,69 @@ def choose_book(q: np.ndarray) -> tuple[int, int]:
             bits, book = min(costs)
             return book, bits
     raise ValueError(f"quantized magnitude {m} exceeds the escape limit")
+
+
+def _book_tuple_bits(sub: np.ndarray, sub_ptr: np.ndarray,
+                     book: int) -> np.ndarray:
+    """Per-band bit counts for coding each band of the concatenated
+    values `sub` (band boundaries sub_ptr, every width % n == 0) with
+    one book.  Vectorized version of spectral_bits over many bands."""
+    arr, radix, offs, n, unsigned, _lav = _COST_LUTS[book]
+    nb = len(sub_ptr) - 1
+    if not len(sub):
+        return np.zeros(nb, np.int64)
+    v = sub.reshape(-1, n)
+    if book == huffman.ESC_BOOK:
+        a = np.abs(v)
+        sym = np.minimum(a, huffman.ESC_FLAG)
+        tup = arr[(sym[:, 0] + offs) * radix + (sym[:, 1] + offs)] \
+            .astype(np.int64)
+        tup += np.count_nonzero(sym, axis=1)
+        esc = np.where(a >= huffman.ESC_FLAG,
+                       2 * np.maximum(np.floor(np.log2(np.maximum(a, 1)))
+                                      .astype(np.int64), 4) - 3, 0)
+        tup += esc.sum(axis=1)
+    else:
+        sym = np.abs(v) if unsigned else v
+        idx = np.zeros(len(sym), np.int64)
+        for j in range(n):
+            idx = idx * radix + (sym[:, j] + offs)
+        tup = arr[idx].astype(np.int64)
+        if unsigned:
+            tup += np.count_nonzero(sym, axis=1)
+    return np.add.reduceat(tup, sub_ptr[:-1] // n)
+
+
+def bands_books_and_bits(q: np.ndarray, ptr: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-band codebook selection + exact bit cost over the
+    band-concatenated quantized spectrum `q` (boundaries ptr).
+    Returns (books [nb], bits [nb]); all-zero bands get book 0."""
+    nb = len(ptr) - 1
+    widths = np.diff(ptr)
+    aq = np.abs(q)
+    maxs = np.maximum.reduceat(aq, ptr[:-1]) if len(q) else \
+        np.zeros(nb, np.int64)
+    maxs = np.where(widths > 0, maxs, 0)
+    books = np.zeros(nb, np.int64)
+    bits = np.zeros(nb, np.int64)
+    prev_lav = 0
+    band_ids = np.repeat(np.arange(nb), widths)
+    for lav, cands in _BOOK_CLASSES:
+        sel = (maxs > prev_lav) & (maxs <= lav)
+        prev_lav = lav
+        if not np.any(sel):
+            continue
+        emask = sel[band_ids]
+        sub = q[emask]
+        sub_widths = widths[sel]
+        sub_ptr = np.concatenate([[0], np.cumsum(sub_widths)])
+        costs = np.stack([_book_tuple_bits(sub, sub_ptr, b)
+                          for b in cands])
+        best = np.argmin(costs, axis=0)
+        books[sel] = np.asarray(cands)[best]
+        bits[sel] = costs[best, np.arange(costs.shape[1])]
+    return books, bits
 
 
 # ---------------------------------------------------------------------------
@@ -292,8 +362,8 @@ class AACEncoder:
         self.bitrate = bitrate
         self.psy = psy or PsyParams()
         self._frame = self.config.frame_length
-        self._amat_long = analysis_matrix(2 * self._frame)
-        self._amat_short = analysis_matrix(2 * self._frame // 8)
+        self._amat_long = _analysis_matrix_cached(2 * self._frame)
+        self._amat_short = _analysis_matrix_cached(2 * self._frame // 8)
         self._win_long = None  # built lazily per shape need
         # bandwidth cutoff from per-channel rate (classic encoder rule of
         # thumb; keeps bits where masking can use them)
@@ -342,143 +412,154 @@ class AACEncoder:
         return (segs * wfull) @ self._amat_short  # [8, S]
 
     # -- per-frame coding -----------------------------------------------------
+    @staticmethod
+    def _vquant(bx: np.ndarray, sf_el: np.ndarray) -> np.ndarray:
+        """Mid-tread AAC quantizer over the band-concatenated spectrum
+        with a per-element scalefactor vector."""
+        gain = np.exp2((sf_el - 100.0) / 4.0)
+        c = np.floor(np.power(np.abs(bx) / gain, 0.75) + 0.4054)
+        return np.sign(bx) * np.minimum(c, 8191.0)
+
     def _analyze_channel(self, coefs, seq: int, grouping,
                          offsets: np.ndarray, max_sfb: int,
-                         thr: np.ndarray) -> list:
-        """Per-band analysis for one channel: for every band above its
-        psy threshold, the band coefficients, the base scalefactor (the
-        coarsest whose distortion meets the threshold) and the finest
-        legal scalefactor (escape-limit fit).  Returns a list of
-        (band_idx, a, b, band, base_sf, fit_sf) plus the layout tuple."""
+                         thr: np.ndarray) -> dict:
+        """Per-band analysis for one channel, in band-concatenated flat
+        form for vectorized requantization:
+          bx   — all candidate bands' coefficients, concatenated
+          ptr  — band boundaries into bx
+          dest — grouped-layout spectrum index for every bx element
+          base_sf — coarsest sf meeting the psy threshold (capped at the
+                    band's zeroing point so negative rate offsets
+                    re-admit masked bands loudest-first)
+          fit_sf  — finest legal sf (8191 escape-limit fit).
+
+        base_sf comes from the analytic noise model of the 4/3-power
+        quantizer — noise ~ 0.148 * gain^1.5 * sum(sqrt|x|) — refined by
+        two measured-distortion correction steps."""
         n_groups = len(grouping) if grouping else 1
         S = self._frame // 8 if seq == EIGHT_SHORT else self._frame
         glens = list(grouping) if grouping else [1]
-        bands = []
+        group_starts = np.concatenate(
+            [[0], np.cumsum([glen * S for glen in glens])])
+        chunks, dests, meta = [], [], []
         idx = 0
         for g, glen in enumerate(glens):
             for sfb in range(max_sfb):
                 a, b = int(offsets[sfb]), int(offsets[sfb + 1])
-                band = np.concatenate([
-                    coefs[g][w * S + a: w * S + b] for w in range(glen)]) \
-                    if seq == EIGHT_SHORT else coefs[g][a:b]
-                t = float(thr[g, sfb])
-                # every band with real content is a candidate: bands at or
-                # below their mask get a base_sf that quantizes them to
-                # zero, but a surplus-budget (negative) rate offset can
-                # re-admit them — that's where extra bits go at high rates
+                if seq == EIGHT_SHORT:
+                    band = np.concatenate(
+                        [coefs[g][w * S + a: w * S + b] for w in range(glen)])
+                    dest = np.concatenate(
+                        [np.arange(group_starts[g] + w * S + a,
+                                   group_starts[g] + w * S + b)
+                         for w in range(glen)])
+                else:
+                    band = coefs[g][a:b]
+                    dest = np.arange(a, b)
                 if band.size and float(band @ band) > 1e-6 * band.size:
-                    m = float(np.max(np.abs(band)))
-                    lg = np.log2(max(m, 1e-30))
-                    # finest legal sf: quantized magnitudes fit the 8191
-                    # escape limit;  zero sf: the whole band rounds to 0
-                    # ((m/gain)^0.75 + 0.4054 < 1)
-                    fit_sf = max(int(np.ceil(
-                        100.0 + 4.0 * (lg - (4.0 / 3.0)
-                                       * np.log2(8191.0)))), 0)
-                    zero_sf = int(np.ceil(
-                        100.0 + 4.0 * (lg - (4.0 / 3.0)
-                                       * np.log2(0.5946))))
-                    # base = coarsest sf meeting the psy threshold, but
-                    # never past the band's own zeroing point — that keeps
-                    # the rate offset meaningful for masked bands (louder
-                    # tails re-admitted first as the offset goes negative)
-                    base_sf = min(sf_for_threshold(band, t, hi=zero_sf + 1),
-                                  zero_sf)
-                    bands.append((idx, g, sfb, band, base_sf, fit_sf))
+                    chunks.append(band)
+                    dests.append(dest)
+                    meta.append((idx, g, sfb))
                 idx += 1
-        return [bands, glens, S, n_groups]
+        nb = len(chunks)
+        layout = dict(glens=glens, S=S, n_groups=n_groups, max_sfb=max_sfb,
+                      seq=seq)
+        if nb == 0:
+            return dict(bx=np.zeros(0), ptr=np.zeros(1, np.int64),
+                        dest=np.zeros(0, np.int64),
+                        idxs=np.zeros(0, np.int64),
+                        base_sf=np.zeros(0, np.int64),
+                        fit_sf=np.zeros(0, np.int64), **layout)
+        bx = np.concatenate(chunks)
+        ptr = np.concatenate([[0], np.cumsum([len(c) for c in chunks])]) \
+            .astype(np.int64)
+        widths = np.diff(ptr)
+        m = np.maximum.reduceat(np.abs(bx), ptr[:-1])
+        lg = np.log2(np.maximum(m, 1e-30))
+        fit_sf = np.maximum(np.ceil(
+            100.0 + 4.0 * (lg - (4.0 / 3.0) * np.log2(8191.0))), 0) \
+            .astype(np.int64)
+        zero_sf = np.ceil(
+            100.0 + 4.0 * (lg - (4.0 / 3.0) * np.log2(0.5946))) \
+            .astype(np.int64)
+        thr_b = np.array([float(thr[g, sfb]) for _, g, sfb in meta])
+        # analytic base: noise(sf) ~ 0.1481 * g^1.5 * sum(sqrt|x|)
+        sq = np.add.reduceat(np.sqrt(np.abs(bx)), ptr[:-1])
+        g_t = np.power(thr_b / np.maximum(0.1481 * sq, 1e-30), 2.0 / 3.0)
+        base = np.floor(100.0 + 4.0 * np.log2(np.maximum(g_t, 1e-30))) \
+            .astype(np.int64)
+        base = np.clip(base, fit_sf, zero_sf)
+        # refine: measure, step down where noise overshoots the threshold
+        for _ in range(2):
+            sf_el = np.repeat(base, widths).astype(np.float64)
+            q = self._vquant(bx, sf_el)
+            rec = np.sign(q) * np.power(np.abs(q), 4.0 / 3.0) \
+                * np.exp2((sf_el - 100.0) / 4.0)
+            d = np.add.reduceat((bx - rec) ** 2, ptr[:-1])
+            over = d > thr_b
+            if not np.any(over):
+                break
+            step = np.ceil(np.log2(np.maximum(d / thr_b, 1.0)) / 0.375) \
+                .astype(np.int64)
+            base = np.clip(base - np.where(over, np.maximum(step, 1), 0),
+                           fit_sf, zero_sf)
+        return dict(bx=bx, ptr=ptr, dest=np.concatenate(dests),
+                    idxs=np.array([i for i, _, _ in meta], np.int64),
+                    base_sf=base, fit_sf=fit_sf, **layout)
 
-    def _emit_channel(self, analysis, seq: int, offsets: np.ndarray,
-                      max_sfb: int, sf_offset: int) -> ChannelSpec:
-        """Quantize the analyzed bands at base_sf + sf_offset (clipped to
-        the escape-fit floor) and build the ChannelSpec."""
-        bands, glens, S, n_groups = analysis
-        books = np.zeros(n_groups * max_sfb, np.int64)
-        sfs = np.zeros(n_groups * max_sfb, np.int64)
+    def _emit_cost(self, an: dict, sf_offset: int):
+        """Quantize at base_sf + offset and return (books, sfs, q_flat,
+        bits) where books/sfs are in the (group, sfb) layout and bits is
+        the exact channel payload cost (spectral + sf + section + side)."""
+        n_bands_layout = an["n_groups"] * an["max_sfb"]
+        books = np.zeros(n_bands_layout, np.int64)
+        sfs = np.zeros(n_bands_layout, np.int64)
+        if not len(an["bx"]):
+            side = 8 + (15 if an["seq"] == EIGHT_SHORT else 11) + 3
+            return books, sfs, np.zeros(0, np.int64), side + 4 + 9
+        sf_band = np.clip(an["base_sf"] + sf_offset, an["fit_sf"], 255)
+        widths = np.diff(an["ptr"])
+        q = self._vquant(an["bx"], np.repeat(sf_band, widths)
+                         .astype(np.float64)).astype(np.int64)
+        bbooks, bbits = bands_books_and_bits(q, an["ptr"])
+        books[an["idxs"]] = bbooks
+        sfs[an["idxs"]] = np.where(bbooks > 0, sf_band, 0)
+        bits = int(bbits.sum())
+        # section runs per group
+        sect_bits = 3 if an["seq"] == EIGHT_SHORT else 5
+        esc = (1 << sect_bits) - 1
+        bk2 = books.reshape(an["n_groups"], an["max_sfb"])
+        for g in range(an["n_groups"]):
+            row = bk2[g]
+            change = np.nonzero(np.diff(row))[0]
+            runs = np.diff(np.concatenate([[0], change + 1,
+                                           [an["max_sfb"]]]))
+            bits += int(np.sum(4 + sect_bits * (runs // esc + 1)))
+        # scalefactor deltas from global_gain (= first coded sf)
+        coded_sf = sfs[books > 0]
+        if coded_sf.size:
+            deltas = np.diff(coded_sf, prepend=coded_sf[0])
+            bits += int(_SF_LEN[np.clip(deltas + 60, 0, 120)].sum())
+        # global_gain + ics_info + pulse/tns/gain flags
+        bits += 8 + (15 if an["seq"] == EIGHT_SHORT else 11) + 3
+        return books, sfs, q, bits
+
+    def _materialize(self, an: dict, books, sfs, q) -> ChannelSpec:
+        """Scatter the flat quantized values into the grouped-layout
+        spectrum and build the ChannelSpec for the bitstream writer."""
         quant = np.zeros(self._frame, np.int64)
-        group_starts = np.cumsum([0] + [glen * S for glen in glens])
-        for idx, g, sfb, band, base_sf, fit_sf in bands:
-            sf = int(np.clip(base_sf + sf_offset, fit_sf, 255))
-            q = quantize_band(band, sf)
-            if not np.any(q):
-                continue
-            book, _ = choose_book(q)
-            books[idx] = book
-            sfs[idx] = sf
-            a, b = int(offsets[sfb]), int(offsets[sfb + 1])
-            group_off = int(group_starts[g])
-            glen = glens[g]
-            pos = 0
-            width = b - a
-            for w in range(glen):
-                quant[group_off + w * S + a: group_off + w * S + b] = \
-                    q[pos:pos + width]
-                pos += width
+        if len(q):
+            # zero out bands whose book collapsed to 0 (all-zero quant)
+            keep = np.repeat(books[an["idxs"]] > 0, np.diff(an["ptr"]))
+            quant[an["dest"][keep]] = q[keep]
         coded = np.nonzero(books)[0]
         gg = int(np.clip(sfs[coded[0]], 0, 255)) if coded.size else 120
         return ChannelSpec(
-            window_sequence=seq, window_shape=0, max_sfb=max_sfb,
-            grouping=list(glens) if seq == EIGHT_SHORT else None,
+            window_sequence=an["seq"], window_shape=0,
+            max_sfb=an["max_sfb"],
+            grouping=(list(an["glens"]) if an["seq"] == EIGHT_SHORT
+                      else None),
             global_gain=gg, band_books=books, band_sf=sfs, quant=quant)
-
-    def _frame_bits(self, specs: list[ChannelSpec], offsets) -> int:
-        """Exact payload bits for the frame's channel specs (spectral +
-        scalefactor + section data + fixed side info)."""
-        total = 0
-        for spec in specs:
-            bits = 0
-            sect_bits = 3 if spec.window_sequence == EIGHT_SHORT else 5
-            esc = (1 << sect_bits) - 1
-            books = spec.band_books
-            n_groups = spec.group_count
-            # section runs
-            idx = 0
-            for _g in range(n_groups):
-                sfb = 0
-                while sfb < spec.max_sfb:
-                    book = int(books[idx])
-                    run = 1
-                    while sfb + run < spec.max_sfb and \
-                            int(books[idx + run]) == book:
-                        run += 1
-                    bits += 4 + sect_bits * (run // esc + 1)
-                    sfb += run
-                    idx += run
-            # scalefactor deltas
-            prev = spec.global_gain
-            for i in range(n_groups * spec.max_sfb):
-                if int(books[i]) == 0:
-                    continue
-                d = int(spec.band_sf[i]) - prev
-                bits += int(_SF_LEN[np.clip(d + 60, 0, 120)])
-                prev = int(spec.band_sf[i])
-            # spectral data
-            S = (self._frame // 8 if spec.window_sequence == EIGHT_SHORT
-                 else self._frame)
-            glens = spec.group_lengths()
-            group_off = 0
-            idx = 0
-            for glen in glens:
-                for sfb in range(spec.max_sfb):
-                    book = int(books[idx])
-                    if book:
-                        a, b = int(offsets[sfb]), int(offsets[sfb + 1])
-                        q = np.concatenate([
-                            spec.quant[group_off + w * S + a:
-                                       group_off + w * S + b]
-                            for w in range(glen)])
-                        bits += spectral_bits(q, book)
-                    idx += 1
-                group_off += glen * S
-            # ics_info + global_gain + pulse/tns/gain flags
-            bits += 8 + (15 if spec.window_sequence == EIGHT_SHORT else 11) + 3
-            total += bits
-        # element headers: id(3)+instance(4), common_window(1)+ms(2+bands)
-        if len(specs) == 2:
-            total += 7 + 1 + 2 + specs[0].group_count * specs[0].max_sfb
-        else:
-            total += 7
-        return total + 3 + 7  # END + align slack
 
     # -- public ---------------------------------------------------------------
     def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
@@ -596,29 +677,32 @@ class AACEncoder:
             analyses = [self._analyze_channel(
                 ch_coefs[ch], fseq, grouping, offsets, max_sfb, thrs[ch])
                 for ch in range(nch)]
+            # element id+instance, common_window+ms_type+mask, END+align
+            elem_overhead = ((7 + 1 + 2 + n_groups * max_sfb
+                              if nch == 2 else 7) + 3 + 7)
 
-            def emit(off: int) -> tuple[list[ChannelSpec], int]:
-                specs = [self._emit_channel(a, fseq, offsets, max_sfb, off)
-                         for a in analyses]
-                return specs, self._frame_bits(specs, offsets)
+            def emit(off: int):
+                res = [self._emit_cost(a, off) for a in analyses]
+                return res, elem_overhead + sum(r[3] for r in res)
 
             budget = bits_per_frame + min(self._reservoir, bits_per_frame)
             lo, hi = -60, 90            # bits(off) is nonincreasing in off
-            specs, used = emit(lo)
+            res, used = emit(lo)
             if used > budget:
-                _, bits_hi = emit(hi)
+                r_hi, bits_hi = emit(hi)
                 if bits_hi > budget:
-                    lo = hi             # pathological frame: emit coarsest
-                while lo < hi:
-                    mid = (lo + hi) // 2
-                    s, u = emit(mid)
-                    if u <= budget:
-                        hi = mid
-                        specs, used = s, u
-                    else:
-                        lo = mid + 1
-                if used > budget:       # loop ended on an unfit lo==hi
-                    specs, used = emit(lo)
+                    res, used = r_hi, bits_hi  # pathological: coarsest
+                else:
+                    while lo < hi:
+                        mid = (lo + hi) // 2
+                        r, u = emit(mid)
+                        if u <= budget:
+                            hi = mid
+                            res, used = r, u
+                        else:
+                            lo = mid + 1
+            specs = [self._materialize(a, b, s, q)
+                     for a, (b, s, q, _) in zip(analyses, res)]
             self._reservoir = float(np.clip(
                 self._reservoir + bits_per_frame - used,
                 0.0, self._reservoir_cap))
