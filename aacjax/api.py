@@ -81,7 +81,8 @@ class AACDecoder:
     floating_point = True  # init() sets format.floatingPoint (decoder.js:49-51)
 
     def __init__(self, cookie: bytes | None = None, cce_slots: int = 2,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None, drc_scale: float = 0.0):
+        self.drc_scale = drc_scale
         self.config: StreamConfig | None = None
         self._buffer = bytearray()
         self._bitpos = 0  # bit offset of the next un-decoded raw_data_block
@@ -113,7 +114,8 @@ class AACDecoder:
         self.config = parse_asc(buffer)
         self._runtime = BatchDecoder([self.config], chunk_frames=1,
                                      cce_slots=self._cce_slots,
-                                     use_native=self._use_native)
+                                     use_native=self._use_native,
+                                     drc_scale=self.drc_scale)
         if self.config.sbr:
             self._sbr_mode = True  # explicit signaling
 
@@ -210,7 +212,8 @@ class AACDecoder:
         if self.config is not None:
             self._runtime = BatchDecoder([self.config], chunk_frames=1,
                                          cce_slots=self._cce_slots,
-                                         use_native=self._use_native)
+                                         use_native=self._use_native,
+                                         drc_scale=self.drc_scale)
 
     @property
     def state(self) -> dict:
@@ -262,7 +265,8 @@ class AACDecoder:
                 else 2 * self.config.sample_rate)
         try:
             frame = decode_frame(self._reader, self.config, st.prev_shapes,
-                                 sbr_ctx=self._sbr_ctx)
+                                 sbr_ctx=self._sbr_ctx,
+                                 drc_scale=self.drc_scale)
         except BitstreamUnderflow:
             return None  # need more data
         self._bitpos = self._reader.bit_position
@@ -470,7 +474,8 @@ def decode_m4a(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
 
 
 def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
-                on_error: str = "raise") -> tuple[np.ndarray, int]:
+                on_error: str = "raise", drc_scale: float = 0.0
+                ) -> tuple[np.ndarray, int]:
     """Decode a whole ADTS byte stream through the batched device pipeline.
 
     Returns (pcm [total_samples, channels] float32 in 1/32768 scale,
@@ -484,6 +489,11 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
     cce_slots reserves channel slots per stream for coupling channels
     (cce.js); streams with more CCE elements per frame than slots raise a
     SlotOverflowError naming the fix.
+
+    drc_scale in [0, 1] applies that fraction of any dynamic_range_info
+    FIL payloads (0 = ignore, the default; DRC parsing lives on the
+    python parse path, so a nonzero value trades the native parser for
+    loudness processing).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error: {on_error}")
@@ -605,7 +615,7 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         # are only discoverable by parsing, so use the continuous-bitstream
         # streaming decoder for the whole file
         dec = AACDecoder(cookie=adts.synthesize_cookie(header),
-                         cce_slots=max(cce_slots, 1))
+                         cce_slots=max(cce_slots, 1), drc_scale=drc_scale)
         dec.feed(data)
         chunks = []
         while True:
@@ -632,7 +642,7 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
             raise UnsupportedError("no decodable raw_data_blocks")
         return np.concatenate(chunks, axis=0), config.sample_rate
     dec = BatchDecoder([config], chunk_frames=chunk_frames,
-                       cce_slots=cce_slots)
+                       cce_slots=cce_slots, drc_scale=drc_scale)
     payloads = [data[s:e] for _, s, e in frames]
     out = []
     for i in range(0, len(payloads), chunk_frames):

@@ -546,10 +546,60 @@ class SCEData:
 
 
 @dataclass
+class DRCInfo:
+    """dynamic_range_info (ISO/IEC 14496-3 §4.5.2.7) from a FIL
+    extension_payload with extension_type EXT_DYNAMIC_RANGE.  The
+    reference skips every FIL payload (decoder.js:187-193)."""
+    pce_tag: int = -1                    # -1 = not present
+    excluded: np.ndarray | None = None   # bool per channel, None = none
+    band_top: np.ndarray = None          # exclusive tops, spectral bins
+    gain_db: np.ndarray = None           # per band, dyn_rng 0.25 dB steps
+    interpolation_scheme: int = 0
+    prog_ref_level: int = -1             # -1 = not present
+
+
+EXT_DYNAMIC_RANGE = 11
+
+
+def read_drc_info(stream: BitReader, frame_len: int = 1024) -> DRCInfo:
+    """Parse dynamic_range_info following its 4-bit extension_type."""
+    drc = DRCInfo()
+    n_bands = 1
+    if stream.read(1):                       # pce_tag_present
+        drc.pce_tag = stream.read(4)
+        stream.advance(4)                    # drc_tag_reserved_bits
+    if stream.read(1):                       # excluded_chns_present
+        excluded = [bool(stream.read(1)) for _ in range(7)]
+        while stream.read(1):                # additional_excluded_chns
+            excluded.extend(bool(stream.read(1)) for _ in range(7))
+        drc.excluded = np.array(excluded, bool)
+    tops = [frame_len]
+    if stream.read(1):                       # drc_bands_present
+        band_incr = stream.read(4)
+        drc.interpolation_scheme = stream.read(4)
+        n_bands = 1 + band_incr
+        # band_top[i] is the top of band i in units of 4 spectral lines
+        tops = [4 * (stream.read(8) + 1) for _ in range(n_bands)]
+        tops[-1] = max(tops[-1], frame_len)  # last band runs to the end
+    if stream.read(1):                       # prog_ref_level_present
+        drc.prog_ref_level = stream.read(7)
+        stream.advance(1)                    # prog_ref_level_reserved_bits
+    gains = np.zeros(n_bands)
+    for i in range(n_bands):
+        sgn = stream.read(1)
+        ctl = stream.read(7)
+        gains[i] = (-0.25 if sgn else 0.25) * ctl
+    drc.band_top = np.asarray(tops, np.int32)
+    drc.gain_db = gains
+    return drc
+
+
+@dataclass
 class Frame:
     """One parsed raw_data_block."""
     elements: list  # SCEData | CPEData in order
     cces: list[CCEData]
+    drc: DRCInfo | None = None
 
 
 def decode_cpe(stream: BitReader, config: StreamConfig,
@@ -713,7 +763,8 @@ def decode_er_frame(stream: BitReader, config: StreamConfig,
 
 
 def decode_frame(stream: BitReader, config: StreamConfig,
-                 prev_shapes: list[int], sbr_ctx=None) -> Frame:
+                 prev_shapes: list[int], sbr_ctx=None,
+                 drc_scale: float = 0.0) -> Frame:
     """Parse one raw_data_block (decoder.js:125-201 element loop).
 
     prev_shapes: per-decoder-channel previous window shapes (persisted by
@@ -734,6 +785,7 @@ def decode_frame(stream: BitReader, config: StreamConfig,
 
     elements = []
     cces: list[CCEData] = []
+    frame_drc: DRCInfo | None = None
     channel = 0
 
     def shapes_for(n: int) -> tuple[int, ...]:
@@ -797,9 +849,53 @@ def decode_frame(stream: BitReader, config: StreamConfig,
                 if consumed > cnt * 8:
                     raise BitstreamError("SBR extension payload overrun")
                 stream.advance(cnt * 8 - consumed)
+            elif (cnt > 0 and stream.bits_left >= 4
+                    and stream.peek(4) == EXT_DYNAMIC_RANGE):
+                start = stream.bit_position
+                stream.read(4)
+                frame_drc = read_drc_info(stream, config.frame_length)
+                consumed = stream.bit_position - start
+                if consumed > cnt * 8:
+                    raise BitstreamError("DRC extension payload overrun")
+                stream.advance(cnt * 8 - consumed)
             else:
                 stream.advance(cnt * 8)
         else:
             raise BitstreamError("Unknown element")
     stream.align()
-    return Frame(elements=elements, cces=cces)
+    frame = Frame(elements=elements, cces=cces, drc=frame_drc)
+    if drc_scale > 0:
+        apply_drc(frame, drc_scale)
+    return frame
+
+
+def apply_drc(frame: Frame, drc_scale: float = 1.0) -> None:
+    """Apply the frame's dynamic_range_info in the spectral domain, by
+    folding the per-band linear gain into each channel's per-bin
+    scalefactor (and PNS energy) vectors before dequantization — exact
+    for banded DRC, and it commutes with the M/S butterfly since both
+    channels of a pair carry the same gain.  drc_scale in [0, 1] is the
+    user compression fraction (0 = off, 1 = full, like players expose);
+    the reference skips FIL payloads entirely so has no DRC at all."""
+    drc = frame.drc
+    if drc is None or drc_scale <= 0:
+        return
+    lin = np.power(10.0, drc.gain_db * drc_scale / 20.0).astype(np.float32)
+    ch_idx = 0
+    for el in frame.elements:
+        chans = ([el.ics] if isinstance(el, SCEData)
+                 else [el.left, el.right])
+        for cs in chans:
+            if drc.excluded is not None and ch_idx < len(drc.excluded) \
+                    and drc.excluded[ch_idx]:
+                ch_idx += 1
+                continue
+            n = len(cs.scale_bin)
+            gain_bin = np.ones(n, np.float32)
+            lo = 0
+            for top, g in zip(drc.band_top, lin):
+                gain_bin[lo:min(int(top), n)] = g
+                lo = int(top)
+            cs.scale_bin *= gain_bin
+            cs.noise_bin *= gain_bin
+            ch_idx += 1

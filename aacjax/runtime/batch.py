@@ -53,8 +53,15 @@ class BatchDecoder:
     """Decodes T-frame chunks for a fixed set of concurrent streams."""
 
     def __init__(self, configs: list[StreamConfig], chunk_frames: int = 16,
-                 cce_slots: int = 0, use_native: bool | None = None):
+                 cce_slots: int = 0, use_native: bool | None = None,
+                 drc_scale: float = 0.0):
         self.T = chunk_frames
+        # dynamic-range-control compression fraction; DRC payloads live in
+        # FIL extensions which the native parser skips, so a nonzero
+        # setting routes parsing to the python path
+        self.drc_scale = drc_scale
+        if drc_scale > 0:
+            use_native = False
         self.streams: list[StreamState] = []
         c = 0
         for cfg in configs:
@@ -114,7 +121,8 @@ class BatchDecoder:
         frames = []
         for payload in payloads:
             reader = BitReader(payload)
-            frame = decode_frame(reader, st.config, st.prev_shapes)
+            frame = decode_frame(reader, st.config, st.prev_shapes,
+                                 drc_scale=self.drc_scale)
             self._update_shapes(st, frame)
             st.frames_decoded += 1
             frames.append(frame)
@@ -767,7 +775,8 @@ class BatchDecoder:
             for payload in payloads:
                 try:
                     frame = decode_frame(BitReader(payload), st.config,
-                                         st.prev_shapes)
+                                         st.prev_shapes,
+                                         drc_scale=self.drc_scale)
                 except Exception as e:  # noqa: BLE001 — per-stream isolation
                     st.failed = True
                     st.last_error = str(e)

@@ -386,6 +386,57 @@ def write_dse(w: BitWriter, payload: bytes, align: bool = True,
         w.write(b, 8)
 
 
+def drc_payload(gains_db: list[float], band_tops: list[int] | None = None,
+                excluded: list[bool] | None = None,
+                pce_tag: int | None = None, prog_ref: int | None = None,
+                interpolation: int = 0) -> bytes:
+    """Build a dynamic_range_info extension payload (ISO/IEC 14496-3
+    §4.5.2.7), starting with the 4-bit EXT_DYNAMIC_RANGE type.  Wrap it
+    with aacjax.testing.sbr_encoder.write_sbr_fil (generic FIL framing).
+    band_tops are exclusive spectral-bin tops, multiples of 4."""
+    p = BitWriter()
+    p.write(11, 4)                      # EXT_DYNAMIC_RANGE
+    if pce_tag is not None:
+        p.write(1, 1)
+        p.write(pce_tag, 4)
+        p.write(0, 4)                   # drc_tag_reserved_bits
+    else:
+        p.write(0, 1)
+    if excluded is not None:
+        p.write(1, 1)
+        bits = list(excluded) + [False] * ((-len(excluded)) % 7)
+        for i in range(0, len(bits), 7):
+            if i:
+                p.write(1, 1)           # additional_excluded_chns
+            for b in bits[i:i + 7]:
+                p.write(1 if b else 0, 1)
+        p.write(0, 1)
+    else:
+        p.write(0, 1)
+    if band_tops is not None and (len(gains_db) > 1 or band_tops):
+        p.write(1, 1)
+        p.write(len(gains_db) - 1, 4)   # drc_band_incr
+        p.write(interpolation, 4)
+        for top in band_tops:
+            assert top % 4 == 0 and top >= 4
+            p.write(top // 4 - 1, 8)
+    else:
+        p.write(0, 1)
+    if prog_ref is not None:
+        p.write(1, 1)
+        p.write(prog_ref, 7)
+        p.write(0, 1)
+    else:
+        p.write(0, 1)
+    for g in gains_db:
+        ctl = int(round(abs(g) * 4))
+        assert 0 <= ctl <= 127
+        p.write(1 if g < 0 else 0, 1)
+        p.write(ctl, 7)
+    p.align()
+    return p.getvalue()
+
+
 def end_frame(w: BitWriter) -> bytes:
     w.write(7, 3)  # END
     w.align()
