@@ -64,6 +64,10 @@ class PipelineFlags:
     # Main-profile backward prediction: a stateful device stage between
     # M/S and intensity (cross-frame [C,672,6] predictor state)
     has_pred: bool = False
+    # any EIGHT_SHORT frame in the chunk?  When False the whole short
+    # IMDCT path (8x einsum + intra-frame OLA + select) compiles away —
+    # the common all-long case skips ~a third of the filterbank work
+    has_short: bool = True
 
 
 @functools.lru_cache(maxsize=None)
@@ -365,11 +369,15 @@ def tns(spec: jax.Array, fwd_lpc, fwd_start, fwd_end,
 
 def filterbank(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
                shape_idx: jax.Array, prev_shape_idx: jax.Array,
-               is_short: jax.Array) -> tuple[jax.Array, jax.Array]:
+               is_short: jax.Array,
+               has_short: bool = True) -> tuple[jax.Array, jax.Array]:
     """IMDCT + windowing for every frame; returns (first, second) halves
     [C,T,1024] each.  first is this frame's direct contribution; second is
     the overlap carried into the next frame (filter_bank.js:88-204
     semantics for all four window sequences, linearized — see module doc).
+
+    has_short is a trace-time flag: when the host knows the chunk has no
+    EIGHT_SHORT frame, the whole short path compiles away.
     """
     C, T, F = spec.shape
     S = F // 8  # short-window length (128, or 120 in 960 mode)
@@ -379,6 +387,12 @@ def filterbank(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
     # Long path: one MXU matmul for IMDCT(2F).
     long_out = jnp.einsum('ctk,kn->ctn', spec, c['m_long'],
                           precision=jax.lax.Precision.HIGHEST)  # [C,T,2F]
+    f_win = c['f_table'][f_idx]                                 # [C,T,1024]
+    s_win = c['s_table'][s_idx]
+    first_long = long_out[..., :F] * f_win
+    second_long = long_out[..., F:] * s_win
+    if not has_short:
+        return first_long, second_long
 
     # Short path: 8 x IMDCT(2S).
     blocks = jnp.einsum('ctwk,kn->ctwn', spec.reshape(C, T, 8, S),
@@ -399,11 +413,6 @@ def filterbank(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
     for w in range(8):
         off = W.mid(F) + S * w
         t_short = t_short.at[..., off:off + 2 * S].add(wb[..., w, :])
-
-    f_win = c['f_table'][f_idx]                                 # [C,T,1024]
-    s_win = c['s_table'][s_idx]
-    first_long = long_out[..., :F] * f_win
-    second_long = long_out[..., F:] * s_win
 
     sel = is_short[..., None]
     first = jnp.where(sel, t_short[..., :F], first_long)
@@ -480,7 +489,7 @@ def decode_step(batch: dict, overlap_in: jax.Array,
 
     first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
                                batch['shape_idx'], batch['prev_shape_idx'],
-                               batch['is_short'])
+                               batch['is_short'], flags.has_short)
     pcm, new_overlap = overlap_add(first, second, overlap_in,
                                    batch['last_valid'])
 
@@ -555,7 +564,7 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
         first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
                                    batch['shape_idx'],
                                    batch['prev_shape_idx'],
-                                   batch['is_short'])
+                                   batch['is_short'], flags.has_short)
     pcm, new_overlap = overlap_add(first, second, overlap_in,
                                    batch['last_valid'])
     if flags.has_cce_time:

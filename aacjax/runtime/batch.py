@@ -680,6 +680,7 @@ class BatchDecoder:
             batch.update(cce_time_src=idx[:, 0], cce_time_dst=idx[:, 1],
                          cce_time_t=idx[:, 2], cce_time_gain=gain)
         batch['_has_tns'] = has_tns
+        batch['_has_short'] = bool(batch['is_short'].any())
         batch['_spec_i16'] = compact
         batch['_has_cce_post'] = n_post > 0
         batch['_has_cce_time'] = n_time > 0
@@ -692,6 +693,7 @@ class BatchDecoder:
     def _device_step(self, batch: dict, out_int16: bool,
                      use_pallas: bool | None = None):
         has_tns = batch.pop('_has_tns')
+        has_short = batch.pop('_has_short')
         spec_i16 = batch.pop('_spec_i16')
         has_cce_post = batch.pop('_has_cce_post')
         has_cce_time = batch.pop('_has_cce_time')
@@ -705,7 +707,7 @@ class BatchDecoder:
                               use_pallas=use_pallas,
                               has_cce_post=has_cce_post,
                               has_cce_time=has_cce_time,
-                              spec_i16=spec_i16)
+                              spec_i16=spec_i16, has_short=has_short)
         step_fn = jitted_decode_spec_step(flags)
         t0 = time.perf_counter()
         pcm, self.overlap = step_fn(batch, self.overlap)

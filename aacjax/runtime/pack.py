@@ -248,7 +248,8 @@ class ChunkBuilder:
         )
         flags = PipelineFlags(has_stereo=True, has_tns=self.has_tns,
                               has_cce=any(self._cce.values()),
-                              has_pred=self.has_pred)
+                              has_pred=self.has_pred,
+                              has_short=bool(self.is_short.any()))
         if flags.has_pred:
             batch.update(pred_mode=self.pred_mode, pred_reset=self.pred_reset,
                          pred_nbins=self.pred_nbins, pred_used=self.pred_used)

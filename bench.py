@@ -63,6 +63,7 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
         parsed = dec._parse_native(chunk, compact=compact)
         t1 = time.perf_counter()
         has_tns = parsed.pop("_has_tns")
+        has_short = parsed.pop("_has_short")
         spec_i16 = parsed.pop("_spec_i16")
         for k in ("_parse_seconds", "_n_stream_frames", "_n_channel_frames",
                   "_has_cce_post", "_has_cce_time"):
@@ -71,14 +72,29 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
         t2 = time.perf_counter()
         flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
                               has_cce=False, out_int16=True,
-                              use_pallas=use_pallas, spec_i16=spec_i16)
+                              use_pallas=use_pallas, spec_i16=spec_i16,
+                              has_short=has_short)
         fn = jitted_decode_spec_step(flags)
         pcm, dec.overlap = fn(dev_batch, dec.overlap)
         jax.block_until_ready(pcm)
         t3 = time.perf_counter()
         np.asarray(pcm)
         t4 = time.perf_counter()
-        cur = dict(parse_s=t1 - t0, h2d_s=t2 - t1, compute_s=t3 - t2,
+        # amortized device compute: a single synced dispatch includes the
+        # host<->device RPC roundtrip (tens of ms over this dev tunnel);
+        # chaining steps through the donated overlap state measures the
+        # actual per-step device time, which is what a full serving queue
+        # pays.  (Verified: N chained steps block in ~N*amortized while
+        # the D2H of the final result stays one transfer.)
+        n_chain = 16
+        ov = dec.overlap
+        tc = time.perf_counter()
+        for _ in range(n_chain):
+            pcm2, ov = fn(dev_batch, ov)
+        jax.block_until_ready(pcm2)
+        dec.overlap = ov
+        cur = dict(parse_s=t1 - t0, h2d_s=t2 - t1, dispatch_s=t3 - t2,
+                   compute_s=(time.perf_counter() - tc) / n_chain,
                    d2h_s=t4 - t3)
         if best is None:
             best = cur
