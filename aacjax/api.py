@@ -381,11 +381,12 @@ def _decode_raw_payloads(config: StreamConfig, asc_raw: bytes,
         stream = b"".join(adts.wrap_frame(p, config) for p in payloads)
         return decode_adts(stream, chunk_frames=chunk_frames,
                            cce_slots=cce_slots, on_error=on_error)
-    if config.profile in (17, 23):
-        # ER AAC-LC / AAC-LD (AOT 17/23 — profiles the reference rejects
-        # outright): no cross-frame time feedback, so the demuxed
-        # raw_data_blocks run through the batched device pipeline at the
-        # profile's frame length (1024/960 or 512/480)
+    if config.profile in (17, 23, 39):
+        # ER AAC-LC / AAC-LD / AAC-ELD (AOT 17/23/39 — profiles the
+        # reference rejects outright): no cross-frame time feedback, so
+        # the demuxed raw_data_blocks run through the batched device
+        # pipeline at the profile's frame length (1024/960 or 512/480;
+        # ELD synthesizes via the low-delay filterbank matmul)
         dec = BatchDecoder([config], chunk_frames=chunk_frames)
         out = []
         for i in range(0, len(payloads), chunk_frames):

@@ -23,6 +23,7 @@ AOT_SBR = 5
 AOT_ER_AAC_LC = 17
 AOT_ER_AAC_LD = 23
 AOT_ESCAPE = 31
+AOT_ER_AAC_ELD = 39
 
 CHANNEL_CONFIG_NONE = 0
 
@@ -264,6 +265,37 @@ def parse_asc_bits(stream: BitReader) -> StreamConfig:
             sample_rate=sample_rate, chan_config=chan_config,
             frame_length=frame_length, sbr=0, ext_sample_rate=0,
             pce_channels=pce_channels)
+    if profile == AOT_ER_AAC_ELD:
+        # ELDSpecificConfig (ISO/IEC 14496-3 §4.6.20.1): enhanced low
+        # delay — 512/480-sample frames through the low-delay MDCT
+        # filterbank (absent upstream: the reference rejects every ER
+        # profile)
+        frame_length = 480 if stream.read(1) else 512
+        if stream.read(1) or stream.read(1) or stream.read(1):
+            raise UnsupportedError(
+                "ER resilience tools (RVLC/HCR) not supported.")
+        if stream.read(1):  # ldSbrPresentFlag
+            raise UnsupportedError("AAC-ELD with LD-SBR not supported.")
+        while True:
+            ext_type = stream.read(4)
+            if ext_type == 0:  # ELDEXT_TERM
+                break
+            n = stream.read(4)
+            if n == 15:
+                n += stream.read(8)
+            if n == 15 + 255:
+                n += stream.read(16)
+            stream.advance(8 * n)
+        counts = (tables.NUM_SWB_512 if frame_length == 512
+                  else tables.NUM_SWB_480)
+        if counts[sample_index] == 0:
+            raise UnsupportedError(
+                f"AAC-ELD undefined at sampling index {sample_index}")
+        return StreamConfig(
+            profile=profile, sample_index=sample_index,
+            sample_rate=sample_rate, chan_config=chan_config,
+            frame_length=frame_length, sbr=0, ext_sample_rate=0,
+            pce_channels=0)
     pce_channels = 0
     if profile in (AOT_AAC_MAIN, AOT_AAC_LC, AOT_AAC_LTP):
         if stream.read(1):  # frameLengthFlag => 960-sample frames
@@ -316,6 +348,17 @@ def write_asc_bits(w, profile: int, sample_index: int, chan_config: int,
                    ext_sample_index: int | None = None) -> None:
     """Emit the ASC at the bit level (no byte padding — LATM embeds the
     AudioSpecificConfig inline in the StreamMuxConfig)."""
+    if profile == AOT_ER_AAC_ELD:
+        assert not sbr and frame_length in (512, 480)
+        w.write(AOT_ESCAPE, 5)
+        w.write(profile - 32, 6)
+        w.write(sample_index, 4)
+        w.write(chan_config, 4)
+        w.write(1 if frame_length == 480 else 0, 1)
+        w.write(0, 3)   # section/scalefactor/spectral resilience off
+        w.write(0, 1)   # ldSbrPresentFlag
+        w.write(0, 4)   # eldExtType = ELDEXT_TERM
+        return
     if profile in (AOT_ER_AAC_LC, AOT_ER_AAC_LD):
         assert not sbr
         if profile == AOT_ER_AAC_LD:

@@ -173,6 +173,26 @@ class ICSInfo:
             self.pred_bins = min(672, int(self.swb_offsets[
                 min(config.pred_sfb_max, self.swb_count)]))
 
+    def decode_eld(self, stream: BitReader, config: StreamConfig) -> None:
+        """AAC-ELD ics_info (ISO/IEC 14496-3 §4.6.20.3): the window is
+        always the low-delay filterbank's single shape, so the side info
+        reduces to max_sfb."""
+        self.window_sequence = ONLY_LONG_SEQUENCE
+        self.window_shape = 0
+        self.prev_window_shape = 0
+        self.group_count = 1
+        self.group_length = np.zeros(8, np.int32)
+        self.group_length[0] = 1
+        self.window_count = 1
+        self.frame_len = config.frame_length
+        self.short_len = config.short_length
+        self.max_sfb = stream.read(6)
+        self.swb_offsets = config.swb_offsets_long
+        self.swb_count = config.swb_count_long
+        if self.max_sfb > self.swb_count:
+            raise BitstreamError(
+                f"max_sfb {self.max_sfb} > swb_count {self.swb_count}")
+
 
 @dataclass
 class LTPData:
@@ -321,10 +341,26 @@ class ICSDecoder:
         info = common_info if common_info is not None else ICSInfo()
         ch = ChannelStream(info=info)
         ch.global_gain = stream.read(8)
+        eld = self.config.profile == 39
         if common_info is None:
-            info.decode(stream, self.config, False, prev_shape)
+            if eld:
+                info.decode_eld(stream, self.config)
+            else:
+                info.decode(stream, self.config, False, prev_shape)
         self._decode_band_types(stream, ch)
         self._decode_scale_factors(stream, ch)
+        if eld:
+            # ELD individual_channel_stream (§4.6.20.2): no pulse bit and
+            # no gain-control bit; tns_data follows its flag directly
+            ch.tns_present = bool(stream.read(1))
+            tns = TNSData()
+            if ch.tns_present:
+                tns.decode(stream, info)
+            self._decode_spectral(stream, ch)
+            if ch.tns_present:
+                ch.tns_filters = tns.resolve_filters(
+                    info, int(self.config.tns_max_bands_ld))
+            return ch
         er = self.config.profile in (17, 23)  # ER syntax ordering
         ch.pulse_present = bool(stream.read(1))
         pulse = None
@@ -603,15 +639,19 @@ class Frame:
 
 
 def decode_cpe(stream: BitReader, config: StreamConfig,
-               prev_shapes: tuple[int, int]) -> CPEData:
-    """cpe.js:37-75."""
+               prev_shapes: tuple[int, int], eld: bool = False) -> CPEData:
+    """cpe.js:37-75.  ELD CPEs have no common_window bit (it is implied
+    true — libavcodec decode_cpe: common_window = eld_syntax || ...)."""
     dec = ICSDecoder(config)
-    common_window = bool(stream.read(1))
+    common_window = True if eld else bool(stream.read(1))
     ms_used = np.zeros(128, bool)
     mask_present = False
     if common_window:
         info = ICSInfo()
-        info.decode(stream, config, True, prev_shapes[0])
+        if eld:
+            info.decode_eld(stream, config)
+        else:
+            info.decode(stream, config, True, prev_shapes[0])
         # AAC-LTP: the shared ics_info carries channel 0's ltp_data; the
         # second channel's ltp_data_present bit follows immediately
         # (ISO/IEC 14496-3 cpe syntax; libavcodec decode_cpe)
@@ -728,21 +768,21 @@ _ER_LAYOUTS = {
 
 def decode_er_frame(stream: BitReader, config: StreamConfig,
                     prev_shapes: list[int]) -> Frame:
-    """Parse one ER raw_data_block (ER AAC-LC/LD, AOT 17/23): channel elements
-    come in the fixed Table-1.19 order for the channelConfiguration, with
-    no element id tags and no END element (the reference rejects every
-    ER profile)."""
+    """Parse one ER raw_data_block (ER AAC-LC/LD/ELD, AOT 17/23/39):
+    channel elements come in the fixed Table-1.19 order for the
+    channelConfiguration, with no END element (the reference rejects
+    every ER profile).  AOT 17/23 prefix each element with a 4-bit
+    instance tag; ELD carries no tags at all (libavcodec
+    aac_decode_er_frame: skip_bits(gb, 4) only when !eld_syntax)."""
     layout = _ER_LAYOUTS.get(config.chan_config)
     if layout is None:
         raise UnsupportedError(
             f"ER channelConfiguration {config.chan_config} not supported")
+    eld = config.profile == 39
     elements = []
     channel = 0
     for kind in layout:
-        # each element is preceded by a 4-bit element_instance_tag (the
-        # element TYPE is implicit in the layout; libavcodec
-        # aac_decode_er_frame skip_bits(gb, 4))
-        tag = stream.read(4)
+        tag = 0 if eld else stream.read(4)
         if kind in ("SCE", "LFE"):
             dec = ICSDecoder(config)
             prev = (prev_shapes[channel]
@@ -754,7 +794,7 @@ def decode_er_frame(stream: BitReader, config: StreamConfig,
             shapes = tuple(
                 prev_shapes[channel + k]
                 if channel + k < len(prev_shapes) else 0 for k in range(2))
-            cpe = decode_cpe(stream, config, shapes)
+            cpe = decode_cpe(stream, config, shapes, eld=eld)
             cpe.id = tag
             elements.append(cpe)
             channel += 2
@@ -777,7 +817,7 @@ def decode_frame(stream: BitReader, config: StreamConfig,
     parsed and attached to the preceding SCE/CPE element instead of being
     skipped (the reference throws on any SBR content, decoder.js:279-280).
     """
-    if config.profile in (17, 23):  # ER profiles: fixed layout, no SBR
+    if config.profile in (17, 23, 39):  # ER profiles: fixed layout, no SBR
         return decode_er_frame(stream, config, prev_shapes)
     # interleaved ADTS header (decoder.js:128-130)
     if stream.bits_left >= 12 and stream.peek(12) == 0xFFF:

@@ -68,6 +68,10 @@ class PipelineFlags:
     # IMDCT path (8x einsum + intra-frame OLA + select) compiles away —
     # the common all-long case skips ~a third of the filterbank work
     has_short: bool = True
+    # AAC-ELD (AOT 39): the low-delay filterbank replaces the standard
+    # IMDCT path — one [N, 3N] synthesis matmul + a 3-segment shifted
+    # overlap-add with a 2N-per-channel carry (tables.eld_synthesis_matrix)
+    eld: bool = False
 
 
 @functools.lru_cache(maxsize=None)
@@ -420,6 +424,52 @@ def filterbank(spec: jax.Array, f_idx: jax.Array, s_idx: jax.Array,
     return first, second
 
 
+@functools.lru_cache(maxsize=None)
+def _eld_matrix(frame_len: int) -> np.ndarray:
+    from aacjax import tables as T
+    return T.eld_synthesis_matrix(frame_len).astype(np.float32)
+
+
+def eld_synthesis(spec: jax.Array, overlap_in: jax.Array,
+                  last_valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """AAC-ELD low-delay filterbank: y = spec @ M maps each frame's N
+    coefficients to 4N output samples (window folded into M, identified
+    sample-exactly against libavcodec — tables.eld_synthesis_matrix);
+    frames accumulate at N-sample stride, so
+        pcm[t] = y0[t] + y1[t-1] + y2[t-2] + y3[t-3]
+    with a [C, 3N] carry (the three pending segments) across chunks."""
+    C, T, N = spec.shape
+    M = jnp.asarray(_eld_matrix(N))
+    y = jnp.einsum('ctk,kn->ctn', spec, M,
+                   precision=jax.lax.Precision.HIGHEST)      # [C,T,4N]
+    y0, y1 = y[..., :N], y[..., N:2 * N]
+    y2, y3 = y[..., 2 * N:3 * N], y[..., 3 * N:]
+    ova = overlap_in[:, :N][:, None, :]
+    ovb = overlap_in[:, N:2 * N][:, None, :]
+    ovc = overlap_in[:, 2 * N:][:, None, :]
+    z = jnp.zeros_like(ova)
+    pcm = y0 + jnp.concatenate([ova, y1[:, :-1]], axis=1)
+    if T >= 2:
+        pcm = pcm + jnp.concatenate([z, ovb, y2[:, :-2]], axis=1)
+    if T >= 3:
+        pcm = pcm + jnp.concatenate([z, z, ovc, y3[:, :-3]], axis=1)
+    # carry after the last real frame per channel (the recurrence
+    # state (a,b,c) = pending segments due at the next 3 frames);
+    # a -1 channel keeps its incoming state untouched
+    ci = jnp.arange(C)
+    lv = jnp.maximum(last_valid, 0)
+    y2x = jnp.concatenate([ovb, y2], axis=1)       # [t] = y2[t-1]
+    y3x1 = jnp.concatenate([ovc, y3], axis=1)      # [t] = y3[t-1]
+    y3x2 = jnp.concatenate([z, ovc, y3], axis=1)   # [t] = y3[t-2]
+    new_a = y1[ci, lv] + y2x[ci, lv] + y3x2[ci, lv]
+    new_b = y2[ci, lv] + y3x1[ci, lv]
+    new_c = y3[ci, lv]
+    keep = (last_valid >= 0)[:, None]
+    new_overlap = jnp.where(
+        keep, jnp.concatenate([new_a, new_b, new_c], axis=1), overlap_in)
+    return pcm, new_overlap
+
+
 def overlap_add(first: jax.Array, second: jax.Array, overlap_in: jax.Array,
                 last_valid: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Resolve the cross-frame OLA chain with one shifted add along T
@@ -487,11 +537,16 @@ def decode_step(batch: dict, overlap_in: jax.Array,
         spec = couple_spectral(spec, batch['cce_src_post'],
                                batch['cce_dst_post'], batch['cce_gain_post'])
 
-    first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
-                               batch['shape_idx'], batch['prev_shape_idx'],
-                               batch['is_short'], flags.has_short)
-    pcm, new_overlap = overlap_add(first, second, overlap_in,
-                                   batch['last_valid'])
+    if flags.eld:
+        pcm, new_overlap = eld_synthesis(spec, overlap_in,
+                                         batch['last_valid'])
+    else:
+        first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
+                                   batch['shape_idx'],
+                                   batch['prev_shape_idx'],
+                                   batch['is_short'], flags.has_short)
+        pcm, new_overlap = overlap_add(first, second, overlap_in,
+                                       batch['last_valid'])
 
     if flags.has_cce:
         pcm = couple_time(pcm, batch['cce_src_time'], batch['cce_dst_time'],

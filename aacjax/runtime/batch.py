@@ -77,13 +77,20 @@ class BatchDecoder:
                 f"streams mix frame lengths {sorted(frame_lens)}; "
                 "use one BatchDecoder per frame length")
         self.F = frame_lens.pop()
-        self.overlap = jnp.zeros((c, self.F), jnp.float32)
+        # AAC-ELD: the low-delay filterbank carries THREE pending output
+        # segments per channel (pipeline.eld_synthesis)
+        self._eld = any(cfg.profile == 39 for cfg in configs)
+        if self._eld and not all(cfg.profile == 39 for cfg in configs):
+            raise ValueError("cannot mix ELD and non-ELD streams in one "
+                             "BatchDecoder")
+        self.overlap = jnp.zeros(
+            (c, 3 * self.F if self._eld else self.F), jnp.float32)
         # the native parser handles the standard LC 1024 mode; 960 mode,
         # Main-profile streams (backward prediction is a stateful device
         # stage fed by the python packer) and ER-syntax profiles (AOT
         # 17/23 fixed element layout) run on the python path
         any_main = any(cfg.profile == 1 for cfg in configs)
-        any_er = any(cfg.profile in (17, 23) for cfg in configs)
+        any_er = any(cfg.profile in (17, 23, 39) for cfg in configs)
         self.use_native = ((native.available() and self.F == FRAME
                             and not any_main and not any_er)
                            if use_native is None else use_native)
@@ -155,7 +162,7 @@ class BatchDecoder:
                 per_slot.append((st.base_slot, frames))
                 limits.append(st.n_slots)
         batch, flags = pack_frames(per_slot, self.C, self.T, limits,
-                                   frame_len=self.F)
+                                   frame_len=self.F, eld=self._eld)
         step_fn = jitted_decode_step(flags)
         if flags.has_pred:
             # Main profile: cross-frame predictor state rides the step
@@ -543,7 +550,7 @@ class BatchDecoder:
                 per_slot.append((st.base_slot, frames))
                 limits.append(st.n_slots)
         batch, flags = pack_frames(per_slot, self.C, self.T, limits,
-                                   frame_len=self.F)
+                                   frame_len=self.F, eld=self._eld)
         core_pcm, self.overlap = jitted_decode_step(flags)(
             batch, self.overlap)                      # [C, T, F] device
 

@@ -78,6 +78,7 @@ class ChunkBuilder:
     C: int
     T: int
     F: int = FRAME
+    eld: bool = False   # AAC-ELD: low-delay filterbank replaces the IMDCT
 
     def __post_init__(self):
         C, T, FRAME = self.C, self.T, self.F
@@ -249,7 +250,8 @@ class ChunkBuilder:
         flags = PipelineFlags(has_stereo=True, has_tns=self.has_tns,
                               has_cce=any(self._cce.values()),
                               has_pred=self.has_pred,
-                              has_short=bool(self.is_short.any()))
+                              has_short=bool(self.is_short.any()),
+                              eld=self.eld)
         if flags.has_pred:
             batch.update(pred_mode=self.pred_mode, pred_reset=self.pred_reset,
                          pred_nbins=self.pred_nbins, pred_used=self.pred_used)
@@ -327,7 +329,8 @@ class SlotOverflowError(Exception):
 def pack_frames(frames_per_slot_base: list[tuple[int, list[Frame]]],
                 C: int, T: int,
                 slot_limits: list[int] | None = None,
-                frame_len: int = FRAME) -> tuple[dict, PipelineFlags]:
+                frame_len: int = FRAME,
+                eld: bool = False) -> tuple[dict, PipelineFlags]:
     """Pack multiple streams' frames into one chunk.
 
     frames_per_slot_base: list of (base_slot, frames) per stream; each
@@ -338,7 +341,7 @@ def pack_frames(frames_per_slot_base: list[tuple[int, list[Frame]]],
     slot_limits: optional per-stream slot budgets (parallel list); when
     omitted each stream may use every slot from its base to C.
     """
-    b = ChunkBuilder(C, T, frame_len)
+    b = ChunkBuilder(C, T, frame_len, eld)
     for s, (base, frames) in enumerate(frames_per_slot_base):
         budget = (slot_limits[s] if slot_limits is not None else C - base)
         for t, frame in enumerate(frames):

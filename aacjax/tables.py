@@ -150,6 +150,40 @@ SWB_OFFSET_512, SWB_OFFSET_480, NUM_SWB_512, NUM_SWB_480, \
     TNS_MAX_BANDS_512, TNS_MAX_BANDS_480 = _load_ld()
 
 
+def eld_window(frame_len: int) -> np.ndarray:
+    """AAC-ELD low-delay synthesis window (ISO/IEC 14496-3 §4.6.20.2
+    class constants, 4N - N/4 taps; extracted like the tables above).
+    Only the first 3N taps shape decoder output — validated by impulse-
+    response identification against libavcodec (tests/test_eld.py)."""
+    import pathlib
+    d = np.load(pathlib.Path(__file__).parent / "host"
+                / "aac_960_tables.npz")
+    return d[f"eld_window_{frame_len}"].astype(np.float64)
+
+
+def eld_synthesis_matrix(frame_len: int = 512) -> np.ndarray:
+    """[N, 4N] low-delay synthesis operator: a frame's N spectral
+    coefficients map to 4N output samples (the last N only partially
+    covered — the window has 4N - N/4 taps), accumulated at N-sample
+    stride across 4 frames:
+
+        M[n, k] = -(1/N) * w_eld[n] * cos(pi/N * (n - (N/4 - 1/2)) * (k + 1/2))
+
+    Identified from libavcodec's ELD decode by unit-impulse probing
+    (residual ~1e-13 relative on every segment, the float32 window's own
+    noise floor) and matching the per-row gains bit-for-bit to
+    ff_aac_eld_window_*.  On TPU this makes the whole ELD filterbank one
+    MXU matmul + a 4-segment shifted overlap-add (3N carry per
+    channel)."""
+    N = frame_len
+    w = np.zeros(4 * N)
+    w[: len(eld_window(N))] = eld_window(N)
+    n = np.arange(4 * N, dtype=np.float64)
+    k = np.arange(N, dtype=np.float64)
+    C = np.cos(np.pi / N * np.outer(n - (N / 4.0 - 0.5), k + 0.5))
+    return np.ascontiguousarray((-(1.0 / N) * w[:, None] * C).T)
+
+
 # Main-profile backward prediction: highest predicted sfb per sampling
 # index (ISO/IEC 14496-3 Table 4.128; extracted like the tables above)
 PRED_SFB_MAX = _load_pred_sfb_max()

@@ -244,9 +244,24 @@ def write_spectral_data(w: BitWriter, spec: ChannelSpec,
 
 
 def write_ics(w: BitWriter, spec: ChannelSpec, config: StreamConfig,
-              common_window: bool, er: bool = False) -> None:
+              common_window: bool, er: bool = False,
+              eld: bool = False) -> None:
     """er=True emits the ER ordering (AAC-LD): pulse forbidden, and
-    tns_data follows the gain-control bit instead of preceding it."""
+    tns_data follows the gain-control bit instead of preceding it.
+    eld=True emits the AAC-ELD stream: ics_info is just max_sfb(6), no
+    pulse or gain-control bits, tns_data directly after its flag."""
+    if eld:
+        w.write(spec.global_gain, 8)
+        if not common_window:
+            w.write(spec.max_sfb, 6)
+        write_section_data(w, spec)
+        write_scale_factors(w, spec)
+        tns_on = spec.tns is not None and any(spec.tns)
+        w.write(1 if tns_on else 0, 1)
+        if tns_on:
+            write_tns(w, spec)
+        write_spectral_data(w, spec, config)
+        return
     w.write(spec.global_gain, 8)
     if not common_window:
         write_ics_info(w, spec)
@@ -463,6 +478,29 @@ def write_er_frame(elements, config: StreamConfig) -> bytes:
                         w.write(int(spec.ms_used[i]), 1)
             write_ics(w, spec.left, config, spec.common_window, er=True)
             write_ics(w, spec.right, config, spec.common_window, er=True)
+        else:
+            raise ValueError(kind)
+    w.align()
+    return w.getvalue()
+
+
+def write_eld_frame(elements, config: StreamConfig) -> bytes:
+    """AAC-ELD raw_data_block (AOT 39): channel elements in the fixed
+    Table-1.19 order with NO instance tags and no END element; CPEs have
+    no common_window bit (implied true) — shared max_sfb(6) + ms mask
+    precede the two channel streams."""
+    w = BitWriter()
+    for kind, spec in elements:
+        if kind in ("SCE", "LFE"):
+            write_ics(w, spec, config, common_window=False, eld=True)
+        elif kind == "CPE":
+            w.write(spec.left.max_sfb, 6)      # shared eld ics_info
+            w.write(spec.ms_type, 2)
+            if spec.ms_type == 1:
+                for i in range(spec.left.max_sfb):
+                    w.write(int(spec.ms_used[i]), 1)
+            write_ics(w, spec.left, config, common_window=True, eld=True)
+            write_ics(w, spec.right, config, common_window=True, eld=True)
         else:
             raise ValueError(kind)
     w.align()

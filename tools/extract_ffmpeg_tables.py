@@ -135,6 +135,13 @@ def swb_tables(archive: str) -> dict:
                                        np.uint8).astype(np.int32)
     out["tns_max_bands_480"] = o.array("ff_tns_max_bands_480",
                                        np.uint8).astype(np.int32)
+    # AAC-ELD low-delay synthesis windows (ISO/IEC 14496-3 Table 4.A.15-16
+    # class constants, 4N - N/4 taps); verified against libavcodec's ELD
+    # decode by impulse response identification (tests/test_eld.py)
+    out["eld_window_512"] = o.array("ff_aac_eld_window_512", np.float32)
+    out["eld_window_480"] = o.array("ff_aac_eld_window_480", np.float32)
+    assert out["eld_window_512"].shape == (1920,)
+    assert out["eld_window_480"].shape == (1800,)
     return out
 
 
