@@ -40,11 +40,15 @@ from aacjax import tables
 from aacjax.host import huffman
 from aacjax.host.asc import StreamConfig, make_asc, parse_asc
 from aacjax.host.bitio import BitWriter
-from aacjax.testing.encoder import (ChannelSpec, CPESpec, adts_frame,
-                                    analysis_matrix, end_frame,
+from aacjax.host.syntax import _reflection_to_lpc
+from aacjax.testing.encoder import (ChannelSpec, CPESpec, TnsFilterSpec,
+                                    adts_frame, analysis_matrix, end_frame,
                                     quantize_band, write_cpe, write_sce)
 
 ONLY_LONG, LONG_START, EIGHT_SHORT, LONG_STOP = 0, 1, 2, 3
+
+# band-book codes shared with the bitstream writer
+NOISE_BT, INTENSITY2_BT, INTENSITY_BT = 13, 14, 15
 
 
 @__import__("functools").lru_cache(maxsize=8)
@@ -340,6 +344,98 @@ def grouping_for_attack(attack_w: int) -> list[int]:
 # ---------------------------------------------------------------------------
 # The encoder
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Coding tools: TNS analysis, PNS detection, intensity stereo
+# ---------------------------------------------------------------------------
+def _levinson(r: np.ndarray, order: int) -> tuple[np.ndarray, np.ndarray]:
+    """Levinson-Durbin on autocorrelation r[0..order].  Returns
+    (reflection coefficients k[1..order], prediction error per order
+    err[0..order]).  Convention: order-1 predictor y[n] ~ k1*y[n-1], so
+    k feeds the decoder's reflection-to-LPC conversion directly
+    (host/syntax._reflection_to_lpc; verified by the tns roundtrip
+    test)."""
+    a = np.zeros(order + 1)
+    k = np.zeros(order + 1)
+    err = np.zeros(order + 1)
+    err[0] = r[0]
+    for m in range(1, order + 1):
+        if err[m - 1] <= 0:
+            err[m:] = err[m - 1]
+            break
+        acc = r[m] - np.dot(a[1:m], r[m - 1:0:-1])
+        km = acc / err[m - 1]
+        k[m] = km
+        prev = a[1:m].copy()
+        a[m] = km
+        a[1:m] = prev - km * prev[::-1]
+        err[m] = err[m - 1] * (1.0 - km * km)
+    return k[1:], err
+
+
+# 4-bit TNS coefficient table (coef_res=1, coef_compress=0): the exact
+# values the decoder reconstructs (tables.TNS_TABLES layout)
+_TNS_Q_TABLE = tables.TNS_TABLES[1]
+
+
+def tns_analyze(spec: np.ndarray, start: int, end: int,
+                max_order: int = 12, gain_min: float = 1.35
+                ) -> tuple[np.ndarray, list[int]] | None:
+    """Pick a TNS filter for spectral region [start, end): Levinson on the
+    region's autocorrelation, order chosen where the prediction-gain curve
+    flattens, reflection coefficients quantized to the decoder's 4-bit
+    table.  Returns (decoder-form lpc, coef table indices) or None when
+    prediction gain is below gain_min (TNS would spend bits for nothing)."""
+    y = spec[start:end]
+    n = len(y)
+    if n < 2 * max_order:
+        return None
+    r = np.array([float(y[:n - i] @ y[i:]) for i in range(max_order + 1)])
+    if r[0] <= 0:
+        return None
+    r[0] *= 1.0001  # tiny white-noise floor stabilizes the recursion
+    k, err = _levinson(r, max_order)
+    gains = r[0] / np.maximum(err[1:], 1e-30)
+    if float(gains[-1]) < gain_min:
+        return None
+    # smallest order achieving 95% of the max achievable log-gain
+    target = 0.95 * np.log(gains[-1])
+    order = int(np.searchsorted(np.log(np.maximum(gains, 1.0)), target) + 1)
+    order = min(max(order, 1), max_order)
+    idxs = [int(np.argmin(np.abs(_TNS_Q_TABLE - kk))) for kk in k[:order]]
+    # drop trailing taps that quantized to zero coefficients
+    while order > 1 and abs(float(_TNS_Q_TABLE[idxs[order - 1]])) < 1e-9:
+        order -= 1
+    refl = _TNS_Q_TABLE[idxs[:order]]
+    if np.all(np.abs(refl) < 1e-9):
+        return None
+    lpc = _reflection_to_lpc(np.asarray(refl, np.float32)).astype(np.float64)
+    # measured gain with the quantized filter: residual energy of the FIR
+    x = tns_fir(spec, start, end, lpc)[start:end]
+    e_res = float(x @ x)
+    if e_res <= 0 or r[0] / e_res < gain_min:
+        return None
+    return lpc, idxs[:order]
+
+
+def tns_fir(spec: np.ndarray, start: int, end: int,
+            lpc: np.ndarray) -> np.ndarray:
+    """The analysis (all-zero) filter inverse to the decoder's AR pass
+    (refdec.apply_tns): x[n] = y[n] + sum_i lpc[i-1] * y[n-i], history
+    zero before the region start — i.e. one convolution with [1, lpc].
+    Returns a copy with [start, end) replaced by the residual."""
+    out = spec.copy()
+    y = spec[start:end]
+    out[start:end] = np.convolve(y, np.concatenate(([1.0], lpc)))[:len(y)]
+    return out
+
+
+def spectral_flatness(p: np.ndarray) -> float:
+    """Geometric / arithmetic mean of the band's power spectrum: ->1 for
+    noise, ->0 for tones."""
+    p = np.maximum(p, 1e-12)
+    return float(np.exp(np.mean(np.log(p))) / np.mean(p))
+
+
 class AACEncoder:
     """AAC-LC encoder producing ADTS (encode) or raw payloads
     (encode_frames, for LATM/MP4 muxing).
@@ -348,7 +444,9 @@ class AACEncoder:
     (int16 range).  `bitrate` is the total target across channels."""
 
     def __init__(self, sample_rate: int = 44100, channels: int = 2,
-                 bitrate: int = 128_000, psy: PsyParams | None = None):
+                 bitrate: int = 128_000, psy: PsyParams | None = None,
+                 tns: bool = True, pns: bool = True,
+                 intensity: bool = True):
         if channels not in (1, 2):
             raise ValueError("AACEncoder supports mono and stereo")
         try:
@@ -373,6 +471,15 @@ class AACEncoder:
         self._cutoff_bin = int(cutoff_hz / (sample_rate / 2.0) * self._frame)
         self._reservoir = 0.0
         self._reservoir_cap = 6.0 * bitrate * self._frame / sample_rate
+        # coding tools (long windows): TNS noise shaping, perceptual
+        # noise substitution, intensity stereo
+        self.use_tns = tns
+        self.use_pns = pns
+        self.use_is = intensity and channels == 2
+        hz_per_bin = sample_rate / (2.0 * self._frame)
+        self._tns_start_hz = 1500.0
+        self._pns_start_bin = int(4000.0 / hz_per_bin)
+        self._is_start_bin = int(4500.0 / hz_per_bin)
 
     # -- analysis -------------------------------------------------------------
     def _window_long(self, seq: int) -> np.ndarray:
@@ -422,7 +529,8 @@ class AACEncoder:
 
     def _analyze_channel(self, coefs, seq: int, grouping,
                          offsets: np.ndarray, max_sfb: int,
-                         thr: np.ndarray) -> dict:
+                         thr: np.ndarray,
+                         override: dict | None = None) -> dict:
         """Per-band analysis for one channel, in band-concatenated flat
         form for vectorized requantization:
           bx   — all candidate bands' coefficients, concatenated
@@ -456,7 +564,8 @@ class AACEncoder:
                 else:
                     band = coefs[g][a:b]
                     dest = np.arange(a, b)
-                if band.size and float(band @ band) > 1e-6 * band.size:
+                if (band.size and float(band @ band) > 1e-6 * band.size
+                        and not (override and idx in override)):
                     chunks.append(band)
                     dests.append(dest)
                     meta.append((idx, g, sfb))
@@ -505,18 +614,58 @@ class AACEncoder:
                            fit_sf, zero_sf)
         return dict(bx=bx, ptr=ptr, dest=np.concatenate(dests),
                     idxs=np.array([i for i, _, _ in meta], np.int64),
-                    base_sf=base, fit_sf=fit_sf, **layout)
+                    base_sf=base, fit_sf=fit_sf,
+                    override=override or {}, **layout)
+
+    @staticmethod
+    def _sf_track_bits(books: np.ndarray, sfs: np.ndarray) -> int:
+        """Exact scalefactor-payload cost with the three DPCM tracks the
+        syntax interleaves (spectrum / noise / intensity — the writer's
+        write_scale_factors walk)."""
+        spec_mask = (books >= 1) & (books <= 11)
+        spec_idx = np.nonzero(spec_mask)[0]
+        gg = int(sfs[spec_idx[0]]) if spec_idx.size else 120
+        bits = 0
+        off = [gg, gg - 90, 0]
+        noise_first = True
+        for i in np.nonzero(books)[0]:
+            b = int(books[i])
+            if b == NOISE_BT:
+                if noise_first:
+                    bits += 9
+                    noise_first = False
+                else:
+                    bits += int(_SF_LEN[np.clip(
+                        int(sfs[i]) - off[1] + 60, 0, 120)])
+                off[1] = int(sfs[i])
+            elif b in (INTENSITY_BT, INTENSITY2_BT):
+                bits += int(_SF_LEN[np.clip(
+                    int(sfs[i]) - off[2] + 60, 0, 120)])
+                off[2] = int(sfs[i])
+            else:
+                bits += int(_SF_LEN[np.clip(
+                    int(sfs[i]) - off[0] + 60, 0, 120)])
+                off[0] = int(sfs[i])
+        return bits
 
     def _emit_cost(self, an: dict, sf_offset: int):
         """Quantize at base_sf + offset and return (books, sfs, q_flat,
         bits) where books/sfs are in the (group, sfb) layout and bits is
-        the exact channel payload cost (spectral + sf + section + side)."""
+        the exact channel payload cost (spectral + sf + section + side).
+        Noise/intensity override bands keep their fixed book/sf — only
+        the spectrum track moves with the rate offset."""
         n_bands_layout = an["n_groups"] * an["max_sfb"]
         books = np.zeros(n_bands_layout, np.int64)
         sfs = np.zeros(n_bands_layout, np.int64)
+        for i, (b, s) in an["override"].items():
+            books[i] = b
+            sfs[i] = s
         if not len(an["bx"]):
             side = 8 + (15 if an["seq"] == EIGHT_SHORT else 11) + 3
-            return books, sfs, np.zeros(0, np.int64), side + 4 + 9
+            bits = side + 4 + 9 if not an["override"] else (
+                side + self._section_bits(books, an)
+                + self._sf_track_bits(books, sfs))
+            return books, sfs, np.zeros(0, np.int64), bits
         sf_band = np.clip(an["base_sf"] + sf_offset, an["fit_sf"], 255)
         widths = np.diff(an["ptr"])
         q = self._vquant(an["bx"], np.repeat(sf_band, widths)
@@ -525,26 +674,28 @@ class AACEncoder:
         books[an["idxs"]] = bbooks
         sfs[an["idxs"]] = np.where(bbooks > 0, sf_band, 0)
         bits = int(bbits.sum())
-        # section runs per group
+        bits += self._section_bits(books, an)
+        bits += self._sf_track_bits(books, sfs)
+        # global_gain + ics_info + pulse/tns/gain flags
+        bits += 8 + (15 if an["seq"] == EIGHT_SHORT else 11) + 3
+        return books, sfs, q, bits
+
+    @staticmethod
+    def _section_bits(books: np.ndarray, an: dict) -> int:
         sect_bits = 3 if an["seq"] == EIGHT_SHORT else 5
         esc = (1 << sect_bits) - 1
         bk2 = books.reshape(an["n_groups"], an["max_sfb"])
+        bits = 0
         for g in range(an["n_groups"]):
             row = bk2[g]
             change = np.nonzero(np.diff(row))[0]
             runs = np.diff(np.concatenate([[0], change + 1,
                                            [an["max_sfb"]]]))
             bits += int(np.sum(4 + sect_bits * (runs // esc + 1)))
-        # scalefactor deltas from global_gain (= first coded sf)
-        coded_sf = sfs[books > 0]
-        if coded_sf.size:
-            deltas = np.diff(coded_sf, prepend=coded_sf[0])
-            bits += int(_SF_LEN[np.clip(deltas + 60, 0, 120)].sum())
-        # global_gain + ics_info + pulse/tns/gain flags
-        bits += 8 + (15 if an["seq"] == EIGHT_SHORT else 11) + 3
-        return books, sfs, q, bits
+        return bits
 
-    def _materialize(self, an: dict, books, sfs, q) -> ChannelSpec:
+    def _materialize(self, an: dict, books, sfs, q,
+                     tns_spec=None) -> ChannelSpec:
         """Scatter the flat quantized values into the grouped-layout
         spectrum and build the ChannelSpec for the bitstream writer."""
         quant = np.zeros(self._frame, np.int64)
@@ -552,14 +703,15 @@ class AACEncoder:
             # zero out bands whose book collapsed to 0 (all-zero quant)
             keep = np.repeat(books[an["idxs"]] > 0, np.diff(an["ptr"]))
             quant[an["dest"][keep]] = q[keep]
-        coded = np.nonzero(books)[0]
-        gg = int(np.clip(sfs[coded[0]], 0, 255)) if coded.size else 120
+        spec_idx = np.nonzero((books >= 1) & (books <= 11))[0]
+        gg = int(np.clip(sfs[spec_idx[0]], 0, 255)) if spec_idx.size else 120
         return ChannelSpec(
             window_sequence=an["seq"], window_shape=0,
             max_sfb=an["max_sfb"],
             grouping=(list(an["glens"]) if an["seq"] == EIGHT_SHORT
                       else None),
-            global_gain=gg, band_books=books, band_sf=sfs, quant=quant)
+            global_gain=gg, band_books=books, band_sf=sfs, quant=quant,
+            tns=tns_spec)
 
     # -- public ---------------------------------------------------------------
     def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
@@ -637,6 +789,75 @@ class AACEncoder:
                         e[g, sfb] = float(x @ x)
                 return e
 
+            # --- coding-tool decisions (long windows only) ---------------
+            long_frame = fseq != EIGHT_SHORT
+            overrides: list[dict] = [dict() for _ in range(nch)]
+            tns_side = None   # (decoder lpc, (start,end) bins, filter spec)
+            if self.use_tns and long_frame and max_sfb > 1:
+                mmm = min(int(tables.TNS_MAX_BANDS_1024[
+                    self.config.sample_index]), max_sfb)
+                hz_per_bin = self.sample_rate / (2.0 * F)
+                start_bin = int(self._tns_start_hz / hz_per_bin)
+                start_band = max(0, min(
+                    int(np.searchsorted(offsets[:mmm + 1], start_bin,
+                                        "right")) - 1, mmm - 1))
+                ra, rb = int(offsets[start_band]), int(offsets[mmm])
+                probe = (ch_coefs[0][0] if nch == 1
+                         else (ch_coefs[0][0] + ch_coefs[1][0]) * 0.5)
+                got = tns_analyze(probe, ra, rb)
+                if got is not None:
+                    lpc, idxs = got
+                    # decoder partitions regions top-down from swb_count
+                    filt = TnsFilterSpec(
+                        length_bands=(self.config.swb_count_long
+                                      - start_band),
+                        order=len(idxs), direction=0, coef_res=1,
+                        coef_compress=0, coef_indices=idxs)
+                    tns_side = (lpc, (ra, rb), filt)
+
+            # PNS: noise-like high bands -> parametric noise (skipped on
+            # TNS frames — the decoder's AR pass would run over decoded
+            # noise, so the filter history would diverge from analysis)
+            if self.use_pns and long_frame and tns_side is None:
+                for ch in range(nch):
+                    row = ch_coefs[ch][0]
+                    for sfb in range(max_sfb):
+                        a, b = int(offsets[sfb]), int(offsets[sfb + 1])
+                        if a < self._pns_start_bin:
+                            continue
+                        band = row[a:b]
+                        e = float(band @ band)
+                        if e <= 1e-6 * (b - a):
+                            continue
+                        if spectral_flatness(band * band) < 0.12:
+                            continue  # tonal band: quantize normally
+                        nsf = int(np.clip(round(2.0 * np.log2(e)),
+                                          -100, 155))
+                        overrides[ch][sfb] = (NOISE_BT, nsf)
+
+            # Intensity stereo: correlated high bands -> left carries the
+            # waveform, right reconstructs as scale*left (scale =
+            # 0.5^(pos/4), book 15 in-phase / 14 out-of-phase)
+            if self.use_is and long_frame and nch == 2:
+                l0, r0 = ch_coefs[0][0], ch_coefs[1][0]
+                for sfb in range(max_sfb):
+                    a, b = int(offsets[sfb]), int(offsets[sfb + 1])
+                    if a < self._is_start_bin:
+                        continue
+                    if sfb in overrides[0] or sfb in overrides[1]:
+                        continue
+                    lb, rb_ = l0[a:b], r0[a:b]
+                    el, er = float(lb @ lb), float(rb_ @ rb_)
+                    if el <= 1e-9 or er <= 1e-9:
+                        continue
+                    c = float(lb @ rb_) / np.sqrt(el * er)
+                    if abs(c) < 0.8:
+                        continue
+                    pos = int(np.clip(round(2.0 * np.log2(el / er)),
+                                      -100, 100))
+                    book = INTENSITY_BT if c > 0 else INTENSITY2_BT
+                    overrides[1][sfb] = (book, pos)
+
             # M/S decision (stereo, same window everywhere by design)
             ms_used = None
             if nch == 2:
@@ -649,6 +870,12 @@ class AACEncoder:
                 e_m = band_energy(mid)
                 e_s = band_energy(side)
                 ms_used = (e_m + e_s) < 0.8 * (e_l + e_r) + 1e-12
+                # tool bands opt out of M/S: the decoder skips the
+                # butterfly on noise/intensity bands, and ms_used on an
+                # intensity band means phase-flip, not M/S
+                for ch_ov in overrides:
+                    for sfb in ch_ov:
+                        ms_used[:, sfb] = False
                 for g in range(n_groups):
                     for sfb in range(max_sfb):
                         if ms_used[g, sfb]:
@@ -669,17 +896,32 @@ class AACEncoder:
                 thrs = [psy_thresholds(band_energy(ch_coefs[0]), ath,
                                        self.psy)]
 
+            # TNS analysis filtering AFTER the M/S transform: the same
+            # filter on both channels commutes with the (linear) M/S and
+            # intensity reconstructions, so the decoder's AR pass inverts
+            # it exactly on L and R
+            if tns_side is not None:
+                lpc, (ra, rb), _filt = tns_side
+                for ch in range(nch):
+                    ch_coefs[ch][0] = tns_fir(ch_coefs[ch][0], ra, rb, lpc)
+
             # rate control — the classic two-loop: per-band base
             # scalefactors from the psy threshold (inner), then a global
             # offset bisected on exact Huffman bits to meet the budget
             # (outer).  Negative offsets spend surplus budget on finer
             # quantization; positive offsets coarsen to fit.
             analyses = [self._analyze_channel(
-                ch_coefs[ch], fseq, grouping, offsets, max_sfb, thrs[ch])
+                ch_coefs[ch], fseq, grouping, offsets, max_sfb, thrs[ch],
+                override=overrides[ch])
                 for ch in range(nch)]
             # element id+instance, common_window+ms_type+mask, END+align
             elem_overhead = ((7 + 1 + 2 + n_groups * max_sfb
                               if nch == 2 else 7) + 3 + 7)
+            if tns_side is not None:
+                # tns_data_present replaces a 0 bit already counted; add
+                # the filter payload per channel
+                elem_overhead += nch * (2 + 1 + 6 + 5 + 1 + 1
+                                        + 4 * tns_side[2].order)
 
             def emit(off: int):
                 res = [self._emit_cost(a, off) for a in analyses]
@@ -701,23 +943,38 @@ class AACEncoder:
                             res, used = r, u
                         else:
                             lo = mid + 1
-            specs = [self._materialize(a, b, s, q)
+            tns_spec = [[tns_side[2]]] if tns_side is not None else None
+            specs = [self._materialize(a, b, s, q, tns_spec=tns_spec)
                      for a, (b, s, q, _) in zip(analyses, res)]
             self._reservoir = float(np.clip(
                 self._reservoir + bits_per_frame - used,
                 0.0, self._reservoir_cap))
 
-            # finalize: global_gain = first coded band's sf (or a default),
-            # clamp inter-band deltas to the +-60 the syntax can express
+            # finalize: global_gain = first coded spectrum band's sf (or a
+            # default), then clamp each DPCM track's inter-band deltas to
+            # what the syntax can express (spectrum/intensity +-60; noise
+            # first delta 9-bit +-256, then +-60)
             for spec in specs:
-                coded = np.nonzero(spec.band_books)[0]
-                gg = int(spec.band_sf[coded[0]]) if coded.size else 120
+                books = spec.band_books
+                spec_idx = np.nonzero((books >= 1) & (books <= 11))[0]
+                gg = int(spec.band_sf[spec_idx[0]]) if spec_idx.size else 120
                 spec.global_gain = int(np.clip(gg, 0, 255))
-                prev = spec.global_gain
-                for i in coded:
-                    d = int(np.clip(int(spec.band_sf[i]) - prev, -60, 60))
-                    spec.band_sf[i] = prev + d
-                    prev = prev + d
+                prev = [spec.global_gain, spec.global_gain - 90, 0]
+                noise_first = True
+                for i in np.nonzero(books)[0]:
+                    b = int(books[i])
+                    if b == NOISE_BT:
+                        lim = 256 if noise_first else 60
+                        noise_first = False
+                        t = 1
+                    elif b in (INTENSITY_BT, INTENSITY2_BT):
+                        t, lim = 2, 60
+                    else:
+                        t, lim = 0, 60
+                    d = int(np.clip(int(spec.band_sf[i]) - prev[t],
+                                    -lim, min(lim, 255)))
+                    spec.band_sf[i] = prev[t] + d
+                    prev[t] = prev[t] + d
 
             w = BitWriter()
             if nch == 2:
