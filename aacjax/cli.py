@@ -1,6 +1,7 @@
-"""Command-line interface: decode / probe / bench / info.
+"""Command-line interface: decode / encode / probe / parity / info.
 
-  python -m aacjax.cli decode input.aac output.pcm [--int16]
+  python -m aacjax.cli decode input.aac output.wav
+  python -m aacjax.cli encode input.wav output.aac --bitrate 128000
   python -m aacjax.cli probe input.aac
   python -m aacjax.cli info
 """
@@ -72,6 +73,77 @@ def _write_wav(path: str, pcm_i16, rate: int) -> None:
         f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
                                       rate * ch * 2, ch * 2, 16))
         f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _read_wav(path: str):
+    """Minimal RIFF/WAVE reader: PCM s16le or float32, any channel count."""
+    import struct
+
+    import numpy as np
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"{path}: no data chunk")
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", f.read(16))
+                f.read(size - 16)
+            elif cid == b"data":
+                raw = f.read(size)
+                break
+            else:
+                f.read(size + (size & 1))
+        if fmt is None:
+            raise ValueError(f"{path}: no fmt chunk")
+        tag, ch, rate, _, _, bits = fmt
+        if tag == 1 and bits == 16:
+            pcm = np.frombuffer(raw, "<i2").astype(np.float64)
+        elif tag == 3 and bits == 32:
+            pcm = np.frombuffer(raw, "<f4").astype(np.float64) * 32768.0
+        else:
+            raise ValueError(f"{path}: unsupported WAV format "
+                             f"(tag {tag}, {bits}-bit)")
+        return pcm.reshape(-1, ch), rate
+
+
+def cmd_encode(args) -> int:
+    from aacjax.encode import AACEncoder
+    from aacjax.host.asc import make_asc
+
+    pcm, rate = _read_wav(args.input)
+    if pcm.shape[1] > 2:
+        raise SystemExit("encoder supports mono and stereo WAV input")
+    enc = AACEncoder(rate, pcm.shape[1], args.bitrate,
+                     tns=not args.no_tns, pns=not args.no_pns,
+                     intensity=not args.no_is)
+    if args.output.lower().endswith((".m4a", ".mp4")):
+        from aacjax.testing.mp4mux import mux_m4a
+        payloads = enc.encode_frames(pcm)
+        asc = make_asc(2, enc.config.sample_index, pcm.shape[1])
+        data = mux_m4a(payloads, asc, rate, pcm.shape[1],
+                       frame_length=enc.config.frame_length,
+                       priming=enc.config.frame_length,
+                       valid_samples=pcm.shape[0], movie_ts=rate)
+        container = "m4a"
+    else:
+        data = enc.encode(pcm)
+        container = "adts"
+    with open(args.output, "wb") as f:
+        f.write(data)
+    secs = len(pcm) / rate
+    print(json.dumps({
+        "samples": int(pcm.shape[0]), "channels": int(pcm.shape[1]),
+        "sample_rate": rate, "container": container,
+        "bytes": len(data), "seconds": round(secs, 3),
+        "kbps": round(len(data) * 8 / max(secs, 1e-9) / 1000, 1),
+        "output": args.output,
+    }))
+    return 0
 
 
 def cmd_probe(args) -> int:
@@ -187,6 +259,20 @@ def main(argv=None) -> int:
                    help="channel slots reserved per stream for coupling "
                         "channels (CCE elements)")
     d.set_defaults(fn=cmd_decode)
+
+    e = sub.add_parser("encode",
+                       help="encode a WAV file to AAC-LC (.aac ADTS, or "
+                            ".m4a/.mp4 with gapless metadata)")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--bitrate", type=int, default=128_000)
+    e.add_argument("--no-tns", action="store_true",
+                   help="disable TNS analysis")
+    e.add_argument("--no-pns", action="store_true",
+                   help="disable perceptual noise substitution")
+    e.add_argument("--no-is", action="store_true",
+                   help="disable intensity stereo")
+    e.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("probe", help="probe a file for ADTS AAC")
     p.add_argument("input")

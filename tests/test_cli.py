@@ -1,0 +1,79 @@
+"""CLI surface: encode / decode / probe round-trips through main().
+
+(The reference ships no CLI at all — its only entry is the Aurora
+plugin registration, decoder.js:29-31.)
+"""
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from aacjax.cli import main
+
+SR = 44100
+
+
+def write_wav(path, pcm, rate=SR):
+    i16 = np.clip(np.round(pcm), -32768, 32767).astype("<i2")
+    data = i16.tobytes()
+    ch = pcm.shape[1]
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                      rate * ch * 2, ch * 2, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+
+@pytest.fixture()
+def tone_wav(tmp_path):
+    t = np.arange(SR) / SR
+    x = 9000 * np.sin(2 * np.pi * 523 * t)
+    p = tmp_path / "in.wav"
+    write_wav(str(p), np.stack([x, 0.8 * x], axis=1))
+    return p
+
+
+def test_encode_decode_adts_roundtrip(tone_wav, tmp_path, capsys):
+    aac = tmp_path / "out.aac"
+    wav = tmp_path / "out.wav"
+    assert main(["encode", str(tone_wav), str(aac),
+                 "--bitrate", "128000"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["container"] == "adts"
+    assert abs(info["kbps"] - 128.0) < 20
+    assert main(["probe", str(aac)]) == 0
+    probe = json.loads(capsys.readouterr().out)
+    assert probe["adts"] and probe["sample_rate"] == SR
+    assert main(["decode", str(aac), str(wav)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["format"] == "wav/pcm_s16le"
+    assert out["samples"] >= SR
+
+
+def test_encode_m4a_gapless(tone_wav, tmp_path, capsys):
+    m4a = tmp_path / "out.m4a"
+    assert main(["encode", str(tone_wav), str(m4a)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["container"] == "m4a"
+    wav = tmp_path / "out.wav"
+    assert main(["decode", str(m4a), str(wav)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    # gapless metadata trims the encoder delay: exact sample count back
+    assert out["samples"] == SR
+
+
+def test_encode_tool_switches(tone_wav, tmp_path, capsys):
+    aac = tmp_path / "plain.aac"
+    assert main(["encode", str(tone_wav), str(aac), "--no-tns",
+                 "--no-pns", "--no-is"]) == 0
+    capsys.readouterr()
+    from aacjax import decode_adts
+    decode_adts(open(aac, "rb").read(), on_error="raise")
+
+
+def test_decode_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"definitely not audio" * 10)
+    with pytest.raises(Exception):
+        main(["decode", str(bad), str(tmp_path / "x.pcm")])
