@@ -169,3 +169,31 @@ def test_loas_survives_mutations(seed):
         assert np.isfinite(pcm).all()
     except (BitstreamError, BitstreamUnderflow, UnsupportedError):
         pass
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_eld_survives_mutations(seed):
+    """Bit-flipped AAC-ELD LOAS streams (tagless ER layout, low-delay
+    filterbank) decode, conceal, or raise cleanly."""
+    from aacjax import decode_loas
+    from aacjax.host.asc import UnsupportedError
+    from aacjax.host.bitio import BitstreamUnderflow
+    from aacjax.testing.encoder import loas_stream, write_eld_frame
+
+    rng = np.random.default_rng(7000 + seed)
+    config = parse_asc(make_asc(39, 4, 1,
+                                frame_length=480 if seed % 2 else 512))
+    payloads = [write_eld_frame(
+        [("SCE", random_channel_spec(rng, config, window_sequence=0,
+                                     allow_pulse=False,
+                                     allow_noise=False))], config)
+        for _ in range(4)]
+    stream = bytearray(loas_stream(payloads, config))
+    for _ in range(3):
+        pos = int(rng.integers(0, len(stream)))
+        stream[pos] ^= 1 << int(rng.integers(8))
+    try:
+        pcm, _ = decode_loas(bytes(stream), on_error="skip")
+        assert np.isfinite(pcm).all()
+    except (BitstreamError, BitstreamUnderflow, UnsupportedError):
+        pass
