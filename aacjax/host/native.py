@@ -38,7 +38,7 @@ class NativeParseError(Exception):
 
 
 _lib = None
-_ABI_VERSION = 5  # must match native aacparse_version()
+_ABI_VERSION = 6  # must match native aacparse_version()
 
 
 def _load():
@@ -62,9 +62,14 @@ def _load():
         return None  # stale binary that make could not refresh
     lib.aacjax_spec_to_i16.restype = None
     lib.aacjax_spec_to_i16.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.aacparse_batch_spec.restype = ctypes.c_int
     lib.aacparse_batch_spec.argtypes = [ctypes.c_void_p] * 7 + [
+        ctypes.c_void_p, ctypes.c_int,                     # profiles, F
+        ctypes.c_void_p, ctypes.c_void_p,                  # swb long
+        ctypes.c_void_p, ctypes.c_void_p,                  # swb short
+        ctypes.c_void_p,                                   # tns max
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
@@ -92,9 +97,9 @@ def _ptr(arr: np.ndarray):
 class SpecBatchArrays:
     """Dense outputs for the fused host-prep path, whole batch at once."""
 
-    def __init__(self, C: int, T: int):
-        self.C, self.T = C, T
-        self.spec = np.zeros((C, T, FRAME), np.float32)
+    def __init__(self, C: int, T: int, F: int = FRAME):
+        self.C, self.T, self.F = C, T, F
+        self.spec = np.zeros((C, T, F), np.float32)
         self.meta = np.zeros((C, T, 6), np.int32)
         self.tns_lpc = np.zeros((C, T, 2, TNS_SLOTS, TNS_ORDER), np.float32)
         self.tns_range = np.zeros((C, T, 2, TNS_SLOTS, 2), np.int32)
@@ -103,7 +108,7 @@ class SpecBatchArrays:
         self.post_cap = 64
         self.time_cap = max(64, C * T)
         self.cce_post_idx = np.zeros((self.post_cap, 3), np.int32)
-        self.cce_post_gain = np.zeros((self.post_cap, FRAME), np.float32)
+        self.cce_post_gain = np.zeros((self.post_cap, F), np.float32)
         self.cce_time_idx = np.zeros((self.time_cap, 3), np.int32)
         self.cce_time_gain = np.zeros(self.time_cap, np.float32)
         self.cce_counts = np.zeros(2, np.int32)
@@ -113,12 +118,54 @@ class SpecBatchArrays:
         self.spec_scale: np.ndarray | None = None
 
 
+def stream_tables(configs) -> dict:
+    """Per-stream parse tables for parse_batch_spec, resolved from the
+    frozen StreamConfigs (frame-length aware: 1024/960/512/480).  The
+    native parser takes these instead of re-deriving tables from the
+    sample index, so every profile's SWB layout and TNS clamps match the
+    python parser exactly."""
+    from aacjax import tables as T
+    n = len(configs)
+    swb_long = np.zeros((n, 64), np.int32)
+    swb_long_count = np.zeros(n, np.int32)
+    swb_short = np.zeros((n, 20), np.int32)
+    swb_short_count = np.zeros(n, np.int32)
+    tns_max = np.zeros((n, 2), np.int32)
+    profiles = np.zeros(n, np.int32)
+    for i, cfg in enumerate(configs):
+        profiles[i] = cfg.profile
+        lo = cfg.swb_offsets_long
+        nl = cfg.swb_count_long
+        swb_long[i, :nl + 1] = lo[:nl + 1]
+        swb_long_count[i] = nl
+        if cfg.frame_length in (1024, 960):  # short windows exist
+            so = cfg.swb_offsets_short
+            ns = cfg.swb_count_short
+            swb_short[i, :ns + 1] = so[:ns + 1]
+            swb_short_count[i] = ns
+            tns_max[i, 0] = int(T.TNS_MAX_BANDS_1024[cfg.sample_index])
+            tns_max[i, 1] = int(T.TNS_MAX_BANDS_128[cfg.sample_index])
+        else:  # LD / ELD
+            tns_max[i, 0] = cfg.tns_max_bands_ld
+            tns_max[i, 1] = 0
+    return dict(profiles=profiles, swb_long=swb_long,
+                swb_long_count=swb_long_count, swb_short=swb_short,
+                swb_short_count=swb_short_count, tns_max=tns_max,
+                frame_len=int(configs[0].frame_length) if configs else FRAME)
+
+
 def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
                      sample_indices: np.ndarray, chan_configs: np.ndarray,
                      base_slots: np.ndarray, n_slots: np.ndarray,
                      prev_shapes: np.ndarray,
-                     out: SpecBatchArrays) -> tuple[np.ndarray, bool]:
+                     out: SpecBatchArrays,
+                     tables_pack: dict | None = None
+                     ) -> tuple[np.ndarray, bool]:
     """One C call parsing every stream's chunk into final f32 spectra.
+
+    tables_pack: stream_tables(configs) output — per-stream profile, SWB
+    and TNS tables.  Defaults to plain AAC-LC at 1024 derived from the
+    sample indices (the historical behavior).
 
     Returns (stream_status [n_streams] int32, has_tns).  Status 0 = ok,
     3 = needs Python fallback (capacity overflow), other nonzero = the
@@ -128,6 +175,14 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
     if lib is None:
         raise RuntimeError("native parser not built (make -C native)")
     n_streams = len(payloads_per_stream)
+    if tables_pack is None:
+        from aacjax.host.asc import StreamConfig
+        from aacjax import tables as T
+        tables_pack = stream_tables([
+            StreamConfig(profile=2, sample_index=int(si),
+                         sample_rate=int(T.SAMPLE_RATES[int(si)]),
+                         chan_config=int(cc))
+            for si, cc in zip(sample_indices, chan_configs)])
     parts: list[bytes] = []
     frame_lens: list[int] = []
     stream_frame_start = np.zeros(n_streams + 1, np.int32)
@@ -146,12 +201,17 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
     consumed = np.zeros(max(len(parts), 1), np.int64)
     fil_sbr = np.zeros((max(len(parts), 1), 4, 3), np.int64)
     errbuf = ctypes.create_string_buffer(256)
+    tp = tables_pack
     code = lib.aacparse_batch_spec(
         _ptr(buf), _ptr(frame_offsets), _ptr(stream_frame_start),
         _ptr(np.ascontiguousarray(sample_indices, np.int32)),
         _ptr(np.ascontiguousarray(chan_configs, np.int32)),
         _ptr(np.ascontiguousarray(base_slots, np.int32)),
         _ptr(np.ascontiguousarray(n_slots, np.int32)),
+        _ptr(tp["profiles"]), int(tp["frame_len"]),
+        _ptr(tp["swb_long"]), _ptr(tp["swb_long_count"]),
+        _ptr(tp["swb_short"]), _ptr(tp["swb_short_count"]),
+        _ptr(tp["tns_max"]),
         n_streams, out.C, out.T,
         _ptr(prev_shapes),
         _ptr(out.spec), _ptr(out.meta), _ptr(out.tns_lpc), _ptr(out.tns_range),
@@ -173,15 +233,15 @@ I16_BLOCK = 16  # bins per compact-transfer scale block (native kI16Block)
 
 def compact_spec(out: SpecBatchArrays) -> tuple[np.ndarray, np.ndarray]:
     """Convert out.spec to block-scaled int16 fixed point (compact
-    transfer mode): returns (spec_i16 [C,T,1024],
-    spec_scale [C,T,64] f32 — one scale per 16-bin block).  Quantization
+    transfer mode): returns (spec_i16 [C,T,F],
+    spec_scale [C,T,F/16] f32 — one scale per 16-bin block).  Quantization
     tracks the spectral envelope (~>90 dB decoded SNR); ~44% fewer
     spectral H2D bytes."""
     lib = _load()
     if out.spec_i16 is None:
-        out.spec_i16 = np.zeros((out.C, out.T, FRAME), np.int16)
-        out.spec_scale = np.zeros((out.C, out.T, FRAME // I16_BLOCK),
+        out.spec_i16 = np.zeros((out.C, out.T, out.F), np.int16)
+        out.spec_scale = np.zeros((out.C, out.T, out.F // I16_BLOCK),
                                   np.float32)
-    lib.aacjax_spec_to_i16(_ptr(out.spec), out.C * out.T,
+    lib.aacjax_spec_to_i16(_ptr(out.spec), out.C * out.T, out.F,
                            _ptr(out.spec_i16), _ptr(out.spec_scale))
     return out.spec_i16, out.spec_scale

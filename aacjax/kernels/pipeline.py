@@ -605,7 +605,10 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
                         batch['cce_post_t'])
         spec = spec.at[dst, tt].add(batch['cce_post_gain'] * spec[src, tt])
     C, T, F = spec.shape
-    if flags.use_pallas and (C * T) % 8 == 0 and F == 1024:
+    if flags.eld:
+        pcm, new_overlap = eld_synthesis(spec, overlap_in,
+                                         batch['last_valid'])
+    elif flags.use_pallas and (C * T) % 8 == 0 and F == 1024:
         from aacjax.kernels.pallas_synth import synthesis
         first, second = synthesis(
             spec.reshape(C * T, F),
@@ -615,13 +618,15 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
             batch['is_short'].reshape(C * T).astype(jnp.int32))
         first = first.reshape(C, T, F)
         second = second.reshape(C, T, F)
+        pcm, new_overlap = overlap_add(first, second, overlap_in,
+                                       batch['last_valid'])
     else:
         first, second = filterbank(spec, batch['f_idx'], batch['s_idx'],
                                    batch['shape_idx'],
                                    batch['prev_shape_idx'],
                                    batch['is_short'], flags.has_short)
-    pcm, new_overlap = overlap_add(first, second, overlap_in,
-                                   batch['last_valid'])
+        pcm, new_overlap = overlap_add(first, second, overlap_in,
+                                       batch['last_valid'])
     if flags.has_cce_time:
         # AFTER_IMDCT independent coupling on time samples
         # (cce.js:121-128 intent; the coupling channel goes through its

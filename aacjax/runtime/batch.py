@@ -85,17 +85,18 @@ class BatchDecoder:
                              "BatchDecoder")
         self.overlap = jnp.zeros(
             (c, 3 * self.F if self._eld else self.F), jnp.float32)
-        # the native parser handles the standard LC 1024 mode; 960 mode,
-        # Main-profile streams (backward prediction is a stateful device
-        # stage fed by the python packer) and ER-syntax profiles (AOT
-        # 17/23 fixed element layout) run on the python path
-        any_main = any(cfg.profile == 1 for cfg in configs)
-        any_er = any(cfg.profile in (17, 23, 39) for cfg in configs)
-        self.use_native = ((native.available() and self.F == FRAME
-                            and not any_main and not any_er)
+        # the native parser handles every frame length (1024/960/512/480)
+        # and the standard + ER/LD/ELD syntaxes; Main-profile streams run
+        # on the python path (backward prediction is a stateful device
+        # stage fed by the python packer), as does LTP (time feedback)
+        any_main = any(cfg.profile in (1, 4) for cfg in configs)
+        self.use_native = ((native.available()
+                            and self.F in (1024, 960, 512, 480)
+                            and not any_main)
                            if use_native is None else use_native)
-        if self.use_native and self.F != FRAME:
-            raise ValueError("native parser supports 1024-frame mode only")
+        if self.use_native and self.F not in (1024, 960, 512, 480):
+            raise ValueError(f"native parser: unsupported frame length "
+                             f"{self.F}")
         # one shared window-shape history; StreamStates view into it so the
         # native batch call can update everything in place
         self.prev_shapes = np.zeros(c, np.int32)
@@ -110,6 +111,8 @@ class BatchDecoder:
             [st.base_slot for st in self.streams], np.int32)
         self._n_slots = np.array(
             [st.n_slots for st in self.streams], np.int32)
+        self._tables_pack = (native.stream_tables(configs)
+                             if self.use_native else None)
         self._spec_buffers: list[native.SpecBatchArrays] | None = None
         # in-flight device steps awaiting finalize_step (timing completion)
         self._pending_steps: dict[int, tuple] = {}
@@ -608,14 +611,16 @@ class BatchDecoder:
         if compact is None:
             compact = os.environ.get("AACJAX_COMPACT", "0") == "1"
         if self._spec_buffers is None:
-            self._spec_buffers = [native.SpecBatchArrays(self.C, self.T),
-                                  native.SpecBatchArrays(self.C, self.T)]
+            self._spec_buffers = [
+                native.SpecBatchArrays(self.C, self.T, self.F),
+                native.SpecBatchArrays(self.C, self.T, self.F)]
         out = self._spec_buffers[buf_slot]
 
         t0 = time.perf_counter()
         status, has_tns, errmsg = native.parse_batch_spec(
             payloads_per_stream, self._sample_indices, self._chan_configs,
-            self._base_slots, self._n_slots, self.prev_shapes, out)
+            self._base_slots, self._n_slots, self.prev_shapes, out,
+            tables_pack=self._tables_pack)
         parse_seconds = time.perf_counter() - t0
         self._last_status = status
         self._last_consumed = out.consumed_bits
@@ -674,7 +679,7 @@ class BatchDecoder:
             q = self._pad_entries(n_post)
             idx = np.zeros((q, 3), np.int32)
             idx[:n_post] = out.cce_post_idx[:n_post]
-            gain = np.zeros((q, FRAME), np.float32)
+            gain = np.zeros((q, self.F), np.float32)
             gain[:n_post] = out.cce_post_gain[:n_post]
             batch.update(cce_post_src=idx[:, 0], cce_post_dst=idx[:, 1],
                          cce_post_t=idx[:, 2], cce_post_gain=gain)
@@ -714,7 +719,8 @@ class BatchDecoder:
                               use_pallas=use_pallas,
                               has_cce_post=has_cce_post,
                               has_cce_time=has_cce_time,
-                              spec_i16=spec_i16, has_short=has_short)
+                              spec_i16=spec_i16, has_short=has_short,
+                              eld=self._eld)
         step_fn = jitted_decode_spec_step(flags)
         t0 = time.perf_counter()
         pcm, self.overlap = step_fn(batch, self.overlap)

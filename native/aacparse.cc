@@ -287,6 +287,8 @@ struct ICSInfo {
   int window_count = 1;
   const int32_t* swb_offsets = nullptr;
   int swb_count = 0;
+  int frame_len = kFrameLen;   // 1024 / 960 / 512 / 480
+  int short_len = 128;         // frame_len / 8 (window stride)
 };
 
 struct TnsSide {
@@ -319,6 +321,17 @@ struct Channel {
 struct StreamConfig {
   int sample_index;
   int chan_config;
+  int profile = 2;             // 1/2/5/17 standard ICS order; 23 LD; 39 ELD
+  int frame_len = kFrameLen;   // 1024 / 960 / 512 / 480
+  int short_len = 128;         // frame_len / 8
+  // SWB tables resolved by the caller per stream (frame-length aware);
+  // swb_short is null for LD/ELD (no short windows in those profiles)
+  const int32_t* swb_long = nullptr;
+  int swb_long_count = 0;
+  const int32_t* swb_short = nullptr;
+  int swb_short_count = 0;
+  int tns_max_long = 0;        // TNS band clamps (caller-resolved)
+  int tns_max_short = 0;
 };
 
 bool decode_ics_info(BitReader* br, const StreamConfig& cfg, ICSInfo* info,
@@ -328,9 +341,14 @@ bool decode_ics_info(BitReader* br, const StreamConfig& cfg, ICSInfo* info,
   info->window_sequence = br->read(2, &ok);
   info->prev_window_shape = prev_shape;
   info->window_shape = br->read(1, &ok);
+  if (cfg.profile == 23 && info->window_sequence != ONLY_LONG)
+    FAIL(err, ERR_BITSTREAM, "window_sequence %d in AAC-LD",
+         info->window_sequence);
   info->group_count = 1;
   memset(info->group_length, 0, sizeof(info->group_length));
   info->group_length[0] = 1;
+  info->frame_len = cfg.frame_len;
+  info->short_len = cfg.short_len;
   if (info->window_sequence == EIGHT_SHORT) {
     info->max_sfb = br->read(4, &ok);
     for (int i = 0; i < 7; ++i) {
@@ -342,16 +360,43 @@ bool decode_ics_info(BitReader* br, const StreamConfig& cfg, ICSInfo* info,
       }
     }
     info->window_count = 8;
-    info->swb_offsets = kSwbShortFlat + kSwbShortOffs[cfg.sample_index];
-    info->swb_count = kSwbShortCount[cfg.sample_index];
+    info->swb_offsets = cfg.swb_short;
+    info->swb_count = cfg.swb_short_count;
+    if (!cfg.swb_short)
+      FAIL(err, ERR_BITSTREAM, "short windows without a short SWB table");
   } else {
     info->max_sfb = br->read(6, &ok);
     info->window_count = 1;
-    info->swb_offsets = kSwbLongFlat + kSwbLongOffs[cfg.sample_index];
-    info->swb_count = kSwbLongCount[cfg.sample_index];
+    info->swb_offsets = cfg.swb_long;
+    info->swb_count = cfg.swb_long_count;
     if (br->read(1, &ok))
       FAIL(err, ERR_UNSUPPORTED, "Main/LTP prediction not implemented.");
   }
+  if (!ok) FAIL(err, ERR_BITSTREAM, "ics_info: eof");
+  if (info->max_sfb > info->swb_count)
+    FAIL(err, ERR_BITSTREAM, "max_sfb %d > swb_count %d", info->max_sfb,
+         info->swb_count);
+  return true;
+}
+
+// AAC-ELD ics_info (ISO/IEC 14496-3 §4.6.20.3): the low-delay filterbank
+// has a single window, so the side info reduces to max_sfb (mirrors
+// aacjax/host/syntax.py ICSInfo.decode_eld).
+bool decode_ics_info_eld(BitReader* br, const StreamConfig& cfg,
+                         ICSInfo* info, ParseError* err) {
+  bool ok = true;
+  info->window_sequence = ONLY_LONG;
+  info->window_shape = 0;
+  info->prev_window_shape = 0;
+  info->group_count = 1;
+  memset(info->group_length, 0, sizeof(info->group_length));
+  info->group_length[0] = 1;
+  info->window_count = 1;
+  info->frame_len = cfg.frame_len;
+  info->short_len = cfg.short_len;
+  info->max_sfb = br->read(6, &ok);
+  info->swb_offsets = cfg.swb_long;
+  info->swb_count = cfg.swb_long_count;
   if (!ok) FAIL(err, ERR_BITSTREAM, "ics_info: eof");
   if (info->max_sfb > info->swb_count)
     FAIL(err, ERR_BITSTREAM, "max_sfb %d > swb_count %d", info->max_sfb,
@@ -515,9 +560,9 @@ bool decode_spectral(BitReader* br, Channel* ch, ParseError* err) {
         // quant already zeroed
       } else if (hcb == NOISE_BT) {
         int off = off0;
-        for (int grp = 0; grp < group_len; ++grp, off += 128) {
+        for (int grp = 0; grp < group_len; ++grp, off += info.short_len) {
           double energy = 0.0;
-          float vals[128];  // max SWB width is 96 (48kHz long table)
+          float vals[512];  // >= max SWB width across all frame lengths
           for (int k = 0; k < width; ++k) {
             random_state = static_cast<int32_t>(
                 static_cast<uint32_t>(random_state) * 1664525u + 1013904223u);
@@ -533,7 +578,7 @@ bool decode_spectral(BitReader* br, Channel* ch, ParseError* err) {
         int num = hcb >= FIRST_PAIR_BT ? 2 : 4;
         bool is_unsigned = (hcb == 3 || hcb == 4 || (hcb >= 7 && hcb <= 11));
         int off = off0;
-        for (int grp = 0; grp < group_len; ++grp, off += 128) {
+        for (int grp = 0; grp < group_len; ++grp, off += info.short_len) {
           for (int k = 0; k < width; k += num) {
             int row = book.decode(br);
             if (row < 0) FAIL(err, ERR_BITSTREAM, "bad spectral codeword");
@@ -576,7 +621,7 @@ bool decode_spectral(BitReader* br, Channel* ch, ParseError* err) {
       }
       if (!ok) FAIL(err, ERR_BITSTREAM, "spectral: eof");
     }
-    group_off += group_len * 128;
+    group_off += group_len * info.short_len;
   }
   // pulse application (spec-correct; SURVEY.md §7)
   if (ch->pulse_present) {
@@ -628,8 +673,8 @@ bool resolve_tns(const Channel* ch, int max_bands, float* tns_lpc,
       int start = info.swb_offsets[b];
       int end = info.swb_offsets[t];
       if (end - start <= 0) continue;
-      start += w * 128;
-      end += w * 128;
+      start += w * info.short_len;
+      end += w * info.short_len;
       float lpc[kTnsOrder] = {0};
       reflection_to_lpc(ch->tns.coef[w][f], order, lpc);
       int bank, slot;
@@ -637,7 +682,8 @@ bool resolve_tns(const Channel* ch, int max_bands, float* tns_lpc,
       if (!ch->tns.direction[w][f]) {
         bank = 0; slot = nf++; s = start; e = end;
       } else {
-        bank = 1; slot = nr++; s = kFrameLen - end; e = kFrameLen - start;
+        bank = 1; slot = nr++;
+        s = info.frame_len - end; e = info.frame_len - start;
       }
       if (slot >= kTnsSlots) return false;  // cannot happen per spec limits
       memcpy(tns_lpc + (bank * kTnsSlots + slot) * kTnsOrder, lpc,
@@ -655,26 +701,44 @@ bool decode_ics(BitReader* br, const StreamConfig& cfg, Channel* ch,
   bool ok = true;
   ch->global_gain = br->read(8, &ok);
   if (!ok) FAIL(err, ERR_BITSTREAM, "ics: eof");
+  const bool eld = cfg.profile == 39;
   if (common_info) {
     ch->info = *common_info;
     ch->info.prev_window_shape = prev_shape;
+  } else if (eld) {
+    if (!decode_ics_info_eld(br, cfg, &ch->info, err)) return false;
   } else {
     if (!decode_ics_info(br, cfg, &ch->info, prev_shape, err)) return false;
   }
   if (!decode_band_types(br, ch, err)) return false;
   if (!decode_scale_factors(br, ch, err)) return false;
+  if (eld) {
+    // ELD individual_channel_stream (§4.6.20.2): no pulse bit and no
+    // gain-control bit; tns_data follows its flag directly
+    ch->tns_present = br->read(1, &ok);
+    if (!ok) FAIL(err, ERR_BITSTREAM, "ics: eof");
+    if (ch->tns_present && !decode_tns(br, ch, err)) return false;
+    return decode_spectral(br, ch, err);
+  }
+  const bool er = cfg.profile == 17 || cfg.profile == 23;
   ch->pulse_present = br->read(1, &ok);
   if (ch->pulse_present) {
+    if (er)
+      FAIL(err, ERR_BITSTREAM, "Pulse tool not allowed in ER AAC");
     if (ch->info.window_sequence == EIGHT_SHORT)
       FAIL(err, ERR_BITSTREAM, "Pulse tool not allowed in eight short sequence.");
     if (!decode_pulse(br, ch, err)) return false;
   }
   ch->tns_present = br->read(1, &ok);
-  if (ch->tns_present) {
+  if (ch->tns_present && !er) {
     if (!decode_tns(br, ch, err)) return false;
   }
   if (br->read(1, &ok))
     FAIL(err, ERR_UNSUPPORTED, "gain control/SSR not supported");
+  if (ch->tns_present && er) {
+    // ER syntax: tns_data follows the gain-control bit
+    if (!decode_tns(br, ch, err)) return false;
+  }
   if (!ok) FAIL(err, ERR_BITSTREAM, "ics: eof");
   return decode_spectral(br, ch, err);
 }
@@ -800,7 +864,7 @@ bool decode_cce(BitReader* br, const StreamConfig& cfg, CCE* cce,
 // Expand per-(group, sfb) gains to a per-bin [1024] vector over the
 // grouped window layout (runtime/pack.py expand_per_bin).
 void expand_gain(const ICSInfo& info, const float* g, float* out) {
-  memset(out, 0, sizeof(float) * kFrameLen);
+  memset(out, 0, sizeof(float) * info.frame_len);
   int idx = 0, group_off = 0;
   for (int grp = 0; grp < info.group_count; ++grp) {
     int glen = info.group_length[grp];
@@ -810,12 +874,12 @@ void expand_gain(const ICSInfo& info, const float* g, float* out) {
         int off = info.swb_offsets[sfb];
         int width = info.swb_offsets[sfb + 1] - off;
         for (int w = 0; w < glen; ++w) {
-          float* p = out + group_off + w * 128 + off;
+          float* p = out + group_off + w * info.short_len + off;
           for (int k = 0; k < width; ++k) p[k] = v;
         }
       }
     }
-    group_off += glen * 128;
+    group_off += glen * info.short_len;
   }
 }
 
@@ -871,7 +935,7 @@ int resolve_cce_targets(const CCE& cce, const ElemRef* elems, int n_elems,
 // The device then runs TNS + IMDCT + overlap-add only.
 // ---------------------------------------------------------------------
 void finalize_spec(const Channel& ch, float* spec_row) {
-  for (int i = 0; i < kFrameLen; ++i)
+  for (int i = 0; i < ch.info.frame_len; ++i)
     spec_row[i] = inverse_quant(ch.quant[i]) * ch.scale[i] + ch.noise[i];
 }
 
@@ -892,8 +956,8 @@ void apply_stereo(const Channel& left, const Channel& right,
         int off = li.swb_offsets[sfb];
         int width = li.swb_offsets[sfb + 1] - off;
         for (int w = 0; w < glen; ++w) {
-          float* lp = ls + group_off + w * 128 + off;
-          float* rp = rs + group_off + w * 128 + off;
+          float* lp = ls + group_off + w * li.short_len + off;
+          float* rp = rs + group_off + w * li.short_len + off;
           for (int k = 0; k < width; ++k) {
             float t = lp[k] - rp[k];
             lp[k] = lp[k] + rp[k];
@@ -901,7 +965,7 @@ void apply_stereo(const Channel& left, const Channel& right,
           }
         }
       }
-      group_off += glen * 128;
+      group_off += glen * li.short_len;
     }
   }
   // intensity (uses the right channel's band structure)
@@ -918,12 +982,12 @@ void apply_stereo(const Channel& left, const Channel& right,
       int off = ri.swb_offsets[sfb];
       int width = ri.swb_offsets[sfb + 1] - off;
       for (int w = 0; w < glen; ++w) {
-        const float* lp = ls + group_off + w * 128 + off;
-        float* rp = rs + group_off + w * 128 + off;
+        const float* lp = ls + group_off + w * ri.short_len + off;
+        float* rp = rs + group_off + w * ri.short_len + off;
         for (int k = 0; k < width; ++k) rp[k] = lp[k] * scale;
       }
     }
-    group_off += glen * 128;
+    group_off += glen * ri.short_len;
   }
 }
 
@@ -953,9 +1017,16 @@ int aacparse_batch_spec(
     const int32_t* stream_frame_start,
     const int32_t* sample_index_arr, const int32_t* chan_config_arr,
     const int32_t* base_slot_arr, const int32_t* n_slots_arr,
+    const int32_t* profile_arr,   // [n_streams] AOT (2/5/17/23/39)
+    int frame_len,                // 1024 / 960 / 512 / 480 (chunk-global)
+    const int32_t* swb_long_flat,   // [n_streams, 64] offsets (count+1 used)
+    const int32_t* swb_long_count,  // [n_streams]
+    const int32_t* swb_short_flat,  // [n_streams, 20]; count 0 = no shorts
+    const int32_t* swb_short_count, // [n_streams]
+    const int32_t* tns_max_arr,     // [n_streams, 2] = (long, short)
     int n_streams, int total_slots, int T,
     int32_t* prev_shapes,
-    float* spec,        // [total_slots, T, 1024]
+    float* spec,        // [total_slots, T, frame_len]
     int32_t* meta,      // [total_slots, T, 6]
     float* tns_lpc,     // [total_slots, T, 2, 8, 20]
     int32_t* tns_range, // [total_slots, T, 2, 8, 2]
@@ -1002,6 +1073,17 @@ int aacparse_batch_spec(
     bool any_tns = false;
     stream_status[s] = OK;
     StreamConfig cfg{sample_index_arr[s], chan_config_arr[s]};
+    cfg.profile = profile_arr[s];
+    cfg.frame_len = frame_len;
+    cfg.short_len = frame_len / 8;
+    cfg.swb_long = swb_long_flat + static_cast<size_t>(s) * 64;
+    cfg.swb_long_count = swb_long_count[s];
+    cfg.swb_short = swb_short_count[s]
+                        ? swb_short_flat + static_cast<size_t>(s) * 20
+                        : nullptr;
+    cfg.swb_short_count = swb_short_count[s];
+    cfg.tns_max_long = tns_max_arr[s * 2 + 0];
+    cfg.tns_max_short = tns_max_arr[s * 2 + 1];
     int base = base_slot_arr[s];
     int n_slots = n_slots_arr[s];
     int f_lo = stream_frame_start[s];
@@ -1035,7 +1117,9 @@ int aacparse_batch_spec(
       int64_t flen = frame_offsets[f_lo + t + 1] - frame_offsets[f_lo + t];
       BitReader br(fdata, flen);
       bool ok = true;
-      if (br.nbits >= 12 && br.peek_padded(12) == 0xFFF) {
+      if (cfg.profile < 17 && br.nbits >= 12 && br.peek_padded(12) == 0xFFF) {
+        // interleaved ADTS header (non-ER transports only; ER payloads
+        // arrive via LATM/raw and may legitimately start with 0xFFF bits)
         bool hok = br.advance(15);
         bool prot_absent = br.read(1, &ok);
         hok = hok && ok && br.advance(40);
@@ -1043,122 +1127,161 @@ int aacparse_batch_spec(
         if (!hok) { err = {ERR_BITSTREAM, "adts: eof"}; goto sfail; }
       }
       {
+        const int F = cfg.frame_len;
         int slot = base;
         const int slot_end = base + n_slots;
         ElemRef elems[16];
         int n_elems = 0;
         int n_cces = 0;
-        for (;;) {
+
+        auto emit_meta = [&](const Channel& ch, int sl, bool coupling) {
+          int32_t* m = meta + (static_cast<size_t>(sl) * T + t) * 6;
+          int seq = ch.info.window_sequence;
+          int prev = coupling ? 0 : ch.info.prev_window_shape;
+          m[0] = seq * 2 + prev;
+          m[1] = seq * 2 + ch.info.window_shape;
+          m[2] = ch.info.window_shape;
+          m[3] = prev;
+          m[4] = seq == EIGHT_SHORT ? 1 : 0;
+          m[5] = 1;
+        };
+        auto emit_tns = [&](const Channel& ch, int sl) -> bool {
+          if (!ch.tns_present) return true;
+          bool any = false;
+          int mb = ch.info.window_sequence == EIGHT_SHORT
+                       ? cfg.tns_max_short : cfg.tns_max_long;
+          size_t tb = (static_cast<size_t>(sl) * T + t);
+          if (!resolve_tns(&ch, mb,
+                           tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
+                           tns_range + tb * 2 * kTnsSlots * 2, &any)) {
+            err = {ERR_BITSTREAM, "tns slots exceeded"};
+            return false;
+          }
+          any_tns |= any;
+          return true;
+        };
+        auto do_sce = [&](int eid) -> bool {
+          if (slot >= slot_end) {
+            err = {ERR_BOUNDS, "too many channels"};
+            return false;
+          }
+          Channel ch;
+          scratch[0].reset();
+          ch.quant = scratch[0].quant;
+          ch.scale = scratch[0].scale;
+          ch.noise = scratch[0].noise;
+          if (!decode_ics(&br, cfg, &ch, nullptr, prev_shapes[slot], &err))
+            return false;
+          float* row = spec + (static_cast<size_t>(slot) * T + t) * F;
+          finalize_spec(ch, row);
+          emit_meta(ch, slot, false);
+          prev_shapes[slot] = ch.info.window_shape;
+          if (!emit_tns(ch, slot)) return false;
+          if (n_elems < 16)
+            elems[n_elems++] = ElemRef{false, eid, slot, slot,
+                                       ch.tns_present, ch.tns_present};
+          slot += 1;
+          return true;
+        };
+        // common_mode: -1 = read the common_window bit (standard/ER
+        // syntax); 1 = implied true (ELD CPEs carry no bit)
+        auto do_cpe = [&](int eid, int common_mode) -> bool {
+          if (slot + 2 > slot_end) {
+            err = {ERR_BOUNDS, "too many channels"};
+            return false;
+          }
+          bool ok2 = true;
+          bool common_window =
+              common_mode == 1 ? true : (br.read(1, &ok2) != 0);
+          ICSInfo shared;
+          float ms_used[kMaxSections] = {0};
+          bool mask_present = false;
+          if (common_window) {
+            if (cfg.profile == 39) {
+              if (!decode_ics_info_eld(&br, cfg, &shared, &err)) return false;
+            } else if (!decode_ics_info(&br, cfg, &shared, prev_shapes[slot],
+                                        &err)) {
+              return false;
+            }
+            int mask = static_cast<int>(br.read(2, &ok2));
+            mask_present = mask != 0;
+            if (mask == 1) {
+              int nmask = shared.group_count * shared.max_sfb;
+              for (int i = 0; i < nmask; ++i)
+                ms_used[i] = br.read(1, &ok2) ? 1.0f : 0.0f;
+            } else if (mask == 2) {
+              for (int i = 0; i < kMaxSections; ++i) ms_used[i] = 1.0f;
+            } else if (mask == 3) {
+              err = {ERR_BITSTREAM, "Reserved ms mask type: 3"};
+              return false;
+            }
+          }
+          if (!ok2) { err = {ERR_BITSTREAM, "cpe: eof"}; return false; }
+          Channel left, right;
+          scratch[0].reset();
+          scratch[1].reset();
+          left.quant = scratch[0].quant;
+          left.scale = scratch[0].scale;
+          left.noise = scratch[0].noise;
+          right.quant = scratch[1].quant;
+          right.scale = scratch[1].scale;
+          right.noise = scratch[1].noise;
+          if (!decode_ics(&br, cfg, &left, common_window ? &shared : nullptr,
+                          prev_shapes[slot], &err)) return false;
+          if (!decode_ics(&br, cfg, &right, common_window ? &shared : nullptr,
+                          prev_shapes[slot + 1], &err)) return false;
+          float* lrow = spec + (static_cast<size_t>(slot) * T + t) * F;
+          float* rrow = spec + (static_cast<size_t>(slot + 1) * T + t) * F;
+          finalize_spec(left, lrow);
+          finalize_spec(right, rrow);
+          apply_stereo(left, right, ms_used, mask_present, lrow, rrow);
+          for (int which = 0; which < 2; ++which) {
+            Channel* ch = which ? &right : &left;
+            int sl = slot + which;
+            emit_meta(*ch, sl, false);
+            prev_shapes[sl] = ch->info.window_shape;
+            if (!emit_tns(*ch, sl)) return false;
+          }
+          if (n_elems < 16)
+            elems[n_elems++] = ElemRef{true, eid, slot, slot + 1,
+                                       left.tns_present, right.tns_present};
+          slot += 2;
+          return true;
+        };
+
+        if (cfg.profile >= 17) {
+          // ER raw_data_block: fixed Table-1.19 element layout with no
+          // END element; AOT 17/23 prefix each element with a 4-bit
+          // instance tag, ELD carries no tags at all (mirrors
+          // aacjax/host/syntax.py decode_er_frame)
+          static const uint8_t kErLayouts[8][6] = {
+              {0, 0, 0, 0, 0, 0}, {1, 0, 0, 0, 0, 0}, {2, 0, 0, 0, 0, 0},
+              {1, 2, 0, 0, 0, 0}, {1, 2, 1, 0, 0, 0}, {1, 2, 2, 0, 0, 0},
+              {1, 2, 2, 3, 0, 0}, {1, 2, 2, 2, 3, 0}};
+          if (cfg.chan_config < 1 || cfg.chan_config > 7) {
+            err = {ERR_UNSUPPORTED, "ER channelConfiguration not supported"};
+            goto sfail;
+          }
+          const bool eld = cfg.profile == 39;
+          for (const uint8_t* k = kErLayouts[cfg.chan_config]; *k; ++k) {
+            int eid = 0;
+            if (!eld) {
+              eid = static_cast<int>(br.read(4, &ok));
+              if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto sfail; }
+            }
+            bool good = *k == 2 ? do_cpe(eid, eld ? 1 : -1) : do_sce(eid);
+            if (!good) goto sfail;
+          }
+        } else {
+          for (;;) {
           int etype = static_cast<int>(br.read(3, &ok));
           if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto sfail; }
           if (etype == END_ELEM) break;
           int eid = static_cast<int>(br.read(4, &ok));
           if (etype == SCE_ELEM || etype == LFE_ELEM) {
-            if (slot >= slot_end) { err = {ERR_BOUNDS, "too many channels"}; goto sfail; }
-            Channel ch;
-            scratch[0].reset();
-            ch.quant = scratch[0].quant;
-            ch.scale = scratch[0].scale;
-            ch.noise = scratch[0].noise;
-            if (!decode_ics(&br, cfg, &ch, nullptr, prev_shapes[slot], &err))
-              goto sfail;
-            float* row = spec + (static_cast<size_t>(slot) * T + t) * kFrameLen;
-            finalize_spec(ch, row);
-            {
-              int32_t* m = meta + (static_cast<size_t>(slot) * T + t) * 6;
-              int seq = ch.info.window_sequence;
-              m[0] = seq * 2 + ch.info.prev_window_shape;
-              m[1] = seq * 2 + ch.info.window_shape;
-              m[2] = ch.info.window_shape;
-              m[3] = ch.info.prev_window_shape;
-              m[4] = seq == EIGHT_SHORT ? 1 : 0;
-              m[5] = 1;
-            }
-            prev_shapes[slot] = ch.info.window_shape;
-            if (ch.tns_present) {
-              bool any = false;
-              const int32_t* mb = ch.info.window_sequence == EIGHT_SHORT
-                                      ? kTnsMaxBandsShort : kTnsMaxBandsLong;
-              size_t tb = (static_cast<size_t>(slot) * T + t);
-              if (!resolve_tns(&ch, mb[cfg.sample_index],
-                               tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
-                               tns_range + tb * 2 * kTnsSlots * 2, &any)) {
-                err = {ERR_BITSTREAM, "tns slots exceeded"}; goto sfail;
-              }
-              any_tns |= any;
-            }
-            if (n_elems < 16)
-              elems[n_elems++] = ElemRef{false, eid, slot, slot,
-                                         ch.tns_present, ch.tns_present};
-            slot += 1;
+            if (!do_sce(eid)) goto sfail;
           } else if (etype == CPE_ELEM) {
-            if (slot + 2 > slot_end) { err = {ERR_BOUNDS, "too many channels"}; goto sfail; }
-            bool common_window = br.read(1, &ok);
-            ICSInfo shared;
-            float ms_used[kMaxSections] = {0};
-            bool mask_present = false;
-            if (common_window) {
-              if (!decode_ics_info(&br, cfg, &shared, prev_shapes[slot], &err))
-                goto sfail;
-              int mask = static_cast<int>(br.read(2, &ok));
-              mask_present = mask != 0;
-              if (mask == 1) {
-                int nmask = shared.group_count * shared.max_sfb;
-                for (int i = 0; i < nmask; ++i)
-                  ms_used[i] = br.read(1, &ok) ? 1.0f : 0.0f;
-              } else if (mask == 2) {
-                for (int i = 0; i < kMaxSections; ++i) ms_used[i] = 1.0f;
-              } else if (mask == 3) {
-                err = {ERR_BITSTREAM, "Reserved ms mask type: 3"}; goto sfail;
-              }
-            }
-            Channel left, right;
-            scratch[0].reset();
-            scratch[1].reset();
-            left.quant = scratch[0].quant;
-            left.scale = scratch[0].scale;
-            left.noise = scratch[0].noise;
-            right.quant = scratch[1].quant;
-            right.scale = scratch[1].scale;
-            right.noise = scratch[1].noise;
-            if (!decode_ics(&br, cfg, &left, common_window ? &shared : nullptr,
-                            prev_shapes[slot], &err)) goto sfail;
-            if (!decode_ics(&br, cfg, &right, common_window ? &shared : nullptr,
-                            prev_shapes[slot + 1], &err)) goto sfail;
-            float* lrow = spec + (static_cast<size_t>(slot) * T + t) * kFrameLen;
-            float* rrow = spec + (static_cast<size_t>(slot + 1) * T + t) * kFrameLen;
-            finalize_spec(left, lrow);
-            finalize_spec(right, rrow);
-            apply_stereo(left, right, ms_used, mask_present, lrow, rrow);
-            for (int which = 0; which < 2; ++which) {
-              Channel* ch = which ? &right : &left;
-              int sl = slot + which;
-              int32_t* m = meta + (static_cast<size_t>(sl) * T + t) * 6;
-              int seq = ch->info.window_sequence;
-              m[0] = seq * 2 + ch->info.prev_window_shape;
-              m[1] = seq * 2 + ch->info.window_shape;
-              m[2] = ch->info.window_shape;
-              m[3] = ch->info.prev_window_shape;
-              m[4] = seq == EIGHT_SHORT ? 1 : 0;
-              m[5] = 1;
-              prev_shapes[sl] = ch->info.window_shape;
-              if (ch->tns_present) {
-                bool any = false;
-                const int32_t* mb = ch->info.window_sequence == EIGHT_SHORT
-                                        ? kTnsMaxBandsShort : kTnsMaxBandsLong;
-                size_t tb = (static_cast<size_t>(sl) * T + t);
-                if (!resolve_tns(ch, mb[cfg.sample_index],
-                                 tns_lpc + tb * 2 * kTnsSlots * kTnsOrder,
-                                 tns_range + tb * 2 * kTnsSlots * 2, &any)) {
-                  err = {ERR_BITSTREAM, "tns slots exceeded"}; goto sfail;
-                }
-                any_tns |= any;
-              }
-            }
-            if (n_elems < 16)
-              elems[n_elems++] = ElemRef{true, eid, slot, slot + 1,
-                                         left.tns_present, right.tns_present};
-            slot += 2;
+            if (!do_cpe(eid, -1)) goto sfail;
           } else if (etype == CCE_ELEM) {
             if (n_cces >= kMaxCce) {
               err = {ERR_FALLBACK, "cce: too many coupling elements"};
@@ -1203,6 +1326,7 @@ int aacparse_batch_spec(
             err = {ERR_BITSTREAM, "Unknown element"}; goto sfail;
           }
           if (!ok) { err = {ERR_BITSTREAM, "element: eof"}; goto sfail; }
+          }
         }
 
         // apply coupling (element order reproduced from the python packer:
@@ -1215,16 +1339,9 @@ int aacparse_batch_spec(
             // the source of time-domain coupling; otherwise discarded)
             cc->slot = slot++;
             float* row =
-                spec + (static_cast<size_t>(cc->slot) * T + t) * kFrameLen;
-            memcpy(row, cc->spec, sizeof(cc->spec));
-            int32_t* m = meta + (static_cast<size_t>(cc->slot) * T + t) * 6;
-            int seq = cc->ch.info.window_sequence;
-            m[0] = seq * 2;  // coupling channels have no shape history
-            m[1] = seq * 2 + cc->ch.info.window_shape;
-            m[2] = cc->ch.info.window_shape;
-            m[3] = 0;
-            m[4] = seq == EIGHT_SHORT ? 1 : 0;
-            m[5] = 1;
+                spec + (static_cast<size_t>(cc->slot) * T + t) * F;
+            memcpy(row, cc->spec, sizeof(float) * F);
+            emit_meta(cc->ch, cc->slot, true);
           }
           int dsts[32], gidx[32];
           bool dtns[32];
@@ -1257,8 +1374,8 @@ int aacparse_batch_spec(
               for (int k = 0; k < nt; ++k) {
                 expand_gain(cc->ch.info, cc->gain[gidx[k]], gbin);
                 float* dst =
-                    spec + (static_cast<size_t>(dsts[k]) * T + t) * kFrameLen;
-                for (int i = 0; i < kFrameLen; ++i)
+                    spec + (static_cast<size_t>(dsts[k]) * T + t) * F;
+                for (int i = 0; i < F; ++i)
                   dst[i] += gbin[i] * cc->spec[i];
               }
             } else {
@@ -1276,7 +1393,7 @@ int aacparse_batch_spec(
                 arena->post_idx[q * 3 + 1] = dsts[k];
                 arena->post_idx[q * 3 + 2] = t;
                 expand_gain(cc->ch.info, cc->gain[gidx[k]],
-                            arena->post_gain + static_cast<size_t>(q) * kFrameLen);
+                            arena->post_gain + static_cast<size_t>(q) * F);
               }
             }
           }
@@ -1294,8 +1411,8 @@ int aacparse_batch_spec(
         memset(fil_sbr + (static_cast<int64_t>(f_lo + t)) * 12, 0,
                sizeof(int64_t) * 12);
       for (int sl = base; sl < base + n_slots; ++sl) {
-        memset(spec + (static_cast<size_t>(sl) * T + t) * kFrameLen, 0,
-               sizeof(float) * kFrameLen);
+        memset(spec + (static_cast<size_t>(sl) * T + t) * cfg.frame_len, 0,
+               sizeof(float) * cfg.frame_len);
         memset(meta + (static_cast<size_t>(sl) * T + t) * 6, 0,
                sizeof(int32_t) * 6);
         memset(tns_lpc + (static_cast<size_t>(sl) * T + t)
@@ -1354,7 +1471,7 @@ int aacparse_batch_spec(
       const int64_t t_hi = static_cast<int64_t>(time_cap) * (k + 1) / nthreads;
       arenas[k] = CceArena{
           cce_post_idx + 3 * p_lo,
-          cce_post_gain + static_cast<int64_t>(kFrameLen) * p_lo,
+          cce_post_gain + static_cast<int64_t>(frame_len) * p_lo,
           static_cast<int>(p_hi - p_lo), 0,
           cce_time_idx + 3 * t_lo,
           cce_time_gain + t_lo,
@@ -1383,8 +1500,8 @@ int aacparse_batch_spec(
       if (a.post_count && a.post_idx != cce_post_idx + 3 * np) {
         memmove(cce_post_idx + 3 * np, a.post_idx,
                 sizeof(int32_t) * 3 * a.post_count);
-        memmove(cce_post_gain + static_cast<size_t>(kFrameLen) * np,
-                a.post_gain, sizeof(float) * kFrameLen * a.post_count);
+        memmove(cce_post_gain + static_cast<size_t>(frame_len) * np,
+                a.post_gain, sizeof(float) * frame_len * a.post_count);
       }
       np += a.post_count;
       if (a.time_count && a.time_idx != cce_time_idx + 3 * nt) {
@@ -1416,15 +1533,15 @@ int aacparse_batch_spec(
 // Payload: 2 KB int16 + 256 B scales per channel-frame vs 4 KB f32 (~44%
 // less H2D); the f32 path stays the bit-exact default.
 constexpr int kI16Block = 16;
-constexpr int kI16Blocks = kFrameLen / kI16Block;  // 64
 
-void aacjax_spec_to_i16(const float* spec, int64_t n_rows,
+void aacjax_spec_to_i16(const float* spec, int64_t n_rows, int n_cols,
                         int16_t* out, float* scales) {
+  const int n_blocks = n_cols / kI16Block;  // 64 at 1024; n_cols % 16 == 0
   for (int64_t r = 0; r < n_rows; ++r) {
-    const float* row = spec + r * kFrameLen;
-    int16_t* o = out + r * kFrameLen;
-    float* sc = scales + r * kI16Blocks;
-    for (int b = 0; b < kI16Blocks; ++b) {
+    const float* row = spec + r * n_cols;
+    int16_t* o = out + r * n_cols;
+    float* sc = scales + r * n_blocks;
+    for (int b = 0; b < n_blocks; ++b) {
       const float* p = row + b * kI16Block;
       float m = 0.0f;
       for (int i = 0; i < kI16Block; ++i) {
@@ -1449,6 +1566,6 @@ void aacjax_spec_to_i16(const float* spec, int64_t n_rows,
   }
 }
 
-int aacparse_version() { return 5; }
+int aacparse_version() { return 6; }
 
 }  // extern "C"

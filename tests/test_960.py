@@ -26,12 +26,17 @@ def _cfg960(si=4, ch=2):
 
 def run_both(config, payloads, n_channels):
     dec = BatchDecoder([config], chunk_frames=len(payloads))
-    assert not dec.use_native  # 960 runs on the python parse path
     frames = dec.parse_stream_frames(0, payloads)
     pcm = dec.step([frames])
     got = dec.stream_pcm(pcm, 0, len(payloads))
     model = ModelDecoder(config, n_channels=n_channels)
     want = np.concatenate([model.decode_frame(f) for f in frames], axis=0)
+    if dec.use_native:
+        # the native parser handles 960 too: hold its spectral output to
+        # the python packer's result on the same payloads
+        nat = BatchDecoder([config], chunk_frames=len(payloads))
+        got_nat = nat.stream_pcm(nat.step_raw([payloads]), 0, len(payloads))
+        assert_close(got_nat, want)
     return got, want
 
 

