@@ -79,9 +79,12 @@ class AACFile:
             payloads = [data[s:e] for _, s, e in frames]
         self._payloads: list[bytes] = payloads
         # warm-in: 1 frame covers the LC overlap/window history exactly;
+        # ELD's low-delay filterbank carries THREE pending output
+        # segments (pipeline.eld_synthesis), so its history needs 3;
         # SBR/PS carry QMF + envelope state, give them a longer run-in
         if warmup_frames is None:
-            warmup_frames = 16 if self._maybe_sbr() else 1
+            warmup_frames = (16 if self._maybe_sbr()
+                             else 3 if self.config.profile == 39 else 1)
         self._warmup = warmup_frames
         # resolved on the first decode (implicit SBR doubles the rate,
         # PS doubles the channels — only discoverable by decoding)

@@ -128,3 +128,28 @@ def test_bad_inputs():
         AACFile(b"no aac content here at all")
     with pytest.raises(UnsupportedError):
         AACFile(b"\x01" * 64, cookie=b"\x12\x10")
+
+
+@pytest.mark.parametrize("profile,frame_length", [(23, 512), (39, 512),
+                                                  (39, 480)])
+def test_seek_ld_eld_loas(profile, frame_length):
+    """Ranged reads on LD/ELD LOAS streams are bit-identical to the full
+    decode (ELD's 3-segment filterbank carry needs the deeper warm-in)."""
+    from aacjax import AACFile, decode_loas
+    from aacjax.testing.specgen import random_channel_spec
+
+    cfg = parse_asc(make_asc(profile, 4, 1, frame_length=frame_length))
+    rng = np.random.default_rng(61)
+    pays = []
+    for _ in range(12):
+        s = random_channel_spec(rng, cfg, window_sequence=0,
+                                allow_pulse=False, allow_noise=False)
+        pays.append(enc.write_eld_frame([("SCE", s)], cfg)
+                    if profile == 39
+                    else enc.write_er_frame([("SCE", s)], cfg))
+    loas = enc.loas_stream(pays, cfg)
+    whole, _ = decode_loas(loas)
+    f = AACFile(loas)
+    fl = frame_length
+    clip = f.read(start=6 * fl, n=3 * fl)
+    np.testing.assert_array_equal(clip, whole[6 * fl:9 * fl])
