@@ -389,7 +389,21 @@ def _decode_raw_payloads(config: StreamConfig, asc_raw: bytes,
         # ELD synthesizes via the low-delay filterbank matmul)
         dec = BatchDecoder([config], chunk_frames=chunk_frames)
         out = []
-        for i in range(0, len(payloads), chunk_frames):
+        starts = range(0, len(payloads), chunk_frames)
+        if dec.use_native:
+            # pipelined: parse of chunk k+1 overlaps chunk k's device work
+            sizes = [min(chunk_frames, len(payloads) - i) for i in starts]
+            it = ([payloads[i:i + chunk_frames]] for i in starts)
+            for k, pcm in enumerate(dec.decode_pipelined(it,
+                                                         out_int16=False)):
+                if dec.streams[0].failed:
+                    if on_error == "raise":
+                        raise UnsupportedError(
+                            f"stream failed: {dec.streams[0].last_error}")
+                    dec.streams[0].failed = False
+                out.append(dec.stream_pcm(pcm, 0, sizes[k]))
+            return np.concatenate(out, axis=0), config.sample_rate
+        for i in starts:
             group = payloads[i:i + chunk_frames]
             pcm = dec.step_raw([group])
             if dec.streams[0].failed:
@@ -646,7 +660,21 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
                        cce_slots=cce_slots, drc_scale=drc_scale)
     payloads = [data[s:e] for _, s, e in frames]
     out = []
-    for i in range(0, len(payloads), chunk_frames):
+    starts = range(0, len(payloads), chunk_frames)
+    if dec.use_native:
+        # pipelined: the host parses chunk k+1 while the link/device work
+        # on chunk k (measured +60% end-to-end on a link-bound host)
+        sizes = [min(chunk_frames, len(payloads) - i) for i in starts]
+        it = ([payloads[i:i + chunk_frames]] for i in starts)
+        for k, pcm in enumerate(dec.decode_pipelined(it, out_int16=False)):
+            if dec.streams[0].failed:
+                if on_error == "raise":
+                    raise UnsupportedError(
+                        f"stream failed: {dec.streams[0].last_error}")
+                dec.streams[0].failed = False  # concealed; keep decoding
+            out.append(dec.stream_pcm(pcm, 0, sizes[k]))
+        return np.concatenate(out, axis=0), config.sample_rate
+    for i in starts:
         group = payloads[i:i + chunk_frames]
         pcm = dec.step_raw([group])
         if dec.streams[0].failed:

@@ -905,6 +905,50 @@ class AACEncoder:
                 for ch in range(nch):
                     ch_coefs[ch][0] = tns_fir(ch_coefs[ch][0], ra, rb, lpc)
 
+            # short-window TNS: one order<=5 filter per 128-sample window
+            # where prediction gain warrants it (transient frames)
+            tns_short = None    # per-window filter lists for the writer
+            if self.use_tns and not long_frame and max_sfb > 1:
+                S_ = F // 8
+                mmm = min(int(tables.TNS_MAX_BANDS_128[
+                    self.config.sample_index]), max_sfb)
+                hz_per_bin = self.sample_rate / (2.0 * S_)
+                start_bin = int(self._tns_start_hz / hz_per_bin)
+                start_band = max(0, min(
+                    int(np.searchsorted(offsets[:mmm + 1], start_bin,
+                                        "right")) - 1, mmm - 1))
+                ra, rb = int(offsets[start_band]), int(offsets[mmm])
+                flat = [np.concatenate(ch_coefs[ch]) for ch in range(nch)]
+                probe = flat[0] if nch == 1 else (flat[0] + flat[1]) * 0.5
+                win_filters: list[tuple | None] = []
+                for wdw in range(8):
+                    got = (tns_analyze(probe[wdw * S_:(wdw + 1) * S_],
+                                       ra, rb, max_order=5, gain_min=1.5)
+                           if rb - ra >= 12 else None)
+                    win_filters.append(got)
+                if any(g is not None for g in win_filters):
+                    lists = []
+                    for wdw, got in enumerate(win_filters):
+                        if got is None:
+                            lists.append([])
+                            continue
+                        lpc, idxs = got
+                        lists.append([TnsFilterSpec(
+                            length_bands=(self.config.swb_count_short
+                                          - start_band),
+                            order=len(idxs), direction=0, coef_res=1,
+                            coef_compress=0, coef_indices=idxs)])
+                        for ch in range(nch):
+                            flat[ch][wdw * S_:wdw * S_ + S_] = tns_fir(
+                                flat[ch][wdw * S_:(wdw + 1) * S_],
+                                ra, rb, lpc)
+                    tns_short = lists
+                    for ch in range(nch):
+                        pos = 0
+                        for g, row in enumerate(ch_coefs[ch]):
+                            ch_coefs[ch][g] = flat[ch][pos:pos + len(row)]
+                            pos += len(row)
+
             # rate control — the classic two-loop: per-band base
             # scalefactors from the psy threshold (inner), then a global
             # offset bisected on exact Huffman bits to meet the budget
@@ -922,6 +966,12 @@ class AACEncoder:
                 # the filter payload per channel
                 elem_overhead += nch * (2 + 1 + 6 + 5 + 1 + 1
                                         + 4 * tns_side[2].order)
+            elif tns_short is not None:
+                per_ch = 8  # one n_filt bit per window
+                for lst in tns_short:
+                    if lst:
+                        per_ch += 1 + 4 + 3 + 1 + 1 + 4 * lst[0].order
+                elem_overhead += nch * per_ch
 
             def emit(off: int):
                 res = [self._emit_cost(a, off) for a in analyses]
@@ -943,7 +993,8 @@ class AACEncoder:
                             res, used = r, u
                         else:
                             lo = mid + 1
-            tns_spec = [[tns_side[2]]] if tns_side is not None else None
+            tns_spec = ([[tns_side[2]]] if tns_side is not None
+                        else tns_short)
             specs = [self._materialize(a, b, s, q, tns_spec=tns_spec)
                      for a, (b, s, q, _) in zip(analyses, res)]
             self._reservoir = float(np.clip(

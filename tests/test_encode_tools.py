@@ -198,3 +198,38 @@ def test_tools_can_be_disabled():
     n_tns, n_noise, n_is = tool_stats(stream)
     assert n_tns == 0 and n_noise == 0 and n_is == 0
     assert snr_db(stream, pcm) > 10
+
+
+def test_short_window_tns_fires_and_matches_oracle():
+    """Castanet-like click content forces EIGHT_SHORT frames; per-window
+    order<=5 TNS filters appear and the stream stays sample-exact in
+    libavcodec."""
+    n = 1024 * 16
+    rng = np.random.default_rng(5)
+    x = np.zeros(n)
+    x[::1536] = 1.0
+    x = sig.lfilter([1, -0.3], [1, -0.98], x) * 18000
+    x += 500 * rng.standard_normal(n)
+    pcm = np.stack([x, x * 0.9], axis=1)
+    stream = AACEncoder(SR, 2, 96_000, pns=False).encode(pcm)
+    cfg = parse_asc(make_asc(2, 4, 2))
+    n_short = n_short_tns = 0
+    shapes = [0, 0]
+    for _, s, e in split_frames(stream):
+        fr = decode_frame(BitReader(stream[s:e]), cfg, shapes)
+        for el in fr.elements:
+            for ch in (el.left, el.right):
+                if ch.info.window_sequence == 2:
+                    n_short += 1
+                    n_short_tns += bool(ch.tns_present)
+            shapes = [el.left.info.window_shape,
+                      el.right.info.window_shape]
+    assert n_short >= 8 and n_short_tns >= n_short // 2, \
+        (n_short, n_short_tns)
+    decode_adts(stream, on_error="raise")
+    if HAVE_ORACLE:
+        ref, _ = ffmpeg_oracle.decode_adts(stream)
+        mine, _ = decode_adts(stream)
+        nn = min(len(ref), len(mine))
+        peak = max(float(np.abs(ref[:nn]).max()), 1e-9)
+        assert float(np.abs(ref[:nn] - mine[:nn]).max()) / peak < 2e-4
