@@ -36,7 +36,10 @@ class ModelDecoder:
         self.S = self.F // 8
         self.MID = (self.F - self.S) // 2
         n = n_channels if n_channels is not None else config.channels
-        self.overlaps = [np.zeros(self.F, np.float64) for _ in range(n)]
+        # AAC-ELD carries three pending output segments per channel
+        # (the low-delay filterbank spans 4 frames)
+        ov = 3 * self.F if config.profile == 39 else self.F
+        self.overlaps = [np.zeros(ov, np.float64) for _ in range(n)]
         self.cce_overlaps: dict[int, np.ndarray] = {}
         # AAC-LTP: [3F] time history per channel = (output[t-2], output[t-1],
         # windowed estimate of output[t]) in spectral (32768) scale
@@ -108,6 +111,18 @@ class ModelDecoder:
         """IMDCT + window + OLA for one channel; mutates overlap in place.
         Stashes the raw IMDCT output on self._last_raw for update_ltp."""
         FRAME, SHORT, MID = self.F, self.S, self.MID
+        if self.config.profile == 39:
+            # AAC-ELD low-delay filterbank: the frame's F coefficients map
+            # to 4F output samples (tables.eld_synthesis_matrix, fp64),
+            # accumulated at F-sample stride; overlap holds the three
+            # pending segments (mirrors pipeline.eld_synthesis)
+            y = spec @ tables.eld_synthesis_matrix(FRAME)   # [4F]
+            out = overlap[:FRAME] + y[:FRAME]
+            overlap[:2 * FRAME] = overlap[FRAME:]
+            overlap[2 * FRAME:] = 0.0
+            overlap[:3 * FRAME] += y[FRAME:]
+            self._last_raw = None
+            return out
         seq = info.window_sequence
         wl_cur = tables.long_window(info.window_shape, FRAME)
         ws_cur = tables.short_window(info.window_shape, SHORT)

@@ -189,3 +189,25 @@ def test_eld_rejects_oversized_max_sfb():
     w.align()
     with pytest.raises(BitstreamError):
         decode_frame(BitReader(w.getvalue()), cfg, [0])
+
+
+def test_eld_model_decoder_matches_device():
+    """The fp64 model decoder's ELD low-delay filterbank (an independent
+    fp64 oracle — libavcodec is f32) agrees with the batched device
+    pipeline."""
+    from aacjax.host.refdec import ModelDecoder
+
+    rng = np.random.default_rng(43)
+    cfg = eld_config(512)
+    payloads = eld_sce_payloads(rng, cfg, 6)
+    loas = enc.loas_stream(payloads, cfg)
+    dev, _ = decode_loas(loas)
+    model = ModelDecoder(cfg, n_channels=1)
+    out = []
+    for p in payloads:
+        f = decode_frame(BitReader(p), cfg, [0])
+        out.append(model.decode_frame(f))
+    want = np.concatenate(out, axis=0)
+    err = float(np.abs(dev - want).max())
+    peak = max(float(np.abs(want).max()), 1e-9)
+    assert err / peak < 2e-5, err / peak

@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Differential fuzz campaign: native C++ parser vs python parser vs the
+fp64 model decoder, across profiles, frame lengths, channel modes and
+coding tools.
+
+For each case a random conformant stream is generated
+(aacjax.testing.specgen), then:
+  1. native parse + device step  ==  python parse + device step
+     (bit-identical — same float32 operation order by construction)
+  2. device step  ~=  fp64 model decoder (rel err < 2e-5)
+  3. a bit-flipped mutant of the same stream must decode, conceal, or
+     fail cleanly on both parsers (finite outputs, no crashes)
+
+Usage:  python tools/diff_fuzz.py [--cases N] [--seed S]
+Exits nonzero on the first divergence, printing a reproducer line.
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                       / "tests"))
+
+
+def run_case(seed: int) -> str:
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.host.bitio import BitWriter
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.specgen import (legal_sequence_chain,
+                                        random_channel_spec,
+                                        random_cpe_spec)
+    from model_decoder import ModelDecoder
+
+    rng = np.random.default_rng(seed)
+    profile, frame_length = [
+        (2, 1024), (2, 1024), (2, 1024), (2, 960),
+        (17, 1024), (17, 960), (23, 512), (23, 480),
+        (39, 512), (39, 480),
+    ][int(rng.integers(0, 10))]
+    si = int(rng.integers(0, 12))
+    stereo = bool(rng.integers(0, 2))
+    from aacjax.host.asc import UnsupportedError
+    try:
+        cfg = parse_asc(make_asc(profile, si, 2 if stereo else 1,
+                                 frame_length=frame_length))
+    except UnsupportedError:
+        # LD/ELD are undefined at some sampling indices — legal rejection
+        si = 4
+        cfg = parse_asc(make_asc(profile, si, 2 if stereo else 1,
+                                 frame_length=frame_length))
+    n_frames = int(rng.integers(2, 6))
+    er = profile in (17, 23, 39)
+    eld = profile == 39
+    kw = dict(allow_pulse=not er, allow_noise=not er)
+    seqs = (legal_sequence_chain(rng, n_frames)
+            if profile in (2, 17) and frame_length == 1024
+            else [0] * n_frames)
+    payloads = []
+    for s in seqs:
+        if stereo:
+            if er:
+                left = random_channel_spec(rng, cfg, window_sequence=s, **kw)
+                right = random_channel_spec(
+                    rng, cfg, window_sequence=s, grouping=left.grouping,
+                    max_sfb=left.max_sfb,
+                    window_shape=left.window_shape, allow_intensity=True,
+                    **kw)
+                ms_type = int(rng.integers(0, 3))
+                ms_used = ((rng.random(left.max_sfb * left.group_count)
+                            < 0.5).astype(np.int64)
+                           if ms_type == 1 else None)
+                spec = enc.CPESpec(left=left, right=right,
+                                   common_window=True, ms_type=ms_type,
+                                   ms_used=ms_used)
+                payloads.append(enc.write_eld_frame([("CPE", spec)], cfg)
+                                if eld
+                                else enc.write_er_frame([("CPE", spec)],
+                                                        cfg))
+            else:
+                w = BitWriter()
+                enc.write_cpe(w, random_cpe_spec(rng, cfg), cfg)
+                payloads.append(enc.end_frame(w))
+        else:
+            spec = random_channel_spec(rng, cfg, window_sequence=s, **kw)
+            if eld:
+                payloads.append(enc.write_eld_frame([("SCE", spec)], cfg))
+            elif er:
+                payloads.append(enc.write_er_frame([("SCE", spec)], cfg))
+            else:
+                w = BitWriter()
+                enc.write_sce(w, spec, cfg)
+                payloads.append(enc.end_frame(w))
+
+    label = (f"seed={seed} AOT{profile} F={frame_length} si={si} "
+             f"{'CPE' if stereo else 'SCE'} frames={n_frames}")
+
+    # 1) native == python (bit-exact)
+    nat = BatchDecoder([cfg], chunk_frames=n_frames)
+    ref = BatchDecoder([cfg], chunk_frames=n_frames, use_native=False)
+    frames = ref.parse_stream_frames(0, payloads)
+    want = ref.stream_pcm(ref.step([frames]), 0, n_frames)
+    if nat.use_native:
+        got = nat.stream_pcm(nat.step_raw([payloads]), 0, n_frames)
+        if int(nat._last_status[0]) != 0:
+            return f"{label}: native status {nat._last_status[0]}"
+        if not np.array_equal(got, want):
+            d = float(np.abs(got - want).max())
+            return f"{label}: native != python (max abs {d})"
+
+    # 2) device ~= fp64 model
+    model = ModelDecoder(cfg, n_channels=2 if stereo else 1)
+    exact = np.concatenate([model.decode_frame(f) for f in frames], axis=0)
+    scale = max(1.0, float(np.abs(exact).max()))
+    err = float(np.abs(want - exact).max()) / scale
+    if err > 2e-5:
+        return f"{label}: device vs fp64 model rel err {err:.2e}"
+
+    # 3) mutants stay clean on both parsers
+    mut = [bytearray(p) for p in payloads]
+    for p in mut:
+        pos = int(rng.integers(0, len(p)))
+        p[pos] ^= 1 << int(rng.integers(8))
+    mut = [bytes(p) for p in mut]
+    nat2 = BatchDecoder([cfg], chunk_frames=n_frames)
+    pcm2 = nat2.step_raw([mut])
+    if not np.isfinite(pcm2).all():
+        return f"{label}: native mutant produced non-finite output"
+    py2 = BatchDecoder([cfg], chunk_frames=n_frames, use_native=False)
+    pcm3 = py2.step_raw([mut])
+    if not np.isfinite(pcm3).all():
+        return f"{label}: python mutant produced non-finite output"
+    return ""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    fails = 0
+    for i in range(args.cases):
+        msg = run_case(args.seed * 1_000_000 + i)
+        if msg:
+            print("FAIL", msg)
+            fails += 1
+            if fails >= 5:
+                break
+        elif (i + 1) % 50 == 0:
+            print(f"# {i + 1}/{args.cases} ok")
+    print(f"{args.cases - fails}/{args.cases} cases clean")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
