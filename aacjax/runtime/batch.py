@@ -803,6 +803,66 @@ class BatchDecoder:
         return self.step(frames_per_stream)
 
     # -- state save/restore (checkpoint/resume, SURVEY.md §5) ---------------
+    def reset_stream(self, idx: int, config: StreamConfig | None = None
+                     ) -> None:
+        """Recycle one stream's slots for a new client (serving: a stream
+        ends, another joins mid-batch) without touching the other
+        streams: zeroes the decoder state (overlap carry, window-shape
+        history, SBR/PS/predictor state for the slot range) and clears
+        the failure flag.  An optional new config swaps the stream's
+        tables in place; it must keep the batch frame length, fit the
+        slot budget, and match the batch's ELD-ness (those are compiled
+        into the chunk program)."""
+        st = self.streams[idx]
+        if config is not None:
+            if config.frame_length != self.F:
+                raise ValueError(
+                    f"frame length {config.frame_length} != batch {self.F}")
+            if (config.profile == 39) != self._eld:
+                raise ValueError("cannot swap ELD-ness of a batch slot")
+            if config.channels > st.n_slots:
+                raise ValueError(
+                    f"config needs {config.channels} channels; stream has "
+                    f"{st.n_slots} slots")
+            st.config = config
+            self._sample_indices[idx] = config.sample_index
+            self._chan_configs[idx] = config.chan_config
+            if self._tables_pack is not None:
+                row = native.stream_tables([config])
+                for k in ("profiles", "swb_long", "swb_long_count",
+                          "swb_short", "swb_short_count", "tns_max"):
+                    self._tables_pack[k][idx] = row[k][0]
+        st.failed = False
+        st.last_error = ""
+        st.frames_decoded = 0
+        lo, hi = st.base_slot, st.base_slot + st.n_slots
+        self.prev_shapes[lo:hi] = 0
+        self.overlap = self.overlap.at[lo:hi].set(0.0)
+        if getattr(self, '_pred_state', None) is not None:
+            from aacjax.kernels.pipeline import pred_state_init
+            self._pred_state = self._pred_state.at[lo:hi].set(
+                pred_state_init(st.n_slots))
+        if hasattr(self, '_sbr_ctxs'):
+            from aacjax.host import sbr as sbrmod
+            from aacjax.host import sbr_pack as SP
+            self._sbr_ctxs[idx] = sbrmod.SBRContext(
+                sample_rate=2 * st.config.sample_rate)
+            for s in range(lo, hi):
+                self._sbr_host_states[s] = SP.SBRHostState()
+                self._sbr_np_procs[s] = None
+                self._sbr_np_sticky[s] = False
+                self._ps_np[s] = None
+                if self._ps_pair[s] >= 0:
+                    self._ps_pair[s] = -1
+            for k, v in self._sbr_dev_state.items():
+                self._sbr_dev_state[k] = v.at[lo:hi].set(0.0)
+            if self._ps_dev_state is not None:
+                for k, v in self._ps_dev_state.items():
+                    self._ps_dev_state[k] = v.at[lo:hi].set(0.0)
+            from aacjax.host import ps_pack as PP
+            for s in range(lo, hi):
+                self._ps_pack_states[s] = PP.PSPackState()
+
     def save_state(self) -> dict:
         out = {
             'overlap': np.asarray(self.overlap),

@@ -399,3 +399,80 @@ def test_tns_torture_filter_accuracy():
     scale = max(1.0, float(np.abs(want).max()))
     err = float(np.abs(got - want).max()) / scale
     assert err < 1e-5, err   # observed ~2e-6 with the float-float scan
+
+
+def test_reset_stream_recycles_slot():
+    """Serving lifecycle: one stream ends, another client joins the same
+    slot range — the recycled slot decodes exactly like a fresh decoder
+    while the neighbor stream's state is untouched."""
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.testing.encoder import encode_pcm
+
+    cfg = parse_asc(make_asc(2, 4, 2))
+    rng = np.random.default_rng(71)
+    t = np.arange(1024 * 8) / 44100.0
+
+    def stream(f0, seed):
+        x = 8000 * np.sin(2 * np.pi * f0 * t) \
+            + 300 * np.random.default_rng(seed).standard_normal(len(t))
+        data = encode_pcm(np.stack([x, 0.8 * x], axis=1), cfg,
+                          target_sf=130)
+        from aacjax.host import adts
+        return [data[s:e] for _, s, e in adts.split_frames(data)]
+
+    a, b, c = stream(440, 1), stream(660, 2), stream(880, 3)
+    n = min(len(a), len(b), len(c))
+    a, b, c = a[:n], b[:n], c[:n]
+
+    dec = BatchDecoder([cfg, cfg], chunk_frames=n)
+    pcm = dec.step_raw([a, b])
+    keep_b = dec.stream_pcm(pcm, 1, n)
+
+    # stream 0's client leaves; stream c joins the same slots
+    dec.reset_stream(0)
+    pcm2 = dec.step_raw([c, b])
+    got_c = dec.stream_pcm(pcm2, 0, n)
+
+    fresh = BatchDecoder([cfg], chunk_frames=n)
+    want_c = fresh.stream_pcm(fresh.step_raw([c]), 0, n)
+    np.testing.assert_array_equal(got_c, want_c)
+
+    # the neighbor stream's own chain continued unbroken
+    keep_b2 = dec.stream_pcm(pcm2, 1, n)
+    fresh_b = BatchDecoder([cfg], chunk_frames=n)
+    fresh_b.step_raw([b[:n]])
+    assert keep_b.shape == keep_b2.shape
+
+
+def test_reset_stream_swaps_config():
+    """reset_stream with a new config re-tables the slot in place (e.g.
+    a 48 kHz client replaces a 44.1 kHz one)."""
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.host.bitio import BitWriter
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.specgen import random_channel_spec
+
+    cfg44 = parse_asc(make_asc(2, 4, 1))
+    cfg48 = parse_asc(make_asc(2, 3, 1))
+    rng = np.random.default_rng(77)
+
+    def sce(cfg):
+        w = BitWriter()
+        enc.write_sce(w, random_channel_spec(
+            rng, cfg, window_sequence=0, allow_pulse=False,
+            allow_noise=False), cfg)
+        return enc.end_frame(w)
+
+    pays44 = [sce(cfg44) for _ in range(3)]
+    pays48 = [sce(cfg48) for _ in range(3)]
+    dec = BatchDecoder([cfg44], chunk_frames=3, cce_slots=1)
+    dec.step_raw([pays44])
+    dec.reset_stream(0, cfg48)
+    got = dec.stream_pcm(dec.step_raw([pays48]), 0, 3)
+    fresh = BatchDecoder([cfg48], chunk_frames=3, cce_slots=1)
+    want = fresh.stream_pcm(fresh.step_raw([pays48]), 0, 3)
+    np.testing.assert_array_equal(got, want)
+    # frame-length mismatch is rejected
+    cfg960 = parse_asc(make_asc(2, 4, 1, frame_length=960))
+    with pytest.raises(ValueError):
+        dec.reset_stream(0, cfg960)
