@@ -345,23 +345,39 @@ class BatchDecoder:
                     # band mode differs from the chunk's compiled kernel
                     self._sbr_np_sticky[slot] = True
 
-    def _sbr_stage(self, core_pcm, dense, np_jobs,
-                   out_int16: bool = False) -> np.ndarray:
-        """Run the batched device SBR program on device-resident core PCM
-        and materialize; replay sticky slots (deviant header / VAR
-        overhang) on the numpy path, seeded from the pre-chunk batched
-        state so the switch is continuous."""
-        from aacjax.host import sbr_decode as SD
+    def _he_ctx(self) -> dict:
+        """Capture one chunk's SBR/PS bookkeeping into an explicit context
+        so the device phase can run on a worker thread while the next
+        chunk parses (the captured objects are re-created per chunk by
+        _sbr_chunk_begin; the sticky set is frozen at capture time)."""
         from aacjax.host.sbr import SBRHeader, derive_tables
-        from aacjax.kernels.sbr_batch import SBRStaticConfig, jitted_sbr_apply
+        from aacjax.kernels.sbr_batch import SBRStaticConfig
         if self._sbr_cfg is None:
             # no SBR payload seen yet anywhere: whole chunk upsample-only
             hdr = SBRHeader()
             self._sbr_cfg = (hdr, SBRStaticConfig.from_tables(
                 derive_tables(hdr, 2 * self.streams[0].config.sample_rate),
                 1.0))
-        sticky = [s for s in range(self.C)
-                  if self._sbr_np_sticky[s] and self._chunk_nframes[s]]
+        return dict(
+            nframes=self._chunk_nframes,
+            records=self._chunk_sbr_records,
+            host_snap=self._host_state_snap,
+            sticky=[s for s in range(self.C)
+                    if self._sbr_np_sticky[s] and self._chunk_nframes[s]],
+            ps_enabled=self._ps_enabled,
+            ps_is34=self._ps_is34,
+            ps_dense=self._ps_dense,
+            ps_pair=list(self._ps_pair))
+
+    def _sbr_stage(self, core_pcm, dense, np_jobs, ctx: dict,
+                   out_int16: bool = False) -> np.ndarray:
+        """Run the batched device SBR program on device-resident core PCM
+        and materialize; replay sticky slots (deviant header / VAR
+        overhang) on the numpy path, seeded from the pre-chunk batched
+        state so the switch is continuous."""
+        from aacjax.host import sbr_decode as SD
+        from aacjax.kernels.sbr_batch import jitted_sbr_apply
+        sticky = ctx["sticky"]
         # materialize pre-chunk filter states for newly-sticky slots NOW:
         # the jitted step donates its state buffers
         prev_state = self._sbr_dev_state
@@ -369,23 +385,23 @@ class BatchDecoder:
             s: tuple(np.asarray(prev_state[k][s], np.float64)
                      for k in ("x_hist", "v_hist", "xlow_r", "xlow_i"))
             for s in sticky if self._sbr_np_procs[s] is None}
-        if self._ps_enabled:
+        if ctx["ps_enabled"]:
             import jax.numpy as jnp
             from aacjax.kernels.ps_batch import (jitted_sbr_ps_apply,
                                                  ps_state_init)
             if self._ps_dev_state is None:
                 self._ps_dev_state = ps_state_init(self.C,
-                                                   bool(self._ps_is34))
+                                                   bool(ctx["ps_is34"]))
                 # PS owns the L synthesis from here: continue the mono
                 # path's filterbank state seamlessly
                 self._ps_dev_state["v_l"] = prev_state["v_hist"].copy()
             out_src = np.arange(self.C, dtype=np.int32)
             out_role = np.zeros(self.C, np.int32)
-            for s, p in enumerate(self._ps_pair):
+            for s, p in enumerate(ctx["ps_pair"]):
                 if p >= 0:
                     out_src[p] = s
                     out_role[p] = 1
-            d = self._ps_dense
+            d = ctx["ps_dense"]
             ps_dense = dict(
                 ps_ha=jnp.asarray(d.ha_idx), ps_icc=jnp.asarray(d.icc_idx),
                 ps_opd=jnp.asarray(d.opd_pd), ps_ipd=jnp.asarray(d.ipd_pd),
@@ -395,7 +411,7 @@ class BatchDecoder:
                 out_src=jnp.asarray(out_src), out_role=jnp.asarray(out_role))
             fn = jitted_sbr_ps_apply(self._sbr_cfg[1],
                                      out_int16 and not sticky,
-                                     bool(self._ps_is34))
+                                     bool(ctx["ps_is34"]))
             pcm2, self._sbr_dev_state, self._ps_dev_state = fn(
                 core_pcm, vars(dense), ps_dense, prev_state,
                 self._ps_dev_state)
@@ -420,7 +436,7 @@ class BatchDecoder:
                     # state (QMF/synthesis histories from the device
                     # dict, sequential counters from the host snapshot)
                     proc = SD.SBRChannelProc()
-                    hs = self._host_state_snap[slot]
+                    hs = ctx["host_snap"][slot]
                     if hs is not None:
                         proc.bw = np.asarray(hs.bw, np.float64).copy()
                         proc.invf_prev = (None if hs.invf_prev is None
@@ -437,9 +453,9 @@ class BatchDecoder:
                     proc.xlow_hist = xlr + 1j * xli
                     self._sbr_np_procs[slot] = proc
                 recs = {t: (sf, c, eq)
-                        for (t, sf, c, eq) in self._chunk_sbr_records[slot]}
-                pair = self._ps_pair[slot]
-                for t in range(self._chunk_nframes[slot]):
+                        for (t, sf, c, eq) in ctx["records"][slot]}
+                pair = ctx["ps_pair"][slot]
+                for t in range(ctx["nframes"][slot]):
                     core = core_np[slot, t].astype(np.float64)
                     if t in recs:
                         sf, c, eq = recs[t]
@@ -473,6 +489,86 @@ class BatchDecoder:
                             out[pair, t] = out[slot, t]
         return out
 
+    def _he_host_phase(self, payloads_per_stream, compact=None,
+                       buf_slot: int = 0):
+        """Host half of one HE chunk on the native path: C core parse
+        (records SBR FIL payload positions) + python parse of the ~30-byte
+        SBR extensions + dense pack.  Returns (parsed_core, dense,
+        np_jobs, ctx) for _device_step/_sbr_stage — the device half can
+        run on a worker thread while the next chunk's host phase runs."""
+        from aacjax.host import sbr as sbrmod
+        from aacjax.host import sbr_pack as SP
+
+        self._sbr_init()
+        self._sbr_chunk_begin(payloads_per_stream)
+        dense = SP.alloc_dense(self.C, self.T)
+        np_jobs: list = []
+        parsed = self._parse_native(payloads_per_stream, buf_slot=buf_slot,
+                                    compact=compact)
+        fil = self._last_fil_sbr
+        g = 0
+        cache = self._sbr_parse_cache
+        for i, payloads in enumerate(payloads_per_stream):
+            ctx = self._sbr_ctxs[i]
+            for t, payload in enumerate(payloads or []):
+                for rec in fil[g]:
+                    bitpos, slot, nch = int(rec[0]), int(rec[1]), int(rec[2])
+                    if bitpos == 0:
+                        continue
+                    key = (payload, bitpos, nch)
+                    sf = cache.get(key)
+                    if sf is not None and sf.header == ctx.header:
+                        sbrmod.apply_frame_state(ctx, sf)
+                    else:
+                        r = BitReader(payload)
+                        r.seek_bits(bitpos)
+                        ext_type = r.read(4)
+                        sf = sbrmod.read_sbr_extension(
+                            r, ctx, nch == 2,
+                            ext_type == sbrmod.EXT_SBR_DATA_CRC)
+                        if sbrmod.frame_is_context_free(sf):
+                            if len(cache) > 512:
+                                cache.clear()
+                            cache[key] = sf
+                    self._sbr_pack_payload(dense, np_jobs, sf, slot,
+                                           nch, t)
+                g += 1
+        return parsed, dense, np_jobs, self._he_ctx()
+
+    def decode_he_pipelined(self, chunk_iter, out_int16: bool = True,
+                            compact: bool | None = None):
+        """Generator decoding an iterator of HE-AAC payload chunks with
+        host/device overlap, like decode_pipelined: while the device runs
+        chunk k's core+SBR programs (and the link moves its data), the
+        main thread parses chunk k+1.  The per-chunk SBR bookkeeping is
+        snapshotted into an explicit context so the two phases never
+        share mutable chunk state.  Native path only."""
+        import concurrent.futures
+        if not self.use_native:
+            raise RuntimeError("decode_he_pipelined requires the native "
+                               "parser (use step_he_raw)")
+        pool = concurrent.futures.ThreadPoolExecutor(1)
+        pending = None
+        slot = 0
+
+        def device_half(args):
+            parsed, dense, np_jobs, ctx = args
+            core_pcm = self._device_step(parsed, out_int16=False)
+            return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16)
+
+        try:
+            for chunk in chunk_iter:
+                host = self._he_host_phase(chunk, compact, buf_slot=slot)
+                if pending is not None:
+                    yield pending.result()
+                    pending = None
+                pending = pool.submit(device_half, host)
+                slot ^= 1
+            if pending is not None:
+                yield pending.result()
+        finally:
+            pool.shutdown(wait=False)
+
     def step_he_raw(self, payloads_per_stream: list[list[bytes] | None],
                     compact: bool | None = None,
                     out_int16: bool = False) -> np.ndarray:
@@ -486,48 +582,19 @@ class BatchDecoder:
         Streams whose SBR header differs from the chunk's first-seen
         header fall back to the per-channel numpy SBR path (identical
         output, host-side)."""
-        from aacjax.host import sbr as sbrmod
         from aacjax.host import sbr_pack as SP
         from aacjax.host.syntax import CPEData
+
+        if self.use_native:
+            parsed, dense, np_jobs, ctx = self._he_host_phase(
+                payloads_per_stream, compact)
+            core_pcm = self._device_step(parsed, out_int16=False)
+            return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16)
 
         self._sbr_init()
         self._sbr_chunk_begin(payloads_per_stream)
         dense = SP.alloc_dense(self.C, self.T)
         np_jobs: list = []
-
-        if self.use_native:
-            parsed = self._parse_native(payloads_per_stream,
-                                        compact=compact)
-            fil = self._last_fil_sbr
-            g = 0
-            cache = self._sbr_parse_cache
-            for i, payloads in enumerate(payloads_per_stream):
-                ctx = self._sbr_ctxs[i]
-                for t, payload in enumerate(payloads or []):
-                    for rec in fil[g]:
-                        bitpos, slot, nch = int(rec[0]), int(rec[1]), int(rec[2])
-                        if bitpos == 0:
-                            continue
-                        key = (payload, bitpos, nch)
-                        sf = cache.get(key)
-                        if sf is not None and sf.header == ctx.header:
-                            sbrmod.apply_frame_state(ctx, sf)
-                        else:
-                            r = BitReader(payload)
-                            r.seek_bits(bitpos)
-                            ext_type = r.read(4)
-                            sf = sbrmod.read_sbr_extension(
-                                r, ctx, nch == 2,
-                                ext_type == sbrmod.EXT_SBR_DATA_CRC)
-                            if sbrmod.frame_is_context_free(sf):
-                                if len(cache) > 512:
-                                    cache.clear()
-                                cache[key] = sf
-                        self._sbr_pack_payload(dense, np_jobs, sf, slot,
-                                               nch, t)
-                    g += 1
-            core_pcm = self._device_step(parsed, out_int16=False)
-            return self._sbr_stage(core_pcm, dense, np_jobs, out_int16)
 
         # python path: full element walk with SBR contexts
         frames_per_stream: list[list | None] = []
@@ -569,7 +636,8 @@ class BatchDecoder:
                         self._sbr_pack_payload(dense, np_jobs, sf, slot,
                                                nch, t)
                     slot += nch
-        return self._sbr_stage(core_pcm, dense, np_jobs)
+        return self._sbr_stage(core_pcm, dense, np_jobs, self._he_ctx(),
+                               out_int16)
 
     def decode_block(self, buffer_tail: bytes):
         """Streaming fast path: natively parse + decode ONE raw_data_block

@@ -104,7 +104,7 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
 
 
 def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
-             ps: bool = False) -> int:
+             ps: bool = False, pipelined: bool = True) -> int:
     """HE-AAC batched throughput: host parse + the chained device
     programs (core decode -> batched SBR [-> batched Parametric Stereo
     with --ps: mono v2 streams emitting stereo]), 2x output rate.
@@ -157,9 +157,15 @@ def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
         dec = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk,
                            **slots)
         t1 = time.time()
-        for lo in range(0, n_frames, chunk):
-            dec.step_he_raw([p[lo:lo + chunk] for p in per_stream],
-                            out_int16=True)
+        if pipelined and dec.use_native:
+            it = ([p[lo:lo + chunk] for p in per_stream]
+                  for lo in range(0, n_frames, chunk))
+            for _pcm in dec.decode_he_pipelined(it, out_int16=True):
+                pass
+        else:
+            for lo in range(0, n_frames, chunk):
+                dec.step_he_raw([p[lo:lo + chunk] for p in per_stream],
+                                out_int16=True)
         wall = time.time() - t1
         audio_seconds = n_streams * n_frames * 2048 / 44100.0
         best = max(best, audio_seconds / wall)
@@ -211,7 +217,8 @@ def main() -> int:
 
     if args.he or args.ps:
         return bench_he(args.streams, args.seconds, args.chunk,
-                        args.repeats, ps=args.ps)
+                        args.repeats, ps=args.ps,
+                        pipelined=args.pipelined)
 
     from aacjax.host import adts, native
     from aacjax.runtime.batch import BatchDecoder

@@ -166,3 +166,29 @@ def test_step_he_raw_native_parse_matches_python():
     # dequant vs device dequant), and envelope normalization amplifies
     # relative differences on near-empty HF source bands; observed ~1.5e-4
     assert float(np.abs(got - want).max()) / scale < 5e-4
+
+
+def test_decode_he_pipelined_matches_step_he_raw():
+    """The pipelined HE generator (host parse of chunk k+1 overlapping
+    chunk k's device work, per-chunk SBR context snapshotted) yields the
+    same chunks as sequential step_he_raw — cross-chunk SBR/QMF state
+    carried identically."""
+    from aacjax.host import native
+    if not native.available():
+        pytest.skip("native parser not built")
+    stream = make_he_stream(ch=2, n_frames=9, invf=1, num_env=2)
+    config, _ = _parse_he(stream, 2)
+    payloads = [stream[s:e] for _, s, e in adts.split_frames(stream)]
+
+    ref = BatchDecoder([config], chunk_frames=3)
+    assert ref.use_native
+    want = [np.array(ref.step_he_raw([payloads[lo:lo + 3]],
+                                     out_int16=True))
+            for lo in (0, 3, 6)]
+
+    pl = BatchDecoder([config], chunk_frames=3)
+    it = ([payloads[lo:lo + 3]] for lo in (0, 3, 6))
+    got = list(pl.decode_he_pipelined(it, out_int16=True))
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), w)
