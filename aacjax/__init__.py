@@ -16,6 +16,7 @@ from aacjax.host.latm import probe_loas  # noqa: F401
 from aacjax.host.mp4 import probe as probe_m4a  # noqa: F401
 from aacjax.file import AACFile  # noqa: F401
 from aacjax.encode import AACEncoder, encode_adts, encode_m4a  # noqa: F401
+from aacjax.encode_he import HEAACEncoder, encode_he_adts  # noqa: F401
 from aacjax.host.asc import make_asc, parse_asc  # noqa: F401
 from aacjax.runtime.batch import BatchDecoder  # noqa: F401
 

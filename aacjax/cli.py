@@ -118,6 +118,21 @@ def cmd_encode(args) -> int:
     pcm, rate = _read_wav(args.input)
     if pcm.shape[1] > 2:
         raise SystemExit("encoder supports mono and stereo WAV input")
+    if args.he:
+        from aacjax.encode_he import HEAACEncoder
+        enc = HEAACEncoder(rate, pcm.shape[1], args.bitrate)
+        data = enc.encode(pcm)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        secs = len(pcm) / rate
+        print(json.dumps({
+            "samples": int(pcm.shape[0]), "channels": int(pcm.shape[1]),
+            "sample_rate": rate, "container": "adts", "profile": "HE-AAC",
+            "bytes": len(data), "seconds": round(secs, 3),
+            "kbps": round(len(data) * 8 / max(secs, 1e-9) / 1000, 1),
+            "output": args.output,
+        }))
+        return 0
     enc = AACEncoder(rate, pcm.shape[1], args.bitrate,
                      tns=not args.no_tns, pns=not args.no_pns,
                      intensity=not args.no_is)
@@ -266,6 +281,10 @@ def main(argv=None) -> int:
     e.add_argument("input")
     e.add_argument("output")
     e.add_argument("--bitrate", type=int, default=128_000)
+    e.add_argument("--he", action="store_true",
+                   help="encode HE-AAC v1 (SBR): half-rate AAC-LC core + "
+                        "spectral band replication; for low bitrates "
+                        "(~32-64 kbps)")
     e.add_argument("--no-tns", action="store_true",
                    help="disable TNS analysis")
     e.add_argument("--no-pns", action="store_true",

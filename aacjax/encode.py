@@ -446,7 +446,7 @@ class AACEncoder:
     def __init__(self, sample_rate: int = 44100, channels: int = 2,
                  bitrate: int = 128_000, psy: PsyParams | None = None,
                  tns: bool = True, pns: bool = True,
-                 intensity: bool = True):
+                 intensity: bool = True, cutoff_hz: float | None = None):
         if channels not in (1, 2):
             raise ValueError("AACEncoder supports mono and stereo")
         try:
@@ -466,8 +466,10 @@ class AACEncoder:
         # bandwidth cutoff from per-channel rate (classic encoder rule of
         # thumb; keeps bits where masking can use them)
         per_ch = bitrate / channels
-        cutoff_hz = min(0.45 * sample_rate,
-                        4000.0 + per_ch * 0.12, 20000.0)
+        if cutoff_hz is None:
+            cutoff_hz = min(0.45 * sample_rate,
+                            4000.0 + per_ch * 0.12, 20000.0)
+        cutoff_hz = min(cutoff_hz, 0.5 * sample_rate)
         self._cutoff_bin = int(cutoff_hz / (sample_rate / 2.0) * self._frame)
         self._reservoir = 0.0
         self._reservoir_cap = 6.0 * bitrate * self._frame / sample_rate
@@ -714,9 +716,15 @@ class AACEncoder:
             tns=tns_spec)
 
     # -- public ---------------------------------------------------------------
-    def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
+    def encode_frames(self, pcm: np.ndarray,
+                      fil_payloads: list[bytes] | None = None
+                      ) -> list[bytes]:
         """Encode PCM [n, channels] to raw_data_block payloads.  Output
-        has the standard 1-frame encoder delay plus a final flush frame."""
+        has the standard 1-frame encoder delay plus a final flush frame.
+
+        fil_payloads: optional per-output-frame FIL extension payloads
+        (e.g. SBR data from the HE-AAC encoder), written between the
+        channel element and END."""
         F = self._frame
         nch = self.channels
         pcm = np.asarray(pcm, np.float64).reshape(-1, nch)
@@ -1035,6 +1043,9 @@ class AACEncoder:
                     self.config)
             else:
                 write_sce(w, specs[0], self.config)
+            if fil_payloads is not None and f < len(fil_payloads):
+                from aacjax.testing.sbr_encoder import write_sbr_fil
+                write_sbr_fil(w, fil_payloads[f])
             payloads.append(end_frame(w))
         return payloads
 

@@ -1,0 +1,196 @@
+"""HE-AAC v1 (SBR) encoder: core AAC-LC at half rate + spectral band
+replication side info.
+
+The reference decodes nothing above plain AAC-LC; aacjax both decodes
+HE-AAC (sample-exact vs libavcodec) and, with this module, produces it:
+
+  - the input is split at the SBR crossover: a polyphase half-band
+    decimation feeds the core AAC-LC encoder (psychoacoustics + rate
+    control from aacjax.encode, bandwidth-capped at the crossover),
+  - a 64-band complex QMF analysis of the full-rate input (same
+    prototype and phase convention as the decoder's bank — magnitudes
+    verified to track the decoder's 32-band core analysis to ~0.1%)
+    measures the high-band, per-envelope target energies,
+  - envelopes quantize by inverting the decoder's dequant exactly
+    (e = 2^(q + 6) at amp_res=1, host/sbr.py dequant), so the decoder's
+    envelope adjuster reproduces the measured energies by construction,
+  - the noise floor and inverse-filtering levels come from spectral
+    flatness: of the target high band (how noise-like the original is)
+    against the patch source region (what the copied-up low band will
+    look like),
+  - the SBR payload rides a FIL extension per frame
+    (aacjax.testing.sbr_encoder writers — the bit-level writers the
+    conformance tests already validate against libavcodec).
+
+Grid: FIXFIX with two envelopes per frame (amp_res=1) — 1024-sample
+envelope resolution at the output rate; two noise floors per frame.
+
+Validation (tests/test_encode_he.py): streams decode in both aacjax and
+libavcodec; the reconstructed high band tracks the original's
+third-octave band energies, and the core band decodes with normal
+waveform SNR.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from aacjax.encode import AACEncoder
+from aacjax.host import sbr as sbrmod
+from aacjax.kernels import qmf
+from aacjax.testing.encoder import adts_frame
+from aacjax.testing.sbr_encoder import SBRFrameSpec, sbr_payload
+
+SLOTS_PER_FRAME = 32      # 2048 output samples / 64-sample QMF slots
+
+
+def qmf_analysis64(x: np.ndarray) -> np.ndarray:
+    """64-band complex QMF analysis of a full-rate signal (float64,
+    spectral 32768 scale) -> [n//64, 64].
+
+    Mirrors the structure of the decoder's 32-band bank
+    (host/sbr_decode._qmf_analysis_np) at double size: the full 640-tap
+    prototype (not decimated, no 2x upsampling compensation) and the
+    matching modulation phase exp(j*pi/128*(k+0.5)*(2n-0.5)).  Verified
+    numerically: low-band magnitudes match the decoder's core analysis
+    of the half-rate signal to ~0.1%, i.e. the measured energies live in
+    exactly the domain the decoder's envelope adjuster normalizes."""
+    c = qmf.prototype().astype(np.float64)
+    n = np.arange(128.0)
+    k = np.arange(64.0)
+    ang = np.pi / 128.0 * (k[:, None] + 0.5) * (2.0 * n[None, :] - 0.5)
+    m = np.exp(1j * ang)                                  # [64, 128]
+    buf = np.concatenate([np.zeros(640 - 64), np.asarray(x, np.float64)])
+    S = len(x) // 64
+    X = np.zeros((S, 64), np.complex128)
+    for line in range(S):
+        seg = buf[64 * line:64 * line + 640][::-1]
+        u = (seg * c).reshape(5, 128).sum(axis=0)
+        X[line] = m @ u
+    return X
+
+
+def _flatness(p: np.ndarray) -> float:
+    p = np.maximum(p, 1e-9)
+    return float(np.exp(np.mean(np.log(p))) / np.mean(p))
+
+
+def _halfband_decimate(x: np.ndarray) -> np.ndarray:
+    from scipy import signal as sig
+    return sig.resample_poly(x, 1, 2, axis=0, padtype="line")
+
+
+class HEAACEncoder:
+    """PCM -> HE-AAC v1.  sample_rate is the OUTPUT rate (the core runs
+    at half); pcm convention matches the decoder output (float, 32768
+    full scale).  The ADTS header signals the core rate — decoders
+    (aacjax and libavcodec alike) detect the SBR extension implicitly
+    and emit 2x-rate PCM."""
+
+    def __init__(self, sample_rate: int = 44100, channels: int = 2,
+                 bitrate: int = 48_000,
+                 header: sbrmod.SBRHeader | None = None):
+        if sample_rate % 2:
+            raise ValueError("output sample rate must be even")
+        self.sample_rate = sample_rate
+        self.channels = channels
+        # default range: crossover ~5.5 kHz, reconstruction to ~16 kHz at
+        # 44.1/48 kHz output (the classic HE-AAC operating point)
+        self.header = header or sbrmod.SBRHeader(
+            amp_res=1, start_freq=7, stop_freq=9, xover_band=0)
+        self.tables = sbrmod.derive_tables(self.header, sample_rate)
+        self.bitrate = bitrate
+        # crossover: QMF band kx at the output rate
+        self.kx = int(self.tables.kx)
+        xover_hz = self.kx * (sample_rate / 2.0) / 64.0
+        self.core = AACEncoder(sample_rate // 2, channels, bitrate,
+                               cutoff_hz=xover_hz * 1.02)
+        self._frame_out = 2 * self.core.config.frame_length   # 2048
+
+    # -- SBR side-info extraction -------------------------------------------
+    def _frame_spec(self, X: np.ndarray, lo_slot: int) -> SBRFrameSpec:
+        """Measure one frame's SBR payload from the full-rate QMF plane
+        X [S, 64]; the frame covers slots [lo_slot, lo_slot + 32)."""
+        t = self.tables
+        kx, m = self.kx, int(t.m)
+        ftab = t.freq_table(1)                 # high-resolution band table
+        n_bands = t.n_high
+        f_noise = np.asarray(t.f_noise)
+        S = X.shape[0]
+
+        def region(e_lo, e_hi, lo_k, hi_k):
+            a = min(max(lo_slot + e_lo, 0), S)
+            b = min(max(lo_slot + e_hi, 0), S)
+            if b <= a or hi_k <= lo_k:
+                return np.zeros((1, 1))
+            return np.abs(X[a:b, lo_k:hi_k]) ** 2
+
+        # two envelopes per frame (t_env = [0, 8, 16] in RATE=2 borders)
+        env_q = np.zeros((2, n_bands), np.int64)
+        for e, (e_lo, e_hi) in enumerate(((0, 16), (16, 32))):
+            for b in range(n_bands):
+                p = region(e_lo, e_hi, int(ftab[b]), int(ftab[b + 1]))
+                en = float(p.mean())
+                env_q[e, b] = int(np.clip(round(np.log2(en + 1e-9) - 6.0),
+                                          0, 63))
+
+        # noise floors + inverse filtering from flatness: target band vs
+        # the patch source region (the low half below the crossover)
+        src = region(0, 32, max(kx // 2, 1), kx)
+        sfm_src = _flatness(src.reshape(-1))
+        noise_q = np.zeros((2, t.n_q), np.int64)
+        invf = []
+        for b in range(t.n_q):
+            lo_k, hi_k = int(f_noise[b]), int(f_noise[b + 1])
+            p = region(0, 32, lo_k, hi_k)
+            sfm_t = _flatness(p.reshape(-1))
+            # noise-to-signal ratio: noisier targets get a higher floor
+            q_lin = float(np.clip(3.0 * sfm_t, 0.02, 2.0))
+            nq = int(np.clip(round(6.0 - np.log2(q_lin)), 0, 30))
+            noise_q[:, b] = nq
+            ratio = sfm_t / max(sfm_src, 1e-3)
+            invf.append(2 if ratio > 4.0 else (1 if ratio > 1.2 else 0))
+
+        return SBRFrameSpec(num_env=2, freq_res=1, invf=invf,
+                            env_q=env_q, noise_q=noise_q)
+
+    # -- public ---------------------------------------------------------------
+    def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
+        """Encode PCM [n, channels] at the output rate to raw_data_block
+        payloads with per-frame SBR FIL extensions."""
+        pcm = np.asarray(pcm, np.float64).reshape(-1, self.channels)
+        core_pcm = _halfband_decimate(pcm)
+        X = [qmf_analysis64(pcm[:, ch]) for ch in range(self.channels)]
+
+        n_core = core_pcm.shape[0] // self.core.config.frame_length
+        if core_pcm.shape[0] % self.core.config.frame_length:
+            n_core += 1
+        fils = []
+        for f in range(n_core + 1):
+            # core frame f decodes to original samples
+            # [(f-1)*2048, f*2048) — the encoder's 1-frame delay
+            lo_slot = (f - 1) * SLOTS_PER_FRAME
+            specs = [self._frame_spec(X[ch], lo_slot)
+                     for ch in range(self.channels)]
+            fils.append(sbr_payload(specs, self.header, self.sample_rate))
+        # the SBR side info comes out of the total budget: the FIL bytes
+        # are known exactly before the core encode
+        secs = max(pcm.shape[0] / self.sample_rate, 1e-9)
+        sbr_bps = sum(len(p) + 2 for p in fils) * 8 / secs  # +FIL header
+        self.core.bitrate = max(12_000 * self.channels,
+                                int(self.bitrate - sbr_bps))
+        return self.core.encode_frames(core_pcm, fil_payloads=fils)
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        """Encode PCM to an HE-AAC ADTS byte stream."""
+        return b"".join(adts_frame(p, self.core.config)
+                        for p in self.encode_frames(pcm))
+
+
+def encode_he_adts(pcm: np.ndarray, sample_rate: int = 44100,
+                   bitrate: int = 48_000) -> bytes:
+    """One-call PCM -> HE-AAC v1 ADTS.  pcm [n] or [n, ch], 32768
+    scale, at the (output) sample_rate."""
+    pcm = np.asarray(pcm)
+    ch = 1 if pcm.ndim == 1 else pcm.shape[1]
+    return HEAACEncoder(sample_rate, ch, bitrate).encode(
+        pcm.reshape(-1, ch))

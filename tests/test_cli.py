@@ -77,3 +77,14 @@ def test_decode_rejects_garbage(tmp_path):
     bad.write_bytes(b"definitely not audio" * 10)
     with pytest.raises(Exception):
         main(["decode", str(bad), str(tmp_path / "x.pcm")])
+
+
+def test_encode_he_cli(tone_wav, tmp_path, capsys):
+    aac = tmp_path / "he.aac"
+    assert main(["encode", str(tone_wav), str(aac), "--he",
+                 "--bitrate", "40000"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["profile"] == "HE-AAC"
+    from aacjax import decode_adts
+    out, rate = decode_adts(aac.read_bytes())
+    assert rate == SR and out.shape[1] == 2  # 2x-rate decode of 22050 core
