@@ -124,20 +124,36 @@ class HEAACEncoder:
                 return np.zeros((1, 1))
             return np.abs(X[a:b, lo_k:hi_k]) ** 2
 
-        # two envelopes per frame (t_env = [0, 8, 16] in RATE=2 borders)
-        env_q = np.zeros((2, n_bands), np.int64)
-        for e, (e_lo, e_hi) in enumerate(((0, 16), (16, 32))):
+        # adaptive FIXFIX envelope count from the high band's temporal
+        # variation: stationary frames spend one envelope (and, per the
+        # spec's amp_res rule, get 1.5 dB resolution for free), strong
+        # transients get four 512-sample envelopes
+        se = region(0, 32, kx, kx + m).mean(axis=1)
+        if len(se) < 32:
+            num_env = 1
+        else:
+            q8 = se.reshape(4, 8).mean(axis=1) + 1e-9
+            var_db = 10.0 * np.log10(q8.max() / q8.min())
+            num_env = 4 if var_db > 9.0 else (2 if var_db > 3.0 else 1)
+        borders = {1: (0, 32), 2: (0, 16, 32),
+                   4: (0, 8, 16, 24, 32)}[num_env]
+        alpha = 1.0 if num_env > 1 else 0.5   # SBRFrameSpec.amp_res rule
+        qmax = 63 if num_env > 1 else 127
+
+        env_q = np.zeros((num_env, n_bands), np.int64)
+        for e in range(num_env):
             for b in range(n_bands):
-                p = region(e_lo, e_hi, int(ftab[b]), int(ftab[b + 1]))
+                p = region(borders[e], borders[e + 1],
+                           int(ftab[b]), int(ftab[b + 1]))
                 en = float(p.mean())
-                env_q[e, b] = int(np.clip(round(np.log2(en + 1e-9) - 6.0),
-                                          0, 63))
+                env_q[e, b] = int(np.clip(
+                    round((np.log2(en + 1e-9) - 6.0) / alpha), 0, qmax))
 
         # noise floors + inverse filtering from flatness: target band vs
         # the patch source region (the low half below the crossover)
         src = region(0, 32, max(kx // 2, 1), kx)
         sfm_src = _flatness(src.reshape(-1))
-        noise_q = np.zeros((2, t.n_q), np.int64)
+        noise_q = np.zeros((2 if num_env > 1 else 1, t.n_q), np.int64)
         invf = []
         for b in range(t.n_q):
             lo_k, hi_k = int(f_noise[b]), int(f_noise[b + 1])
@@ -150,7 +166,7 @@ class HEAACEncoder:
             ratio = sfm_t / max(sfm_src, 1e-3)
             invf.append(2 if ratio > 4.0 else (1 if ratio > 1.2 else 0))
 
-        return SBRFrameSpec(num_env=2, freq_res=1, invf=invf,
+        return SBRFrameSpec(num_env=num_env, freq_res=1, invf=invf,
                             env_q=env_q, noise_q=noise_q)
 
     # -- public ---------------------------------------------------------------

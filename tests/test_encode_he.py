@@ -14,7 +14,7 @@ from aacjax.testing import ffmpeg_oracle
 
 HAVE_ORACLE = ffmpeg_oracle.available()
 SR = 44100
-HE_DELAY = 2048 + 962  # decoder chain latency (core frame + SBR), approx
+HE_DELAY = 2048 + 962  # codec waveform delay (core frame + SBR chain)
 
 
 def band_db(y, lo, hi, sr=SR):
@@ -129,3 +129,38 @@ def test_he_tonal_high_band_energy():
     x0 = x[: len(d)]
     diff = band_db(d, 8000, 10000) - band_db(x0, 8000, 10000)
     assert abs(diff) < 4.5, diff
+
+
+def test_he_adaptive_envelopes_track_transients():
+    """High-band noise bursts: the adaptive grid escalates to 4
+    envelopes and the decoded high-band energy ENVELOPE correlates with
+    the original (temporal tracking, not just average energy)."""
+    n = 2048 * 12
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(5)
+    gate = (np.arange(n) % 4096 < 700).astype(float)
+    burst = sig.lfilter(*sig.butter(4, [7000 / (SR / 2), 15000 / (SR / 2)],
+                                    "bandpass"),
+                        rng.standard_normal(n)) * 5000 * gate
+    x = 8000 * np.sin(2 * np.pi * 440 * t) + burst
+    enc = HEAACEncoder(SR, 1, 32_000)
+    # the measurement stage picks multi-envelope grids on this content
+    X = __import__("aacjax.encode_he", fromlist=["qmf_analysis64"]) \
+        .qmf_analysis64(x)
+    specs = [enc._frame_spec(X, 32 * f) for f in range(2, 8)]
+    assert max(s.num_env for s in specs) == 4, \
+        [s.num_env for s in specs]
+    stream = enc.encode(x.reshape(-1, 1))
+    out, _ = decode_adts(stream)
+    d = out[:, 0] * 32768
+    bb, aa = sig.butter(4, [7000 / (SR / 2), 15000 / (SR / 2)], "bandpass")
+    k = np.ones(256) / 256
+    eo = np.convolve(sig.lfilter(bb, aa, x) ** 2, k, "valid")
+    ed = np.convolve(sig.lfilter(bb, aa, d) ** 2, k, "valid")
+    # the smoothed-energy optimum sits slightly before the waveform
+    # delay (onset-ramp bias); take the best over a small lag window
+    corr = max(
+        float(np.corrcoef(eo[:m], ed[lag:lag + m])[0, 1])
+        for lag in range(HE_DELAY - 512, HE_DELAY + 128, 64)
+        for m in [min(len(eo), len(ed) - lag)])
+    assert corr > 0.6, corr
