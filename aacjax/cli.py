@@ -118,16 +118,17 @@ def cmd_encode(args) -> int:
     pcm, rate = _read_wav(args.input)
     if pcm.shape[1] > 2:
         raise SystemExit("encoder supports mono and stereo WAV input")
-    if args.he:
+    if args.he or args.ps:
         from aacjax.encode_he import HEAACEncoder
-        enc = HEAACEncoder(rate, pcm.shape[1], args.bitrate)
+        enc = HEAACEncoder(rate, pcm.shape[1], args.bitrate, ps=args.ps)
         data = enc.encode(pcm)
         with open(args.output, "wb") as f:
             f.write(data)
         secs = len(pcm) / rate
         print(json.dumps({
             "samples": int(pcm.shape[0]), "channels": int(pcm.shape[1]),
-            "sample_rate": rate, "container": "adts", "profile": "HE-AAC",
+            "sample_rate": rate, "container": "adts",
+            "profile": "HE-AAC v2" if args.ps else "HE-AAC",
             "bytes": len(data), "seconds": round(secs, 3),
             "kbps": round(len(data) * 8 / max(secs, 1e-9) / 1000, 1),
             "output": args.output,
@@ -285,6 +286,9 @@ def main(argv=None) -> int:
                    help="encode HE-AAC v1 (SBR): half-rate AAC-LC core + "
                         "spectral band replication; for low bitrates "
                         "(~32-64 kbps)")
+    e.add_argument("--ps", action="store_true",
+                   help="encode HE-AAC v2 (SBR + Parametric Stereo): mono "
+                        "downmix core + IID/ICC stereo image (~24-40 kbps)")
     e.add_argument("--no-tns", action="store_true",
                    help="disable TNS analysis")
     e.add_argument("--no-pns", action="store_true",

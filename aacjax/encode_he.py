@@ -38,7 +38,7 @@ from aacjax.encode import AACEncoder
 from aacjax.host import sbr as sbrmod
 from aacjax.kernels import qmf
 from aacjax.testing.encoder import adts_frame
-from aacjax.testing.sbr_encoder import SBRFrameSpec, sbr_payload
+from aacjax.testing.sbr_encoder import PSSpec, SBRFrameSpec, sbr_payload
 
 SLOTS_PER_FRAME = 32      # 2048 output samples / 64-sample QMF slots
 
@@ -88,11 +88,16 @@ class HEAACEncoder:
 
     def __init__(self, sample_rate: int = 44100, channels: int = 2,
                  bitrate: int = 48_000,
-                 header: sbrmod.SBRHeader | None = None):
+                 header: sbrmod.SBRHeader | None = None,
+                 ps: bool = False):
         if sample_rate % 2:
             raise ValueError("output sample rate must be even")
+        if ps and channels != 2:
+            raise ValueError("Parametric Stereo needs stereo input")
         self.sample_rate = sample_rate
-        self.channels = channels
+        self.ps = ps
+        self.channels = 1 if ps else channels   # coded channel count
+        self.in_channels = channels
         # default range: crossover ~5.5 kHz, reconstruction to ~16 kHz at
         # 44.1/48 kHz output (the classic HE-AAC operating point)
         self.header = header or sbrmod.SBRHeader(
@@ -102,7 +107,7 @@ class HEAACEncoder:
         # crossover: QMF band kx at the output rate
         self.kx = int(self.tables.kx)
         xover_hz = self.kx * (sample_rate / 2.0) / 64.0
-        self.core = AACEncoder(sample_rate // 2, channels, bitrate,
+        self.core = AACEncoder(sample_rate // 2, self.channels, bitrate,
                                cutoff_hz=xover_hz * 1.02)
         self._frame_out = 2 * self.core.config.frame_length   # 2048
 
@@ -169,11 +174,70 @@ class HEAACEncoder:
         return SBRFrameSpec(num_env=num_env, freq_res=1, invf=invf,
                             env_q=env_q, noise_q=noise_q)
 
+    # -- Parametric Stereo extraction -----------------------------------------
+    # 10-parameter-band layout: QMF band -> par band, derived from the
+    # decoder's hybrid-channel map (ps_tables k_to_i_20; QMF bands 0-2
+    # hold the hybrid-split low channels, approximated at QMF resolution)
+    _PAR_OF_QMF: np.ndarray | None = None
+
+    @classmethod
+    def _par_of_qmf(cls) -> np.ndarray:
+        if cls._PAR_OF_QMF is None:
+            from aacjax.host import ps as psmod
+            k20 = psmod.tables()["k_to_i_20"].astype(int)
+            par = np.zeros(64, np.int64)
+            par[0], par[1], par[2] = 0, 2, 3
+            for q in range(3, 64):
+                par[q] = int(k20[min(7 + q, len(k20) - 1)]) // 2
+            cls._PAR_OF_QMF = par
+        return cls._PAR_OF_QMF
+
+    def _ps_spec(self, Xl: np.ndarray, Xr: np.ndarray,
+                 lo_slot: int) -> PSSpec:
+        """Measure one frame's IID/ICC parameters (10 coarse bands, one
+        envelope) from the stereo QMF planes.  Quantization inverts the
+        decoder's tables exactly (iid_par_dequant / acos_icc_invq)."""
+        from aacjax.host.ps_decode import _tables
+        t = _tables()
+        iid_db_table = 20.0 * np.log10(
+            np.maximum(t["iid_par_dequant"][:15], 1e-9))   # coarse region
+        icc_rho_table = np.cos(t["acos_icc_invq"])          # descending
+        par_of = self._par_of_qmf()
+        S = Xl.shape[0]
+        a = min(max(lo_slot, 0), S)
+        b = min(max(lo_slot + SLOTS_PER_FRAME, 0), S)
+        iid = np.zeros((1, 10), np.int64)
+        icc = np.zeros((1, 10), np.int64)
+        if b <= a:
+            return PSSpec(iid_mode=0, icc_mode=0, num_env=1,
+                          iid_par=iid, icc_par=icc)
+        L = Xl[a:b]
+        R = Xr[a:b]
+        for p in range(10):
+            sel = par_of == p
+            el = float(np.sum(np.abs(L[:, sel]) ** 2)) + 1e-9
+            er = float(np.sum(np.abs(R[:, sel]) ** 2)) + 1e-9
+            db = 10.0 * np.log10(el / er)
+            iid[0, p] = int(np.argmin(np.abs(iid_db_table - db))) - 7
+            rho = float(np.real(np.sum(L[:, sel] * np.conj(R[:, sel])))
+                        / np.sqrt(el * er))
+            icc[0, p] = int(np.argmin(np.abs(icc_rho_table - rho)))
+        return PSSpec(iid_mode=0, icc_mode=0, num_env=1,
+                      iid_par=iid, icc_par=icc)
+
     # -- public ---------------------------------------------------------------
     def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
         """Encode PCM [n, channels] at the output rate to raw_data_block
-        payloads with per-frame SBR FIL extensions."""
-        pcm = np.asarray(pcm, np.float64).reshape(-1, self.channels)
+        payloads with per-frame SBR FIL extensions (carrying ps_data in
+        Parametric Stereo mode)."""
+        pcm = np.asarray(pcm, np.float64).reshape(-1, self.in_channels)
+        Xps = None
+        if self.ps:
+            # v2: time-domain downmix carries the waveform; IID/ICC per
+            # frame reconstruct the image.  (A time-domain sum halves
+            # anti-phase content — the classic passive-downmix limit.)
+            Xps = (qmf_analysis64(pcm[:, 0]), qmf_analysis64(pcm[:, 1]))
+            pcm = 0.5 * (pcm[:, :1] + pcm[:, 1:])
         core_pcm = _halfband_decimate(pcm)
         X = [qmf_analysis64(pcm[:, ch]) for ch in range(self.channels)]
 
@@ -187,7 +251,10 @@ class HEAACEncoder:
             lo_slot = (f - 1) * SLOTS_PER_FRAME
             specs = [self._frame_spec(X[ch], lo_slot)
                      for ch in range(self.channels)]
-            fils.append(sbr_payload(specs, self.header, self.sample_rate))
+            psd = (self._ps_spec(Xps[0], Xps[1], lo_slot)
+                   if self.ps else None)
+            fils.append(sbr_payload(specs, self.header, self.sample_rate,
+                                    ps=psd))
         # the SBR side info comes out of the total budget: the FIL bytes
         # are known exactly before the core encode
         secs = max(pcm.shape[0] / self.sample_rate, 1e-9)

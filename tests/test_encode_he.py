@@ -164,3 +164,93 @@ def test_he_adaptive_envelopes_track_transients():
         for lag in range(HE_DELAY - 512, HE_DELAY + 128, 64)
         for m in [min(len(eo), len(ed) - lag)])
     assert corr > 0.6, corr
+
+
+def stereo_image(n=2048 * 12, seed=5):
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(seed)
+    mid = sig.lfilter(*sig.butter(4, [2000 / (SR / 2), 5000 / (SR / 2)],
+                                  "bandpass"), rng.standard_normal(n)) * 4000
+    hi = sig.lfilter(*sig.butter(4, [6000 / (SR / 2), 12000 / (SR / 2)],
+                                 "bandpass"), rng.standard_normal(n)) * 4000
+    base = 7000 * np.sin(2 * np.pi * 440 * t)
+    return np.stack([base + 1.6 * mid + 0.4 * hi,
+                     base + 0.4 * mid + 1.6 * hi], axis=1)
+
+
+def _lr_ratio_db(y, lo, hi):
+    bb, aa = sig.butter(4, [lo / (SR / 2), hi / (SR / 2)], "bandpass")
+    el = (sig.lfilter(bb, aa, y[:, 0]) ** 2).mean()
+    er = (sig.lfilter(bb, aa, y[:, 1]) ** 2).mean()
+    return 10 * np.log10(el / max(er, 1e-9))
+
+
+def test_ps_encode_reconstructs_stereo_image():
+    """HE-AAC v2 (ps=True): mono downmix + IID/ICC; the decoded stereo
+    image tracks the original's per-band L/R ratios within 3 dB in our
+    decoder AND libavcodec; centered content stays centered."""
+    pcm = stereo_image()
+    stream = HEAACEncoder(SR, 2, 32_000, ps=True).encode(pcm)
+    kbps = len(stream) * 8 / (len(pcm) / SR) / 1000
+    assert kbps < 48, kbps
+    mine, rate = decode_adts(stream)
+    assert rate == SR and mine.shape[1] == 2  # PS upmixes mono -> stereo
+    d = mine[HE_DELAY:] * 32768
+    x0 = pcm[: len(d)]
+    for lo, hi in ((2000, 5000), (6000, 12000)):
+        want = _lr_ratio_db(x0, lo, hi)
+        got = _lr_ratio_db(d, lo, hi)
+        assert abs(got - want) < 3.0, (lo, hi, want, got)
+    assert abs(_lr_ratio_db(d, 300, 1000)) < 1.0  # center stays centered
+    if HAVE_ORACLE:
+        ref, rrate = ffmpeg_oracle.decode_adts(stream)
+        assert rrate == SR and ref.shape[1] == 2
+        r = ref[HE_DELAY: HE_DELAY + len(d)] * 32768
+        for lo, hi in ((2000, 5000), (6000, 12000)):
+            assert abs(_lr_ratio_db(r, lo, hi)
+                       - _lr_ratio_db(x0, lo, hi)) < 3.0
+
+
+def test_ps_icc_drives_decorrelation():
+    """Uncorrelated L/R (above the low band) decode with visibly lower
+    cross-channel correlation than identical L/R — the transmitted ICC
+    engages the decorrelator."""
+    n = 2048 * 10
+    rng = np.random.default_rng(9)
+    bb, aa = sig.butter(4, [2000 / (SR / 2), 10000 / (SR / 2)], "bandpass")
+    a = sig.lfilter(bb, aa, rng.standard_normal(n)) * 5000
+    b = sig.lfilter(bb, aa, rng.standard_normal(n)) * 5000
+
+    def decoded_corr(pcm):
+        stream = HEAACEncoder(SR, 2, 32_000, ps=True).encode(pcm)
+        out, _ = decode_adts(stream)
+        d = out[HE_DELAY:] * 32768
+        dl = sig.lfilter(bb, aa, d[:, 0])
+        dr = sig.lfilter(bb, aa, d[:, 1])
+        return float(np.corrcoef(dl, dr)[0, 1])
+
+    c_same = decoded_corr(np.stack([a, a], axis=1))
+    c_diff = decoded_corr(np.stack([a, b], axis=1))
+    assert c_same > 0.9, c_same
+    assert c_diff < 0.55, c_diff
+
+
+def test_ps_stream_carries_ps_data():
+    pcm = stereo_image(2048 * 4)
+    stream = HEAACEncoder(SR, 2, 32_000, ps=True).encode(pcm)
+    frames = adts.split_frames(stream)
+    from aacjax.host.asc import parse_asc
+    from aacjax.host.bitio import BitReader
+    from aacjax.host.sbr import SBRContext
+    from aacjax.host.syntax import decode_frame
+    cfg = parse_asc(adts.synthesize_cookie(frames[0][0]))
+    assert cfg.channels == 1  # mono core; PS upmixes at decode
+    n_ps = 0
+    shapes = [0]
+    for _, s, e in frames:
+        f = decode_frame(BitReader(stream[s:e]), cfg, shapes,
+                         sbr_ctx=SBRContext(2 * cfg.sample_rate))
+        for el in f.elements:
+            sf = getattr(el, "sbr", None)
+            n_ps += getattr(sf, "ps", None) is not None
+    assert n_ps == len(frames), (n_ps, len(frames))
