@@ -121,13 +121,14 @@ def cmd_encode(args) -> int:
     if args.he or args.ps:
         from aacjax.encode_he import HEAACEncoder
         enc = HEAACEncoder(rate, pcm.shape[1], args.bitrate, ps=args.ps)
-        data = enc.encode(pcm)
+        as_m4a = args.output.lower().endswith((".m4a", ".mp4"))
+        data = enc.encode_m4a(pcm) if as_m4a else enc.encode(pcm)
         with open(args.output, "wb") as f:
             f.write(data)
         secs = len(pcm) / rate
         print(json.dumps({
             "samples": int(pcm.shape[0]), "channels": int(pcm.shape[1]),
-            "sample_rate": rate, "container": "adts",
+            "sample_rate": rate, "container": "m4a" if as_m4a else "adts",
             "profile": "HE-AAC v2" if args.ps else "HE-AAC",
             "bytes": len(data), "seconds": round(secs, 3),
             "kbps": round(len(data) * 8 / max(secs, 1e-9) / 1000, 1),

@@ -268,6 +268,23 @@ class HEAACEncoder:
         return b"".join(adts_frame(p, self.core.config)
                         for p in self.encode_frames(pcm))
 
+    def encode_m4a(self, pcm: np.ndarray) -> bytes:
+        """Encode PCM to a gapless HE-AAC .m4a: explicit hierarchical SBR
+        signaling in the esds (AOT 5 with the core AOT/rate in the
+        GASpecificConfig) plus edts/elst priming metadata at the output
+        rate, so decode_m4a returns PCM aligned with the input."""
+        from aacjax.host.asc import make_asc
+        from aacjax.testing.mp4mux import mux_m4a
+        pcm = np.asarray(pcm, np.float64).reshape(-1, self.in_channels)
+        payloads = self.encode_frames(pcm)
+        core_cfg = self.core.config
+        asc = make_asc(2, core_cfg.sample_index, self.channels, sbr=True)
+        return mux_m4a(payloads, asc, core_cfg.sample_rate, self.channels,
+                       frame_length=core_cfg.frame_length,
+                       priming=core_cfg.frame_length,
+                       valid_samples=pcm.shape[0] // 2,
+                       movie_ts=core_cfg.sample_rate)
+
 
 def encode_he_adts(pcm: np.ndarray, sample_rate: int = 44100,
                    bitrate: int = 48_000) -> bytes:

@@ -254,3 +254,15 @@ def test_ps_stream_carries_ps_data():
             sf = getattr(el, "sbr", None)
             n_ps += getattr(sf, "ps", None) is not None
     assert n_ps == len(frames), (n_ps, len(frames))
+
+
+def test_he_m4a_gapless_roundtrip():
+    """encode_m4a: explicit SBR esds signaling + gapless metadata — the
+    decode returns the exact input sample count at the 2x rate, for v1
+    and v2."""
+    from aacjax import decode_m4a
+    pcm = stereo_image(2048 * 6)
+    for ps in (False, True):
+        m4a = HEAACEncoder(SR, 2, 40_000, ps=ps).encode_m4a(pcm)
+        out, rate = decode_m4a(m4a)
+        assert rate == SR and out.shape == pcm.shape, (ps, out.shape)
