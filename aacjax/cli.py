@@ -135,6 +135,23 @@ def cmd_encode(args) -> int:
             "output": args.output,
         }))
         return 0
+    if args.ld:
+        enc = AACEncoder(rate, pcm.shape[1], args.bitrate, profile=23,
+                         tns=not args.no_tns, pns=False,
+                         intensity=not args.no_is)
+        data = enc.encode_loas(pcm)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        secs = len(pcm) / rate
+        print(json.dumps({
+            "samples": int(pcm.shape[0]), "channels": int(pcm.shape[1]),
+            "sample_rate": rate, "container": "loas", "profile": "AAC-LD",
+            "frame_length": enc.config.frame_length,
+            "bytes": len(data), "seconds": round(secs, 3),
+            "kbps": round(len(data) * 8 / max(secs, 1e-9) / 1000, 1),
+            "output": args.output,
+        }))
+        return 0
     enc = AACEncoder(rate, pcm.shape[1], args.bitrate,
                      tns=not args.no_tns, pns=not args.no_pns,
                      intensity=not args.no_is)
@@ -287,6 +304,9 @@ def main(argv=None) -> int:
                    help="encode HE-AAC v1 (SBR): half-rate AAC-LC core + "
                         "spectral band replication; for low bitrates "
                         "(~32-64 kbps)")
+    e.add_argument("--ld", action="store_true",
+                   help="encode low-delay AAC-LD (AOT 23, 512-sample "
+                        "frames, LOAS/LATM output) for conferencing")
     e.add_argument("--ps", action="store_true",
                    help="encode HE-AAC v2 (SBR + Parametric Stereo): mono "
                         "downmix core + IID/ICC stereo image (~24-40 kbps)")

@@ -437,8 +437,14 @@ def spectral_flatness(p: np.ndarray) -> float:
 
 
 class AACEncoder:
-    """AAC-LC encoder producing ADTS (encode) or raw payloads
-    (encode_frames, for LATM/MP4 muxing).
+    """AAC encoder producing ADTS (encode), LOAS/LATM (encode_loas) or
+    raw payloads (encode_frames, for LATM/MP4 muxing).
+
+    Profiles: AAC-LC (default, 1024- or 960-sample frames), ER AAC-LC
+    (AOT 17) and low-delay AAC-LD (AOT 23, 512/480-sample frames —
+    ~1.5-frame algorithmic latency for conferencing; always-long
+    windows, ER element layout).  960/ER/LD streams have no ADTS
+    representation — use encode_loas / encode_frames.
 
     pcm convention matches the decoder output: float, full scale 32768
     (int16 range).  `bitrate` is the total target across channels."""
@@ -446,15 +452,27 @@ class AACEncoder:
     def __init__(self, sample_rate: int = 44100, channels: int = 2,
                  bitrate: int = 128_000, psy: PsyParams | None = None,
                  tns: bool = True, pns: bool = True,
-                 intensity: bool = True, cutoff_hz: float | None = None):
+                 intensity: bool = True, cutoff_hz: float | None = None,
+                 profile: int = 2, frame_length: int | None = None):
         if channels not in (1, 2):
             raise ValueError("AACEncoder supports mono and stereo")
+        if profile not in (2, 17, 23):
+            raise ValueError(f"unsupported encode profile {profile}")
+        if frame_length is None:
+            frame_length = 512 if profile == 23 else 1024
+        legal = {2: (1024, 960), 17: (1024, 960), 23: (512, 480)}[profile]
+        if frame_length not in legal:
+            raise ValueError(
+                f"profile {profile} frame_length must be one of {legal}")
         try:
             sample_index = list(tables.SAMPLE_RATES).index(sample_rate)
         except ValueError:
             raise ValueError(f"unsupported sample rate {sample_rate}")
+        self.profile = profile
+        self._er = profile in (17, 23)
         self.config: StreamConfig = parse_asc(
-            make_asc(2, sample_index, channels))
+            make_asc(profile, sample_index, channels,
+                     frame_length=frame_length))
         self.sample_rate = sample_rate
         self.channels = channels
         self.bitrate = bitrate
@@ -476,7 +494,9 @@ class AACEncoder:
         # coding tools (long windows): TNS noise shaping, perceptual
         # noise substitution, intensity stereo
         self.use_tns = tns
-        self.use_pns = pns
+        # PNS stays off in ER syntax (conservative: matches the content
+        # every ER decoder is known to accept)
+        self.use_pns = pns and not self._er
         self.use_is = intensity and channels == 2
         hz_per_bin = sample_rate / (2.0 * self._frame)
         self._tns_start_hz = 1500.0
@@ -738,6 +758,10 @@ class AACEncoder:
         trans = detect_transients(
             np.concatenate([np.zeros((F, nch)), pcm]), F)
         seq = window_sequence_plan(trans)
+        if self.profile == 23:
+            # AAC-LD frames are always long (ISO/IEC 14496-3 §4.6.20.2);
+            # the short frame itself bounds pre-echo
+            seq = np.zeros_like(seq)
         off_l = self.config.swb_offsets_long
         off_s = self.config.swb_offsets_short
         # bandwidth cutoff -> coded band counts
@@ -802,8 +826,10 @@ class AACEncoder:
             overrides: list[dict] = [dict() for _ in range(nch)]
             tns_side = None   # (decoder lpc, (start,end) bins, filter spec)
             if self.use_tns and long_frame and max_sfb > 1:
-                mmm = min(int(tables.TNS_MAX_BANDS_1024[
-                    self.config.sample_index]), max_sfb)
+                tmax = (self.config.tns_max_bands_ld if self.profile == 23
+                        else int(tables.TNS_MAX_BANDS_1024[
+                            self.config.sample_index]))
+                mmm = min(tmax, max_sfb)
                 hz_per_bin = self.sample_rate / (2.0 * F)
                 start_bin = int(self._tns_start_hz / hz_per_bin)
                 start_band = max(0, min(
@@ -1035,6 +1061,17 @@ class AACEncoder:
                     spec.band_sf[i] = prev[t] + d
                     prev[t] = prev[t] + d
 
+            if self._er:
+                from aacjax.testing.encoder import write_er_frame
+                if nch == 2:
+                    elem = ("CPE", CPESpec(
+                        left=specs[0], right=specs[1], common_window=True,
+                        ms_type=1,
+                        ms_used=ms_used.reshape(-1).astype(np.int64)))
+                else:
+                    elem = ("SCE", specs[0])
+                payloads.append(write_er_frame([elem], self.config))
+                continue
             w = BitWriter()
             if nch == 2:
                 write_cpe(w, CPESpec(
@@ -1050,9 +1087,21 @@ class AACEncoder:
         return payloads
 
     def encode(self, pcm: np.ndarray) -> bytes:
-        """Encode PCM to an ADTS byte stream."""
+        """Encode PCM to an ADTS byte stream (AAC-LC at 1024 frames;
+        960/ER/LD streams have no ADTS representation — use
+        encode_loas)."""
+        if self._er or self.config.frame_length != 1024:
+            raise ValueError(
+                "ADTS cannot signal this profile/frame length; use "
+                "encode_loas() or encode_frames()")
         return b"".join(adts_frame(p, self.config)
                         for p in self.encode_frames(pcm))
+
+    def encode_loas(self, pcm: np.ndarray) -> bytes:
+        """Encode PCM to a LOAS/LATM byte stream (carries the full ASC,
+        so every profile/frame length is expressible)."""
+        from aacjax.testing.encoder import loas_stream
+        return loas_stream(self.encode_frames(pcm), self.config)
 
 
 def encode_adts(pcm: np.ndarray, sample_rate: int = 44100,

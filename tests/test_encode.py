@@ -189,3 +189,42 @@ def test_detect_transients():
     assert tr[3, 0] == 1
     assert tr[3, 1] == 5     # attack sub-block 640/128
     assert tr[:3, 0].sum() == 0
+
+
+@pytest.mark.parametrize("profile,frame_length", [(23, 512), (23, 480),
+                                                  (2, 960), (17, 1024)])
+def test_encode_ld_er_960_profiles(profile, frame_length):
+    """The production encoder covers low-delay AAC-LD (AOT 23, 512/480),
+    960-frame LC and ER AAC-LC — decoded by our pipeline and (where
+    libavcodec is itself correct) sample-identical there too."""
+    from aacjax import decode_loas
+    from aacjax.testing import ffmpeg_oracle
+    from scipy import signal as sig
+
+    n = 512 * 30
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(5)
+    x = (8000 * np.sin(2 * np.pi * 440 * t)
+         + 2000 * np.sin(2 * np.pi * 2000 * t)
+         + sig.lfilter(*sig.butter(4, 5000 / (SR / 2)),
+                       rng.standard_normal(n)) * 600)
+    pcm = np.stack([x, 0.8 * x], axis=1)
+    enc = AACEncoder(SR, 2, 96_000, profile=profile,
+                     frame_length=frame_length, pns=False)
+    with pytest.raises(ValueError):
+        enc.encode(pcm)  # no ADTS representation
+    loas = enc.encode_loas(pcm)
+    out, rate = decode_loas(loas, on_error="raise")
+    assert rate == SR
+    d = out[frame_length:] * 32768
+    m = min(len(d), len(pcm))
+    snr = 10 * np.log10((pcm[:m] ** 2).sum()
+                        / max(((d[:m] - pcm[:m]) ** 2).sum(), 1e-9))
+    assert snr > 18, snr
+    # libavcodec cross-check (LD-480 excluded: libavcodec zero-pads 480
+    # frames through its 512 IMDCT — see tests/test_ld.py)
+    if ffmpeg_oracle.available() and (profile, frame_length) != (23, 480):
+        ref, _ = ffmpeg_oracle.decode_loas(loas)
+        mm = min(len(ref), len(out))
+        peak = max(float(np.abs(ref[:mm]).max()), 1e-9)
+        assert float(np.abs(ref[:mm] - out[:mm]).max()) / peak < 2e-4
