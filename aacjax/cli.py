@@ -135,8 +135,9 @@ def cmd_encode(args) -> int:
             "output": args.output,
         }))
         return 0
-    if args.ld:
-        enc = AACEncoder(rate, pcm.shape[1], args.bitrate, profile=23,
+    if args.ld or args.eld:
+        enc = AACEncoder(rate, pcm.shape[1], args.bitrate,
+                         profile=39 if args.eld else 23,
                          tns=not args.no_tns, pns=False,
                          intensity=not args.no_is)
         data = enc.encode_loas(pcm)
@@ -145,7 +146,8 @@ def cmd_encode(args) -> int:
         secs = len(pcm) / rate
         print(json.dumps({
             "samples": int(pcm.shape[0]), "channels": int(pcm.shape[1]),
-            "sample_rate": rate, "container": "loas", "profile": "AAC-LD",
+            "sample_rate": rate, "container": "loas",
+            "profile": "AAC-ELD" if args.eld else "AAC-LD",
             "frame_length": enc.config.frame_length,
             "bytes": len(data), "seconds": round(secs, 3),
             "kbps": round(len(data) * 8 / max(secs, 1e-9) / 1000, 1),
@@ -307,6 +309,9 @@ def main(argv=None) -> int:
     e.add_argument("--ld", action="store_true",
                    help="encode low-delay AAC-LD (AOT 23, 512-sample "
                         "frames, LOAS/LATM output) for conferencing")
+    e.add_argument("--eld", action="store_true",
+                   help="encode enhanced-low-delay AAC-ELD (AOT 39, "
+                        "one-frame system delay, LOAS/LATM output)")
     e.add_argument("--ps", action="store_true",
                    help="encode HE-AAC v2 (SBR + Parametric Stereo): mono "
                         "downmix core + IID/ICC stereo image (~24-40 kbps)")

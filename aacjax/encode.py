@@ -58,6 +58,26 @@ def _analysis_matrix_cached(n: int) -> np.ndarray:
     return analysis_matrix(n)
 
 
+@__import__("functools").lru_cache(maxsize=4)
+def _eld_analysis_matrix_cached(N: int) -> np.ndarray:
+    """ELD analysis operator [6N, N]: the exact FIR dual of the decoder's
+    biorthogonal low-delay synthesis bank, computed by polyphase
+    inversion — M(u) = sum_j M_j u^j (the synthesis operator's four N x N
+    blocks) has a finite inverse A(u) with u^1 delay and five significant
+    blocks (the sixth is ~1e-9; kept for the exact 210 dB roundtrip).
+    spec_t = [x_{t-5} .. x_t] @ A — five frames of HISTORY, zero
+    lookahead, so the encoder stays low-delay."""
+    M = tables.eld_synthesis_matrix(N)
+    Mj = [M[:, j * N:(j + 1) * N] for j in range(4)]
+    K, d, n_blocks = 16, 1, 6
+    w = np.exp(2j * np.pi * np.arange(K) / K)
+    Au = [np.linalg.inv(sum(Mj[j] * (wm ** j) for j in range(4)))
+          * (wm ** d) for wm in w]
+    Ai = [np.real(sum(Au[m] * w[m] ** (-i) for i2 in [0] for m in range(K))
+                  / K) for i in range(n_blocks)]
+    return np.ascontiguousarray(np.vstack(Ai[::-1]))
+
+
 # ---------------------------------------------------------------------------
 # Vectorized Huffman bit costing (exact codeword lengths from the books)
 # ---------------------------------------------------------------------------
@@ -456,11 +476,12 @@ class AACEncoder:
                  profile: int = 2, frame_length: int | None = None):
         if channels not in (1, 2):
             raise ValueError("AACEncoder supports mono and stereo")
-        if profile not in (2, 17, 23):
+        if profile not in (2, 17, 23, 39):
             raise ValueError(f"unsupported encode profile {profile}")
         if frame_length is None:
-            frame_length = 512 if profile == 23 else 1024
-        legal = {2: (1024, 960), 17: (1024, 960), 23: (512, 480)}[profile]
+            frame_length = 512 if profile in (23, 39) else 1024
+        legal = {2: (1024, 960), 17: (1024, 960), 23: (512, 480),
+                 39: (512, 480)}[profile]
         if frame_length not in legal:
             raise ValueError(
                 f"profile {profile} frame_length must be one of {legal}")
@@ -469,7 +490,8 @@ class AACEncoder:
         except ValueError:
             raise ValueError(f"unsupported sample rate {sample_rate}")
         self.profile = profile
-        self._er = profile in (17, 23)
+        self._er = profile in (17, 23, 39)
+        self._eld = profile == 39
         self.config: StreamConfig = parse_asc(
             make_asc(profile, sample_index, channels,
                      frame_length=frame_length))
@@ -526,6 +548,11 @@ class AACEncoder:
 
     def _mdct_long(self, seg: np.ndarray, seq: int) -> np.ndarray:
         return (seg * self._window_long(seq)) @ self._amat_long
+
+    def _mdct_eld(self, seg6: np.ndarray) -> np.ndarray:
+        """ELD low-delay analysis: one [6N] sliding segment (5 frames of
+        history, zero lookahead) -> N coefficients."""
+        return seg6 @ _eld_analysis_matrix_cached(self._frame)
 
     def _mdct_short(self, seg: np.ndarray) -> np.ndarray:
         """8 short MDCTs over the frame's span: window w covers
@@ -758,10 +785,16 @@ class AACEncoder:
         trans = detect_transients(
             np.concatenate([np.zeros((F, nch)), pcm]), F)
         seq = window_sequence_plan(trans)
-        if self.profile == 23:
-            # AAC-LD frames are always long (ISO/IEC 14496-3 §4.6.20.2);
-            # the short frame itself bounds pre-echo
+        if self.profile in (23, 39):
+            # AAC-LD/ELD frames are always long (ISO/IEC 14496-3
+            # §4.6.20.2); the short frame itself bounds pre-echo
             seq = np.zeros_like(seq)
+        if self._eld:
+            # the low-delay analysis reads 5 frames of HISTORY and no
+            # lookahead; one flush frame drains the u^1 system delay
+            padded_eld = np.concatenate(
+                [np.zeros((5 * F, nch)), pcm, np.zeros((F, nch))],
+                axis=0)
         off_l = self.config.swb_offsets_long
         off_s = self.config.swb_offsets_short
         # bandwidth cutoff -> coded band counts
@@ -794,7 +827,11 @@ class AACEncoder:
 
             # channel coefficients in grouped layout [n_groups, ...]
             ch_coefs = []
-            for ch in range(nch):
+            if self._eld:
+                seg6 = padded_eld[f * F:(f + 6) * F]
+                for ch in range(nch):
+                    ch_coefs.append([self._mdct_eld(seg6[:, ch])])
+            for ch in range(nch if not self._eld else 0):
                 if fseq == EIGHT_SHORT:
                     c8 = self._mdct_short(seg[:, ch])  # [8, S]
                     glens = grouping
@@ -1061,6 +1098,17 @@ class AACEncoder:
                     spec.band_sf[i] = prev[t] + d
                     prev[t] = prev[t] + d
 
+            if self._eld:
+                from aacjax.testing.encoder import write_eld_frame
+                if nch == 2:
+                    elem = ("CPE", CPESpec(
+                        left=specs[0], right=specs[1], common_window=True,
+                        ms_type=1,
+                        ms_used=ms_used.reshape(-1).astype(np.int64)))
+                else:
+                    elem = ("SCE", specs[0])
+                payloads.append(write_eld_frame([elem], self.config))
+                continue
             if self._er:
                 from aacjax.testing.encoder import write_er_frame
                 if nch == 2:
