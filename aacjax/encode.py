@@ -670,31 +670,30 @@ class AACEncoder:
     def _sf_track_bits(books: np.ndarray, sfs: np.ndarray) -> int:
         """Exact scalefactor-payload cost with the three DPCM tracks the
         syntax interleaves (spectrum / noise / intensity — the writer's
-        write_scale_factors walk)."""
-        spec_mask = (books >= 1) & (books <= 11)
-        spec_idx = np.nonzero(spec_mask)[0]
-        gg = int(sfs[spec_idx[0]]) if spec_idx.size else 120
+        write_scale_factors walk).  Each track's deltas chain only
+        through its own bands, so the three subsequences cost
+        independently (vectorized: this sits inside the rate-control
+        bisection's hot loop)."""
+        nz = np.nonzero(books)[0]
+        if not nz.size:
+            return 0
+        b = books[nz]
+        s = sfs[nz]
         bits = 0
-        off = [gg, gg - 90, 0]
-        noise_first = True
-        for i in np.nonzero(books)[0]:
-            b = int(books[i])
-            if b == NOISE_BT:
-                if noise_first:
-                    bits += 9
-                    noise_first = False
-                else:
-                    bits += int(_SF_LEN[np.clip(
-                        int(sfs[i]) - off[1] + 60, 0, 120)])
-                off[1] = int(sfs[i])
-            elif b in (INTENSITY_BT, INTENSITY2_BT):
-                bits += int(_SF_LEN[np.clip(
-                    int(sfs[i]) - off[2] + 60, 0, 120)])
-                off[2] = int(sfs[i])
-            else:
-                bits += int(_SF_LEN[np.clip(
-                    int(sfs[i]) - off[0] + 60, 0, 120)])
-                off[0] = int(sfs[i])
+        sm = b <= 11
+        seq = s[sm]
+        if seq.size:
+            d = np.diff(seq, prepend=seq[0])  # gg == first coded sf
+            bits += int(_SF_LEN[np.clip(d + 60, 0, 120)].sum())
+        seq = s[b == NOISE_BT]
+        if seq.size:
+            bits += 9  # first noise delta is a 9-bit PCM word
+            d = np.diff(seq)
+            bits += int(_SF_LEN[np.clip(d + 60, 0, 120)].sum())
+        seq = s[b >= INTENSITY2_BT]
+        if seq.size:
+            d = np.diff(seq, prepend=0)
+            bits += int(_SF_LEN[np.clip(d + 60, 0, 120)].sum())
         return bits
 
     def _emit_cost(self, an: dict, sf_offset: int):
@@ -808,11 +807,39 @@ class AACEncoder:
                             F // 8)
         bits_per_frame = self.bitrate * F / self.sample_rate
 
-        payloads: list[bytes] = []
-        for f in range(n_frames + 1):
-            fseq = int(seq[f]) if f < len(seq) else (
+        # plan the whole file's window sequences, then run every
+        # non-short frame's forward MDCT as ONE batched matmul per
+        # sequence type (the per-frame [2F]x[2F,F] products dominate the
+        # analysis cost; BLAS amortizes them)
+        n_payloads = n_frames + 1
+        fseq_plan = [
+            int(seq[f]) if f < len(seq) else (
                 LONG_STOP if int(seq[-1]) in (LONG_START, EIGHT_SHORT)
                 else ONLY_LONG)
+            for f in range(n_payloads)]
+        coefs_long = np.zeros((n_payloads, nch, F))
+        if self._eld:
+            segs = np.stack([padded_eld[f * F:(f + 6) * F].T
+                             for f in range(n_payloads)])   # [P, ch, 6F]
+            A = _eld_analysis_matrix_cached(F)
+            coefs_long = (segs.reshape(-1, 6 * F) @ A).reshape(
+                n_payloads, nch, F)
+        else:
+            for s_kind in (ONLY_LONG, LONG_START, LONG_STOP):
+                rows = [f for f in range(n_payloads)
+                        if fseq_plan[f] == s_kind]
+                if not rows:
+                    continue
+                win = self._window_long(s_kind)
+                segs = np.stack([padded[f * F:(f + 2) * F].T * win
+                                 for f in rows])            # [p, ch, 2F]
+                coefs_long[rows] = (segs.reshape(-1, 2 * F)
+                                    @ self._amat_long).reshape(
+                    len(rows), nch, F)
+
+        payloads: list[bytes] = []
+        for f in range(n_payloads):
+            fseq = fseq_plan[f]
             # attack sub-block -> short-window index: short window k of
             # frame f starts at sample MID + 128k = 448 + 128k, i.e. ~3.5
             # sub-blocks into the frame
@@ -827,11 +854,7 @@ class AACEncoder:
 
             # channel coefficients in grouped layout [n_groups, ...]
             ch_coefs = []
-            if self._eld:
-                seg6 = padded_eld[f * F:(f + 6) * F]
-                for ch in range(nch):
-                    ch_coefs.append([self._mdct_eld(seg6[:, ch])])
-            for ch in range(nch if not self._eld else 0):
+            for ch in range(nch):
                 if fseq == EIGHT_SHORT:
                     c8 = self._mdct_short(seg[:, ch])  # [8, S]
                     glens = grouping
@@ -841,7 +864,7 @@ class AACEncoder:
                         pos += glen
                     ch_coefs.append(rows)
                 else:
-                    ch_coefs.append([self._mdct_long(seg[:, ch], fseq)])
+                    ch_coefs.append([coefs_long[f, ch].copy()])
 
             glens = grouping or [1]
             n_groups = len(glens)
@@ -1049,21 +1072,42 @@ class AACEncoder:
                 return res, elem_overhead + sum(r[3] for r in res)
 
             budget = bits_per_frame + min(self._reservoir, bits_per_frame)
-            lo, hi = -60, 90            # bits(off) is nonincreasing in off
-            res, used = emit(lo)
-            if used > budget:
-                r_hi, bits_hi = emit(hi)
-                if bits_hi > budget:
-                    res, used = r_hi, bits_hi  # pathological: coarsest
+            # smallest offset with bits <= budget; bits(off) is
+            # nonincreasing in off.  Warm-start at the previous frame's
+            # offset: steady-state content settles (2-3 emit() trials per
+            # frame instead of a full [-60, 90] bisection)
+            LO, HI = -60, 90
+            cand = int(np.clip(getattr(self, "_warm_off", LO), LO, HI))
+            r_c, u_c = emit(cand)
+            if u_c <= budget:
+                hi = cand
+                res, used = r_c, u_c
+                # finest offset still fitting: walk the bracket down
+                lo = LO
+                if cand > LO:
+                    r_p, u_p = emit(cand - 1)
+                    if u_p > budget:
+                        lo = cand        # cand is already minimal
+                    else:
+                        hi = cand - 1
+                        res, used = r_p, u_p
+            else:
+                lo, hi = cand + 1, HI
+                r_hi, u_hi = emit(HI)
+                if u_hi > budget:
+                    res, used = r_hi, u_hi  # pathological: coarsest
+                    lo = hi
                 else:
-                    while lo < hi:
-                        mid = (lo + hi) // 2
-                        r, u = emit(mid)
-                        if u <= budget:
-                            hi = mid
-                            res, used = r, u
-                        else:
-                            lo = mid + 1
+                    res, used = r_hi, u_hi
+            while lo < hi:
+                mid = (lo + hi) // 2
+                r, u = emit(mid)
+                if u <= budget:
+                    hi = mid
+                    res, used = r, u
+                else:
+                    lo = mid + 1
+            self._warm_off = hi
             tns_spec = ([[tns_side[2]]] if tns_side is not None
                         else tns_short)
             specs = [self._materialize(a, b, s, q, tns_spec=tns_spec)

@@ -92,7 +92,15 @@ def test_corrupt_stream_cannot_poison_batch():
     pcm = both.step_raw([good, garbage])
     solo = BatchDecoder([config], chunk_frames=2, use_native=True)
     want = solo.step_raw([good])
-    np.testing.assert_array_equal(pcm[:2], want[:2])
+    import jax
+    if jax.default_backend() == "cpu":
+        # identical float op order -> bitwise equality
+        np.testing.assert_array_equal(pcm[:2], want[:2])
+    else:
+        # accelerators may tile the [4,*] and [2,*] batch matmuls
+        # differently; the isolation guarantee is near-exactness
+        peak = max(float(np.abs(want[:2]).max()), 1e-9)
+        assert float(np.abs(pcm[:2] - want[:2]).max()) / peak < 1e-5
 
 
 @pytest.mark.parametrize("seed", range(12))
