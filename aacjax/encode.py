@@ -627,7 +627,8 @@ class AACEncoder:
                         dest=np.zeros(0, np.int64),
                         idxs=np.zeros(0, np.int64),
                         base_sf=np.zeros(0, np.int64),
-                        fit_sf=np.zeros(0, np.int64), **layout)
+                        fit_sf=np.zeros(0, np.int64),
+                        override=override or {}, **layout)
         bx = np.concatenate(chunks)
         ptr = np.concatenate([[0], np.cumsum([len(c) for c in chunks])]) \
             .astype(np.int64)

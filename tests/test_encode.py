@@ -294,3 +294,32 @@ def test_eld_dual_is_exact():
         err += ((o[s] - x[s - 1]) ** 2).sum()
         den += (x[s - 1] ** 2).sum()
     assert -10 * np.log10(err / den) > 180
+
+
+@pytest.mark.parametrize("kind", ["silence", "dc", "clip", "impulse",
+                                  "nyquist"])
+def test_encoder_survives_extreme_inputs(kind):
+    """Degenerate PCM (silence, DC, full-scale clipping, impulse trains,
+    Nyquist tones) must encode to decodable, finite streams in every
+    profile family."""
+    n = 1024 * 6
+    t = np.arange(n)
+    x = {
+        "silence": np.zeros(n),
+        "dc": np.full(n, 20000.0),
+        "clip": np.where((t // 64) % 2 == 0, 32767.0, -32768.0),
+        "impulse": np.where(t % 997 == 0, 32767.0, 0.0),
+        "nyquist": 30000.0 * np.cos(np.pi * t),
+    }[kind]
+    pcm = np.stack([x, -x], axis=1)
+    stream = AACEncoder(SR, 2, 64_000).encode(pcm)
+    out, _ = decode_adts(stream, on_error="raise")
+    assert np.isfinite(out).all()
+    from aacjax import decode_loas
+    enc = AACEncoder(SR, 2, 64_000, profile=39)
+    out2, _ = decode_loas(enc.encode_loas(pcm), on_error="raise")
+    assert np.isfinite(out2).all()
+    from aacjax.encode_he import HEAACEncoder
+    out3, _ = decode_adts(HEAACEncoder(SR, 2, 40_000).encode(pcm),
+                          on_error="raise")
+    assert np.isfinite(out3).all()
