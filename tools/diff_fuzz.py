@@ -142,10 +142,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--encoders", action="store_true",
+                    help="fuzz the encoder roundtrips instead of the parsers")
     args = ap.parse_args()
+    case_fn = run_encoder_case if args.encoders else run_case
     fails = 0
     for i in range(args.cases):
-        msg = run_case(args.seed * 1_000_000 + i)
+        msg = case_fn(args.seed * 1_000_000 + i)
         if msg:
             print("FAIL", msg)
             fails += 1
@@ -155,6 +158,68 @@ def main() -> int:
             print(f"# {i + 1}/{args.cases} ok")
     print(f"{args.cases - fails}/{args.cases} cases clean")
     return 1 if fails else 0
+
+
+
+
+def run_encoder_case(seed: int) -> str:
+    """Randomized encoder roundtrip: random content/profile/bitrate ->
+    encode -> strict decode -> finite output with sane energy."""
+    from scipy import signal as sig
+    from aacjax import decode_adts, decode_loas
+    from aacjax.encode import AACEncoder
+    from aacjax.encode_he import HEAACEncoder
+
+    rng = np.random.default_rng(seed)
+    sr = [44100, 48000, 32000][int(rng.integers(0, 3))]
+    n = 2048 * int(rng.integers(3, 7))
+    t = np.arange(n) / sr
+    x = np.zeros(n)
+    for _ in range(int(rng.integers(1, 4))):
+        f0 = float(rng.uniform(80, sr * 0.4))
+        x += float(rng.uniform(500, 12000)) * np.sin(2 * np.pi * f0 * t)
+    if rng.random() < 0.7:
+        x += sig.lfilter(*sig.butter(4, float(rng.uniform(0.1, 0.9))),
+                         rng.standard_normal(n)) * float(rng.uniform(100, 4000))
+    if rng.random() < 0.3:   # clicks
+        x[::int(rng.integers(1500, 4000))] += 20000.0
+    x = np.clip(x, -32768, 32767)
+    stereo = bool(rng.integers(0, 2))
+    pcm = (np.stack([x, x * float(rng.uniform(-1, 1))], axis=1)
+           if stereo else x.reshape(-1, 1))
+    nch = pcm.shape[1]
+    br = int(rng.integers(24, 256)) * 1000
+    kind = ["lc", "lc960", "ld", "eld", "he", "hev2"][int(rng.integers(0, 6))]
+    label = f"enc seed={seed} {kind} sr={sr} ch={nch} br={br}"
+    try:
+        if kind == "lc":
+            out, _ = decode_adts(AACEncoder(sr, nch, br).encode(pcm),
+                                 on_error="raise")
+        elif kind == "lc960":
+            enc = AACEncoder(sr, nch, br, frame_length=960)
+            out, _ = decode_loas(enc.encode_loas(pcm), on_error="raise")
+        elif kind == "ld":
+            enc = AACEncoder(sr, nch, br, profile=23)
+            out, _ = decode_loas(enc.encode_loas(pcm), on_error="raise")
+        elif kind == "eld":
+            enc = AACEncoder(sr, nch, br, profile=39)
+            out, _ = decode_loas(enc.encode_loas(pcm), on_error="raise")
+        elif kind == "he":
+            out, _ = decode_adts(HEAACEncoder(sr, nch, min(br, 64000))
+                                 .encode(pcm), on_error="raise")
+        else:
+            if nch != 2:
+                return ""
+            out, _ = decode_adts(
+                HEAACEncoder(sr, 2, min(br, 48000), ps=True).encode(pcm),
+                on_error="raise")
+    except Exception as e:  # noqa: BLE001 — any crash is a finding
+        return f"{label}: {type(e).__name__}: {e}"
+    if not np.isfinite(out).all():
+        return f"{label}: non-finite decode"
+    if float(np.abs(pcm).max()) > 100 and float(np.abs(out).max()) < 1e-5:
+        return f"{label}: decode is silent for loud input"
+    return ""
 
 
 if __name__ == "__main__":
