@@ -49,3 +49,53 @@ def test_entry_compiles():
     pcm, ov = jax.jit(fn)(*args)
     assert pcm.shape[-1] == 1024
     assert bool(jax.numpy.isfinite(pcm).all())
+
+
+@needs_mesh
+@pytest.mark.parametrize("profile,frame_length", [(23, 512), (39, 512)])
+def test_sharded_ld_eld_matches_single_device(profile, frame_length):
+    """The mesh path is frame-length- and profile-generic: LD (standard
+    IMDCT at F=512) and ELD (one-matmul low-delay filterbank with the
+    [C, 3F] carry) decode identically sharded vs single-device — GSPMD
+    turns the ELD shifted-segment adds into frame-axis halo exchanges."""
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.runtime.pack import pack_frames
+    from aacjax.kernels.pipeline import jitted_decode_step
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.specgen import random_channel_spec
+
+    rng = np.random.default_rng(41)
+    cfg = parse_asc(make_asc(profile, 4, 1, frame_length=frame_length))
+    payloads = []
+    for _ in range(4):
+        spec = random_channel_spec(rng, cfg, window_sequence=0,
+                                   allow_pulse=False, allow_noise=False)
+        payloads.append(enc.write_eld_frame([("SCE", spec)], cfg)
+                        if profile == 39
+                        else enc.write_er_frame([("SCE", spec)], cfg))
+    dec = BatchDecoder([cfg] * 4, chunk_frames=4, use_native=False)
+    per_slot = []
+    for i in range(4):
+        frames = dec.parse_stream_frames(i, payloads)
+        per_slot.append((dec.streams[i].base_slot, frames))
+    batch, flags = pack_frames(per_slot, dec.C, dec.T,
+                               frame_len=frame_length,
+                               eld=profile == 39)
+    ov_len = 3 * frame_length if profile == 39 else frame_length
+    overlap = np.zeros((dec.C, ov_len), np.float32)
+
+    pcm_single, ov_single = jitted_decode_step(flags)(batch, overlap.copy())
+
+    m = meshlib.make_mesh(4, 2)
+    step = meshlib.sharded_decode_step(flags, m)
+    sharded = meshlib.shard_batch(m, batch)
+    ov = jax.device_put(overlap.copy(), jax.sharding.NamedSharding(
+        m, jax.sharding.PartitionSpec("stream", None)))
+    pcm_mesh, ov_mesh = step(sharded, ov)
+
+    scale = max(1.0, float(np.abs(np.asarray(pcm_single)).max()))
+    np.testing.assert_allclose(np.asarray(pcm_mesh),
+                               np.asarray(pcm_single), atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(ov_mesh), np.asarray(ov_single),
+                               atol=1e-5 * scale)
