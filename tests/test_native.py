@@ -608,3 +608,42 @@ def test_native_er_mutations_match_python_verdict(profile, frame_length):
         dec = BatchDecoder([cfg], chunk_frames=3)
         pcm = dec.step_raw([[bytes(p) for p in payloads]])
         assert np.isfinite(pcm).all()
+
+
+@pytest.mark.parametrize("profile,frame_length", [(23, 512), (39, 480),
+                                                  (2, 960)])
+def test_compact_transfer_non_1024_frames(profile, frame_length):
+    """Block-scaled int16 compact transfer is frame-length-generic:
+    LD/ELD/960 chunks decode within the ~90 dB compact noise floor of
+    the exact f32 path."""
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing.specgen import random_channel_spec
+
+    cfg = parse_asc(make_asc(profile, 4, 1, frame_length=frame_length))
+    rng = np.random.default_rng(97)
+    payloads = []
+    for _ in range(4):
+        spec = random_channel_spec(rng, cfg, window_sequence=0,
+                                   allow_pulse=False, allow_noise=False)
+        payloads.append(enc.write_eld_frame([("SCE", spec)], cfg)
+                        if profile == 39
+                        else enc.write_er_frame([("SCE", spec)], cfg)
+                        if profile in (17, 23)
+                        else _sce_payload(rng, cfg))
+    dec_exact = BatchDecoder([cfg], chunk_frames=4)
+    assert dec_exact.use_native
+    want = dec_exact.stream_pcm(dec_exact.step_raw([payloads]), 0, 4)
+    dec_c = BatchDecoder([cfg], chunk_frames=4)
+    got = dec_c.stream_pcm(dec_c.step_raw([payloads], compact=True), 0, 4)
+    peak = max(float(np.abs(want).max()), 1e-9)
+    err = float(np.abs(got - want).max()) / peak
+    assert err < 1e-3, err  # well under codec quantization noise
+
+
+def _sce_payload(rng, cfg):
+    from aacjax.testing.specgen import random_channel_spec
+    w = BitWriter()
+    enc.write_sce(w, random_channel_spec(rng, cfg, window_sequence=0,
+                                         allow_pulse=False,
+                                         allow_noise=False), cfg)
+    return enc.end_frame(w)
