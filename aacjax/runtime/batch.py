@@ -880,7 +880,10 @@ class BatchDecoder:
         the failure flag.  An optional new config swaps the stream's
         tables in place; it must keep the batch frame length, fit the
         slot budget, and match the batch's ELD-ness (those are compiled
-        into the chunk program)."""
+        into the chunk program).
+
+        Not safe while a decode_pipelined/decode_he_pipelined generator
+        has a chunk in flight — call between chunks (after a yield)."""
         st = self.streams[idx]
         if config is not None:
             if config.frame_length != self.F:
