@@ -88,3 +88,24 @@ def test_encode_he_cli(tone_wav, tmp_path, capsys):
     from aacjax import decode_adts
     out, rate = decode_adts(aac.read_bytes())
     assert rate == SR and out.shape[1] == 2  # 2x-rate decode of 22050 core
+
+
+def test_transcode_example_chain(tone_wav, tmp_path):
+    """examples/transcode.py drives the full loop: wav -> LC adts ->
+    HE m4a -> ELD loas -> wav."""
+    import subprocess
+    ex = "examples/transcode.py"
+    steps = [
+        (str(tone_wav), str(tmp_path / "a.aac"), []),
+        (str(tmp_path / "a.aac"), str(tmp_path / "b.m4a"),
+         ["--profile", "he", "--bitrate", "48000"]),
+        (str(tmp_path / "b.m4a"), str(tmp_path / "c.loas"),
+         ["--profile", "eld", "--bitrate", "64000"]),
+        (str(tmp_path / "c.loas"), str(tmp_path / "d.wav"), []),
+    ]
+    import sys as _sys
+    for src, dst, extra in steps:
+        r = subprocess.run([_sys.executable, ex, src, dst] + extra,
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, (src, dst, r.stderr[-400:])
+    assert (tmp_path / "d.wav").stat().st_size > 40000

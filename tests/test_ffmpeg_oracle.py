@@ -209,3 +209,26 @@ def test_51_channel_order_matches_ffmpeg():
     peak = max(1.0, float(np.abs(theirs[:m]).max()))
     err = float(np.abs(ours_canon[:m] - theirs[:m]).max()) / peak
     assert err < 3e-6, err
+
+
+def test_all_sample_indices_conform():
+    """Every standard sampling index (96 kHz .. 7350 Hz) against
+    libavcodec — exercises each index's SWB tables from both sides."""
+    rng = np.random.default_rng(71)
+    for si in range(12):
+        config = _cfg(si=si, ch=1)
+        payloads = []
+        for _ in range(3):
+            w = BitWriter()
+            enc.write_sce(w, random_channel_spec(
+                rng, config, window_sequence=0, allow_pulse=False,
+                allow_noise=False), config)
+            payloads.append(enc.end_frame(w))
+        stream = b"".join(adts.wrap_frame(p, config) for p in payloads)
+        mine, rate = decode_adts(stream)
+        ref, ref_rate = ff.decode_adts(stream)
+        assert rate == ref_rate, si
+        n = min(len(mine), len(ref))
+        peak = max(float(np.abs(ref[:n]).max()), 1e-9)
+        err = float(np.abs(mine[:n] - ref[:n]).max()) / peak
+        assert err < 2e-5, (si, err)
