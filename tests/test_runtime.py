@@ -476,3 +476,35 @@ def test_reset_stream_swaps_config():
     cfg960 = parse_asc(make_asc(2, 4, 1, frame_length=960))
     with pytest.raises(ValueError):
         dec.reset_stream(0, cfg960)
+
+
+def test_reset_stream_he_batch():
+    """reset_stream on an HE-AAC batch: the recycled slot's SBR state
+    (QMF FIFOs, envelope history, Y-carry) restarts clean — its decode
+    matches a fresh decoder; the neighbor stream is untouched."""
+    import sys as _sys
+    import pathlib
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from test_sbr import make_he_stream
+    from aacjax.host import adts
+    from aacjax.host.asc import parse_asc
+
+    stream_a = make_he_stream(ch=2, n_frames=6, invf=1)
+    stream_b = make_he_stream(ch=2, n_frames=6, invf=1, num_env=2)
+    pays_a = [stream_a[s:e] for _, s, e in adts.split_frames(stream_a)]
+    pays_b = [stream_b[s:e] for _, s, e in adts.split_frames(stream_b)]
+    cfg = parse_asc(adts.synthesize_cookie(
+        adts.split_frames(stream_a)[0][0]))
+
+    dec = BatchDecoder([cfg, cfg], chunk_frames=3)
+    dec.step_he_raw([pays_a[:3], pays_b[:3]])
+    dec.reset_stream(0)
+    got = np.asarray(dec.step_he_raw([pays_b[:3], pays_b[3:6]]))
+
+    fresh = BatchDecoder([cfg], chunk_frames=3)
+    want = np.asarray(fresh.step_he_raw([pays_b[:3]]))
+    base = dec.streams[0].base_slot
+    fb = fresh.streams[0].base_slot
+    peak = max(float(np.abs(want[fb:fb + 2]).max()), 1e-9)
+    err = float(np.abs(got[base:base + 2] - want[fb:fb + 2]).max()) / peak
+    assert err < 1e-5, err
