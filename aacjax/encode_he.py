@@ -232,12 +232,36 @@ class HEAACEncoder:
         Parametric Stereo mode)."""
         pcm = np.asarray(pcm, np.float64).reshape(-1, self.in_channels)
         Xps = None
+        ps_slot_shift = 0
         if self.ps:
-            # v2: time-domain downmix carries the waveform; IID/ICC per
-            # frame reconstruct the image.  (A time-domain sum halves
-            # anti-phase content — the classic passive-downmix limit.)
-            Xps = (qmf_analysis64(pcm[:, 0]), qmf_analysis64(pcm[:, 1]))
-            pcm = 0.5 * (pcm[:, :1] + pcm[:, 1:])
+            # v2: an ENERGY-EQUALIZED QMF-domain downmix carries the
+            # waveform: m = (L+R)/2 scaled per band/slot so
+            # |m|^2 tracks (|L|^2+|R|^2)/2 — anti-phase content keeps its
+            # energy instead of cancelling (the passive-sum limit), and
+            # the decoder's IID/ICC reconstruction restores the image.
+            Xl = qmf_analysis64(pcm[:, 0])
+            Xr = qmf_analysis64(pcm[:, 1])
+            Xps = (Xl, Xr)
+            M = 0.5 * (Xl + Xr)
+            e_t = np.abs(Xl) ** 2 + np.abs(Xr) ** 2
+            g = np.sqrt(e_t / (2.0 * np.abs(M) ** 2 + 1e-9))
+            # boost-only, bounded (18 dB), smoothed over a few slots so
+            # deep-null bins lift without fast gain modulation; in-phase
+            # content passes through untouched
+            g = np.clip(g, 1.0, 8.0)
+            k = np.ones(4) / 4.0
+            g = np.apply_along_axis(
+                lambda v: np.convolve(v, k, "same"), 0, g)
+            from aacjax.host.sbr_decode import _qmf_synthesis_np
+            from aacjax.kernels import qmf as qmfmod
+            m_t, _ = _qmf_synthesis_np(M * g,
+                                       np.zeros((qmfmod.SYN_HIST, 128)))
+            # the analysis->synthesis chain inverts sign and delays by
+            # ~1128 samples; the SBR envelopes are measured from this
+            # signal's own QMF plane (self-consistent), and the PS
+            # parameter extraction shifts to match the coded timeline
+            pcm = -m_t.reshape(-1, 1)
+            ps_slot_shift = -18   # ~1128 samples / 64-sample slots
         core_pcm = _halfband_decimate(pcm)
         X = [qmf_analysis64(pcm[:, ch]) for ch in range(self.channels)]
 
@@ -251,7 +275,7 @@ class HEAACEncoder:
             lo_slot = (f - 1) * SLOTS_PER_FRAME
             specs = [self._frame_spec(X[ch], lo_slot)
                      for ch in range(self.channels)]
-            psd = (self._ps_spec(Xps[0], Xps[1], lo_slot)
+            psd = (self._ps_spec(Xps[0], Xps[1], lo_slot + ps_slot_shift)
                    if self.ps else None)
             fils.append(sbr_payload(specs, self.header, self.sample_rate,
                                     ps=psd))

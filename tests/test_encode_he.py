@@ -266,3 +266,27 @@ def test_he_m4a_gapless_roundtrip():
         m4a = HEAACEncoder(SR, 2, 40_000, ps=ps).encode_m4a(pcm)
         out, rate = decode_m4a(m4a)
         assert rate == SR and out.shape == pcm.shape, (ps, out.shape)
+
+
+def test_ps_antiphase_energy_survives_downmix():
+    """Strongly anti-correlated stereo — the passive-sum killer: the
+    energy-equalized QMF downmix keeps the band energy within 3 dB and
+    the decoder reconstructs the out-of-phase image (negative
+    cross-channel correlation via the transmitted ICC)."""
+    n = 2048 * 10
+    rng = np.random.default_rng(9)
+    bb, aa = sig.butter(4, [2000 / (SR / 2), 10000 / (SR / 2)], "bandpass")
+    a = sig.lfilter(bb, aa, rng.standard_normal(n)) * 5000
+    b = -0.9 * a + sig.lfilter(bb, aa, rng.standard_normal(n)) * 2000
+    pcm = np.stack([a, b], axis=1)
+    out, _ = decode_adts(HEAACEncoder(SR, 2, 32_000, ps=True).encode(pcm))
+    d = out[3000:] * 32768
+
+    def e_db(y):
+        return 10 * np.log10((sig.lfilter(bb, aa, y) ** 2).mean() + 1e-9)
+
+    for ch in range(2):
+        assert abs(e_db(d[:, ch]) - e_db(pcm[:, ch])) < 3.0, ch
+    dl = sig.lfilter(bb, aa, d[:, 0])
+    dr = sig.lfilter(bb, aa, d[:, 1])
+    assert float(np.corrcoef(dl, dr)[0, 1]) < -0.8
