@@ -232,21 +232,56 @@ def cmd_parity(args) -> int:
     from aacjax.testing import encoder as enc
     from aacjax.testing.specgen import random_channel_spec, random_cpe_spec
 
+    from aacjax.host.asc import UnsupportedError
+
     rng = np.random.default_rng(args.seed)
-    worst = 0.0
+    profile_plan = ([(2, 1024)] if not args.all_profiles else
+                    [(2, 1024), (2, 960), (17, 1024), (17, 960),
+                     (23, 512), (23, 480), (39, 512), (39, 480)])
+    per_profile: dict = {}
     cases = 0
     for _case in range(args.cases):
+        profile, fl = profile_plan[_case % len(profile_plan)]
         si = int(rng.integers(0, 12))
         stereo = bool(rng.integers(0, 2))
-        config = parse_asc(make_asc(2, si, 2 if stereo else 1))
+        try:
+            config = parse_asc(make_asc(profile, si, 2 if stereo else 1,
+                                        frame_length=fl))
+        except UnsupportedError:   # LD/ELD undefined at some indices
+            config = parse_asc(make_asc(profile, 4, 2 if stereo else 1,
+                                        frame_length=fl))
+        er = profile in (17, 23, 39)
+        kw = dict(allow_pulse=not er, allow_noise=not er)
         payloads = []
         for _ in range(args.frames):
-            w = BitWriter()
-            if stereo:
-                enc.write_cpe(w, random_cpe_spec(rng, config), config)
+            if er:
+                # ER layouts are FIXED by channelConfiguration: stereo
+                # configs must carry a CPE
+                if stereo:
+                    left = random_channel_spec(rng, config,
+                                               window_sequence=0, **kw)
+                    right = random_channel_spec(
+                        rng, config, window_sequence=0,
+                        grouping=left.grouping, max_sfb=left.max_sfb,
+                        window_shape=left.window_shape, **kw)
+                    elem = ("CPE", enc.CPESpec(left=left, right=right,
+                                               common_window=True,
+                                               ms_type=2))
+                else:
+                    elem = ("SCE", random_channel_spec(
+                        rng, config, window_sequence=0, **kw))
+                payloads.append(
+                    enc.write_eld_frame([elem], config)
+                    if profile == 39
+                    else enc.write_er_frame([elem], config))
             else:
-                enc.write_sce(w, random_channel_spec(rng, config), config)
-            payloads.append(enc.end_frame(w))
+                w = BitWriter()
+                if stereo:
+                    enc.write_cpe(w, random_cpe_spec(rng, config), config)
+                else:
+                    enc.write_sce(w, random_channel_spec(rng, config, **kw),
+                                  config)
+                payloads.append(enc.end_frame(w))
         dec = BatchDecoder([config], chunk_frames=len(payloads))
         frames = dec.parse_stream_frames(0, payloads)
         got = dec.stream_pcm(dec.step([frames]), 0, len(payloads))
@@ -255,12 +290,16 @@ def cmd_parity(args) -> int:
         # normalize to full-scale +-1.0 like the north-star criterion
         scale = max(1.0, float(np.abs(want).max()))
         err = float(np.abs(got - want).max()) / scale
-        worst = max(worst, err)
+        key = f"aot{profile}_f{fl}"
+        per_profile[key] = max(per_profile.get(key, 0.0), err)
         cases += 1
+    worst = max(per_profile.values()) if per_profile else 0.0
     ok = worst < 1e-4
     print(json.dumps({"cases": cases, "frames_per_case": args.frames,
-                      "max_abs_err_fullscale": worst, "target": 1e-4,
-                      "pass": ok}))
+                      "max_abs_err_fullscale": worst,
+                      "per_profile": {k: round(v, 9)
+                                      for k, v in sorted(per_profile.items())},
+                      "target": 1e-4, "pass": ok}))
     return 0 if ok else 1
 
 
@@ -332,6 +371,10 @@ def main(argv=None) -> int:
 
     y = sub.add_parser("parity",
                        help="device pipeline vs fp64 model decoder")
+    y.add_argument("--all-profiles", action="store_true",
+                   dest="all_profiles",
+                   help="sweep LC/ER-LC/LD/ELD at every frame length "
+                        "instead of LC-1024 only")
     y.add_argument("--cases", type=int, default=12)
     y.add_argument("--frames", type=int, default=4)
     y.add_argument("--seed", type=int, default=0)
