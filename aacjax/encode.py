@@ -887,7 +887,11 @@ class AACEncoder:
             overrides: list[dict] = [dict() for _ in range(nch)]
             tns_side = None   # (decoder lpc, (start,end) bins, filter spec)
             if self.use_tns and long_frame and max_sfb > 1:
-                tmax = (self.config.tns_max_bands_ld if self.profile == 23
+                # LD AND ELD decoders clamp TNS regions at the LD band
+                # table (syntax.py resolve paths); the analysis FIR must
+                # cover exactly the region the AR pass will invert
+                tmax = (self.config.tns_max_bands_ld
+                        if self.profile in (23, 39)
                         else int(tables.TNS_MAX_BANDS_1024[
                             self.config.sample_index]))
                 mmm = min(tmax, max_sfb)
