@@ -109,3 +109,25 @@ def test_transcode_example_chain(tone_wav, tmp_path):
                            capture_output=True, text=True, cwd="/root/repo")
         assert r.returncode == 0, (src, dst, r.stderr[-400:])
     assert (tmp_path / "d.wav").stat().st_size > 40000
+
+
+def test_player_and_serving_examples(tone_wav, tmp_path):
+    """The Aurora-style player and the batch-serving examples stay
+    runnable end-to-end."""
+    import subprocess
+    import sys as _sys
+    m4a = tmp_path / "p.m4a"
+    r0 = subprocess.run([_sys.executable, "-m", "aacjax.cli", "encode",
+                         str(tone_wav), str(m4a), "--bitrate", "96000"],
+                        capture_output=True, text=True, cwd="/root/repo")
+    assert r0.returncode == 0, r0.stderr[-300:]
+    r1 = subprocess.run([_sys.executable, "examples/player.py", str(m4a),
+                         str(tmp_path / "p.wav"), "--start", "0.2",
+                         "--duration", "0.4"],
+                        capture_output=True, text=True, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-300:]
+    assert "played" in r1.stdout
+    r2 = subprocess.run([_sys.executable, "examples/serving.py", "--demo"],
+                        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-300:]
+    assert "failed streams: []" in r2.stderr or "failed streams: []" in r2.stdout
