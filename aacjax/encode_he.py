@@ -153,6 +153,14 @@ class HEAACEncoder:
                 en = float(p.mean())
                 env_q[e, b] = int(np.clip(
                     round((np.log2(en + 1e-9) - 6.0) / alpha), 0, qmax))
+            # the freq-delta Huffman books cover +-31 (3.0 dB) / +-60
+            # (1.5 dB); clamp adjacent jumps (a silent band next to a
+            # loud one would otherwise leave the codebook)
+            dmax = 31 if num_env > 1 else 60
+            for b in range(1, n_bands):
+                prev = int(env_q[e, b - 1])
+                env_q[e, b] = int(np.clip(env_q[e, b],
+                                          prev - dmax, prev + dmax))
 
         # noise floors + inverse filtering from flatness: target band vs
         # the patch source region (the low half below the crossover)
