@@ -219,6 +219,20 @@ def run_encoder_case(seed: int) -> str:
         return f"{label}: non-finite decode"
     if float(np.abs(pcm).max()) > 100 and float(np.abs(out).max()) < 1e-5:
         return f"{label}: decode is silent for loud input"
+    # third-party acceptance: libavcodec must also decode the stream
+    # (ADTS container kinds only; it catches writer bugs our own
+    # decoder might tolerate)
+    from aacjax.testing import ffmpeg_oracle
+    if ffmpeg_oracle.available() and kind in ("lc", "he", "hev2"):
+        try:
+            ref, _ = ffmpeg_oracle.decode_adts(
+                AACEncoder(sr, nch, br).encode(pcm) if kind == "lc"
+                else HEAACEncoder(sr, nch, min(br, 64000),
+                                  ps=kind == "hev2").encode(pcm))
+        except Exception as e:  # noqa: BLE001
+            return f"{label}: libavcodec rejected: {type(e).__name__}: {e}"
+        if not np.isfinite(ref).all():
+            return f"{label}: libavcodec produced non-finite output"
     return ""
 
 
