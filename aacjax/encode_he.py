@@ -221,17 +221,35 @@ class HEAACEncoder:
                           iid_par=iid, icc_par=icc)
         L = Xl[a:b]
         R = Xr[a:b]
+        ipd = np.zeros((1, 5), np.int64)
+        opd = np.zeros((1, 5), np.int64)
+        use_phase = False
         for p in range(10):
             sel = par_of == p
             el = float(np.sum(np.abs(L[:, sel]) ** 2)) + 1e-9
             er = float(np.sum(np.abs(R[:, sel]) ** 2)) + 1e-9
             db = 10.0 * np.log10(el / er)
             iid[0, p] = int(np.argmin(np.abs(iid_db_table - db))) - 7
-            rho = float(np.real(np.sum(L[:, sel] * np.conj(R[:, sel])))
-                        / np.sqrt(el * er))
+            cross = complex(np.sum(L[:, sel] * np.conj(R[:, sel])))
+            rho = float(np.real(cross)) / np.sqrt(el * er)
             icc[0, p] = int(np.argmin(np.abs(icc_rho_table - rho)))
+            if p < 5:
+                # phase parameters (ps_extension 0): IPD = phase of L
+                # against R, OPD = phase of L against the downmix; both
+                # quantized to 8 steps of pi/4 (the decoder's grid)
+                coh = abs(cross) / np.sqrt(el * er)
+                if coh > 0.4 and abs(np.angle(cross)) > np.pi / 8:
+                    use_phase = True
+                ipd[0, p] = int(np.round(np.angle(cross)
+                                         / (np.pi / 4.0))) % 8
+                M = 0.5 * (L[:, sel] + R[:, sel])
+                od = complex(np.sum(L[:, sel] * np.conj(M)))
+                opd[0, p] = int(np.round(np.angle(od)
+                                         / (np.pi / 4.0))) % 8
         return PSSpec(iid_mode=0, icc_mode=0, num_env=1,
-                      iid_par=iid, icc_par=icc)
+                      iid_par=iid, icc_par=icc,
+                      ipd_par=ipd if use_phase else None,
+                      opd_par=opd if use_phase else None)
 
     # -- public ---------------------------------------------------------------
     def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
