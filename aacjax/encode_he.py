@@ -96,6 +96,9 @@ class HEAACEncoder:
             raise ValueError("Parametric Stereo needs stereo input")
         self.sample_rate = sample_rate
         self.ps = ps
+        # PS parameter resolution: 20 IID/ICC bands when the budget
+        # affords the extra side info, 10 at low rates
+        self._ps_nr = 20 if (ps and bitrate >= 40_000) else 10
         self.channels = 1 if ps else channels   # coded channel count
         self.in_channels = channels
         # default range: crossover ~5.5 kHz, reconstruction to ~16 kHz at
@@ -183,22 +186,23 @@ class HEAACEncoder:
                             env_q=env_q, noise_q=noise_q)
 
     # -- Parametric Stereo extraction -----------------------------------------
-    # 10-parameter-band layout: QMF band -> par band, derived from the
+    # parameter-band layouts: QMF band -> par band, derived from the
     # decoder's hybrid-channel map (ps_tables k_to_i_20; QMF bands 0-2
     # hold the hybrid-split low channels, approximated at QMF resolution)
-    _PAR_OF_QMF: np.ndarray | None = None
+    _PAR_OF_QMF: dict = {}
 
     @classmethod
-    def _par_of_qmf(cls) -> np.ndarray:
-        if cls._PAR_OF_QMF is None:
+    def _par_of_qmf(cls, nr: int = 10) -> np.ndarray:
+        if nr not in cls._PAR_OF_QMF:
             from aacjax.host import ps as psmod
             k20 = psmod.tables()["k_to_i_20"].astype(int)
             par = np.zeros(64, np.int64)
-            par[0], par[1], par[2] = 0, 2, 3
+            div = 2 if nr == 10 else 1
+            par[0], par[1], par[2] = 0 // div, 4 // div, 6 // div
             for q in range(3, 64):
-                par[q] = int(k20[min(7 + q, len(k20) - 1)]) // 2
-            cls._PAR_OF_QMF = par
-        return cls._PAR_OF_QMF
+                par[q] = int(k20[min(7 + q, len(k20) - 1)]) // div
+            cls._PAR_OF_QMF[nr] = par
+        return cls._PAR_OF_QMF[nr]
 
     def _ps_spec(self, Xl: np.ndarray, Xr: np.ndarray,
                  lo_slot: int) -> PSSpec:
@@ -210,21 +214,24 @@ class HEAACEncoder:
         iid_db_table = 20.0 * np.log10(
             np.maximum(t["iid_par_dequant"][:15], 1e-9))   # coarse region
         icc_rho_table = np.cos(t["acos_icc_invq"])          # descending
-        par_of = self._par_of_qmf()
+        nr = self._ps_nr
+        mode = 0 if nr == 10 else 1
+        n_ipd = 5 if nr == 10 else 11
+        par_of = self._par_of_qmf(nr)
         S = Xl.shape[0]
         a = min(max(lo_slot, 0), S)
         b = min(max(lo_slot + SLOTS_PER_FRAME, 0), S)
-        iid = np.zeros((1, 10), np.int64)
-        icc = np.zeros((1, 10), np.int64)
+        iid = np.zeros((1, nr), np.int64)
+        icc = np.zeros((1, nr), np.int64)
         if b <= a:
-            return PSSpec(iid_mode=0, icc_mode=0, num_env=1,
+            return PSSpec(iid_mode=mode, icc_mode=mode, num_env=1,
                           iid_par=iid, icc_par=icc)
         L = Xl[a:b]
         R = Xr[a:b]
-        ipd = np.zeros((1, 5), np.int64)
-        opd = np.zeros((1, 5), np.int64)
+        ipd = np.zeros((1, n_ipd), np.int64)
+        opd = np.zeros((1, n_ipd), np.int64)
         use_phase = False
-        for p in range(10):
+        for p in range(nr):
             sel = par_of == p
             el = float(np.sum(np.abs(L[:, sel]) ** 2)) + 1e-9
             er = float(np.sum(np.abs(R[:, sel]) ** 2)) + 1e-9
@@ -233,7 +240,7 @@ class HEAACEncoder:
             cross = complex(np.sum(L[:, sel] * np.conj(R[:, sel])))
             rho = float(np.real(cross)) / np.sqrt(el * er)
             icc[0, p] = int(np.argmin(np.abs(icc_rho_table - rho)))
-            if p < 5:
+            if p < n_ipd:
                 # phase parameters (ps_extension 0): IPD = phase of L
                 # against R, OPD = phase of L against the downmix; both
                 # quantized to 8 steps of pi/4 (the decoder's grid)
@@ -246,7 +253,7 @@ class HEAACEncoder:
                 od = complex(np.sum(L[:, sel] * np.conj(M)))
                 opd[0, p] = int(np.round(np.angle(od)
                                          / (np.pi / 4.0))) % 8
-        return PSSpec(iid_mode=0, icc_mode=0, num_env=1,
+        return PSSpec(iid_mode=mode, icc_mode=mode, num_env=1,
                       iid_par=iid, icc_par=icc,
                       ipd_par=ipd if use_phase else None,
                       opd_par=opd if use_phase else None)

@@ -319,3 +319,31 @@ def test_ps_ipd_phase_reconstruction():
         ref, _ = ffmpeg_oracle.decode_adts(stream)
         got_ref = cross_phase(ref[HE_DELAY:] * 32768)
         assert abs(got_ref - want) < 0.5, (want, got_ref)
+
+
+def test_ps_20band_mode_sharpens_imaging():
+    """At >=40 kbps the PS encoder uses 20 IID/ICC bands: adjacent bands
+    panned OPPOSITE ways keep more of their separation than the 10-band
+    mode can express."""
+    n = 2048 * 10
+    rng = np.random.default_rng(5)
+    m1 = sig.lfilter(*sig.butter(4, [2000 / (SR / 2), 3500 / (SR / 2)],
+                                 "bandpass"), rng.standard_normal(n)) * 4000
+    m2 = sig.lfilter(*sig.butter(4, [3500 / (SR / 2), 5500 / (SR / 2)],
+                                 "bandpass"), rng.standard_normal(n)) * 4000
+    pcm = np.stack([1.7 * m1 + 0.3 * m2, 0.3 * m1 + 1.7 * m2], axis=1)
+
+    def ratio(y, lo, hi):
+        bb, aa = sig.butter(4, [lo / (SR / 2), hi / (SR / 2)], "bandpass")
+        return 10 * np.log10(
+            ((sig.lfilter(bb, aa, y[:, 0]) ** 2).mean() + 1e-9)
+            / ((sig.lfilter(bb, aa, y[:, 1]) ** 2).mean() + 1e-9))
+
+    enc = HEAACEncoder(SR, 2, 48_000, ps=True)
+    assert enc._ps_nr == 20
+    out, _ = decode_adts(enc.encode(pcm))
+    d = out[HE_DELAY:] * 32768
+    assert ratio(d, 2000, 3500) > 6.0
+    assert ratio(d, 3500, 5500) < -6.0
+    enc10 = HEAACEncoder(SR, 2, 32_000, ps=True)
+    assert enc10._ps_nr == 10
