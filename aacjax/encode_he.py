@@ -204,11 +204,43 @@ class HEAACEncoder:
             cls._PAR_OF_QMF[nr] = par
         return cls._PAR_OF_QMF[nr]
 
+    def _ps_rows(self, L, R, par_of, nr, n_ipd, iid_db_table,
+                 icc_rho_table):
+        """One envelope's IID/ICC/IPD/OPD rows over a QMF slot range."""
+        iid = np.zeros(nr, np.int64)
+        icc = np.zeros(nr, np.int64)
+        ipd = np.zeros(n_ipd, np.int64)
+        opd = np.zeros(n_ipd, np.int64)
+        use_phase = False
+        for p in range(nr):
+            sel = par_of == p
+            el = float(np.sum(np.abs(L[:, sel]) ** 2)) + 1e-9
+            er = float(np.sum(np.abs(R[:, sel]) ** 2)) + 1e-9
+            db = 10.0 * np.log10(el / er)
+            iid[p] = int(np.argmin(np.abs(iid_db_table - db))) - 7
+            cross = complex(np.sum(L[:, sel] * np.conj(R[:, sel])))
+            rho = float(np.real(cross)) / np.sqrt(el * er)
+            icc[p] = int(np.argmin(np.abs(icc_rho_table - rho)))
+            if p < n_ipd:
+                # phase parameters (ps_extension 0): IPD = phase of L
+                # against R, OPD = phase of L against the downmix; both
+                # quantized to 8 steps of pi/4 (the decoder's grid)
+                coh = abs(cross) / np.sqrt(el * er)
+                if coh > 0.4 and abs(np.angle(cross)) > np.pi / 8:
+                    use_phase = True
+                ipd[p] = int(np.round(np.angle(cross)
+                                      / (np.pi / 4.0))) % 8
+                M = 0.5 * (L[:, sel] + R[:, sel])
+                od = complex(np.sum(L[:, sel] * np.conj(M)))
+                opd[p] = int(np.round(np.angle(od) / (np.pi / 4.0))) % 8
+        return iid, icc, ipd, opd, use_phase
+
     def _ps_spec(self, Xl: np.ndarray, Xr: np.ndarray,
                  lo_slot: int) -> PSSpec:
-        """Measure one frame's IID/ICC parameters (10 coarse bands, one
-        envelope) from the stereo QMF planes.  Quantization inverts the
-        decoder's tables exactly (iid_par_dequant / acos_icc_invq)."""
+        """Measure one frame's PS parameters from the stereo QMF planes;
+        quantization inverts the decoder's tables exactly
+        (iid_par_dequant / acos_icc_invq).  A fast-moving image (IID
+        shift between half-frames) escalates to two envelopes."""
         from aacjax.host.ps_decode import _tables
         t = _tables()
         iid_db_table = 20.0 * np.log10(
@@ -221,39 +253,32 @@ class HEAACEncoder:
         S = Xl.shape[0]
         a = min(max(lo_slot, 0), S)
         b = min(max(lo_slot + SLOTS_PER_FRAME, 0), S)
-        iid = np.zeros((1, nr), np.int64)
-        icc = np.zeros((1, nr), np.int64)
         if b <= a:
             return PSSpec(iid_mode=mode, icc_mode=mode, num_env=1,
-                          iid_par=iid, icc_par=icc)
-        L = Xl[a:b]
-        R = Xr[a:b]
-        ipd = np.zeros((1, n_ipd), np.int64)
-        opd = np.zeros((1, n_ipd), np.int64)
-        use_phase = False
-        for p in range(nr):
-            sel = par_of == p
-            el = float(np.sum(np.abs(L[:, sel]) ** 2)) + 1e-9
-            er = float(np.sum(np.abs(R[:, sel]) ** 2)) + 1e-9
-            db = 10.0 * np.log10(el / er)
-            iid[0, p] = int(np.argmin(np.abs(iid_db_table - db))) - 7
-            cross = complex(np.sum(L[:, sel] * np.conj(R[:, sel])))
-            rho = float(np.real(cross)) / np.sqrt(el * er)
-            icc[0, p] = int(np.argmin(np.abs(icc_rho_table - rho)))
-            if p < n_ipd:
-                # phase parameters (ps_extension 0): IPD = phase of L
-                # against R, OPD = phase of L against the downmix; both
-                # quantized to 8 steps of pi/4 (the decoder's grid)
-                coh = abs(cross) / np.sqrt(el * er)
-                if coh > 0.4 and abs(np.angle(cross)) > np.pi / 8:
-                    use_phase = True
-                ipd[0, p] = int(np.round(np.angle(cross)
-                                         / (np.pi / 4.0))) % 8
-                M = 0.5 * (L[:, sel] + R[:, sel])
-                od = complex(np.sum(L[:, sel] * np.conj(M)))
-                opd[0, p] = int(np.round(np.angle(od)
-                                         / (np.pi / 4.0))) % 8
-        return PSSpec(iid_mode=mode, icc_mode=mode, num_env=1,
+                          iid_par=np.zeros((1, nr), np.int64),
+                          icc_par=np.zeros((1, nr), np.int64))
+        half = (a + b) // 2
+        rows = [self._ps_rows(Xl[lo:hi], Xr[lo:hi], par_of, nr, n_ipd,
+                              iid_db_table, icc_rho_table)
+                for lo, hi in ((a, half), (half, b))]
+        # image motion: a >=3-step IID shift in any band between the
+        # half-frames spends the second envelope
+        two_env = bool(np.max(np.abs(rows[0][0] - rows[1][0])) >= 3)
+        if two_env:
+            iid = np.stack([rows[0][0], rows[1][0]])
+            icc = np.stack([rows[0][1], rows[1][1]])
+            ipd = np.stack([rows[0][2], rows[1][2]])
+            opd = np.stack([rows[0][3], rows[1][3]])
+            use_phase = rows[0][4] or rows[1][4]
+            num_env = 2
+        else:
+            full = self._ps_rows(Xl[a:b], Xr[a:b], par_of, nr, n_ipd,
+                                 iid_db_table, icc_rho_table)
+            iid, icc = full[0][None], full[1][None]
+            ipd, opd = full[2][None], full[3][None]
+            use_phase = full[4]
+            num_env = 1
+        return PSSpec(iid_mode=mode, icc_mode=mode, num_env=num_env,
                       iid_par=iid, icc_par=icc,
                       ipd_par=ipd if use_phase else None,
                       opd_par=opd if use_phase else None)

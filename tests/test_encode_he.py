@@ -347,3 +347,37 @@ def test_ps_20band_mode_sharpens_imaging():
     assert ratio(d, 3500, 5500) < -6.0
     enc10 = HEAACEncoder(SR, 2, 32_000, ps=True)
     assert enc10._ps_nr == 10
+
+
+def test_ps_two_envelopes_track_moving_image():
+    """A hard L/R pan toggle (~46 ms period) escalates the PS grid to
+    two envelopes per frame and the decoded pan trajectory correlates
+    >0.75 with the original (single-envelope coding manages ~0.55)."""
+    n = 2048 * 12
+    rng = np.random.default_rng(4)
+    x = sig.lfilter(*sig.butter(4, [1500 / (SR / 2), 6000 / (SR / 2)],
+                                "bandpass"), rng.standard_normal(n)) * 6000
+    pan = 0.5 + 0.5 * np.sign(np.sin(2 * np.pi * np.arange(n) / 4096))
+    pcm = np.stack([x * pan, x * (1 - pan)], axis=1)
+    enc = HEAACEncoder(SR, 2, 48_000, ps=True)
+    from aacjax.encode_he import qmf_analysis64
+    Xl = qmf_analysis64(pcm[:, 0])
+    Xr = qmf_analysis64(pcm[:, 1])
+    specs = [enc._ps_spec(Xl, Xr, 32 * f) for f in range(2, 10)]
+    assert max(s.num_env for s in specs) == 2
+    out, _ = decode_adts(enc.encode(pcm))
+    d = out * 32768
+    w = 512
+    best = -1.0
+    for lag in range(2048, 4608, 128):
+        m = min(len(d) - lag, len(pcm))
+        ro, rd = [], []
+        for i in range(0, m - w, w):
+            eo = (pcm[i:i + w, 0] ** 2).mean() + 1e-9
+            eo2 = (pcm[i:i + w, 1] ** 2).mean() + 1e-9
+            ed = (d[lag + i:lag + i + w, 0] ** 2).mean() + 1e-9
+            ed2 = (d[lag + i:lag + i + w, 1] ** 2).mean() + 1e-9
+            ro.append(np.log10(eo / eo2))
+            rd.append(np.log10(ed / ed2))
+        best = max(best, float(np.corrcoef(ro, rd)[0, 1]))
+    assert best > 0.75, best
