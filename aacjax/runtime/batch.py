@@ -803,6 +803,42 @@ class BatchDecoder:
         self.stats.streams_failed = sum(st.failed for st in self.streams)
         return pcm
 
+    def _device_step_sharded(self, batch: dict, mesh, out_int16: bool = False):
+        """Multi-chip variant of _device_step: runs the SAME production
+        spectral program (decode_spec_step — compact int16 spectra,
+        concealment masks, TNS, CCE entry lists) jitted over a
+        ('stream', 'frame') mesh with explicit shardings.  Serving on a
+        pod shards concurrent streams across chips (pure data parallel;
+        zero cross-chip traffic) and optionally the frame axis within a
+        stream (the overlap-add carry lowers to one halo
+        collective-permute per boundary over ICI)."""
+        from aacjax.runtime import mesh as meshlib
+        has_tns = batch.pop('_has_tns')
+        has_short = batch.pop('_has_short')
+        spec_i16 = batch.pop('_spec_i16')
+        has_cce_post = batch.pop('_has_cce_post')
+        has_cce_time = batch.pop('_has_cce_time')
+        parse_seconds = batch.pop('_parse_seconds')
+        n_stream_frames = batch.pop('_n_stream_frames')
+        n_channel_frames = batch.pop('_n_channel_frames')
+        flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
+                              has_cce=False, out_int16=out_int16,
+                              has_cce_post=has_cce_post,
+                              has_cce_time=has_cce_time,
+                              spec_i16=spec_i16, has_short=has_short,
+                              eld=self._eld)
+        step_fn = meshlib.sharded_decode_spec_step(flags, mesh)
+        sharded = meshlib.shard_spec_batch(mesh, batch)
+        overlap = jax.device_put(
+            self.overlap, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("stream", None)))
+        t0 = time.perf_counter()
+        pcm, self.overlap = step_fn(sharded, overlap)
+        self._pending_steps[id(pcm)] = (
+            t0, parse_seconds, n_stream_frames, n_channel_frames)
+        self.stats.streams_failed = sum(st.failed for st in self.streams)
+        return pcm
+
     def finalize_step(self, pcm) -> np.ndarray:
         """Materialize a _device_step result on the host and complete its
         stats record: device_seconds spans dispatch -> ready -> D2H, so

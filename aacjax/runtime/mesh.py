@@ -79,3 +79,50 @@ def sharded_decode_step(flags: PipelineFlags, mesh: Mesh):
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     shardings = batch_shardings(mesh, batch)
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+# -- production spec path ----------------------------------------------------
+# The serving path (BatchDecoder._parse_native -> decode_spec_step) ships a
+# different batch layout than the python packer: final f32 spectra (or
+# compact block-scaled int16 + per-block scales), per-channel-frame meta,
+# TNS lpc/ranges, concealment masks, and global CCE entry lists.  Everything
+# leads with the [C, T] (channel-slot, frame) axes, so the same 2-D
+# ('stream', 'frame') mesh applies; the CCE entry lists index arbitrary
+# (slot, t) pairs and stay replicated (GSPMD gathers across shards).
+
+def spec_batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    out = {}
+    for k, v in batch.items():
+        if k.startswith("cce_"):
+            out[k] = NamedSharding(mesh, P(None))
+        elif k == "last_valid":
+            out[k] = NamedSharding(mesh, P("stream"))
+        elif v.ndim >= 3:
+            out[k] = NamedSharding(
+                mesh, P("stream", "frame", *([None] * (v.ndim - 2))))
+        else:
+            out[k] = NamedSharding(mesh, P("stream", "frame"))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_decode_spec_step(flags, mesh: Mesh):
+    """jit-compiled production spectral step (native-packed serving path)
+    with explicit shardings over the ('stream', 'frame') mesh."""
+    from aacjax.kernels.pipeline import decode_spec_step
+    overlap_sharding = NamedSharding(mesh, P("stream", None))
+    pcm_sharding = NamedSharding(mesh, P("stream", "frame", None))
+
+    def fn(batch, overlap_in):
+        return decode_spec_step(batch, overlap_in, flags)
+
+    return jax.jit(
+        fn,
+        donate_argnums=(1,),
+        out_shardings=(pcm_sharding, overlap_sharding),
+    )
+
+
+def shard_spec_batch(mesh: Mesh, batch: dict) -> dict:
+    shardings = spec_batch_shardings(mesh, batch)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

@@ -44,6 +44,61 @@ def test_dryrun_multichip():
     graft.dryrun_multichip(8)
 
 
+@needs_mesh
+def test_sharded_spec_path_matches_single_device():
+    """The PRODUCTION serving path — native-packed decode_spec_step with
+    compact int16 spectra, TNS side info and concealment masks — must
+    decode identically jitted over the ('stream','frame') mesh and on a
+    single device, including the overlap carry across two chunks and a
+    corrupt stream whose concealment masks ride the sharded batch."""
+    from aacjax.host import native
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.host.bitio import BitWriter
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.specgen import random_cpe_spec
+
+    if not native.available():
+        pytest.skip("native parser not built")
+
+    rng = np.random.default_rng(5)
+    config = parse_asc(make_asc(2, 4, 2))
+    n_stream, T, n_chunks = 4, 4, 2
+    chunks = []
+    for _k in range(n_chunks):
+        per_stream = []
+        for _i in range(n_stream):
+            payloads = []
+            for _t in range(T):
+                w = BitWriter()
+                enc.write_cpe(w, random_cpe_spec(rng, config, common=True),
+                              config)
+                payloads.append(enc.end_frame(w))
+            per_stream.append(payloads)
+        chunks.append(per_stream)
+    # corrupt stream 2's second payload in chunk 0: its frames from t=1 on
+    # conceal to silence; other streams must be unaffected on both paths
+    chunks[0][2][1] = b"\x00\x41"  # SCE element truncated mid-header
+
+    def run(step):
+        dec = BatchDecoder([config] * n_stream, chunk_frames=T,
+                           use_native=True)
+        outs = []
+        for c in chunks:
+            batch = dec._parse_native(c, compact=True)
+            outs.append(np.asarray(dec.finalize_step(step(dec, batch))))
+        return dec, outs
+
+    dec_ref, ref = run(lambda d, b: d._device_step(b, out_int16=False))
+    m = meshlib.make_mesh(n_stream, 2)
+    dec_mesh, got = run(lambda d, b: d._device_step_sharded(b, m))
+
+    assert dec_ref.streams[2].failed and dec_mesh.streams[2].failed
+    for r, g in zip(ref, got):
+        scale = max(1.0, float(np.abs(r).max()))
+        np.testing.assert_allclose(g, r, atol=1e-5 * scale)
+
+
 def test_entry_compiles():
     fn, args = graft.entry()
     pcm, ov = jax.jit(fn)(*args)
