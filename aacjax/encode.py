@@ -804,8 +804,13 @@ class AACEncoder:
         max_sfb_s = int(np.searchsorted(off_s, cutoff_s, "left"))
         max_sfb_s = min(max(max_sfb_s, 1), self.config.swb_count_short)
         ath_l = _ath_energy(off_l[:max_sfb_l + 1], self.sample_rate, F, F)
-        ath_s = _ath_energy(off_s[:max_sfb_s + 1], self.sample_rate, F,
-                            F // 8)
+        # short-window ATH: full_scale scales with the transform length,
+        # so the calibration constant must use the SHORT length (F/8) —
+        # the long constant left the floor ~9 dB too permissive on
+        # transient frames.  ath_s is per WINDOW; the per-group threshold
+        # scales by the group's window count where group energies sum
+        ath_s = _ath_energy(off_s[:max_sfb_s + 1], self.sample_rate,
+                            F // 8, F // 8)
         bits_per_frame = self.bitrate * F / self.sample_rate
 
         # plan the whole file's window sequences, then run every
@@ -870,6 +875,10 @@ class AACEncoder:
             glens = grouping or [1]
             n_groups = len(glens)
             S = F // 8 if fseq == EIGHT_SHORT else F
+            if fseq == EIGHT_SHORT:
+                # band_energy sums |X|^2 over the group's glen windows;
+                # the per-window ATH floor scales with the same count
+                ath = np.asarray(glens, np.float64)[:, None] * ath_s
 
             def band_energy(rows):
                 e = np.zeros((n_groups, max_sfb))

@@ -343,6 +343,14 @@ class HEAACEncoder:
         sbr_bps = sum(len(p) + 2 for p in fils) * 8 / secs  # +FIL header
         self.core.bitrate = max(12_000 * self.channels,
                                 int(self.bitrate - sbr_bps))
+        # bitrate-derived state must track the deduction: the reservoir
+        # cap (6x bitrate frames) was sized from the pre-deduction target
+        # at construction and would let the core overshoot the total rate
+        # (the bandwidth cutoff is NOT bitrate-derived here — it is set
+        # explicitly from the SBR crossover above)
+        self.core._reservoir_cap = (6.0 * self.core.bitrate
+                                    * self.core._frame
+                                    / self.core.sample_rate)
         return self.core.encode_frames(core_pcm, fil_payloads=fils)
 
     def encode(self, pcm: np.ndarray) -> bytes:

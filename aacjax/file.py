@@ -49,8 +49,12 @@ class AACFile:
         # compiled shape, so keeping chunk_frames equal to decode_adts's
         # makes ranged reads bit-identical to a full-file decode
         self._chunk_frames = chunk_frames
-        self._priming = 0        # container gapless metadata, core samples
+        # container gapless metadata, in container timescale units
+        # (MP4 mdhd timescale — often the SBR output rate for HE-AAC
+        # files, not the ASC core rate)
+        self._priming = 0
         self._valid = 0
+        self._container_ts = 0
         if cookie is not None:
             # raw access units: every payload is one raw_data_block, but
             # boundaries are only discoverable by parsing — random access
@@ -63,6 +67,7 @@ class AACFile:
             self._asc = track.asc_raw
             self._priming = track.priming
             self._valid = track.total_samples
+            self._container_ts = track.timescale
         elif probe_loas(data):
             mux, payloads = split_loas(data)
             if mux is None or not payloads:
@@ -141,7 +146,11 @@ class AACFile:
 
     @property
     def _timescale(self) -> int:
-        return self.config.sample_rate
+        """Units of the container's priming/valid-duration values: the MP4
+        track's mdhd timescale when present (for external HE-AAC .m4a it
+        is commonly the SBR output rate, 2x the ASC core rate — dividing
+        by the core rate would double the trim), else the core rate."""
+        return self._container_ts or self.config.sample_rate
 
     @property
     def _priming_out(self) -> int:

@@ -377,9 +377,9 @@ def parse(data: bytes) -> MP4Track:
                     if movie_ts and timescale:
                         total = round(seg * timescale / movie_ts)
                     break
-        bad = [r for r in ranges if r[1] > len(data) or r[0] < 0]
-        if bad:
-            ranges = [r for r in ranges if r not in bad]
+        # single pass: list-membership filtering is O(n*m) and a truncated
+        # or fuzzed file can push most ranges past EOF
+        ranges = [r for r in ranges if 0 <= r[0] and r[1] <= len(data)]
         if not ranges:
             raise MP4Error("audio track has no resolvable samples")
         return MP4Track(asc_raw=asc, config=parse_asc(asc),

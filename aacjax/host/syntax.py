@@ -916,7 +916,15 @@ def apply_drc(frame: Frame, drc_scale: float = 1.0) -> None:
     for banded DRC, and it commutes with the M/S butterfly since both
     channels of a pair carry the same gain.  drc_scale in [0, 1] is the
     user compression fraction (0 = off, 1 = full, like players expose);
-    the reference skips FIL payloads entirely so has no DRC at all."""
+    the reference skips FIL payloads entirely so has no DRC at all.
+
+    Limitation (HE-AAC): for SBR-active streams the envelope adjuster
+    renormalizes the patched high band to the TRANSMITTED envelope
+    energies, so a spectral-domain gain only attenuates below the
+    crossover (spectral tilt rather than uniform gain).  Uniform DRC on
+    SBR output would have to scale the post-SBR PCM instead; since
+    14496-3 single-band DRC is a full-frame gain, players that need it
+    with SBR should apply `10^(gain_db*scale/20)` to the decoded PCM."""
     drc = frame.drc
     if drc is None or drc_scale <= 0:
         return

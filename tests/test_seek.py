@@ -153,3 +153,38 @@ def test_seek_ld_eld_loas(profile, frame_length):
     fl = frame_length
     clip = f.read(start=6 * fl, n=3 * fl)
     np.testing.assert_array_equal(clip, whole[6 * fl:9 * fl])
+
+
+def test_he_aac_m4a_output_rate_timescale():
+    """External HE-AAC .m4a commonly carry mdhd timescale = the SBR
+    OUTPUT rate (2x the ASC core rate) with elst values in those units.
+    AACFile must convert priming/valid-duration with the TRACK timescale
+    (mirroring decode_m4a), not the ASC core rate — the latter doubled
+    the trim and misaligned read()/total_samples (round-2 advisor)."""
+    from aacjax import decode_m4a
+    from aacjax.host import sbr as S
+    from aacjax.testing.sbr_encoder import SBRFrameSpec, sbr_payload
+
+    rng = np.random.default_rng(3)
+    core_cfg = parse_asc(make_asc(2, 7, 1))      # 22050 core -> 44100 out
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    tab = S.derive_tables(h, 2 * core_cfg.sample_rate)
+    spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * tab.n_q,
+                        env_q=np.full((2, tab.n_bands(1)), 25, np.int64),
+                        noise_q=np.full((2, tab.n_q), 30, np.int64))
+    pay = sbr_payload([spec], h, 2 * core_cfg.sample_rate)
+    x = 1500 * rng.standard_normal((1024 * 6, 1))
+    payloads = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                     fil_payloads=[pay])
+    asc = make_asc(2, 7, 1, sbr=True)
+    priming_out = 2048                            # in OUTPUT-rate ticks
+    data = mux_m4a(payloads, asc, 44100, 1, frame_length=2048,
+                   priming=priming_out, movie_ts=44100)
+
+    trimmed, rate = decode_m4a(data)
+    assert rate == 44100
+    f = AACFile(data)
+    assert f._timescale == 44100                  # mdhd, not ASC core rate
+    assert f._priming_out == priming_out          # NOT doubled
+    assert f.total_samples == trimmed.shape[0]
+    assert f.duration == pytest.approx(trimmed.shape[0] / 44100)
