@@ -394,8 +394,8 @@ def _decode_raw_payloads(config: StreamConfig, asc_raw: bytes,
             # pipelined: parse of chunk k+1 overlaps chunk k's device work
             sizes = [min(chunk_frames, len(payloads) - i) for i in starts]
             it = ([payloads[i:i + chunk_frames]] for i in starts)
-            for k, pcm in enumerate(dec.decode_pipelined(it,
-                                                         out_int16=False)):
+            for k, pcm in enumerate(dec.decode_pipelined(it, out_int16=False,
+                                                         compact=False)):
                 if dec.streams[0].failed:
                     if on_error == "raise":
                         raise UnsupportedError(
@@ -405,7 +405,7 @@ def _decode_raw_payloads(config: StreamConfig, asc_raw: bytes,
             return np.concatenate(out, axis=0), config.sample_rate
         for i in starts:
             group = payloads[i:i + chunk_frames]
-            pcm = dec.step_raw([group])
+            pcm = dec.step_raw([group], compact=False)
             if dec.streams[0].failed:
                 if on_error == "raise":
                     raise UnsupportedError(
@@ -579,7 +579,7 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         nch = 2 if has_ps and config.channels == 1 else config.channels
         for i in range(0, len(payloads), chunk_frames):
             group = payloads[i:i + chunk_frames]
-            pcm = dec.step_he_raw([group])        # [C, T, 2F]
+            pcm = dec.step_he_raw([group], compact=False)  # [C, T, 2F]
             if dec.streams[0].failed:
                 if on_error == "raise":
                     raise UnsupportedError(
@@ -666,7 +666,8 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         # on chunk k (measured +60% end-to-end on a link-bound host)
         sizes = [min(chunk_frames, len(payloads) - i) for i in starts]
         it = ([payloads[i:i + chunk_frames]] for i in starts)
-        for k, pcm in enumerate(dec.decode_pipelined(it, out_int16=False)):
+        for k, pcm in enumerate(dec.decode_pipelined(it, out_int16=False,
+                                                     compact=False)):
             if dec.streams[0].failed:
                 if on_error == "raise":
                     raise UnsupportedError(
@@ -676,7 +677,7 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         return np.concatenate(out, axis=0), config.sample_rate
     for i in starts:
         group = payloads[i:i + chunk_frames]
-        pcm = dec.step_raw([group])
+        pcm = dec.step_raw([group], compact=False)
         if dec.streams[0].failed:
             if on_error == "raise":
                 raise UnsupportedError(

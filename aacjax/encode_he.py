@@ -89,16 +89,20 @@ class HEAACEncoder:
     def __init__(self, sample_rate: int = 44100, channels: int = 2,
                  bitrate: int = 48_000,
                  header: sbrmod.SBRHeader | None = None,
-                 ps: bool = False):
+                 ps: bool = False, ps_bands: int | None = None):
         if sample_rate % 2:
             raise ValueError("output sample rate must be even")
         if ps and channels != 2:
             raise ValueError("Parametric Stereo needs stereo input")
+        if ps_bands not in (None, 10, 20, 34):
+            raise ValueError("ps_bands must be 10, 20 or 34")
         self.sample_rate = sample_rate
         self.ps = ps
         # PS parameter resolution: 20 IID/ICC bands when the budget
-        # affords the extra side info, 10 at low rates
-        self._ps_nr = 20 if (ps and bitrate >= 40_000) else 10
+        # affords the extra side info, 10 at low rates; 34 (the finest
+        # grid, hybrid-34 filterbank in the decoder) on request
+        self._ps_nr = ps_bands if ps_bands else (
+            20 if (ps and bitrate >= 40_000) else 10)
         self.channels = 1 if ps else channels   # coded channel count
         self.in_channels = channels
         # default range: crossover ~5.5 kHz, reconstruction to ~16 kHz at
@@ -195,12 +199,24 @@ class HEAACEncoder:
     def _par_of_qmf(cls, nr: int = 10) -> np.ndarray:
         if nr not in cls._PAR_OF_QMF:
             from aacjax.host import ps as psmod
-            k20 = psmod.tables()["k_to_i_20"].astype(int)
             par = np.zeros(64, np.int64)
-            div = 2 if nr == 10 else 1
-            par[0], par[1], par[2] = 0 // div, 4 // div, 6 // div
-            for q in range(3, 64):
-                par[q] = int(k20[min(7 + q, len(k20) - 1)]) // div
+            if nr == 34:
+                # hybrid-34 layout: QMF bands 0-4 split into 12/8/4/4/4
+                # hybrid channels (32 total), QMF q>=5 -> channel
+                # 32+(q-5); measurement at QMF resolution uses each
+                # split band's middle channel as representative
+                k34 = psmod.tables()["k_to_i_34"].astype(int)
+                mid = (6, 16, 22, 26, 30)       # offsets 0/12/20/24/28
+                for q in range(5):
+                    par[q] = int(k34[mid[q]])
+                for q in range(5, 64):
+                    par[q] = int(k34[min(32 + q - 5, len(k34) - 1)])
+            else:
+                k20 = psmod.tables()["k_to_i_20"].astype(int)
+                div = 2 if nr == 10 else 1
+                par[0], par[1], par[2] = 0 // div, 4 // div, 6 // div
+                for q in range(3, 64):
+                    par[q] = int(k20[min(7 + q, len(k20) - 1)]) // div
             cls._PAR_OF_QMF[nr] = par
         return cls._PAR_OF_QMF[nr]
 
@@ -233,6 +249,22 @@ class HEAACEncoder:
                 M = 0.5 * (L[:, sel] + R[:, sel])
                 od = complex(np.sum(L[:, sel] * np.conj(M)))
                 opd[p] = int(np.round(np.angle(od) / (np.pi / 4.0))) % 8
+        # pars only reachable through the decoder's hybrid-split channels
+        # have no QMF band mapped to them at this measurement resolution;
+        # backfill from the nearest measured par so their sub-channels
+        # inherit the local image instead of collapsing to center/
+        # fully-decorrelated defaults (matters most in 34-band mode,
+        # where pars 0-8 all live inside the lowest 5 QMF bands)
+        meas = np.isin(np.arange(nr), par_of)
+        if not meas.all():
+            midx = np.where(meas)[0]
+            for p in np.where(~meas)[0]:
+                src = int(midx[np.argmin(np.abs(midx - p))])
+                iid[p] = iid[src]
+                icc[p] = icc[src]
+                if p < n_ipd and src < n_ipd:
+                    ipd[p] = ipd[src]
+                    opd[p] = opd[src]
         return iid, icc, ipd, opd, use_phase
 
     def _ps_spec(self, Xl: np.ndarray, Xr: np.ndarray,
@@ -247,8 +279,8 @@ class HEAACEncoder:
             np.maximum(t["iid_par_dequant"][:15], 1e-9))   # coarse region
         icc_rho_table = np.cos(t["acos_icc_invq"])          # descending
         nr = self._ps_nr
-        mode = 0 if nr == 10 else 1
-        n_ipd = 5 if nr == 10 else 11
+        mode = {10: 0, 20: 1, 34: 2}[nr]
+        n_ipd = {10: 5, 20: 11, 34: 17}[nr]
         par_of = self._par_of_qmf(nr)
         S = Xl.shape[0]
         a = min(max(lo_slot, 0), S)

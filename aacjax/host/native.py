@@ -38,7 +38,7 @@ class NativeParseError(Exception):
 
 
 _lib = None
-_ABI_VERSION = 6  # must match native aacparse_version()
+_ABI_VERSION = 7  # must match native aacparse_version()
 
 
 def _load():
@@ -78,6 +78,7 @@ def _load():
         ctypes.c_void_p,                                   # cce counts
         ctypes.c_void_p,                                   # consumed bits
         ctypes.c_void_p,                                   # fil sbr records
+        ctypes.c_void_p,                                   # fil drc records
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_char_p, ctypes.c_int,
     ]
@@ -200,6 +201,7 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
     has_tns = np.zeros(1, np.int32)
     consumed = np.zeros(max(len(parts), 1), np.int64)
     fil_sbr = np.zeros((max(len(parts), 1), 4, 3), np.int64)
+    fil_drc = np.zeros(max(len(parts), 1), np.int64)
     errbuf = ctypes.create_string_buffer(256)
     tp = tables_pack
     code = lib.aacparse_batch_spec(
@@ -219,12 +221,13 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
         _ptr(out.cce_time_idx), _ptr(out.cce_time_gain), out.time_cap,
         _ptr(out.cce_counts),
         _ptr(consumed),
-        _ptr(fil_sbr),
+        _ptr(fil_sbr), _ptr(fil_drc),
         _ptr(status), _ptr(has_tns), errbuf, len(errbuf))
     if code != ERR_OK:
         raise NativeParseError(code, errbuf.value.decode(), -1)
     out.consumed_bits = consumed  # per successful global frame index
     out.fil_sbr = fil_sbr         # SBR FIL records per global frame index
+    out.fil_drc = fil_drc         # DRC FIL bit offsets per global frame
     return status, bool(has_tns[0]), errbuf.value.decode()
 
 

@@ -172,3 +172,43 @@ def pack_channel_frame(dense: SBRDense, b: int, t: int,
 
 def RATE_T(t_units) -> int:
     return int(t_units) * 2
+
+
+def compact_dense(dense: SBRDense) -> dict:
+    """Compact-transfer encoding of the dense SBR planes (~3x fewer H2D
+    bytes; the device expands inside the jitted program, fused for free):
+
+      eq_l2   [B,T,2,5,64] i16 — e_orig/q_map as
+              round(1024*(log2(v) - eq_off[b,t,plane])), sentinel
+              -32768 for exact zero; eq_off f32 [B,T,2] is each plane's
+              max exponent, so the grid is 1/1024 log2 anchored per
+              channel-frame (range 32 octaves below the plane max —
+              2^-32 relative contributes nothing to a gain).  Relative
+              error <= 2^(1/2048) (~3.4e-4 energy, ~-75 dB amplitude —
+              far below the envelope quantizer's own step of 2^(1/2))
+      sbits   [B,T,5,64] i8 — bit0 = s_idx, bit1 = s_map (exact)
+      dtbits  [B,T,5]    i8 — bit0 = delta, bit1 = transient (exact)
+      covered/has_sbr i8, env_id/sine_idx i8, noise_base i16 (exact)
+      bw stays f32 (64 of ~1400 values; the chirp factor feeds pow
+      chains where log-grid rounding would compound)
+    """
+    eq = np.stack([dense.e_orig, dense.q_map], axis=2)
+    with np.errstate(divide="ignore"):
+        l2 = np.log2(np.maximum(eq, 0.0))
+    off = np.max(l2, axis=(3, 4))                      # [B,T,2]
+    off = np.where(np.isfinite(off), off, 0.0).astype(np.float32)
+    q = np.round(1024.0 * (l2 - off[:, :, :, None, None]))
+    q = np.where(eq > 0.0, np.clip(q, -32767, 0), -32768.0)
+    return dict(
+        eq_l2=q.astype(np.int16),
+        eq_off=off,
+        sbits=(dense.s_idx + 2.0 * dense.s_map).astype(np.int8),
+        dtbits=(dense.delta + 2.0 * dense.transient).astype(np.int8),
+        covered=dense.covered.astype(np.int8),
+        has_sbr=dense.has_sbr.astype(np.int8),
+        env_id=dense.env_id.astype(np.int8),
+        sine_idx=dense.sine_idx.astype(np.int8),
+        noise_base=dense.noise_base.astype(np.int16),
+        bw=dense.bw,
+        i_temp=dense.i_temp,
+    )

@@ -578,6 +578,49 @@ def jitted_decode_step(flags: PipelineFlags):
     return jax.jit(fn, donate_argnums=(1,))
 
 
+def _unpack_spec_batch(batch: dict) -> dict:
+    """Packed batch format: the native parser's buffers travel WHOLE
+    (meta [C,T,6] i32, tns_lpc [C,T,2,8,20], tns_range [C,T,2,8,2],
+    cce_*_idx [Q,3]) and are sliced here inside the jitted program.  One
+    H2D transfer each instead of ~13 per-field arrays — on a
+    latency-bound link every extra buffer costs a full RPC roundtrip
+    (~30 ms on the dev tunnel ≈ 0.3 s/chunk of pure latency).  The
+    per-field (unpacked) format still works for the python packer."""
+    if 'meta' not in batch:
+        return batch
+    batch = dict(batch)
+    m = batch.pop('meta')
+    T = m.shape[1]
+    batch['f_idx'] = m[:, :, 0]
+    batch['s_idx'] = m[:, :, 1]
+    batch['shape_idx'] = m[:, :, 2]
+    batch['prev_shape_idx'] = m[:, :, 3]
+    batch['is_short'] = m[:, :, 4].astype(bool)
+    valid = m[:, :, 5] != 0
+    batch['valid'] = valid
+    batch['last_valid'] = jnp.where(
+        valid.any(axis=1),
+        (T - 1) - jnp.argmax(valid[:, ::-1], axis=1),
+        -1).astype(jnp.int32)
+    if 'tns_lpc' in batch:
+        tl = batch.pop('tns_lpc')
+        tr = batch.pop('tns_range')
+        batch['tns_fwd_lpc'] = tl[:, :, 0]
+        batch['tns_rev_lpc'] = tl[:, :, 1]
+        batch['tns_fwd_start'] = tr[:, :, 0, :, 0]
+        batch['tns_fwd_end'] = tr[:, :, 0, :, 1]
+        batch['tns_rev_start'] = tr[:, :, 1, :, 0]
+        batch['tns_rev_end'] = tr[:, :, 1, :, 1]
+    for key in ('post', 'time'):
+        k = f'cce_{key}_idx'
+        if k in batch:
+            idx = batch.pop(k)
+            batch[f'cce_{key}_src'] = idx[:, 0]
+            batch[f'cce_{key}_dst'] = idx[:, 1]
+            batch[f'cce_{key}_t'] = idx[:, 2]
+    return batch
+
+
 def decode_spec_step(batch: dict, overlap_in: jax.Array,
                      flags: PipelineFlags) -> tuple[jax.Array, jax.Array]:
     """Host-prep decode step: the native parser has already fused
@@ -585,6 +628,7 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
     (native/aacparse.cc aacparse_batch_spec), quartering the host->device
     transfer.  The device runs the FLOP-heavy tail: TNS + IMDCT matmuls +
     windowed overlap-add (+ int16 PCM conversion)."""
+    batch = _unpack_spec_batch(batch)
     if flags.spec_i16:
         # block-scaled int16 -> f32: scale [C,T,64] applies per 16-bin block
         q = batch['spec_i16']

@@ -130,6 +130,32 @@ def _lpc_batch(wr, wi):
             jnp.where(bad, z, a1r), jnp.where(bad, z, a1i))
 
 
+def expand_compact_dense(dense: dict) -> dict:
+    """Inverse of sbr_pack.compact_dense, traced inside the jitted SBR
+    program (XLA fuses the expansion into the consumers, so the ~3x H2D
+    saving is free).  A non-compact dense dict passes through."""
+    if 'eq_l2' not in dense:
+        return dense
+    l2 = dense['eq_l2']
+    off = dense['eq_off'][:, :, :, None, None]
+    mag = jnp.where(l2 == -32768, jnp.float32(0.0),
+                    jnp.exp2(l2.astype(jnp.float32) * (1.0 / 1024.0) + off))
+    sbits = dense['sbits']
+    dtbits = dense['dtbits']
+    return dict(
+        e_orig=mag[:, :, 0], q_map=mag[:, :, 1],
+        s_idx=(sbits & 1).astype(jnp.float32),
+        s_map=((sbits >> 1) & 1).astype(jnp.float32),
+        delta=(dtbits & 1).astype(jnp.float32),
+        transient=((dtbits >> 1) & 1).astype(jnp.float32),
+        covered=dense['covered'].astype(jnp.float32),
+        has_sbr=dense['has_sbr'].astype(jnp.float32),
+        env_id=dense['env_id'].astype(jnp.int32),
+        sine_idx=dense['sine_idx'].astype(jnp.int32),
+        noise_base=dense['noise_base'].astype(jnp.int32),
+        bw=dense['bw'], i_temp=dense['i_temp'])
+
+
 def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
               cfg: SBRStaticConfig,
               out_int16: bool = False,
@@ -141,6 +167,7 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     [B, 8+T*32, 5] re/im, new_state) BEFORE synthesis — the Parametric
     Stereo stage (kernels.ps_batch) consumes the plane and runs its own
     dual synthesis (the v_hist state stays untouched)."""
+    dense = expand_compact_dense(dense)
     B, T, F = core_pcm.shape
     S = T * SLOTS
     kx, m = cfg.kx, cfg.m

@@ -56,12 +56,12 @@ class BatchDecoder:
                  cce_slots: int = 0, use_native: bool | None = None,
                  drc_scale: float = 0.0):
         self.T = chunk_frames
-        # dynamic-range-control compression fraction; DRC payloads live in
-        # FIL extensions which the native parser skips, so a nonzero
-        # setting routes parsing to the python path
+        # dynamic-range-control compression fraction (0 = off).  Both
+        # parse paths honor it: the python parser folds gains into the
+        # scalefactor vectors; the native parser records each frame's
+        # dynamic_range_info FIL offset and _apply_native_drc folds the
+        # gains into the dequantized spectra — no performance cliff
         self.drc_scale = drc_scale
-        if drc_scale > 0:
-            use_native = False
         self.streams: list[StreamState] = []
         c = 0
         for cfg in configs:
@@ -116,6 +116,10 @@ class BatchDecoder:
         self._spec_buffers: list[native.SpecBatchArrays] | None = None
         # in-flight device steps awaiting finalize_step (timing completion)
         self._pending_steps: dict[int, tuple] = {}
+        # serving: slot recycling while a pipelined generator is running
+        # is deferred to the next chunk boundary (request_reset)
+        self._pipeline_active = False
+        self._deferred_resets: list[tuple[int, StreamConfig | None]] = []
         self._last_status = np.zeros(len(self.streams), np.int32)
         self._last_consumed = np.zeros(1, np.int64)
         from aacjax.runtime.stats import DecodeStats
@@ -377,6 +381,9 @@ class BatchDecoder:
         state so the switch is continuous."""
         from aacjax.host import sbr_decode as SD
         from aacjax.kernels.sbr_batch import jitted_sbr_apply
+        # host phase may have pre-compacted the dense planes (~3x fewer
+        # H2D bytes; the jitted program expands them, fused for free)
+        dense_dict = dense if isinstance(dense, dict) else vars(dense)
         sticky = ctx["sticky"]
         # materialize pre-chunk filter states for newly-sticky slots NOW:
         # the jitted step donates its state buffers
@@ -413,12 +420,12 @@ class BatchDecoder:
                                      out_int16 and not sticky,
                                      bool(ctx["ps_is34"]))
             pcm2, self._sbr_dev_state, self._ps_dev_state = fn(
-                core_pcm, vars(dense), ps_dense, prev_state,
+                core_pcm, dense_dict, ps_dense, prev_state,
                 self._ps_dev_state)
         else:
             fn = jitted_sbr_apply(self._sbr_cfg[1],
                                   out_int16 and not sticky)
-            pcm2, self._sbr_dev_state = fn(core_pcm, vars(dense),
+            pcm2, self._sbr_dev_state = fn(core_pcm, dense_dict,
                                            prev_state)
         # re-home the pending stats record to the chained result
         pending = self._pending_steps.pop(id(core_pcm), None)
@@ -503,8 +510,14 @@ class BatchDecoder:
         self._sbr_chunk_begin(payloads_per_stream)
         dense = SP.alloc_dense(self.C, self.T)
         np_jobs: list = []
+        # core spectra stay EXACT f32 on the HE path: the SBR envelope
+        # adjuster normalizes patched bands by the source-band energy, so
+        # int16 spec quantization (harmless ~90 dB on plain LC PCM) gets
+        # amplified ~100x on near-empty HF source bands (measured 1.5e-2
+        # rel).  The dominant HE H2D cost is the SBR planes, which DO
+        # compact (compact_dense, exact flags + 1/1024-log2 energies)
         parsed = self._parse_native(payloads_per_stream, buf_slot=buf_slot,
-                                    compact=compact)
+                                    compact=False)
         fil = self._last_fil_sbr
         g = 0
         cache = self._sbr_parse_cache
@@ -533,7 +546,10 @@ class BatchDecoder:
                     self._sbr_pack_payload(dense, np_jobs, sf, slot,
                                            nch, t)
                 g += 1
-        return parsed, dense, np_jobs, self._he_ctx()
+        if compact is None:
+            compact = os.environ.get("AACJAX_COMPACT", "1") == "1"
+        dense_out = SP.compact_dense(dense) if compact else dense
+        return parsed, dense_out, np_jobs, self._he_ctx()
 
     def decode_he_pipelined(self, chunk_iter, out_int16: bool = True,
                             compact: bool | None = None):
@@ -557,7 +573,15 @@ class BatchDecoder:
             return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16)
 
         try:
+            self._pipeline_active = True
             for chunk in chunk_iter:
+                if self._deferred_resets:
+                    # drain the in-flight chunk (its device half mutates
+                    # overlap + SBR state), then recycle at the boundary
+                    if pending is not None:
+                        yield pending.result()
+                        pending = None
+                    self._apply_deferred_resets()
                 host = self._he_host_phase(chunk, compact, buf_slot=slot)
                 if pending is not None:
                     yield pending.result()
@@ -567,6 +591,8 @@ class BatchDecoder:
             if pending is not None:
                 yield pending.result()
         finally:
+            self._pipeline_active = False
+            self._apply_deferred_resets()
             pool.shutdown(wait=False)
 
     def step_he_raw(self, payloads_per_stream: list[list[bytes] | None],
@@ -655,7 +681,8 @@ class BatchDecoder:
             return None
         st = self.streams[0]
         snap = (st.failed, st.last_error, st.frames_decoded)
-        parsed = self._parse_native([[buffer_tail]])
+        # streaming readChunk is a conformance surface: exact f32 transfer
+        parsed = self._parse_native([[buffer_tail]], compact=False)
         if int(self._last_status[0]) != 0:
             st.failed, st.last_error, st.frames_decoded = snap
             return None
@@ -677,7 +704,12 @@ class BatchDecoder:
         """Native parse into buffer `buf_slot` (double-buffered for the
         pipelined path).  Returns a batch dict of numpy arrays."""
         if compact is None:
-            compact = os.environ.get("AACJAX_COMPACT", "0") == "1"
+            # compact transfer is the DEFAULT (AACJAX_COMPACT=0 reverts):
+            # block-scaled int16 spectra halve the H2D bytes (+31%
+            # end-to-end recorded) at <=2-LSB int16 PCM / ~90 dB SNR vs
+            # the exact f32 path (tests/test_native.py fidelity bound) —
+            # below the codec's own quantization noise
+            compact = os.environ.get("AACJAX_COMPACT", "1") == "1"
         if self._spec_buffers is None:
             self._spec_buffers = [
                 native.SpecBatchArrays(self.C, self.T, self.F),
@@ -693,6 +725,10 @@ class BatchDecoder:
         self._last_status = status
         self._last_consumed = out.consumed_bits
         self._last_fil_sbr = out.fil_sbr
+        if self.drc_scale > 0 and out.fil_drc.any():
+            t0 = time.perf_counter()
+            self._apply_native_drc(payloads_per_stream, out)
+            parse_seconds += time.perf_counter() - t0
 
         for i, st in enumerate(self.streams):
             code = int(status[i])
@@ -713,10 +749,6 @@ class BatchDecoder:
 
         meta = out.meta
         valid = meta[:, :, 5] != 0
-        last_valid = np.where(
-            valid.any(axis=1),
-            (self.T - 1) - np.argmax(valid[:, ::-1], axis=1),
-            -1).astype(np.int32)
         if compact:
             t0 = time.perf_counter()
             spec_i16, spec_scale = native.compact_spec(out)
@@ -724,24 +756,12 @@ class BatchDecoder:
             spec_entries = dict(spec_i16=spec_i16, spec_scale=spec_scale)
         else:
             spec_entries = dict(spec=out.spec)
-        batch = dict(
-            **spec_entries,
-            f_idx=np.ascontiguousarray(meta[:, :, 0]),
-            s_idx=np.ascontiguousarray(meta[:, :, 1]),
-            shape_idx=np.ascontiguousarray(meta[:, :, 2]),
-            prev_shape_idx=np.ascontiguousarray(meta[:, :, 3]),
-            is_short=np.ascontiguousarray(meta[:, :, 4]).astype(bool),
-            valid=valid,
-            last_valid=last_valid,
-        )
+        # packed batch format: the native buffers travel whole and are
+        # sliced inside the jitted program (pipeline._unpack_spec_batch)
+        # — each extra buffer costs a full H2D RPC roundtrip
+        batch = dict(**spec_entries, meta=meta)
         if has_tns:
-            batch.update(
-                tns_fwd_lpc=np.ascontiguousarray(out.tns_lpc[:, :, 0]),
-                tns_rev_lpc=np.ascontiguousarray(out.tns_lpc[:, :, 1]),
-                tns_fwd_start=np.ascontiguousarray(out.tns_range[:, :, 0, :, 0]),
-                tns_fwd_end=np.ascontiguousarray(out.tns_range[:, :, 0, :, 1]),
-                tns_rev_start=np.ascontiguousarray(out.tns_range[:, :, 1, :, 0]),
-                tns_rev_end=np.ascontiguousarray(out.tns_range[:, :, 1, :, 1]))
+            batch.update(tns_lpc=out.tns_lpc, tns_range=out.tns_range)
         n_post, n_time = int(out.cce_counts[0]), int(out.cce_counts[1])
         if n_post:
             q = self._pad_entries(n_post)
@@ -749,18 +769,16 @@ class BatchDecoder:
             idx[:n_post] = out.cce_post_idx[:n_post]
             gain = np.zeros((q, self.F), np.float32)
             gain[:n_post] = out.cce_post_gain[:n_post]
-            batch.update(cce_post_src=idx[:, 0], cce_post_dst=idx[:, 1],
-                         cce_post_t=idx[:, 2], cce_post_gain=gain)
+            batch.update(cce_post_idx=idx, cce_post_gain=gain)
         if n_time:
             q = self._pad_entries(n_time)
             idx = np.zeros((q, 3), np.int32)
             idx[:n_time] = out.cce_time_idx[:n_time]
             gain = np.zeros(q, np.float32)
             gain[:n_time] = out.cce_time_gain[:n_time]
-            batch.update(cce_time_src=idx[:, 0], cce_time_dst=idx[:, 1],
-                         cce_time_t=idx[:, 2], cce_time_gain=gain)
+            batch.update(cce_time_idx=idx, cce_time_gain=gain)
         batch['_has_tns'] = has_tns
-        batch['_has_short'] = bool(batch['is_short'].any())
+        batch['_has_short'] = bool(meta[:, :, 4].any())
         batch['_spec_i16'] = compact
         batch['_has_cce_post'] = n_post > 0
         batch['_has_cce_time'] = n_time > 0
@@ -769,6 +787,45 @@ class BatchDecoder:
             len(p) for p in payloads_per_stream if p)
         batch['_n_channel_frames'] = int(valid.sum())
         return batch
+
+    def _apply_native_drc(self, payloads_per_stream, out) -> None:
+        """DRC on the native fast path: the C walker records each frame's
+        dynamic_range_info FIL bit offset (out.fil_drc); python parses
+        the ~10-byte payload and folds the per-band linear gain into the
+        already-dequantized spectra.  Equivalent to the python parser's
+        pre-dequant scalefactor fold: the gain is constant per bin, it
+        is applied before the device TNS pass like the python path, and
+        intensity/M-S fused bands inherit the pair's gain identically
+        (both tools are linear in the scaled spectra)."""
+        from aacjax.host.syntax import read_drc_info
+        fil = out.fil_drc
+        g = 0
+        for i, payloads in enumerate(payloads_per_stream):
+            st = self.streams[i]
+            nch = st.config.channels
+            for t, payload in enumerate(payloads or []):
+                bitpos = int(fil[g])
+                g += 1
+                if bitpos == 0:
+                    continue
+                r = BitReader(payload)
+                r.seek_bits(bitpos)
+                r.read(4)                      # EXT_DYNAMIC_RANGE
+                drc = read_drc_info(r, self.F)
+                lin = np.power(10.0, drc.gain_db * self.drc_scale / 20.0
+                               ).astype(np.float32)
+                gain_bin = np.empty(self.F, np.float32)
+                lo = 0
+                for bi, top in enumerate(drc.band_top):
+                    hi = min(int(top), self.F)
+                    gain_bin[lo:hi] = lin[bi]
+                    lo = hi
+                gain_bin[lo:] = lin[-1]
+                for c in range(nch):
+                    if (drc.excluded is not None and c < len(drc.excluded)
+                            and drc.excluded[c]):
+                        continue
+                    out.spec[st.base_slot + c, t] *= gain_bin
 
     def _device_step(self, batch: dict, out_int16: bool,
                      use_pallas: bool | None = None):
@@ -851,33 +908,95 @@ class BatchDecoder:
                                 n_stream_frames, n_channel_frames)
         return out
 
+    def _upload_batch(self, batch: dict) -> dict:
+        """H2D stage of the 3-stage pipeline: push every batch array to
+        the device NOW (blocking the calling worker thread until the
+        transfer lands, so the double-buffered parse arrays can be
+        reused) and hand back a device-resident batch for _device_step.
+        The jitted step sees committed device arrays and re-transfers
+        nothing."""
+        arrs = {k: v for k, v in batch.items() if not k.startswith('_')}
+        dev = jax.block_until_ready(jax.device_put(arrs))
+        dev.update({k: v for k, v in batch.items() if k.startswith('_')})
+        return dev
+
     def decode_pipelined(self, chunk_iter, out_int16: bool = True,
                          compact: bool | None = None):
-        """Generator decoding an iterator of payload chunks with host/device
-        overlap: while the device (and the host<->device link) works on
-        chunk k, the main thread parses chunk k+1 into the other buffer.
-        The C parse releases the GIL, and the device call runs on a worker
-        thread, so on a single-core host the CPU parses while the link
-        transfers.  Yields materialized PCM arrays in order."""
+        """Generator decoding an iterator of payload chunks as a 3-stage
+        pipeline with double-buffered transfers:
+
+            main thread    : parse chunk k      (C parse releases the GIL)
+            upload worker  : H2D + dispatch k-1 (device compute is async)
+            download worker: D2H chunk k-2      (materialize + stats)
+
+        All three run concurrently, so the steady-state wall per chunk is
+        max(parse, H2D, D2H) instead of their sum — on a link where H2D
+        and D2H are comparable (PCIe is full-duplex; so is this dev
+        tunnel's socket pair) the upload of chunk k+1 rides alongside the
+        download of chunk k.  Ordering between chunks is preserved by the
+        single-threaded workers; the donated overlap state advances on
+        the upload worker only.  Yields materialized PCM arrays in order.
+
+        reset_stream() during iteration is deferred to the next chunk
+        boundary (see request_reset)."""
         import concurrent.futures
-        pool = concurrent.futures.ThreadPoolExecutor(1)
-        pending = None
+        up_pool = concurrent.futures.ThreadPoolExecutor(1)
+        down_pool = concurrent.futures.ThreadPoolExecutor(1)
+        up_fut = None
+        down_fut = None
         slot = 0
+
+        def upload_dispatch(batch):
+            pcm = self._device_step(self._upload_batch(batch),
+                                    out_int16=out_int16)
+            # block until the step's COMPUTE has consumed its inputs, not
+            # just until dispatch: on zero-copy backends (CPU) the
+            # "device" arrays alias the double-buffered host parse
+            # arrays, which the main thread overwrites two chunks ahead.
+            # up_fut.result() therefore guarantees chunk k's buffers are
+            # reusable before parse(k+2) begins.  Costs one device sync
+            # per chunk (~ms); H2D(k+1) and D2H(k) still overlap on the
+            # two workers.
+            jax.block_until_ready(pcm)
+            return pcm
+
         try:
+            self._pipeline_active = True
             for chunk in chunk_iter:
+                if self._deferred_resets:
+                    # a reset touches state the upload worker mutates
+                    # (overlap carry, prev_shapes): drain the in-flight
+                    # step, then apply at this chunk boundary
+                    if up_fut is not None:
+                        pcm_dev = up_fut.result()
+                        up_fut = None
+                        if down_fut is not None:
+                            yield down_fut.result()
+                            down_fut = None
+                        down_fut = down_pool.submit(self.finalize_step,
+                                                    pcm_dev)
+                    self._apply_deferred_resets()
                 parsed = self._parse_native(chunk, buf_slot=slot,
                                             compact=compact)
-                if pending is not None:
-                    yield np.asarray(pending.result())
-                    pending = None
-                pending = pool.submit(
-                    lambda b: self.finalize_step(
-                        self._device_step(b, out_int16=out_int16)), parsed)
+                if up_fut is not None:
+                    pcm_dev = up_fut.result()
+                    if down_fut is not None:
+                        yield down_fut.result()
+                    down_fut = down_pool.submit(self.finalize_step, pcm_dev)
+                up_fut = up_pool.submit(upload_dispatch, parsed)
                 slot ^= 1
-            if pending is not None:
-                yield np.asarray(pending.result())
+            if up_fut is not None:
+                pcm_dev = up_fut.result()
+                if down_fut is not None:
+                    yield down_fut.result()
+                down_fut = down_pool.submit(self.finalize_step, pcm_dev)
+            if down_fut is not None:
+                yield down_fut.result()
         finally:
-            pool.shutdown(wait=False)
+            self._pipeline_active = False
+            self._apply_deferred_resets()
+            up_pool.shutdown(wait=False)
+            down_pool.shutdown(wait=False)
 
     def _step_python_raw(self, payloads_per_stream) -> np.ndarray:
         """Python-parser fallback with the same per-stream error isolation
@@ -907,6 +1026,29 @@ class BatchDecoder:
         return self.step(frames_per_stream)
 
     # -- state save/restore (checkpoint/resume, SURVEY.md §5) ---------------
+    def request_reset(self, idx: int, config: StreamConfig | None = None
+                      ) -> None:
+        """Serving-safe slot recycle: when a decode_pipelined /
+        decode_he_pipelined generator is running, the reset is DEFERRED
+        to the next chunk boundary (the generator drains its in-flight
+        device step, applies pending resets, then parses the next chunk
+        — so a mid-batch join/leave can never corrupt a chunk whose
+        state is being mutated on the worker thread).  Outside a
+        pipelined run it applies immediately."""
+        if self._pipeline_active:
+            self._deferred_resets.append((idx, config))
+        else:
+            self.reset_stream(idx, config)
+
+    def _apply_deferred_resets(self) -> None:
+        pending, self._deferred_resets = self._deferred_resets, []
+        was_active, self._pipeline_active = self._pipeline_active, False
+        try:
+            for idx, config in pending:
+                self.reset_stream(idx, config)
+        finally:
+            self._pipeline_active = was_active
+
     def reset_stream(self, idx: int, config: StreamConfig | None = None
                      ) -> None:
         """Recycle one stream's slots for a new client (serving: a stream
@@ -918,8 +1060,14 @@ class BatchDecoder:
         slot budget, and match the batch's ELD-ness (those are compiled
         into the chunk program).
 
-        Not safe while a decode_pipelined/decode_he_pipelined generator
-        has a chunk in flight — call between chunks (after a yield)."""
+        While a decode_pipelined/decode_he_pipelined generator has a
+        chunk in flight this raises — use request_reset, which defers to
+        the next chunk boundary."""
+        if self._pipeline_active:
+            raise RuntimeError(
+                "reset_stream during a pipelined decode would race the "
+                "in-flight chunk's state; use request_reset(idx, config) "
+                "— it applies at the next chunk boundary")
         st = self.streams[idx]
         if config is not None:
             if config.frame_length != self.F:

@@ -1050,6 +1050,13 @@ int aacparse_batch_spec(
                              // payloads in python while this parser does
                              // the core (the FIL bytes are still skipped
                              // here as always)
+    int64_t* fil_drc,        // [total frames] out (nullable): bit offset
+                             // of a dynamic_range_info FIL extension
+                             // (before its 4-bit type), 0 = none.  The
+                             // caller parses the ~10-byte payload in
+                             // python and folds the gains into the
+                             // already-dequantized spectra — DRC keeps
+                             // the native fast path
     int32_t* stream_status,  // [n_streams]
     int32_t* has_tns_out,    // [1]
     char* errbuf, int errbuf_len) {
@@ -1319,6 +1326,8 @@ int aacparse_batch_spec(
                 }
               }
             }
+            if (fil_drc && cnt > 0 && br.peek_padded(4) == 11)
+              fil_drc[f_lo + t] = br.bitpos();  // EXT_DYNAMIC_RANGE
             if (!br.advance(static_cast<int64_t>(cnt) * 8)) {
               err = {ERR_BITSTREAM, "fil: eof"}; goto sfail;
             }
@@ -1410,6 +1419,7 @@ int aacparse_batch_spec(
       if (fil_sbr)
         memset(fil_sbr + (static_cast<int64_t>(f_lo + t)) * 12, 0,
                sizeof(int64_t) * 12);
+      if (fil_drc) fil_drc[f_lo + t] = 0;
       for (int sl = base; sl < base + n_slots; ++sl) {
         memset(spec + (static_cast<size_t>(sl) * T + t) * cfg.frame_len, 0,
                sizeof(float) * cfg.frame_len);
@@ -1566,6 +1576,6 @@ void aacjax_spec_to_i16(const float* spec, int64_t n_rows, int n_cols,
   }
 }
 
-int aacparse_version() { return 6; }
+int aacparse_version() { return 7; }
 
 }  // extern "C"

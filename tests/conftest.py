@@ -17,3 +17,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The serving default is COMPACT transfer (block-scaled int16 spectra,
+# ~90 dB SNR, +31% end-to-end).  Tests pin the exact f32 mode so the
+# many native-vs-python / oracle comparisons stay bit-tight; compact
+# fidelity has its own explicit bounded tests
+# (test_native.test_compact_spec_transfer_close_to_exact,
+#  test_sbr_batch.test_compact_dense_transfer_close_to_exact).
+os.environ.setdefault("AACJAX_COMPACT", "0")

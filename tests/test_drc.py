@@ -114,3 +114,33 @@ def test_streaming_decoder_matches_batch():
     got = np.concatenate(chunks)
     n = min(len(got), len(batch))
     np.testing.assert_allclose(got[:n], batch[:n], atol=2e-7)
+
+
+def test_native_drc_matches_python():
+    """DRC keeps the native fast path (round-2 verdict: the old reroute
+    to the python parser was the one feature-conditional performance
+    cliff): the C walker records dynamic_range_info FIL offsets and the
+    runtime folds the gains into the dequantized spectra — identical to
+    the python parser's scalefactor fold to f32 rounding."""
+    from aacjax.host import native
+    from aacjax.runtime.batch import BatchDecoder
+    if not native.available():
+        pytest.skip("native parser not built")
+    config, x, payloads = _tone_frames(
+        freqs=(500.0, 9000.0), ch=2,
+        drc=drc_payload([-18.0, 2.0], band_tops=[128, 1024]))
+
+    bp = BatchDecoder([config], chunk_frames=len(payloads),
+                      use_native=False, drc_scale=0.7)
+    want = bp.step([bp.parse_stream_frames(0, payloads)])
+    bn = BatchDecoder([config], chunk_frames=len(payloads),
+                      use_native=True, drc_scale=0.7)
+    assert bn.use_native
+    got = bn.step_raw([payloads], compact=False)
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=2e-6 * scale)
+    # and the gain really engaged (differs from the undistorted decode)
+    b0 = BatchDecoder([config], chunk_frames=len(payloads),
+                      use_native=True)
+    flat = b0.step_raw([payloads], compact=False)
+    assert float(np.abs(got - flat).max()) > 1e-3

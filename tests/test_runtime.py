@@ -508,3 +508,70 @@ def test_reset_stream_he_batch():
     peak = max(float(np.abs(want[fb:fb + 2]).max()), 1e-9)
     err = float(np.abs(got[base:base + 2] - want[fb:fb + 2]).max()) / peak
     assert err < 1e-5, err
+
+
+def test_request_reset_mid_pipeline():
+    """Serving: a slot is recycled WHILE decode_pipelined has a chunk in
+    flight.  request_reset defers to the next chunk boundary: chunks
+    already submitted decode with the old state, the recycled stream
+    restarts exactly like a fresh decoder from the boundary on, and the
+    neighbor stream's PCM is bit-identical to an undisturbed run.
+    reset_stream itself must refuse mid-flight."""
+    from aacjax.host import adts
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.testing.encoder import encode_pcm
+
+    cfg = parse_asc(make_asc(2, 4, 2))
+    t = np.arange(1024 * 8) / 44100.0
+
+    def stream(f0, seed):
+        x = 8000 * np.sin(2 * np.pi * f0 * t) \
+            + 300 * np.random.default_rng(seed).standard_normal(len(t))
+        data = encode_pcm(np.stack([x, 0.8 * x], axis=1), cfg,
+                          target_sf=130)
+        return [data[s:e] for _, s, e in adts.split_frames(data)]
+
+    a, b, c = stream(440, 1), stream(660, 2), stream(880, 3)
+    n = min(len(a), len(b), len(c)) // 4 * 4
+    a, b, c = a[:n], b[:n], c[:n]
+    T = n // 4
+
+    # undisturbed reference for the neighbor stream
+    ref = BatchDecoder([cfg, cfg], chunk_frames=T)
+    want_b = [np.asarray(ref.step_raw([a[i*T:(i+1)*T], b[i*T:(i+1)*T]],
+                                      out_int16=True))[2:4]
+              for i in range(4)]
+    # stream c decoded fresh over the last two chunks
+    fresh = BatchDecoder([cfg], chunk_frames=T)
+    want_c = [np.asarray(fresh.step_raw([c[i*T:(i+1)*T]], out_int16=True))
+              for i in range(2)]
+
+    dec = BatchDecoder([cfg, cfg], chunk_frames=T)
+
+    def chunk_source():
+        """Serving source: client 0 leaves after 2 chunks; a new client
+        (stream c) takes its slot range.  The reset is requested at
+        PRODUCTION time, right before the new client's first chunk —
+        decode_pipelined applies deferred resets before parsing the next
+        pulled chunk, so this is the alignment a server uses (yields lag
+        the parse front by the pipeline depth)."""
+        for i in range(4):
+            if i == 2:
+                dec.request_reset(0)
+            src0 = (a[i*T:(i+1)*T] if i < 2
+                    else c[(i-2)*T:(i-1)*T])
+            yield [src0, b[i*T:(i+1)*T]]
+
+    got = []
+    for i, pcm in enumerate(dec.decode_pipelined(chunk_source(),
+                                                 out_int16=True)):
+        got.append(np.asarray(pcm))
+        if i == 0:
+            # immediate reset must refuse while a chunk is in flight
+            with pytest.raises(RuntimeError, match="request_reset"):
+                dec.reset_stream(0)
+    assert len(got) == 4
+    for i in range(4):
+        np.testing.assert_array_equal(got[i][2:4], want_b[i])
+    np.testing.assert_array_equal(got[2][0:2], want_c[0])
+    np.testing.assert_array_equal(got[3][0:2], want_c[1])
