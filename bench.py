@@ -182,6 +182,68 @@ def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
     return 0
 
 
+def bench_encode(n_streams: int, seconds: float, chunk: int,
+                 repeats: int, bitrate: int = 128_000) -> int:
+    """TPU-batched ENCODE throughput: device analysis (MDCT + band
+    energies + psy + quant trials + Huffman-cost grid over rate
+    offsets), host rate choice + bitstream write (encode_batch.py).
+    The reference has no encoder at all; vs_baseline uses the same
+    >=1000x target axis."""
+    from aacjax.encode_batch import BatchEncoder
+
+    sr = 44100
+    n = int(seconds * sr) // 1024 * 1024
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(11)
+    # per-stream character, shared base buffer (content realism without
+    # 512x the synthesis cost)
+    base = (6000 * np.sin(2 * np.pi * 440 * t)
+            + 2000 * np.sin(2 * np.pi * 1230 * t)
+            + 500 * rng.standard_normal(n))
+    pcm = np.empty((n_streams, n, 2), np.float32)
+    for s in range(n_streams):
+        r = np.roll(base, 97 * s)
+        pcm[s, :, 0] = r
+        pcm[s, :, 1] = 0.8 * np.roll(r, 41)
+
+    warm = BatchEncoder(sr, 2, bitrate, n_streams=n_streams)
+    warm.encode_chunk(pcm[:, : chunk * 1024])
+
+    best = 0.0
+    stats = None
+    n_chunks = n // (chunk * 1024)
+    for _ in range(repeats):
+        enc = BatchEncoder(sr, 2, bitrate, n_streams=n_streams)
+        t1 = time.time()
+        total_bytes = 0
+        for k in range(n_chunks):
+            out = enc.encode_chunk(
+                pcm[:, k * chunk * 1024:(k + 1) * chunk * 1024])
+            total_bytes += sum(len(p) for o in out for p in o)
+        wall = time.time() - t1
+        audio_seconds = n_streams * n_chunks * chunk * 1024 / sr
+        rt = audio_seconds / wall
+        if rt > best:
+            best = rt
+            stats = dict(enc.stats)
+    kbps = total_bytes * 8 / (n_chunks * chunk * 1024 / sr) / 1000 \
+        / n_streams
+    result = {
+        "metric": "encode_aggregate_realtime_x",
+        "value": round(best, 1),
+        "unit": f"x_realtime ({n_streams} AAC-LC stereo streams encoded "
+                f"at ~{kbps:.0f} kbps, 1 chip device analysis + host "
+                "bitstream write; reference has no encoder)",
+        "vs_baseline": round(best / 1000.0, 3),
+    }
+    if stats:
+        fr = max(stats.pop("frames"), 1)
+        result["stages"] = {k: round(v, 4) for k, v in stats.items()}
+        result["stages"]["frames"] = fr
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=512)
@@ -212,9 +274,15 @@ def main() -> int:
     ap.add_argument("--ps", action="store_true",
                     help="with --he: HE-AAC v2 (Parametric Stereo) "
                          "mono->stereo streams")
+    ap.add_argument("--encode", action="store_true",
+                    help="benchmark the TPU-batched ENCODER "
+                         "(encode_batch.py) instead of decode")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    if args.encode:
+        return bench_encode(args.streams, args.seconds, args.chunk,
+                            args.repeats)
     if args.he or args.ps:
         return bench_he(args.streams, args.seconds, args.chunk,
                         args.repeats, ps=args.ps,
