@@ -131,3 +131,17 @@ def test_player_and_serving_examples(tone_wav, tmp_path):
                         capture_output=True, text=True, cwd="/root/repo")
     assert r2.returncode == 0, r2.stderr[-300:]
     assert "failed streams: []" in r2.stderr or "failed streams: []" in r2.stdout
+
+
+def test_serving_async_example():
+    """The asyncio server multiplexes live clients onto one
+    BatchDecoder with mid-pipeline slot recycling; each client's PCM is
+    bit-exact vs a solo decode (the example's selftest asserts it)."""
+    import subprocess
+    import sys as _sys
+    r = subprocess.run([_sys.executable, "examples/serving_async.py",
+                        "--selftest"],
+                       capture_output=True, text=True, cwd="/root/repo",
+                       timeout=300)
+    assert r.returncode == 0, (r.stderr[-500:], r.stdout[-200:])
+    assert "selftest OK" in r.stdout
