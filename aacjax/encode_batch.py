@@ -195,26 +195,35 @@ def _jitted_analysis(sample_index: int, cutoff_bin: int, frame: int,
         return (jnp.sign(q) * jnp.power(jnp.abs(q), 4.0 / 3.0)
                 * jnp.exp2((sf_bin - 100.0) * 0.25))
 
+    # coded-region extents (both multiples of 4, so Huffman pairs and
+    # quads never straddle the slice boundaries)
+    cut_l = int(arr["ptr_l"][-1])
+    cut_s = int(arr["cfg"].swb_offsets_short[arr["max_sfb_s"]])
+    Pe = max(cut_l, 8 * cut_s)
+
     def analysis(pcm_i16, w_idx, is_short):
         """pcm_i16 [B, nF*F + F] int16 (frame of history first);
         w_idx [B, nF] in {0,1,2}; is_short [B, nF] bool.
         Flattened channel-frame index: n = b * nF + f."""
         B = pcm_i16.shape[0]
         x = pcm_i16.astype(jnp.float32)
-        # 50%-overlap segmentation as ONE gather (keeps the compiled
-        # graph small — unrolled dynamic slices made the tunnel's
-        # remote compile pathological)
-        seg_idx = (np.arange(n_frames)[:, None] * F
-                   + np.arange(2 * F)[None, :])
-        seg = x[:, seg_idx].reshape(B * n_frames, 2 * F)
+        # 50%-overlap segmentation as strided reshapes (no gather: the
+        # general-gather path measures ~60 M elem/s on this chip, vs
+        # effectively free reshapes)
+        first = x[:, : n_frames * F].reshape(B, n_frames, F)
+        second = x[:, F:].reshape(B, n_frames, F)
+        seg = jnp.concatenate([first, second], axis=2) \
+            .reshape(B * n_frames, 2 * F)
         N = B * n_frames
         w_idx = w_idx.reshape(N)
         sel = is_short.reshape(N)[:, None]
 
         coefs_l = (seg * wins_l[w_idx]) @ A_l                  # [N, F]
-        sub_idx = (MID + np.arange(8)[:, None] * S
-                   + np.arange(2 * S)[None, :])
-        subs = seg[:, sub_idx]                                 # [N, 8, 2S]
+        # the 8 short sub-windows overlap by S: two strided views
+        y = seg[:, MID: MID + 9 * S]
+        subs = jnp.concatenate(
+            [y[:, : 8 * S].reshape(N, 8, S),
+             y[:, S:].reshape(N, 8, S)], axis=2)               # [N, 8, 2S]
         coefs_s = ((subs * win_s) @ A_s).reshape(N, F)
         coefs_l = coefs_l * in_l
         coefs_s = coefs_s * in_s
@@ -224,32 +233,19 @@ def _jitted_analysis(sample_index: int, cutoff_bin: int, frame: int,
         def band_reduce(v):                                    # [N,F]->[N,nb]
             return jnp.where(sel, v @ bm_s, v @ bm_l)
 
-        def est_bits(q):
-            """Estimated channel payload bits: exact book-11 cost (LUT
-            pairs + signs + escapes) over NONZERO bands only — all-zero
-            bands ride as book-0 sections for ~free in the real
-            bitstream — plus ~6 bits/coded band of scalefactor+section
-            side.  A slight overestimate vs the host's final multi-book
-            selection; errors land on the safe side."""
-            N_ = q.shape[0]
-            aq = jnp.abs(q)
-            nzb = band_reduce(aq) > 0                          # [N, nb]
-            extb = jnp.concatenate(
-                [nzb, jnp.zeros((N_, 1), bool)], axis=1)
-            binnz = jnp.take_along_axis(extb, bin_band, axis=1)
-            a = aq.astype(jnp.int32)
-            p = a.reshape(N_, -1, 2)
-            sym = jnp.minimum(p, 16)
-            pair_nz = binnz.reshape(N_, -1, 2)[:, :, 0]
-            lut_bits = (esc_lut[sym[:, :, 0] * 17 + sym[:, :, 1]]
-                        * pair_nz).sum(axis=1)
-            signs = jnp.count_nonzero(a, axis=1)
-            af = jnp.maximum(a.astype(jnp.float32), 1.0)
-            nbits = jnp.maximum(jnp.floor(jnp.log2(af)), 4.0)
-            extra = jnp.where(a >= 16, 2.0 * nbits - 3.0,
-                              0.0).sum(axis=1)
-            side = 6.0 * nzb.sum(axis=1).astype(jnp.float32)
-            return (lut_bits + signs).astype(jnp.float32) + extra + side
+        def coded_region(v, fill=0.0):
+            """Slice [N, F] down to the coded bins as [N, Pe]: longs are
+            the contiguous prefix, shorts the per-window prefixes; both
+            preserve pair/quad alignment.  Zero-pads to the common Pe."""
+            vl = v[:, :cut_l]
+            if Pe > cut_l:
+                vl = jnp.pad(vl, ((0, 0), (0, Pe - cut_l)),
+                             constant_values=fill)
+            vs = v.reshape(N, 8, S)[:, :, :cut_s].reshape(N, 8 * cut_s)
+            if Pe > 8 * cut_s:
+                vs = jnp.pad(vs, ((0, 0), (0, Pe - 8 * cut_s)),
+                             constant_values=fill)
+            return jnp.where(sel, vs, vl)
 
         e = band_reduce(coefs * coefs)
         ath = jnp.where(sel, ath_s[None, :], ath_l[None, :])
@@ -301,10 +297,53 @@ def _jitted_analysis(sample_index: int, cutoff_bin: int, frame: int,
                 fit_sf, zero_sf)
         base = jnp.where(coded, base, 255.0)
 
+        # --- rate-offset cost grid.  Estimated channel payload bits:
+        # exact book-11 cost (LUT pairs + signs + escapes) over NONZERO
+        # bands only — all-zero bands ride as book-0 sections for ~free
+        # in the real bitstream — plus ~6 bits/coded band of
+        # scalefactor+section side.  A slight overestimate vs the
+        # host's final multi-book selection; errors land on the safe
+        # side.  Restructured for the chip: every per-offset term is
+        # elementwise on the coded region (quantized magnitudes re-
+        # derived from |coef|^0.75 by a pure exp2 of the offset; band
+        # nonzero-ness from the zero_sf bound instead of a band-matmul
+        # of the quantized values) + the one unavoidable pair-LUT
+        # gather.
+        ce = coded_region(coefs)                           # [N, Pe]
+        t34 = jnp.power(jnp.abs(ce), 0.75)
+        bbe = coded_region(bin_band.astype(jnp.float32),
+                           fill=float(nb)).astype(jnp.int32)
+
+        def band_to_region(v, fill):
+            ext = jnp.concatenate(
+                [v, jnp.full((N, 1), fill)], axis=1)
+            return jnp.take_along_axis(ext, bbe, axis=1)
+
+        b_b = band_to_region(base, 255.0)
+        f_b = band_to_region(fit_sf, 255.0)
+        z_b = band_to_region(zero_sf, 0.0)
+
         def est_at(_, o):
-            q = quant(coefs, sf_per_bin(jnp.clip(base + o, fit_sf,
-                                                 255.0)))
-            return 0, est_bits(q)
+            sfb = jnp.clip(b_b + o, f_b, 255.0)
+            c = jnp.floor(t34 * jnp.exp2((100.0 - sfb) * 0.1875)
+                          + 0.4054)
+            a = jnp.minimum(c, 8191.0)
+            # sfb < zero_sf  <=>  the band's max magnitude quantizes
+            # to >= 1 (same bound that defined zero_sf above)
+            nz = sfb < z_b
+            p = jnp.minimum(a, 16.0).astype(jnp.int32).reshape(N, -1, 2)
+            pair_nz = nz.reshape(N, -1, 2)[:, :, 0]
+            lut_bits = (esc_lut[p[:, :, 0] * 17 + p[:, :, 1]]
+                        * pair_nz).sum(axis=1)
+            signs = (a > 0).sum(axis=1)
+            nbits = jnp.maximum(
+                jnp.floor(jnp.log2(jnp.maximum(a, 1.0))), 4.0)
+            extra = jnp.where(a >= 16.0, 2.0 * nbits - 3.0,
+                              0.0).sum(axis=1)
+            side_nz = jnp.clip(base + o, fit_sf, 255.0) < zero_sf
+            side = 6.0 * side_nz.sum(axis=1).astype(jnp.float32)
+            return 0, ((lut_bits + signs).astype(jnp.float32)
+                       + extra + side)
         _, est = jax.lax.scan(est_at, 0, jnp.asarray(OFF_GRID))
         est = est.T                                            # [N, K]
         return coefs, base, fit_sf, est, bin_band.astype(jnp.int32)
