@@ -392,27 +392,34 @@ def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
     return pcm_l, pcm_r, new_state
 
 
-@functools.lru_cache(maxsize=None)
-def jitted_sbr_ps_apply(cfg, out_int16: bool = False, is34: bool = False):
-    """One jitted program: core PCM -> SBR -> PS -> stereo PCM routed to
-    output slots (ps_dense['out_src'/'out_role']: slot c emits channel
-    role (0=L, 1=R) of source slot src[c])."""
+def sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state, cfg,
+                 out_int16: bool = False, is34: bool = False):
+    """One program: core PCM -> SBR -> PS -> stereo PCM routed to output
+    slots (ps_dense['out_src'/'out_role']: slot c emits channel role
+    (0=L, 1=R) of source slot src[c]).  Traceable body shared by the
+    single-device jit below and runtime.mesh.sharded_sbr_ps_apply."""
     from aacjax.kernels.sbr_batch import sbr_apply
 
+    B, T, F = core_pcm.shape
+    Xr, Xi, lo_r, lo_i, new_state = sbr_apply(
+        core_pcm, dense, state, cfg, emit_x=True)
+    new_state["v_hist"] = state["v_hist"]  # PS owns synthesis state
+    pcm_l, pcm_r, new_ps = ps_apply(Xr, Xi, lo_r, lo_i,
+                                    ps_dense, ps_state, B, T, is34)
+    src = ps_dense["out_src"]
+    role = ps_dense["out_role"][:, None]
+    out = jnp.where(role != 0, pcm_r[src], pcm_l[src])
+    out = out.reshape(B, T, 2 * F)
+    if out_int16:
+        return (jnp.clip(jnp.round(out), -32768.0, 32767.0)
+                .astype(jnp.int16), new_state, new_ps)
+    return out * jnp.float32(1.0 / 32768.0), new_state, new_ps
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_sbr_ps_apply(cfg, out_int16: bool = False, is34: bool = False):
     def fn(core_pcm, dense, ps_dense, state, ps_state):
-        B, T, F = core_pcm.shape
-        Xr, Xi, lo_r, lo_i, new_state = sbr_apply(
-            core_pcm, dense, state, cfg, emit_x=True)
-        new_state["v_hist"] = state["v_hist"]  # PS owns synthesis state
-        pcm_l, pcm_r, new_ps = ps_apply(Xr, Xi, lo_r, lo_i,
-                                        ps_dense, ps_state, B, T, is34)
-        src = ps_dense["out_src"]
-        role = ps_dense["out_role"][:, None]
-        out = jnp.where(role != 0, pcm_r[src], pcm_l[src])
-        out = out.reshape(B, T, 2 * F)
-        if out_int16:
-            return (jnp.clip(jnp.round(out), -32768.0, 32767.0)
-                    .astype(jnp.int16), new_state, new_ps)
-        return out * jnp.float32(1.0 / 32768.0), new_state, new_ps
+        return sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state,
+                            cfg, out_int16, is34)
 
     return jax.jit(fn, donate_argnums=(3, 4))

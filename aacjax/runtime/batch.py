@@ -374,13 +374,20 @@ class BatchDecoder:
             ps_pair=list(self._ps_pair))
 
     def _sbr_stage(self, core_pcm, dense, np_jobs, ctx: dict,
-                   out_int16: bool = False) -> np.ndarray:
+                   out_int16: bool = False, mesh=None) -> np.ndarray:
         """Run the batched device SBR program on device-resident core PCM
         and materialize; replay sticky slots (deviant header / VAR
         overhang) on the numpy path, seeded from the pre-chunk batched
-        state so the switch is continuous."""
+        state so the switch is continuous.
+
+        With `mesh` (a stream-only ('stream','frame') mesh, n_frame=1),
+        the SBR / SBR+PS program runs jitted over the mesh with every
+        slot-leading plane and state FIFO sharded P('stream') — pure data
+        parallel, zero collectives (runtime.mesh module docs)."""
         from aacjax.host import sbr_decode as SD
         from aacjax.kernels.sbr_batch import jitted_sbr_apply
+        if mesh is not None:
+            from aacjax.runtime import mesh as meshlib
         # host phase may have pre-compacted the dense planes (~3x fewer
         # H2D bytes; the jitted program expands them, fused for free)
         dense_dict = dense if isinstance(dense, dict) else vars(dense)
@@ -416,15 +423,31 @@ class BatchDecoder:
                 ps_knot_hi=jnp.asarray(d.knot_hi),
                 ps_alpha=jnp.asarray(d.alpha), ps_has=jnp.asarray(d.has_ps),
                 out_src=jnp.asarray(out_src), out_role=jnp.asarray(out_role))
-            fn = jitted_sbr_ps_apply(self._sbr_cfg[1],
-                                     out_int16 and not sticky,
-                                     bool(ctx["ps_is34"]))
+            if mesh is not None:
+                fn = meshlib.sharded_sbr_ps_apply(
+                    self._sbr_cfg[1], mesh, out_int16 and not sticky,
+                    bool(ctx["ps_is34"]))
+                dense_dict = meshlib.shard_stream_tree(mesh, dense_dict)
+                ps_dense = meshlib.shard_stream_tree(mesh, ps_dense)
+                prev_state = meshlib.shard_stream_tree(mesh, prev_state)
+                self._ps_dev_state = meshlib.shard_stream_tree(
+                    mesh, self._ps_dev_state)
+            else:
+                fn = jitted_sbr_ps_apply(self._sbr_cfg[1],
+                                         out_int16 and not sticky,
+                                         bool(ctx["ps_is34"]))
             pcm2, self._sbr_dev_state, self._ps_dev_state = fn(
                 core_pcm, dense_dict, ps_dense, prev_state,
                 self._ps_dev_state)
         else:
-            fn = jitted_sbr_apply(self._sbr_cfg[1],
-                                  out_int16 and not sticky)
+            if mesh is not None:
+                fn = meshlib.sharded_sbr_apply(self._sbr_cfg[1], mesh,
+                                               out_int16 and not sticky)
+                dense_dict = meshlib.shard_stream_tree(mesh, dense_dict)
+                prev_state = meshlib.shard_stream_tree(mesh, prev_state)
+            else:
+                fn = jitted_sbr_apply(self._sbr_cfg[1],
+                                      out_int16 and not sticky)
             pcm2, self._sbr_dev_state = fn(core_pcm, dense_dict,
                                            prev_state)
         # re-home the pending stats record to the chained result
@@ -597,7 +620,7 @@ class BatchDecoder:
 
     def step_he_raw(self, payloads_per_stream: list[list[bytes] | None],
                     compact: bool | None = None,
-                    out_int16: bool = False) -> np.ndarray:
+                    out_int16: bool = False, mesh=None) -> np.ndarray:
         """Decode one chunk of HE-AAC streams: core parse + decode exactly
         like step_raw (native C++ parse when built — the C walker records
         where each frame's SBR FIL payload sits, so python parses only the
@@ -607,15 +630,23 @@ class BatchDecoder:
 
         Streams whose SBR header differs from the chunk's first-seen
         header fall back to the per-channel numpy SBR path (identical
-        output, host-side)."""
+        output, host-side).
+
+        With `mesh` (stream-only, make_mesh(n, 1)) BOTH device stages —
+        the core spectral step and the chained SBR / SBR+PS program —
+        run jitted over the mesh, sharded P('stream') on the channel-slot
+        axis (multi-chip HE-AAC serving; see runtime.mesh)."""
         from aacjax.host import sbr_pack as SP
         from aacjax.host.syntax import CPEData
 
         if self.use_native:
             parsed, dense, np_jobs, ctx = self._he_host_phase(
                 payloads_per_stream, compact)
-            core_pcm = self._device_step(parsed, out_int16=False)
-            return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16)
+            core_pcm = (self._device_step(parsed, out_int16=False)
+                        if mesh is None
+                        else self._device_step_sharded(parsed, mesh))
+            return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16,
+                                   mesh=mesh)
 
         self._sbr_init()
         self._sbr_chunk_begin(payloads_per_stream)
@@ -647,8 +678,17 @@ class BatchDecoder:
                 limits.append(st.n_slots)
         batch, flags = pack_frames(per_slot, self.C, self.T, limits,
                                    frame_len=self.F, eld=self._eld)
-        core_pcm, self.overlap = jitted_decode_step(flags)(
-            batch, self.overlap)                      # [C, T, F] device
+        if mesh is None:
+            core_pcm, self.overlap = jitted_decode_step(flags)(
+                batch, self.overlap)                  # [C, T, F] device
+        else:
+            from aacjax.runtime import mesh as meshlib
+            step = meshlib.sharded_decode_step(flags, mesh)
+            overlap = jax.device_put(
+                self.overlap, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("stream", None)))
+            core_pcm, self.overlap = step(
+                meshlib.shard_batch(mesh, batch), overlap)
 
         for st, frames in zip(self.streams, frames_per_stream):
             if not frames:
@@ -663,7 +703,7 @@ class BatchDecoder:
                                                nch, t)
                     slot += nch
         return self._sbr_stage(core_pcm, dense, np_jobs, self._he_ctx(),
-                               out_int16)
+                               out_int16, mesh=mesh)
 
     def decode_block(self, buffer_tail: bytes):
         """Streaming fast path: natively parse + decode ONE raw_data_block

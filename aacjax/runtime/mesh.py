@@ -126,3 +126,55 @@ def sharded_decode_spec_step(flags, mesh: Mesh):
 def shard_spec_batch(mesh: Mesh, batch: dict) -> dict:
     shardings = spec_batch_shardings(mesh, batch)
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+# -- batched SBR / Parametric Stereo programs --------------------------------
+# The HE-AAC device stages (kernels.sbr_batch / kernels.ps_batch) batch on a
+# leading channel-slot axis; every dense plane (sbr_pack / ps_pack, compact
+# or not) and every QMF/synthesis state FIFO is slot-local, so a 1-D
+# 'stream' mesh shards them with zero collectives.  The frame axis is NOT
+# shardable here: QMF analysis windows straddle consecutive frames inside
+# the chunk (xall concatenates the whole chunk's slots), so SBR runs on a
+# stream-only mesh — make_mesh(n, 1).  The PS program's output routing
+# (out_src/out_role: output slot c emits a channel role of source slot
+# src[c]) is the one cross-slot access; GSPMD lowers that row gather to a
+# collective only when a mono-source/stereo-output pair straddles a shard
+# boundary — the packer allocates them adjacently, so whole streams land on
+# one shard and the gather stays local.
+
+def stream_tree_shardings(mesh: Mesh, tree: dict) -> dict:
+    """P('stream') over the leading channel-slot axis of every array."""
+    return {k: NamedSharding(mesh, P("stream", *([None] * (v.ndim - 1))))
+            for k, v in tree.items()}
+
+
+def shard_stream_tree(mesh: Mesh, tree: dict) -> dict:
+    sh = stream_tree_shardings(mesh, tree)
+    return {k: jax.device_put(v, sh[k]) for k, v in tree.items()}
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_sbr_apply(cfg, mesh: Mesh, out_int16: bool = False):
+    """jit-compiled batched SBR stage (kernels.sbr_batch.sbr_apply) over a
+    stream-only mesh; inputs arrive pre-sharded via shard_stream_tree and
+    the donated state keeps its sharding across chained chunks."""
+    from aacjax.kernels.sbr_batch import sbr_apply
+
+    def fn(core_pcm, dense, state):
+        return sbr_apply(core_pcm, dense, state, cfg, out_int16=out_int16)
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool = False,
+                         is34: bool = False):
+    """jit-compiled SBR + Parametric Stereo program over a stream-only
+    mesh (kernels.ps_batch.sbr_ps_apply)."""
+    from aacjax.kernels.ps_batch import sbr_ps_apply
+
+    def fn(core_pcm, dense, ps_dense, state, ps_state):
+        return sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state,
+                            cfg, out_int16, is34)
+
+    return jax.jit(fn, donate_argnums=(3, 4))

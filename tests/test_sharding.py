@@ -99,6 +99,76 @@ def test_sharded_spec_path_matches_single_device():
         np.testing.assert_allclose(g, r, atol=1e-5 * scale)
 
 
+@needs_mesh
+@pytest.mark.parametrize("use_native", [False, True])
+def test_sharded_he_sbr_matches_single_device(use_native):
+    """HE-AAC multi-chip serving: step_he_raw over a stream-only mesh —
+    the core spectral step AND the chained batched SBR program both
+    jitted over the mesh with every slot-leading plane and QMF/synthesis
+    state FIFO sharded P('stream') — equals the single-device path
+    across a chunk boundary (state carried sharded via donation)."""
+    from aacjax.host import adts, native
+    from aacjax.host.asc import parse_asc
+    from aacjax.runtime.batch import BatchDecoder
+    from test_sbr import make_he_stream
+
+    if use_native and not native.available():
+        pytest.skip("native parser not built")
+    stream = make_he_stream(ch=2, n_frames=6, invf=1, num_env=2)
+    frames = adts.split_frames(stream)
+    config = parse_asc(adts.synthesize_cookie(frames[0][0]))
+    payloads = [stream[s:e] for _, s, e in frames]
+
+    def run(mesh):
+        dec = BatchDecoder([config, config], chunk_frames=3,
+                           use_native=use_native)
+        return [np.asarray(dec.step_he_raw([payloads[lo:lo + 3]] * 2,
+                                           mesh=mesh))
+                for lo in (0, 3)]
+
+    want = run(None)
+    got = run(meshlib.make_mesh(4, 1))
+    for w, g in zip(want, got):
+        scale = max(1e-9, float(np.abs(w).max()))
+        np.testing.assert_allclose(g, w, atol=1e-5 * scale)
+
+
+@needs_mesh
+def test_sharded_he_ps_matches_single_device():
+    """HE-AAC v2: the combined SBR + Parametric Stereo program sharded
+    over the stream mesh — including the mono-source -> stereo-output
+    slot routing gather, which stays shard-local because the pair slot
+    is adjacent to its source — equals single-device, with PS delay /
+    allpass / synthesis state carried across a chunk boundary."""
+    from test_ps import _ICC10, _RAMP10, make_ps_stream
+    from aacjax.host import adts
+    from aacjax.host.asc import parse_asc
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing.sbr_encoder import PSSpec
+
+    ps = PSSpec(iid_mode=0, num_env=2,
+                iid_par=np.stack([_RAMP10, -_RAMP10]),
+                icc_mode=0, icc_par=np.stack([_ICC10, _ICC10[::-1]]),
+                ipd_par=((np.arange(5) * 3) % 8)[None].repeat(2, 0),
+                opd_par=(np.arange(5) % 8)[None].repeat(2, 0))
+    stream = make_ps_stream(ps)
+    frames = adts.split_frames(stream)
+    config = parse_asc(adts.synthesize_cookie(frames[0][0]))
+    payloads = [stream[s:e] for _, s, e in frames][:6]
+
+    def run(mesh):
+        dec = BatchDecoder([config, config], chunk_frames=3, cce_slots=1)
+        return [np.asarray(dec.step_he_raw([payloads[lo:lo + 3]] * 2,
+                                           mesh=mesh))
+                for lo in (0, 3)]
+
+    want = run(None)
+    got = run(meshlib.make_mesh(4, 1))
+    for w, g in zip(want, got):
+        scale = max(1e-9, float(np.abs(w).max()))
+        np.testing.assert_allclose(g, w, atol=1e-5 * scale)
+
+
 def test_entry_compiles():
     fn, args = graft.entry()
     pcm, ov = jax.jit(fn)(*args)
