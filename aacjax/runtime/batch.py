@@ -575,13 +575,16 @@ class BatchDecoder:
         return parsed, dense_out, np_jobs, self._he_ctx()
 
     def decode_he_pipelined(self, chunk_iter, out_int16: bool = True,
-                            compact: bool | None = None):
+                            compact: bool | None = None, mesh=None):
         """Generator decoding an iterator of HE-AAC payload chunks with
         host/device overlap, like decode_pipelined: while the device runs
         chunk k's core+SBR programs (and the link moves its data), the
         main thread parses chunk k+1.  The per-chunk SBR bookkeeping is
         snapshotted into an explicit context so the two phases never
-        share mutable chunk state.  Native path only."""
+        share mutable chunk state.  Native path only.
+
+        With `mesh` (stream-only, make_mesh(n, 1)) the device half runs
+        the mesh-jitted core + SBR/PS programs (see step_he_raw)."""
         import concurrent.futures
         if not self.use_native:
             raise RuntimeError("decode_he_pipelined requires the native "
@@ -592,8 +595,11 @@ class BatchDecoder:
 
         def device_half(args):
             parsed, dense, np_jobs, ctx = args
-            core_pcm = self._device_step(parsed, out_int16=False)
-            return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16)
+            core_pcm = (self._device_step(parsed, out_int16=False)
+                        if mesh is None
+                        else self._device_step_sharded(parsed, mesh))
+            return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16,
+                                   mesh=mesh)
 
         try:
             self._pipeline_active = True
@@ -960,8 +966,19 @@ class BatchDecoder:
         dev.update({k: v for k, v in batch.items() if k.startswith('_')})
         return dev
 
+    def _upload_batch_sharded(self, batch: dict, mesh) -> dict:
+        """Mesh variant of _upload_batch: the H2D stage lands every array
+        directly in its sharded layout (device_put with a NamedSharding
+        splits the transfer across chips), so _device_step_sharded's own
+        shard call is a no-op on already-committed arrays."""
+        from aacjax.runtime import mesh as meshlib
+        arrs = {k: v for k, v in batch.items() if not k.startswith('_')}
+        dev = jax.block_until_ready(meshlib.shard_spec_batch(mesh, arrs))
+        dev.update({k: v for k, v in batch.items() if k.startswith('_')})
+        return dev
+
     def decode_pipelined(self, chunk_iter, out_int16: bool = True,
-                         compact: bool | None = None):
+                         compact: bool | None = None, mesh=None):
         """Generator decoding an iterator of payload chunks as a 3-stage
         pipeline with double-buffered transfers:
 
@@ -978,7 +995,12 @@ class BatchDecoder:
         the upload worker only.  Yields materialized PCM arrays in order.
 
         reset_stream() during iteration is deferred to the next chunk
-        boundary (see request_reset)."""
+        boundary (see request_reset).
+
+        With `mesh` (('stream','frame'), runtime.mesh.make_mesh) every
+        stage runs sharded: the H2D worker lands each array in its
+        sharded layout and the device step is the mesh-jitted
+        decode_spec_step — the full multi-chip serving loop."""
         import concurrent.futures
         up_pool = concurrent.futures.ThreadPoolExecutor(1)
         down_pool = concurrent.futures.ThreadPoolExecutor(1)
@@ -987,8 +1009,13 @@ class BatchDecoder:
         slot = 0
 
         def upload_dispatch(batch):
-            pcm = self._device_step(self._upload_batch(batch),
-                                    out_int16=out_int16)
+            if mesh is None:
+                pcm = self._device_step(self._upload_batch(batch),
+                                        out_int16=out_int16)
+            else:
+                pcm = self._device_step_sharded(
+                    self._upload_batch_sharded(batch, mesh), mesh,
+                    out_int16=out_int16)
             # block until the step's COMPUTE has consumed its inputs, not
             # just until dispatch: on zero-copy backends (CPU) the
             # "device" arrays alias the double-buffered host parse

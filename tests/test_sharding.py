@@ -169,6 +169,74 @@ def test_sharded_he_ps_matches_single_device():
         np.testing.assert_allclose(g, w, atol=1e-5 * scale)
 
 
+@needs_mesh
+def test_decode_pipelined_sharded_matches_single_device():
+    """The FULL multi-chip serving loop: decode_pipelined(mesh=...) runs
+    the 3-stage pipeline with sharded H2D and the mesh-jitted production
+    spec step; chunks must equal the single-device generator, including
+    a mid-iteration slot recycle deferred to a chunk boundary."""
+    from aacjax.host import native
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing.streams import make_lc_payload_chunks
+
+    if not native.available():
+        pytest.skip("native parser not built")
+    configs, chunks = make_lc_payload_chunks(
+        n_streams=4, chunk_frames=4, n_chunks=3, seed=7)
+
+    def run(mesh):
+        dec = BatchDecoder(configs, chunk_frames=4, use_native=True)
+        out = []
+        gen = dec.decode_pipelined(iter(chunks), out_int16=True, mesh=mesh)
+        for k, pcm in enumerate(gen):
+            out.append(np.asarray(pcm).copy())
+            if k == 0:
+                dec.request_reset(1, configs[1])
+        return out
+
+    want = run(None)
+    got = run(meshlib.make_mesh(4, 2))
+    assert len(want) == len(got) == 3
+    for w, g in zip(want, got):
+        # int16 PCM: f32 reduction-order differences across shardings can
+        # flip a rounding boundary by at most 1 LSB
+        np.testing.assert_allclose(g.astype(np.int32),
+                                   w.astype(np.int32), atol=1)
+
+
+@needs_mesh
+def test_decode_he_pipelined_sharded_matches_single_device():
+    """HE-AAC multi-chip serving loop: decode_he_pipelined(mesh=...)
+    equals the single-device generator across chunks (SBR state FIFOs
+    carried sharded through the overlapped device half)."""
+    from aacjax.host import adts, native
+    from aacjax.host.asc import parse_asc
+    from aacjax.runtime.batch import BatchDecoder
+    from test_sbr import make_he_stream
+
+    if not native.available():
+        pytest.skip("native parser not built")
+    stream = make_he_stream(ch=2, n_frames=6, invf=1, num_env=2)
+    frames = adts.split_frames(stream)
+    config = parse_asc(adts.synthesize_cookie(frames[0][0]))
+    payloads = [stream[s:e] for _, s, e in frames]
+    chunks = [[payloads[lo:lo + 3]] * 2 for lo in (0, 3)]
+
+    def run(mesh):
+        dec = BatchDecoder([config, config], chunk_frames=3,
+                           use_native=True)
+        return [np.asarray(p).copy() for p in
+                dec.decode_he_pipelined(iter(chunks), out_int16=False,
+                                        mesh=mesh)]
+
+    want = run(None)
+    got = run(meshlib.make_mesh(4, 1))
+    assert len(want) == len(got) == 2
+    for w, g in zip(want, got):
+        scale = max(1e-9, float(np.abs(w).max()))
+        np.testing.assert_allclose(g, w, atol=1e-5 * scale)
+
+
 def test_entry_compiles():
     fn, args = graft.entry()
     pcm, ov = jax.jit(fn)(*args)
