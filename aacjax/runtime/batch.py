@@ -966,6 +966,21 @@ class BatchDecoder:
         dev.update({k: v for k, v in batch.items() if k.startswith('_')})
         return dev
 
+    @staticmethod
+    def _transfer_lock(duplex: bool | None):
+        """None (transfers may overlap) or a Lock serializing H2D vs D2H.
+        Auto mode: duplex on real local attachments, serialized on the
+        tunneled 'axon' platform where concurrent RPC transfers contend
+        destructively (measured 2-3x the serial sum)."""
+        import threading
+        if duplex is None:
+            env = os.environ.get("AACJAX_DUPLEX")
+            if env is not None:
+                duplex = env == "1"
+            else:
+                duplex = jax.devices()[0].platform != "axon"
+        return None if duplex else threading.Lock()
+
     def _upload_batch_sharded(self, batch: dict, mesh) -> dict:
         """Mesh variant of _upload_batch: the H2D stage lands every array
         directly in its sharded layout (device_put with a NamedSharding
@@ -978,7 +993,8 @@ class BatchDecoder:
         return dev
 
     def decode_pipelined(self, chunk_iter, out_int16: bool = True,
-                         compact: bool | None = None, mesh=None):
+                         compact: bool | None = None, mesh=None,
+                         duplex: bool | None = None):
         """Generator decoding an iterator of payload chunks as a 3-stage
         pipeline with double-buffered transfers:
 
@@ -988,11 +1004,21 @@ class BatchDecoder:
 
         All three run concurrently, so the steady-state wall per chunk is
         max(parse, H2D, D2H) instead of their sum — on a link where H2D
-        and D2H are comparable (PCIe is full-duplex; so is this dev
-        tunnel's socket pair) the upload of chunk k+1 rides alongside the
-        download of chunk k.  Ordering between chunks is preserved by the
-        single-threaded workers; the donated overlap state advances on
-        the upload worker only.  Yields materialized PCM arrays in order.
+        and D2H are comparable and genuinely full-duplex (PCIe) the
+        upload of chunk k+1 rides alongside the download of chunk k.
+        Ordering between chunks is preserved by the single-threaded
+        workers; the donated overlap state advances on the upload worker
+        only.  Yields materialized PCM arrays in order.
+
+        `duplex`: whether H2D and D2H may run concurrently.  On links
+        that serialize transfers anyway, concurrent RPCs CONTEND
+        destructively (measured on this dev tunnel: two overlapped 64 MB
+        transfers take 2-3x their serial sum), so the default
+        auto-detects — False on the tunneled 'axon' platform, True
+        elsewhere (PCIe) — overridable here or via AACJAX_DUPLEX=0/1.
+        With duplex=False a shared lock serializes the two transfer
+        stages against each other; both still overlap parse and device
+        compute, so the steady-state wall is parse-overlapped H2D + D2H.
 
         reset_stream() during iteration is deferred to the next chunk
         boundary (see request_reset).
@@ -1007,15 +1033,20 @@ class BatchDecoder:
         up_fut = None
         down_fut = None
         slot = 0
+        xfer_lock = self._transfer_lock(duplex)
 
         def upload_dispatch(batch):
-            if mesh is None:
-                pcm = self._device_step(self._upload_batch(batch),
-                                        out_int16=out_int16)
+            if xfer_lock is not None:
+                with xfer_lock:
+                    dev = (self._upload_batch(batch) if mesh is None
+                           else self._upload_batch_sharded(batch, mesh))
             else:
-                pcm = self._device_step_sharded(
-                    self._upload_batch_sharded(batch, mesh), mesh,
-                    out_int16=out_int16)
+                dev = (self._upload_batch(batch) if mesh is None
+                       else self._upload_batch_sharded(batch, mesh))
+            pcm = (self._device_step(dev, out_int16=out_int16)
+                   if mesh is None
+                   else self._device_step_sharded(dev, mesh,
+                                                  out_int16=out_int16))
             # block until the step's COMPUTE has consumed its inputs, not
             # just until dispatch: on zero-copy backends (CPU) the
             # "device" arrays alias the double-buffered host parse
@@ -1026,6 +1057,12 @@ class BatchDecoder:
             # two workers.
             jax.block_until_ready(pcm)
             return pcm
+
+        def download(pcm_dev):
+            if xfer_lock is not None:
+                with xfer_lock:
+                    return self.finalize_step(pcm_dev)
+            return self.finalize_step(pcm_dev)
 
         try:
             self._pipeline_active = True
@@ -1040,8 +1077,7 @@ class BatchDecoder:
                         if down_fut is not None:
                             yield down_fut.result()
                             down_fut = None
-                        down_fut = down_pool.submit(self.finalize_step,
-                                                    pcm_dev)
+                        down_fut = down_pool.submit(download, pcm_dev)
                     self._apply_deferred_resets()
                 parsed = self._parse_native(chunk, buf_slot=slot,
                                             compact=compact)
@@ -1049,14 +1085,14 @@ class BatchDecoder:
                     pcm_dev = up_fut.result()
                     if down_fut is not None:
                         yield down_fut.result()
-                    down_fut = down_pool.submit(self.finalize_step, pcm_dev)
+                    down_fut = down_pool.submit(download, pcm_dev)
                 up_fut = up_pool.submit(upload_dispatch, parsed)
                 slot ^= 1
             if up_fut is not None:
                 pcm_dev = up_fut.result()
                 if down_fut is not None:
                     yield down_fut.result()
-                down_fut = down_pool.submit(self.finalize_step, pcm_dev)
+                down_fut = down_pool.submit(download, pcm_dev)
             if down_fut is not None:
                 yield down_fut.result()
         finally:
