@@ -247,7 +247,10 @@ def bench_encode(n_streams: int, seconds: float, chunk: int,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=512)
-    ap.add_argument("--seconds", type=float, default=4.0)
+    # 8s -> ~21 chunks per rep: the pipeline's fill/drain edges are <5%
+    # of the run, so the number reflects steady-state continuous serving
+    # (at 4s/10 chunks the edges understated it by ~7%)
+    ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--unique", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=3)
