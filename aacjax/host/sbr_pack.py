@@ -174,7 +174,30 @@ def RATE_T(t_units) -> int:
     return int(t_units) * 2
 
 
-def compact_dense(dense: SBRDense) -> dict:
+_COMPACT_SCRATCH: dict = {}
+
+
+def _compact_scratch(shape, slot: int = 0) -> dict:
+    """Cached scratch for compact_dense, keyed by (shape, slot).  The
+    int16 output plane (`qi`) is handed to the caller and may still be
+    in flight on the H2D link while the next chunk's host phase runs —
+    the pipelined path passes alternating `slot` values so the two
+    chunks never alias (same double-buffer discipline as
+    native.SpecBatchArrays)."""
+    B, T, E, K = shape
+    key = (B, T, E, K, slot)
+    sc = _COMPACT_SCRATCH.get(key)
+    if sc is None:
+        sc = dict(eq=np.empty((B, T, 2, E, K), np.float32),
+                  l2=np.empty((B, T, 2, E, K), np.float32),
+                  qi=np.empty((B, T, 2, E, K), np.int16))
+        if len(_COMPACT_SCRATCH) > 8:
+            _COMPACT_SCRATCH.clear()
+        _COMPACT_SCRATCH[key] = sc
+    return sc
+
+
+def compact_dense(dense: SBRDense, buf_slot: int = 0) -> dict:
     """Compact-transfer encoding of the dense SBR planes (~3x fewer H2D
     bytes; the device expands inside the jitted program, fused for free):
 
@@ -192,15 +215,30 @@ def compact_dense(dense: SBRDense) -> dict:
       bw stays f32 (64 of ~1400 values; the chirp factor feeds pow
       chains where log-grid rounding would compound)
     """
-    eq = np.stack([dense.e_orig, dense.q_map], axis=2)
-    with np.errstate(divide="ignore"):
-        l2 = np.log2(np.maximum(eq, 0.0))
-    off = np.max(l2, axis=(3, 4))                      # [B,T,2]
-    off = np.where(np.isfinite(off), off, 0.0).astype(np.float32)
-    q = np.round(1024.0 * (l2 - off[:, :, :, None, None]))
-    q = np.where(eq > 0.0, np.clip(q, -32767, 0), -32768.0)
+    sc = _compact_scratch(dense.e_orig.shape, buf_slot)
+    eq, l2, qi = sc["eq"], sc["l2"], sc["qi"]
+    eq[:, :, 0] = dense.e_orig
+    eq[:, :, 1] = dense.q_map
+    # clamp zeros to a normal float BEFORE log2: >80% of the plane is
+    # exact 0.0 (unused envelope slots / bands below kx), and every 0.0
+    # drops numpy's vectorized log2 into its scalar special-value
+    # fallback — measured 14.7 s/chunk vs ~0.3 s clamped on this host.
+    # The clamped values only feed the sentinel branch below (eq > 0
+    # masks them out), so the result is bit-identical.  All ops run
+    # in-place on cached scratch: the 42-84 MB temporaries otherwise
+    # churn the allocator/page cache on a memory-tight 1-core host
+    # (first-call 3.6 s vs 0.2 s steady was allocation, not math).
+    np.maximum(eq, np.float32(1e-30), out=l2)
+    np.log2(l2, out=l2)
+    off = np.max(l2, axis=(3, 4)).astype(np.float32)   # [B,T,2]
+    l2 -= off[:, :, :, None, None]
+    l2 *= np.float32(1024.0)
+    np.rint(l2, out=l2)
+    np.clip(l2, -32767.0, 0.0, out=l2)
+    np.copyto(l2, np.float32(-32768.0), where=eq <= 0.0)
+    qi[...] = l2
     return dict(
-        eq_l2=q.astype(np.int16),
+        eq_l2=qi,
         eq_off=off,
         sbits=(dense.s_idx + 2.0 * dense.s_map).astype(np.int8),
         dtbits=(dense.delta + 2.0 * dense.transient).astype(np.int8),
@@ -209,6 +247,32 @@ def compact_dense(dense: SBRDense) -> dict:
         env_id=dense.env_id.astype(np.int8),
         sine_idx=dense.sine_idx.astype(np.int8),
         noise_base=dense.noise_base.astype(np.int16),
-        bw=dense.bw,
-        i_temp=dense.i_temp,
+        # copies, not references: the caller may reuse `dense`'s storage
+        # for the next chunk while this dict is still in flight on the
+        # H2D link (the astype() fields above are fresh for the same
+        # reason)
+        bw=dense.bw.copy(),
+        i_temp=dense.i_temp.copy(),
     )
+
+
+def alloc_dense_cached(B: int, T: int, slot: int,
+                       _cache: dict = {}) -> SBRDense:
+    """Zeroed SBRDense backed by per-(B,T,slot) cached storage — avoids
+    reallocating ~90 MB of planes every chunk (page-fault churn on a
+    memory-tight host).  ONLY safe when the dense arrays themselves are
+    not handed to the device path by reference (i.e. the compact_dense
+    route, which copies/re-encodes every field); the non-compact route
+    must keep alloc_dense.  `slot` follows the pipelined double-buffer
+    discipline."""
+    key = (B, T, slot)
+    d = _cache.get(key)
+    if d is None:
+        if len(_cache) > 8:
+            _cache.clear()
+        d = alloc_dense(B, T)
+        _cache[key] = d
+        return d
+    for a in vars(d).values():
+        a.fill(0)
+    return d

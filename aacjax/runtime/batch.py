@@ -531,7 +531,16 @@ class BatchDecoder:
 
         self._sbr_init()
         self._sbr_chunk_begin(payloads_per_stream)
-        dense = SP.alloc_dense(self.C, self.T)
+        if compact is None:
+            compact = os.environ.get("AACJAX_COMPACT", "1") == "1"
+        # compact route: every dense plane is re-encoded or copied by
+        # compact_dense before H2D, so the ~90 MB of plane storage can
+        # be recycled per buf_slot instead of reallocated every chunk
+        # (page-fault churn dominated the first-call cost on this host);
+        # the non-compact route ships the planes by reference and must
+        # keep fresh allocations
+        dense = (SP.alloc_dense_cached(self.C, self.T, buf_slot)
+                 if compact else SP.alloc_dense(self.C, self.T))
         np_jobs: list = []
         # core spectra stay EXACT f32 on the HE path: the SBR envelope
         # adjuster normalizes patched bands by the source-band energy, so
@@ -569,9 +578,8 @@ class BatchDecoder:
                     self._sbr_pack_payload(dense, np_jobs, sf, slot,
                                            nch, t)
                 g += 1
-        if compact is None:
-            compact = os.environ.get("AACJAX_COMPACT", "1") == "1"
-        dense_out = SP.compact_dense(dense) if compact else dense
+        dense_out = (SP.compact_dense(dense, buf_slot) if compact
+                     else dense)
         return parsed, dense_out, np_jobs, self._he_ctx()
 
     def decode_he_pipelined(self, chunk_iter, out_int16: bool = True,

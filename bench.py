@@ -253,7 +253,9 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--unique", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16)
-    ap.add_argument("--repeats", type=int, default=3)
+    # best-of-4: the dev tunnel's bandwidth swings 2-3x between reps;
+    # extra reps hedge congestion noise (total stays < 350 s)
+    ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--no-native", action="store_true")
     ap.add_argument("--no-stages", action="store_true",
                     help="skip the per-stage breakdown pass")
@@ -339,7 +341,12 @@ def main() -> int:
         profiler_ctx.__enter__()
 
     best = 0.0
+    t_reps0 = time.time()
     for _rep in range(args.repeats):
+        if _rep and time.time() - t_reps0 > 330:
+            # congested-tunnel guard: keep the whole bench inside the
+            # runner's budget; best-of the reps that fit
+            break
         dec = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
                            use_native=use_native)
         t1 = time.time()
