@@ -109,14 +109,10 @@ def pack_channel_frame(dense: SBRDense, b: int, t: int,
     dense.i_temp[b, t] = max(0, 2 * state.t_env_last - 32)
     state.t_env_last = int(t_env[num_env]) if num_env else 0
 
-    # chirp (host-sequential; identical smoothing to the numpy path)
-    class _P:  # tiny adapter so SD._chirp can run on this state
-        pass
-    p = _P()
-    p.bw = state.bw
-    p.invf_prev = state.invf_prev
-    bw_bands = SD._chirp(p, cd.invf_mode)
-    state.invf_prev = p.invf_prev
+    # chirp (host-sequential; identical smoothing to the numpy path) —
+    # SBRHostState carries exactly the .bw/.invf_prev fields _chirp
+    # mutates, so it ducks for SBRChannelProc directly
+    bw_bands = SD._chirp(state, cd.invf_mode)
     f_noise = np.asarray(tbl.f_noise)
     nb = np.clip(np.searchsorted(f_noise, np.arange(kx, kx + m),
                                  side="right") - 1, 0, len(bw_bands) - 1)
@@ -149,10 +145,14 @@ def pack_channel_frame(dense: SBRDense, b: int, t: int,
         nenv = 1 if (g.num_noise > 1 and g.t_env[e] >= t_q[1]) else 0
         dense.q_map[b, t, e, kx: kx + m] = q_orig[nenv][nb]
         dense.s_idx[b, t, e, kx: kx + m] = s_index[e]
-        for band in range(len(ftab) - 1):
-            lo, hi = int(ftab[band]) - kx, int(ftab[band + 1]) - kx
-            if s_index[e, lo:hi].any():
-                dense.s_map[b, t, e, kx + lo: kx + hi] = 1.0
+        # s_map: 1 over every (freq-res) band containing a sinusoid —
+        # cumsum instead of a python loop of ~20 tiny .any() slices
+        # (393k such calls per chunk dominated the pack loop)
+        cs = np.zeros(m + 1, np.int32)
+        np.cumsum(s_index[e], out=cs[1:])
+        fedge = np.asarray(ftab, np.int64) - kx
+        band_any = cs[fedge[1:]] > cs[fedge[:-1]]
+        dense.s_map[b, t, e, kx: kx + m] = band_any[fi]
         transient = (e == la or e == prev_la)
         dense.delta[b, t, e] = 0.0 if transient else 1.0
         dense.transient[b, t, e] = 1.0 if transient else 0.0

@@ -153,7 +153,10 @@ def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
     warm.step_he_raw([p[:chunk] for p in per_stream], out_int16=True)
 
     best = 0.0
-    for _ in range(repeats):
+    t_reps0 = time.time()
+    for _rep in range(repeats):
+        if _rep and time.time() - t_reps0 > 330:
+            break   # congestion guard (see main())
         dec = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk,
                            **slots)
         t1 = time.time()
@@ -212,7 +215,10 @@ def bench_encode(n_streams: int, seconds: float, chunk: int,
     best = 0.0
     stats = None
     n_chunks = n // (chunk * 1024)
-    for _ in range(repeats):
+    t_reps0 = time.time()
+    for _rep in range(repeats):
+        if _rep and time.time() - t_reps0 > 330:
+            break   # congestion guard (see main())
         enc = BatchEncoder(sr, 2, bitrate, n_streams=n_streams)
         t1 = time.time()
         total_bytes = 0
