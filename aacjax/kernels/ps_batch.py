@@ -125,11 +125,14 @@ def _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S, is34):
     """Xr/Xi [B,S,64] (HF+low per slot), lo_r/i [B,S+12,5] the continuous
     low-band line incl. 6 slots of history and 6 of lookahead ->
     s [B,S,nb] complex (re, im)."""
-    widx = jnp.arange(S)[:, None] + jnp.arange(13)[None, :]   # [S, 13]
+    def win13(a, qb):
+        # 13-tap sliding window of the [B, S+12] band line as 13 static
+        # slices (a per-element gather serializes on TPU)
+        return jnp.stack([a[:, j:j + S, qb] for j in range(13)], axis=-1)
 
     def fir(qb, fset):
-        wr = lo_r[:, widx, qb]                                # [B,S,13]
-        wi = lo_i[:, widx, qb]
+        wr = win13(lo_r, qb)                                  # [B,S,13]
+        wi = win13(lo_i, qb)
         fr = jnp.asarray(c["filt13_r"][fset])
         fi = jnp.asarray(c["filt13_i"][fset])
         return ((jnp.einsum('bsj,qj->bsq', wr, fr, precision=_HI)
@@ -154,8 +157,8 @@ def _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S, is34):
     g1 = jnp.asarray(c["g1_13"])
     outs_r, outs_i = [fold(sub_r)], [fold(sub_i)]
     for qb, rev in ((1, 1), (2, 0)):
-        wr = lo_r[:, widx, qb]
-        wi = lo_i[:, widx, qb]
+        wr = win13(lo_r, qb)
+        wi = win13(lo_i, qb)
         mid_r = jnp.einsum('bsj,j->bs', wr, g1, precision=_HI)
         mid_i = jnp.einsum('bsj,j->bs', wi, g1, precision=_HI)
         # g1_13 is symmetric: mid already contains mid+op; recover the
@@ -202,7 +205,10 @@ def _decorrelate(s_r, s_i, state, c, B, S, is34):
         tstep, (state["peak"], state["psmooth"], state["pdiff"]),
         jnp.moveaxis(pw, 1, 0))                               # tg [S,B,20]
     tg = jnp.moveaxis(tg, 0, 1)                               # [B,S,npar]
-    tg_k = tg[:, :, c["k_to_i"]]                              # [B,S,nb]
+    # parameter-band -> hybrid-band expansion as an exact one-hot matmul
+    # (constant-index lane gathers serialize on TPU; `ind` rows are
+    # one-hot so HIGHEST-precision matmul reproduces the values bitwise)
+    tg_k = jnp.einsum('bsp,kp->bsk', tg, ind, precision=_HI)  # [B,S,nb]
 
     # delay lines: [14 hist | S] along slots
     line_r = jnp.concatenate([state["delay_r"],
@@ -212,13 +218,14 @@ def _decorrelate(s_r, s_i, state, c, B, S, is34):
     new_delay_r = line_r[:, :, -MAX_DELAY:]
     new_delay_i = line_i[:, :, -MAX_DELAY:]
 
-    # non-allpass bands: static per-band delay (14 below SDB, 1 above)
-    didx = (jnp.asarray(c["delay_off"])[None, :, None]
-            + jnp.arange(S)[None, None, :])                   # [1,71,S]
-    dp_r = jnp.take_along_axis(line_r, jnp.broadcast_to(didx, (B, NB, S)),
-                               axis=2)
-    dp_i = jnp.take_along_axis(line_i, jnp.broadcast_to(didx, (B, NB, S)),
-                               axis=2)                        # [B,71,S]
+    # non-allpass bands: static per-band delay — only two distinct
+    # offsets exist (14 below SDB, 1 above), so select between the two
+    # static slices instead of take_along_axis
+    short = (jnp.asarray(c["delay_off"]) != 0)[None, :, None]  # [1,71,1]
+    dp_r = jnp.where(short, line_r[:, :, MAX_DELAY - 1: MAX_DELAY - 1 + S],
+                     line_r[:, :, :S])
+    dp_i = jnp.where(short, line_i[:, :, MAX_DELAY - 1: MAX_DELAY - 1 + S],
+                     line_i[:, :, :S])                        # [B,71,S]
 
     # allpass bands: input = 2-slot-delayed s rotated by phi_fract
     xin_r_l = line_r[:, :NAP, MAX_DELAY - 2: MAX_DELAY - 2 + S]
@@ -292,17 +299,23 @@ def _mixing_h(dense, c, B, T, is34):
     K_i = base * rot_i
 
     al = dense["ps_alpha"][..., None, None]                   # [B,T,32,1,1]
-    idx_lo = jnp.broadcast_to(
-        dense["ps_knot_lo"][..., None, None],
-        (B, T, SLOTS, NPAR, 4)).astype(jnp.int32)
-    idx_hi = jnp.broadcast_to(
-        dense["ps_knot_hi"][..., None, None],
-        (B, T, SLOTS, NPAR, 4)).astype(jnp.int32)
-    # gather knots per slot along the knot axis (arr [B,T,6,20,4])
-    lo_r = jnp.take_along_axis(K_r, idx_lo, axis=2)
-    lo_i = jnp.take_along_axis(K_i, idx_lo, axis=2)
-    hi_r = jnp.take_along_axis(K_r, idx_hi, axis=2)
-    hi_i = jnp.take_along_axis(K_i, idx_hi, axis=2)
+
+    # per-slot knot selection along the 6-knot axis as a 6-way masked
+    # sum (bitwise-exact, no gather): idx [B,T,32] in [0,6)
+    def knot_sel(K, idx):
+        acc = None
+        for n in range(K.shape[2]):
+            m = (idx == n).astype(jnp.float32)[..., None, None]
+            term = m * K[:, :, n][:, :, None]                 # [B,T,32,P,4]
+            acc = term if acc is None else acc + term
+        return acc
+
+    idx_lo = dense["ps_knot_lo"].astype(jnp.int32)            # [B,T,32]
+    idx_hi = dense["ps_knot_hi"].astype(jnp.int32)
+    lo_r = knot_sel(K_r, idx_lo)
+    lo_i = knot_sel(K_i, idx_lo)
+    hi_r = knot_sel(K_r, idx_hi)
+    hi_i = knot_sel(K_i, idx_hi)
     h_r = (1.0 - al) * lo_r + al * hi_r                       # [B,T,32,20,4]
     h_i = (1.0 - al) * lo_i + al * hi_i
     h_imneg = -(1.0 - al) * lo_i + al * hi_i
@@ -331,10 +344,15 @@ def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
     d_r, d_i, dec_state = _decorrelate(s_r, s_i, state, c, B, S, is34)
     h_r, h_i, h_imneg = _mixing_h(dense, c, B, T, is34)
 
-    k_to_i = c["k_to_i"]
-    hk_r = h_r[:, :, :, k_to_i]                               # [B,T,32,nb,4]
-    hk_i = h_i[:, :, :, k_to_i]
-    hk_in = h_imneg[:, :, :, k_to_i]
+    # parameter-band -> hybrid-band expansion via exact one-hot matmul
+    # (see _decorrelate's tg_k note)
+    kmap = (jnp.asarray(c["k_to_i"])[:, None]
+            == jnp.arange(_NPAR[is34])[None, :]).astype(jnp.float32)
+    expand = functools.partial(
+        jnp.einsum, 'btspx,kp->btskx', precision=_HI)
+    hk_r = expand(h_r, kmap)                                  # [B,T,32,nb,4]
+    hk_i = expand(h_i, kmap)
+    hk_in = expand(h_imneg, kmap)
     cmask = jnp.asarray(c["conj_mask"])[None, None, None, :, None]
     hk_i = hk_i * (1.0 - cmask) + hk_in * cmask
     hk_r = hk_r.reshape(B, S, NB, 4)

@@ -68,6 +68,21 @@ def _analysis_consts():
 
 
 @functools.lru_cache(maxsize=None)
+def _analysis_device_consts():
+    """_analysis_consts re-laid-out for the gather-free device path: the
+    device builds 64-wide sample blocks in NATURAL (ascending time)
+    order, while the filterbank wants them newest-first — fold that
+    reversal into the constants here (host-side numpy) so nothing is
+    reversed or gathered on device."""
+    win_ds, mr, mi = _analysis_consts()
+    win_flip = np.stack([win_ds[64 * f:64 * (f + 1)][::-1]
+                         for f in range(5)])    # [5, 64]
+    return (np.ascontiguousarray(win_flip),
+            np.ascontiguousarray(mr[::-1]),     # [64, 32], rows flipped
+            np.ascontiguousarray(mi[::-1]))
+
+
+@functools.lru_cache(maxsize=None)
 def _synthesis_consts():
     c = prototype()
     n = np.arange(128, dtype=np.float64)
@@ -106,16 +121,24 @@ def analysis(x: jax.Array, hist: jax.Array) -> tuple[jax.Array, jax.Array, jax.A
     x [B, N] core-rate samples (N % 32 == 0); hist [B, 288] carried
     samples (the previous chunk's tail).  Returns (X_re, X_im) [B, S, 32]
     with S = N // 32 slots, plus the new history."""
-    win_ds, mr, mi = _analysis_consts()
+    win_flip, mr, mi = _analysis_device_consts()
     B, N = x.shape
     S = N // ANA_BANDS
     buf = jnp.concatenate([hist, x], axis=1)          # [B, 288 + N]
-    # sliding window per slot: x-buffer covers the 320 newest samples,
-    # newest first: x(n) = buf[32(l+1) + 288 - 1 - n]
-    last = jnp.arange(S)[:, None] * ANA_BANDS + (ANA_HIST + ANA_BANDS - 1)
-    idx = last - jnp.arange(ANA_TAPS)[None, :]        # [S, 320]
-    z = buf[:, idx] * jnp.asarray(win_ds)             # [B, S, 320]
-    u = z.reshape(B, S, 5, 64).sum(axis=2)            # [B, S, 64]
+    # Slot s consumes the 320 newest samples buf[32s : 32s+320] (newest
+    # first), folded into 64-wide blocks.  Fold f covers samples
+    # buf[32s + 256-64f : 32s + 320-64f]: 64-wide windows at stride 32,
+    # i.e. adjacent row pairs of the [S+9, 32] reshape — static slices
+    # and concats only, no gather (per-element gathers serialize on TPU;
+    # the reversal lives in the pre-flipped constants).
+    c = buf.reshape(B, S + 9, ANA_BANDS)
+    u = None
+    for f in range(5):
+        d = (256 - 64 * f) // ANA_BANDS
+        blk = jnp.concatenate([c[:, d:d + S], c[:, d + 1:d + 1 + S]],
+                              axis=2)                 # [B, S, 64]
+        term = blk * jnp.asarray(win_flip[f])
+        u = term if u is None else u + term
     xr = jnp.einsum('bsn,nk->bsk', u, jnp.asarray(mr),
                     precision=jax.lax.Precision.HIGHEST)
     xi = jnp.einsum('bsn,nk->bsk', u, jnp.asarray(mi),
@@ -139,13 +162,19 @@ def synthesis(xr: jax.Array, xi: jax.Array,
                       precision=jax.lax.Precision.HIGHEST))  # [B, S, 128]
     # prepend history so slot s can read v[s - j] for j in 0..9
     vall = jnp.concatenate([vhist[:, ::-1, :], v], axis=1)   # [B, 9+S, 128]
-    # gather [B, S, 10, 64]: slot s, tap j reads vall[:, 9 + s - taps_j]
-    s_idx = (jnp.arange(S)[:, None, None] + 9
-             - jnp.asarray(taps_j)[None, :, :])              # [S, 10, 64]
-    r_idx = jnp.broadcast_to(jnp.asarray(taps_r)[None], (S, 10, 64))
-    contrib = vall[:, s_idx, r_idx]                          # [B, S, 10, 64]
-    pcm = jnp.einsum('bsjn,jn->bsn', contrib, jnp.asarray(taps_w),
-                     precision=jax.lax.Precision.HIGHEST)
+    # Tap j of slot s reads vall[:, 9 + s - j, n + 64*(j&1)] (the gsel
+    # block structure collapses to taps_j[j,:] == j and taps_r[j,:] ==
+    # n + 64*(j odd) — asserted in _synthesis_consts' construction by
+    # tests/test_qmf.py) — so the 640-tap FIR is 10 STATIC slices of
+    # vall FMA'd with the window, no gather (per-element gathers
+    # serialize on TPU and dominated the whole SBR program).
+    pcm = None
+    w = jnp.asarray(taps_w)                                  # [10, 64]
+    for j in range(10):
+        lo = 64 * (j & 1)
+        sl = vall[:, 9 - j: 9 - j + S, lo:lo + 64]           # [B, S, 64]
+        term = sl * w[j]
+        pcm = term if pcm is None else pcm + term
     new_vhist = vall[:, -1:-10:-1, :]                        # newest first
     return pcm.reshape(B, S * 64), new_vhist
 

@@ -173,7 +173,6 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     kx, m = cfg.kx, cfg.m
     kvec = jnp.arange(BANDS)
     patched = jnp.asarray(np.array(cfg.patched, np.float32))
-    src_band = jnp.asarray(np.array(cfg.src_band, np.int64))
 
     # --- analysis (FFmpeg-unit scale: full-scale PCM) ---------------------
     xr, xi, x_hist = qmf.analysis(
@@ -184,20 +183,37 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
                      xlow_r=xall_r[:, -HIST:], xlow_i=xall_i[:, -HIST:])
     YS = YSLOTS
 
-    # per-frame 40-slot windows
-    widx = (jnp.arange(T)[:, None] * SLOTS + jnp.arange(HIST + SLOTS)[None, :])
-    wr = xall_r[:, widx, :]                                  # [B,T,40,32]
-    wi = xall_i[:, widx, :]
+    # per-frame 40-slot windows: rows 32t+d of xall for d in [0, 40) —
+    # overlapping stride-32 blocks, i.e. adjacent row pairs of the
+    # [T+1, 32, 32] reshape.  Static slices + concat, NOT a gather
+    # (per-element gathers serialize on TPU).
+    pad = jnp.zeros((B, 32 * (T + 1) - xall_r.shape[1], 32), jnp.float32)
+    rr = jnp.concatenate([xall_r, pad], axis=1).reshape(B, T + 1, 32, 32)
+    ri = jnp.concatenate([xall_i, pad], axis=1).reshape(B, T + 1, 32, 32)
+    wr = jnp.concatenate([rr[:, :T], rr[:, 1:, :HIST]], axis=2)  # [B,T,40,32]
+    wi = jnp.concatenate([ri[:, :T], ri[:, 1:, :HIST]], axis=2)
 
     # --- HF generation -----------------------------------------------------
+    # patch-source selection x[..., src_band] as an exact one-hot matmul
+    # (HIGHEST precision keeps 1.0*x bit-exact) — a constant-index
+    # gather along the lane axis is a cross-lane shuffle XLA:TPU
+    # executes element-at-a-time; the MXU does it for free
+    psel = np.zeros((32, BANDS), np.float32)
+    psel[np.array(cfg.src_band), np.arange(BANDS)] = np.array(
+        cfg.patched, np.float32)
+    psel_j = jnp.asarray(psel)
+
+    def sel(x):
+        return jnp.einsum('...n,nk->...k', x, psel_j, precision=_HI)
+
     a0r, a0i, a1r, a1i = _lpc_batch(wr, wi)                  # [B,T,32]
-    sr = wr[:, :, :, src_band]                               # [B,T,40,64]
-    si = wi[:, :, :, src_band]
-    a0r_k = a0r[:, :, src_band] * dense['bw']                # [B,T,64]
-    a0i_k = a0i[:, :, src_band] * dense['bw']
+    sr = sel(wr)                                             # [B,T,40,64]
+    si = sel(wi)
+    a0r_k = sel(a0r) * dense['bw']                           # [B,T,64]
+    a0i_k = sel(a0i) * dense['bw']
     bw2 = dense['bw'] * dense['bw']
-    a1r_k = a1r[:, :, src_band] * bw2
-    a1i_k = a1i[:, :, src_band] * bw2
+    a1r_k = sel(a1r) * bw2
+    a1i_k = sel(a1i) * bw2
     cur_r, cur_i = sr[:, :, ADJ: ADJ + YS], si[:, :, ADJ: ADJ + YS]
     l1r, l1i = sr[:, :, ADJ - 1: ADJ - 1 + YS], si[:, :, ADJ - 1: ADJ - 1 + YS]
     l2r, l2i = sr[:, :, ADJ - 2: ADJ - 2 + YS], si[:, :, ADJ - 2: ADJ - 2 + YS]
@@ -263,13 +279,22 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     y_r = xh_r * g_slot
     y_i = xh_i * g_slot
 
-    ntab = jnp.asarray(_noise_table())
-    noffs = (kvec - kx + 1)[None, None, None, :]
-    nidx = (dense['noise_base'][..., None] + noffs) & 0x1FF  # [B,T,32,64]
+    # noise: each (b,t,slot) row reads 64 CONSECUTIVE table entries
+    # (base + k - kx + 1 mod 512), so fetch per-row 64-blocks with a
+    # vmapped dynamic_slice instead of a per-element gather — the
+    # element gather of ~34M random indices was 95% of the whole SBR
+    # program's device time (fusion profile: 180 of 190 ms/step)
+    ntab = np.asarray(_noise_table(), np.float32)            # [512, 2]
+    ntab2 = jnp.asarray(np.concatenate([ntab, ntab[:BANDS - 1]], axis=0))
+    nstart = (dense['noise_base'] + (1 - kx)) & 0x1FF        # [B,T,38]
+    nrows = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(ntab2, (i, 0), (BANDS, 2)))(
+        nstart.reshape(-1))                                  # [BT38,64,2]
+    noise = nrows.reshape(*nstart.shape, BANDS, 2)
     n_on = ((s_slot == 0.0).astype(jnp.float32) * (1.0 - tr_slot)
             * dense['covered'][..., None] * patched)
-    y_r = y_r + n_on * q_slot * ntab[nidx, 0]
-    y_i = y_i + n_on * q_slot * ntab[nidx, 1]
+    y_r = y_r + n_on * q_slot * noise[..., 0]
+    y_i = y_i + n_on * q_slot * noise[..., 1]
 
     # sinusoids: phase rotation (re, +im, -re, -im) with per-band sign on
     # the imaginary phases

@@ -55,3 +55,27 @@ def test_qmf_chunked_state_matches_single_shot():
     a = _run_chain(x)
     b = _run_chain(x, chunk=32 * 8)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_synthesis_tap_structure():
+    """The gather-free device synthesis relies on the gsel block
+    structure collapsing to taps_j[j,:] == j and taps_r[j,:] ==
+    n + 64*(j odd) (see kernels.qmf.synthesis); pin that here against
+    the constants' spec-order construction."""
+    _, _, taps_j, taps_r, _ = qmf._synthesis_consts()
+    n = np.arange(64)
+    for j in range(10):
+        assert (taps_j[j] == j).all()
+        np.testing.assert_array_equal(taps_r[j], n + 64 * (j & 1))
+
+
+def test_analysis_device_consts_match_flat():
+    """The pre-flipped device constants are exactly the flat analysis
+    constants re-laid-out (fold-reversal folded in)."""
+    win_ds, mr, mi = qmf._analysis_consts()
+    win_flip, mr_f, mi_f = qmf._analysis_device_consts()
+    for f in range(5):
+        np.testing.assert_array_equal(win_flip[f],
+                                      win_ds[64 * f:64 * (f + 1)][::-1])
+    np.testing.assert_array_equal(mr_f, mr[::-1])
+    np.testing.assert_array_equal(mi_f, mi[::-1])
