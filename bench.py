@@ -103,6 +103,85 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
     return {k: round(v, 4) for k, v in best.items()}
 
 
+def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
+    """Decompose one HE chunk into host / core+H2D / SBR-H2D /
+    SBR-compute / D2H wall seconds (min over reps, each stage synced),
+    mirroring measure_stages for the LC path.  SBR compute is amortized
+    over a chained queue through the donated device state — a single
+    synced dispatch would read the tunnel's ~30 ms RPC roundtrip, not
+    the chip."""
+    import jax
+
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        parsed, dense, np_jobs, ctx = dec._he_host_phase(chunk_payloads)
+        t1 = time.perf_counter()
+        core_pcm = dec._device_step(parsed, out_int16=False)
+        jax.block_until_ready(core_pcm)
+        t2 = time.perf_counter()
+        dense_dict = dense if isinstance(dense, dict) else vars(dense)
+        dense_dev = jax.block_until_ready(jax.device_put(dense_dict))
+        t3 = time.perf_counter()
+        if ps:
+            from aacjax.kernels.ps_batch import jitted_sbr_ps_apply
+            from aacjax.kernels.ps_batch import ps_state_init
+            if dec._ps_dev_state is None:
+                dec._ps_dev_state = ps_state_init(dec.C,
+                                                  bool(ctx["ps_is34"]))
+            import jax.numpy as jnp
+            d = ctx["ps_dense"]
+            out_src = np.arange(dec.C, dtype=np.int32)
+            out_role = np.zeros(dec.C, np.int32)
+            for s, p in enumerate(ctx["ps_pair"]):
+                if p >= 0:
+                    out_src[p] = s
+                    out_role[p] = 1
+            ps_dense = dict(
+                ps_ha=jnp.asarray(d.ha_idx), ps_icc=jnp.asarray(d.icc_idx),
+                ps_opd=jnp.asarray(d.opd_pd), ps_ipd=jnp.asarray(d.ipd_pd),
+                ps_knot_lo=jnp.asarray(d.knot_lo),
+                ps_knot_hi=jnp.asarray(d.knot_hi),
+                ps_alpha=jnp.asarray(d.alpha), ps_has=jnp.asarray(d.has_ps),
+                out_src=jnp.asarray(out_src), out_role=jnp.asarray(out_role))
+            fn0 = jitted_sbr_ps_apply(dec._sbr_cfg[1], True,
+                                      bool(ctx["ps_is34"]))
+            step = lambda st: fn0(core_pcm, dense_dev, ps_dense,
+                                  st[0], st[1])
+            st = (dec._sbr_dev_state, dec._ps_dev_state)
+            unpack = lambda out: (out[1], out[2])
+        else:
+            from aacjax.kernels.sbr_batch import jitted_sbr_apply
+            fn0 = jitted_sbr_apply(dec._sbr_cfg[1], True)
+            step = lambda st: fn0(core_pcm, dense_dev, st[0])
+            st = (dec._sbr_dev_state,)
+            unpack = lambda out: (out[1],)
+        out = step(st)
+        jax.block_until_ready(out[0])
+        t4 = time.perf_counter()
+        n_chain = 8
+        tc = time.perf_counter()
+        st = unpack(out)
+        for _ in range(n_chain):
+            out = step(st)
+            st = unpack(out)
+        jax.block_until_ready(out[0])
+        sbr_amortized = (time.perf_counter() - tc) / n_chain
+        t5 = time.perf_counter()
+        np.asarray(out[0])
+        t6 = time.perf_counter()
+        if ps:
+            dec._sbr_dev_state, dec._ps_dev_state = st
+        else:
+            (dec._sbr_dev_state,) = st
+        cur = dict(host_s=t1 - t0, core_s=t2 - t1, sbr_h2d_s=t3 - t2,
+                   sbr_dispatch_s=t4 - t3, sbr_compute_s=sbr_amortized,
+                   d2h_s=t6 - t5)
+        best = cur if best is None else {k: min(best[k], cur[k])
+                                         for k in best}
+    return {k: round(v, 4) for k, v in best.items()}
+
+
 def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
              ps: bool = False, pipelined: bool = True) -> int:
     """HE-AAC batched throughput: host parse + the chained device
@@ -174,6 +253,15 @@ def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
         best = max(best, audio_seconds / wall)
     label = ("HE-AAC v2 mono->stereo (SBR+PS)" if ps
              else "HE-AAC v1 stereo")
+    stages = {}
+    if warm.use_native:
+        try:
+            stages = measure_stages_he(
+                warm, [p[:chunk] for p in per_stream], ps)
+            stages["chunk_audio_s"] = round(
+                n_streams * chunk * 2048 / 44100.0, 2)
+        except Exception as e:           # stage split is informational
+            print(f"# stage split failed: {e!r}", file=sys.stderr)
     print(json.dumps({
         "metric": ("he_aac_v2_aggregate_realtime_x" if ps
                    else "he_aac_aggregate_realtime_x"),
@@ -181,6 +269,7 @@ def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
         "unit": f"x_realtime ({n_streams} {label} streams, 1 chip, "
                 "end-to-end incl. python host parse; reference has no SBR)",
         "vs_baseline": round(best / 1000.0, 3),
+        **({"stages": stages} if stages else {}),
     }))
     return 0
 
