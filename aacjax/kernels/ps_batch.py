@@ -22,6 +22,7 @@ tests/test_ps_batch.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,15 @@ SLOTS = 32
 MAX_DELAY = 14
 BANDS = 64
 _HI = jax.lax.Precision.HIGHEST
+
+# The only truly sequential recurrences in the whole HE+PS device program
+# are the PS transient detector and the 3-link allpass decorrelator.  By
+# default both run as log-depth associative scans (S=512 sequential VPU
+# steps -> ~9 full-width passes); AACJAX_PS_SCAN=seq keeps the original
+# lax.scan forms for on-hardware A/B.  Both forms agree to float
+# reassociation error (~1e-6 rel), far inside the 3e-3 path tolerance and
+# the >70 dB oracle bar (tests/test_ps_batch.py, test_ps_scan_modes_agree).
+_SEQ_SCAN = os.environ.get("AACJAX_PS_SCAN", "assoc") == "seq"
 
 # per-mode geometry (20-band / 34-band): hybrid channel count, parameter
 # bands, allpass bands, short-delay boundary, decay cutoff, phase cut
@@ -181,6 +191,71 @@ def _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S, is34):
             jnp.concatenate(outs_i, axis=-1))                 # [B,S,71]
 
 
+def _allpass_assoc(xr, xi, ap_r0, ap_i0, qf_r, qf_i, ag, S):
+    """3-link allpass cascade in log depth.
+
+    Per link m (delay d = m+3, the lax.scan form reads buffer index 2-m
+    of a 5-deep shift register): the state line obeys the first-order
+    recurrence with lag d
+
+        v[n] = (a*q) * v[n-d] + (1 - a^2) * u[n],
+        y[n] = q * v[n-d] - a * u[n],
+
+    which splits into d independent first-order linear recurrences (one
+    per residue class mod d), each solved with an associative scan over
+    ceil(S/d) steps.  State layout is IDENTICAL to the scan form: buffer
+    index j of the [B,NAP,3,5] register holds v[n-(5-j)], so v[-k] =
+    buf[5-k]; residue r's seed v[r-d] = buf[5-d+r] and the new register
+    is v[S-5:S].  Links cascade (u_{m+1} = y_m) but each link is fully
+    parallel over slots.
+    """
+    Bn, NAP = xr.shape[0], xr.shape[1]
+    ur, ui = xr, xi
+    new_r, new_i = [], []
+    for m in range(3):
+        d = m + 3
+        a = ag[:, m][None, :, None]                           # [1,NAP,1]
+        qr = qf_r[:, m][None, :, None]
+        qi = qf_i[:, m][None, :, None]
+        aqr, aqi = a * qr, a * qi
+        wr = (1.0 - a * a) * ur                               # [B,NAP,S]
+        wi = (1.0 - a * a) * ui
+        nres = -(-S // d)
+        pad = nres * d - S
+        wr_p = jnp.pad(wr, ((0, 0), (0, 0), (0, pad)))
+        wi_p = jnp.pad(wi, ((0, 0), (0, 0), (0, pad)))
+        wr_p = wr_p.reshape(Bn, NAP, nres, d)
+        wi_p = wi_p.reshape(Bn, NAP, nres, d)
+
+        def op(l, r):
+            lar, lai, lbr, lbi = l
+            rar, rai, rbr, rbi = r
+            return (lar * rar - lai * rai,
+                    lar * rai + lai * rar,
+                    rar * lbr - rai * lbi + rbr,
+                    rar * lbi + rai * lbr + rbi)
+
+        shape = wr_p.shape
+        Ar, Ai, Br, Bi = jax.lax.associative_scan(
+            op, (jnp.broadcast_to(aqr[..., None], shape),
+                 jnp.broadcast_to(aqi[..., None], shape), wr_p, wi_p),
+            axis=2)
+        v0r = ap_r0[:, :, m, 5 - d:][:, :, None, :]           # [B,NAP,1,d]
+        v0i = ap_i0[:, :, m, 5 - d:][:, :, None, :]
+        vr = (Ar * v0r - Ai * v0i + Br).reshape(Bn, NAP, -1)[:, :, :S]
+        vi = (Ar * v0i + Ai * v0r + Bi).reshape(Bn, NAP, -1)[:, :, :S]
+        vdr = jnp.concatenate([ap_r0[:, :, m, 5 - d:], vr[:, :, :S - d]],
+                              axis=2)                         # v[n-d]
+        vdi = jnp.concatenate([ap_i0[:, :, m, 5 - d:], vi[:, :, :S - d]],
+                              axis=2)
+        yr = qr * vdr - qi * vdi - a * ur
+        yi = qr * vdi + qi * vdr - a * ui
+        new_r.append(vr[:, :, S - 5:])
+        new_i.append(vi[:, :, S - 5:])
+        ur, ui = yr, yi
+    return ur, ui, jnp.stack(new_r, axis=2), jnp.stack(new_i, axis=2)
+
+
 def _decorrelate(s_r, s_i, state, c, B, S, is34):
     """Transient-attenuated allpass decorrelation -> d [B,S,nb]."""
     NB, NPAR, NAP = _NB[is34], _NPAR[is34], _NAP[is34]
@@ -190,21 +265,51 @@ def _decorrelate(s_r, s_i, state, c, B, S, is34):
     pw = jnp.einsum('bsk,kp->bsp', s_r * s_r + s_i * s_i, ind,
                     precision=_HI)                            # [B,S,20]
 
-    def tstep(carry, x):
-        peak, psm, pdf = carry
-        decayed = jnp.float32(0.76592833836465) * peak
-        peak = jnp.maximum(decayed, x)
-        psm = psm + jnp.float32(0.25) * (x - psm)
-        pdf = pdf + jnp.float32(0.25) * (peak - x - pdf)
-        denom = jnp.float32(1.5) * pdf
-        g = jnp.where(denom > psm, psm / jnp.where(denom > 0, denom, 1.0),
-                      1.0)
-        return (peak, psm, pdf), g
+    if _SEQ_SCAN:
+        def tstep(carry, x):
+            peak, psm, pdf = carry
+            decayed = jnp.float32(0.76592833836465) * peak
+            peak = jnp.maximum(decayed, x)
+            psm = psm + jnp.float32(0.25) * (x - psm)
+            pdf = pdf + jnp.float32(0.25) * (peak - x - pdf)
+            denom = jnp.float32(1.5) * pdf
+            g = jnp.where(denom > psm,
+                          psm / jnp.where(denom > 0, denom, 1.0), 1.0)
+            return (peak, psm, pdf), g
 
-    (peak, psm, pdf), tg = jax.lax.scan(
-        tstep, (state["peak"], state["psmooth"], state["pdiff"]),
-        jnp.moveaxis(pw, 1, 0))                               # tg [S,B,20]
-    tg = jnp.moveaxis(tg, 0, 1)                               # [B,S,npar]
+        (peak, psm, pdf), tg = jax.lax.scan(
+            tstep, (state["peak"], state["psmooth"], state["pdiff"]),
+            jnp.moveaxis(pw, 1, 0))                           # tg [S,B,20]
+        tg = jnp.moveaxis(tg, 0, 1)                           # [B,S,npar]
+    else:
+        # log-depth form.  peak[n] = max(C*peak[n-1], x[n]) composes as
+        # f2(f1(p)) = max(a1*a2*p, max(a2*b1, b2)); psm/pdf are plain
+        # first-order linear recurrences y[n] = 0.75*y[n-1] + 0.25*u[n].
+        x = jnp.moveaxis(pw, 1, 0)                            # [S,B,npar]
+        decay = jnp.full_like(x, jnp.float32(0.76592833836465))
+
+        def op_max(l, r):
+            return l[0] * r[0], jnp.maximum(r[0] * l[1], r[1])
+
+        Am, Bm = jax.lax.associative_scan(op_max, (decay, x))
+        peak_s = jnp.maximum(Am * state["peak"][None], Bm)    # [S,B,npar]
+
+        lin = jnp.full_like(x, jnp.float32(0.75))
+
+        def op_lin(l, r):
+            return l[0] * r[0], r[0] * l[1] + r[1]
+
+        Al, Bp = jax.lax.associative_scan(
+            op_lin, (lin, jnp.float32(0.25) * x))
+        psm_s = Al * state["psmooth"][None] + Bp
+        _, Bd = jax.lax.associative_scan(
+            op_lin, (lin, jnp.float32(0.25) * (peak_s - x)))
+        pdf_s = Al * state["pdiff"][None] + Bd
+        denom = jnp.float32(1.5) * pdf_s
+        tg = jnp.where(denom > psm_s,
+                       psm_s / jnp.where(denom > 0, denom, 1.0), 1.0)
+        tg = jnp.moveaxis(tg, 0, 1)                           # [B,S,npar]
+        peak, psm, pdf = peak_s[-1], psm_s[-1], pdf_s[-1]
     # parameter-band -> hybrid-band expansion as an exact one-hot matmul
     # (constant-index lane gathers serialize on TPU; `ind` rows are
     # one-hot so HIGHEST-precision matmul reproduces the values bitwise)
@@ -238,28 +343,34 @@ def _decorrelate(s_r, s_i, state, c, B, S, is34):
     qf_i = jnp.asarray(c["qf_i"])
     ag = jnp.asarray(c["ag"])                                 # [30,3]
 
-    def apstep(carry, x):
-        ar, ai = carry                                        # [B,30,3,5]
-        cr, ci = x                                            # [B,30]
-        new_ar, new_ai = [], []
-        for m in range(3):
-            ld_r = ar[:, :, m, 2 - m]
-            ld_i = ai[:, :, m, 2 - m]
-            nr = ld_r * qf_r[:, m] - ld_i * qf_i[:, m] - ag[:, m] * cr
-            ni = ld_r * qf_i[:, m] + ld_i * qf_r[:, m] - ag[:, m] * ci
-            new_ar.append(jnp.concatenate(
-                [ar[:, :, m, 1:], (cr + ag[:, m] * nr)[:, :, None]], axis=2))
-            new_ai.append(jnp.concatenate(
-                [ai[:, :, m, 1:], (ci + ag[:, m] * ni)[:, :, None]], axis=2))
-            cr, ci = nr, ni
-        return ((jnp.stack(new_ar, axis=2), jnp.stack(new_ai, axis=2)),
-                (cr, ci))
+    if _SEQ_SCAN:
+        def apstep(carry, x):
+            ar, ai = carry                                    # [B,30,3,5]
+            cr, ci = x                                        # [B,30]
+            new_ar, new_ai = [], []
+            for m in range(3):
+                ld_r = ar[:, :, m, 2 - m]
+                ld_i = ai[:, :, m, 2 - m]
+                nr = ld_r * qf_r[:, m] - ld_i * qf_i[:, m] - ag[:, m] * cr
+                ni = ld_r * qf_i[:, m] + ld_i * qf_r[:, m] - ag[:, m] * ci
+                new_ar.append(jnp.concatenate(
+                    [ar[:, :, m, 1:], (cr + ag[:, m] * nr)[:, :, None]],
+                    axis=2))
+                new_ai.append(jnp.concatenate(
+                    [ai[:, :, m, 1:], (ci + ag[:, m] * ni)[:, :, None]],
+                    axis=2))
+                cr, ci = nr, ni
+            return ((jnp.stack(new_ar, axis=2), jnp.stack(new_ai, axis=2)),
+                    (cr, ci))
 
-    (ap_r, ap_i), (out_r, out_i) = jax.lax.scan(
-        apstep, (state["ap_r"], state["ap_i"]),
-        (jnp.moveaxis(xr, 2, 0), jnp.moveaxis(xi, 2, 0)))
-    out_r = jnp.moveaxis(out_r, 0, 2)                         # [B,30,S]
-    out_i = jnp.moveaxis(out_i, 0, 2)
+        (ap_r, ap_i), (out_r, out_i) = jax.lax.scan(
+            apstep, (state["ap_r"], state["ap_i"]),
+            (jnp.moveaxis(xr, 2, 0), jnp.moveaxis(xi, 2, 0)))
+        out_r = jnp.moveaxis(out_r, 0, 2)                     # [B,30,S]
+        out_i = jnp.moveaxis(out_i, 0, 2)
+    else:
+        out_r, out_i, ap_r, ap_i = _allpass_assoc(
+            xr, xi, state["ap_r"], state["ap_i"], qf_r, qf_i, ag, S)
 
     d_r = jnp.concatenate([out_r, dp_r[:, NAP:]], axis=1)     # [B,71,S]
     d_i = jnp.concatenate([out_i, dp_i[:, NAP:]], axis=1)

@@ -138,6 +138,53 @@ def test_ps_batch_matches_numpy_reference(is34):
     np.testing.assert_allclose(got_r, ref_r, atol=3e-3 * scale)
 
 
+@pytest.mark.parametrize("is34", [False, True])
+def test_ps_scan_modes_agree(is34):
+    """The log-depth associative-scan decorrelator (default) matches the
+    sequential lax.scan form to float-reassociation error, including the
+    carried transient/allpass state across a chunk boundary."""
+    pytest.importorskip("jax")
+    import jax.numpy as jnp
+    from aacjax.kernels import ps_batch as PB
+
+    rng = np.random.default_rng(7)
+    nb = PB._NB[is34]
+    S = 64
+    state = PB.ps_state_init(B, is34)
+
+    def run(seq):
+        old = PB._SEQ_SCAN
+        PB._SEQ_SCAN = seq
+        try:
+            st = {k: jnp.asarray(v) for k, v in state.items()}
+            outs = []
+            for chunk in range(2):
+                r = rng_all[chunk]
+                d_r, d_i, st2 = PB._decorrelate(
+                    jnp.asarray(r[0]), jnp.asarray(r[1]), st,
+                    PB._consts(is34), B, S, is34)
+                st.update(st2)
+                outs.append((np.asarray(d_r), np.asarray(d_i)))
+            return outs, {k: np.asarray(v) for k, v in st.items()}
+        finally:
+            PB._SEQ_SCAN = old
+
+    rng_all = [(rng.standard_normal((B, S, nb)).astype(np.float32) * 100,
+                rng.standard_normal((B, S, nb)).astype(np.float32) * 100)
+               for _ in range(2)]
+    outs_a, st_a = run(False)
+    outs_s, st_s = run(True)
+    for (ar, ai), (sr, si) in zip(outs_a, outs_s):
+        sc = max(np.abs(sr).max(), 1.0)
+        np.testing.assert_allclose(ar, sr, atol=2e-4 * sc)
+        np.testing.assert_allclose(ai, si, atol=2e-4 * sc)
+    for k in ("peak", "psmooth", "pdiff", "ap_r", "ap_i",
+              "delay_r", "delay_i"):
+        sc = max(np.abs(st_s[k]).max(), 1.0)
+        np.testing.assert_allclose(st_a[k], st_s[k], atol=2e-4 * sc,
+                                   err_msg=k)
+
+
 HAVE_ORACLE = None
 
 
