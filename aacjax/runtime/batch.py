@@ -373,21 +373,24 @@ class BatchDecoder:
             ps_dense=self._ps_dense,
             ps_pair=list(self._ps_pair))
 
-    def _sbr_stage(self, core_pcm, dense, np_jobs, ctx: dict,
-                   out_int16: bool = False, mesh=None) -> np.ndarray:
-        """Run the batched device SBR program on device-resident core PCM
-        and materialize; replay sticky slots (deviant header / VAR
-        overhang) on the numpy path, seeded from the pre-chunk batched
-        state so the switch is continuous.
+    def _sbr_dispatch(self, core_pcm, dense, ctx: dict,
+                      out_int16: bool = False, mesh=None, xfer_lock=None):
+        """Dispatch half of the SBR stage: upload the dense SBR/PS planes
+        (under `xfer_lock` when H2D and D2H must serialize, see
+        _transfer_lock) and run the batched SBR / SBR+PS program on the
+        device-resident core PCM.  Pre-materializes the per-slot filter
+        states newly-sticky slots will need (the jitted step donates its
+        state buffers).  Returns (device PCM, seeds) for _sbr_download.
 
         With `mesh` (a stream-only ('stream','frame') mesh, n_frame=1),
         the SBR / SBR+PS program runs jitted over the mesh with every
         slot-leading plane and state FIFO sharded P('stream') — pure data
         parallel, zero collectives (runtime.mesh module docs)."""
-        from aacjax.host import sbr_decode as SD
+        import contextlib
         from aacjax.kernels.sbr_batch import jitted_sbr_apply
         if mesh is not None:
             from aacjax.runtime import mesh as meshlib
+        lk = xfer_lock if xfer_lock is not None else contextlib.nullcontext()
         # host phase may have pre-compacted the dense planes (~3x fewer
         # H2D bytes; the jitted program expands them, fused for free)
         dense_dict = dense if isinstance(dense, dict) else vars(dense)
@@ -400,7 +403,6 @@ class BatchDecoder:
                      for k in ("x_hist", "v_hist", "xlow_r", "xlow_i"))
             for s in sticky if self._sbr_np_procs[s] is None}
         if ctx["ps_enabled"]:
-            import jax.numpy as jnp
             from aacjax.kernels.ps_batch import (jitted_sbr_ps_apply,
                                                  ps_state_init)
             if self._ps_dev_state is None:
@@ -417,25 +419,30 @@ class BatchDecoder:
                     out_role[p] = 1
             d = ctx["ps_dense"]
             ps_dense = dict(
-                ps_ha=jnp.asarray(d.ha_idx), ps_icc=jnp.asarray(d.icc_idx),
-                ps_opd=jnp.asarray(d.opd_pd), ps_ipd=jnp.asarray(d.ipd_pd),
-                ps_knot_lo=jnp.asarray(d.knot_lo),
-                ps_knot_hi=jnp.asarray(d.knot_hi),
-                ps_alpha=jnp.asarray(d.alpha), ps_has=jnp.asarray(d.has_ps),
-                out_src=jnp.asarray(out_src), out_role=jnp.asarray(out_role))
+                ps_ha=d.ha_idx, ps_icc=d.icc_idx,
+                ps_opd=d.opd_pd, ps_ipd=d.ipd_pd,
+                ps_knot_lo=d.knot_lo, ps_knot_hi=d.knot_hi,
+                ps_alpha=d.alpha, ps_has=d.has_ps,
+                out_src=out_src, out_role=out_role)
             if mesh is not None:
                 fn = meshlib.sharded_sbr_ps_apply(
                     self._sbr_cfg[1], mesh, out_int16 and not sticky,
                     bool(ctx["ps_is34"]))
-                dense_dict = meshlib.shard_stream_tree(mesh, dense_dict)
-                ps_dense = meshlib.shard_stream_tree(mesh, ps_dense)
-                prev_state = meshlib.shard_stream_tree(mesh, prev_state)
-                self._ps_dev_state = meshlib.shard_stream_tree(
-                    mesh, self._ps_dev_state)
+                with lk:
+                    dense_dict = meshlib.shard_stream_tree(mesh, dense_dict)
+                    ps_dense = meshlib.shard_stream_tree(mesh, ps_dense)
+                    prev_state = meshlib.shard_stream_tree(mesh, prev_state)
+                    self._ps_dev_state = meshlib.shard_stream_tree(
+                        mesh, self._ps_dev_state)
             else:
                 fn = jitted_sbr_ps_apply(self._sbr_cfg[1],
                                          out_int16 and not sticky,
                                          bool(ctx["ps_is34"]))
+                with lk:
+                    dense_dict = jax.block_until_ready(
+                        jax.device_put(dense_dict))
+                    ps_dense = jax.block_until_ready(
+                        jax.device_put(ps_dense))
             pcm2, self._sbr_dev_state, self._ps_dev_state = fn(
                 core_pcm, dense_dict, ps_dense, prev_state,
                 self._ps_dev_state)
@@ -443,17 +450,40 @@ class BatchDecoder:
             if mesh is not None:
                 fn = meshlib.sharded_sbr_apply(self._sbr_cfg[1], mesh,
                                                out_int16 and not sticky)
-                dense_dict = meshlib.shard_stream_tree(mesh, dense_dict)
-                prev_state = meshlib.shard_stream_tree(mesh, prev_state)
+                with lk:
+                    dense_dict = meshlib.shard_stream_tree(mesh, dense_dict)
+                    prev_state = meshlib.shard_stream_tree(mesh, prev_state)
             else:
                 fn = jitted_sbr_apply(self._sbr_cfg[1],
                                       out_int16 and not sticky)
+                with lk:
+                    dense_dict = jax.block_until_ready(
+                        jax.device_put(dense_dict))
             pcm2, self._sbr_dev_state = fn(core_pcm, dense_dict,
                                            prev_state)
         # re-home the pending stats record to the chained result
         pending = self._pending_steps.pop(id(core_pcm), None)
         if pending is not None:
             self._pending_steps[id(pcm2)] = pending
+        return pcm2, seeds
+
+    def _sbr_stage(self, core_pcm, dense, np_jobs, ctx: dict,
+                   out_int16: bool = False, mesh=None) -> np.ndarray:
+        """Run the batched device SBR program on device-resident core PCM
+        and materialize (dispatch + download in one call — the pipelined
+        path splits the two halves across its worker threads)."""
+        pcm2, seeds = self._sbr_dispatch(core_pcm, dense, ctx, out_int16,
+                                         mesh=mesh)
+        return self._sbr_download(pcm2, seeds, ctx, core_pcm)
+
+    def _sbr_download(self, pcm2, seeds: dict, ctx: dict,
+                      core_pcm) -> np.ndarray:
+        """Download half of the SBR stage: materialize the device PCM and
+        replay sticky slots (deviant header / PS band-mode mismatch) on
+        the numpy path, seeded from the pre-chunk batched state so the
+        switch is continuous."""
+        from aacjax.host import sbr_decode as SD
+        sticky = ctx["sticky"]
         out = self.finalize_step(pcm2)
         if sticky:
             if not out.flags.writeable:
@@ -583,13 +613,25 @@ class BatchDecoder:
         return parsed, dense_out, np_jobs, self._he_ctx()
 
     def decode_he_pipelined(self, chunk_iter, out_int16: bool = True,
-                            compact: bool | None = None, mesh=None):
-        """Generator decoding an iterator of HE-AAC payload chunks with
-        host/device overlap, like decode_pipelined: while the device runs
-        chunk k's core+SBR programs (and the link moves its data), the
-        main thread parses chunk k+1.  The per-chunk SBR bookkeeping is
-        snapshotted into an explicit context so the two phases never
-        share mutable chunk state.  Native path only.
+                            compact: bool | None = None, mesh=None,
+                            duplex: bool | None = None):
+        """Generator decoding an iterator of HE-AAC payload chunks as a
+        3-stage pipeline with double-buffered transfers, the HE analog of
+        decode_pipelined:
+
+            main thread    : host phase k  (core parse + SBR parse + pack)
+            upload worker  : H2D + dispatch k-1 (core + SBR/PS programs)
+            download worker: D2H chunk k-2 + sticky numpy replay
+
+        Steady-state wall per chunk is max(host, H2D, D2H) instead of
+        host + (H2D + compute + D2H): the upload of chunk k+1's core
+        spectra and SBR planes rides alongside the download of chunk k's
+        PCM.  `duplex` as in decode_pipelined — on links where transfers
+        contend (the tunneled axon platform) a shared lock serializes
+        H2D against D2H, both still overlapping parse and compute.
+        The per-chunk SBR bookkeeping is snapshotted into an explicit
+        context so the stages never share mutable chunk state.  Native
+        path only.
 
         With `mesh` (stream-only, make_mesh(n, 1)) the device half runs
         the mesh-jitted core + SBR/PS programs (see step_he_raw)."""
@@ -597,40 +639,78 @@ class BatchDecoder:
         if not self.use_native:
             raise RuntimeError("decode_he_pipelined requires the native "
                                "parser (use step_he_raw)")
-        pool = concurrent.futures.ThreadPoolExecutor(1)
-        pending = None
+        up_pool = concurrent.futures.ThreadPoolExecutor(1)
+        down_pool = concurrent.futures.ThreadPoolExecutor(1)
+        up_fut = None
+        down_fut = None
         slot = 0
+        xfer_lock = self._transfer_lock(duplex)
 
-        def device_half(args):
-            parsed, dense, np_jobs, ctx = args
-            core_pcm = (self._device_step(parsed, out_int16=False)
+        def upload_dispatch(host):
+            parsed, dense, np_jobs, ctx = host
+            if xfer_lock is not None:
+                with xfer_lock:
+                    dev = (self._upload_batch(parsed) if mesh is None
+                           else self._upload_batch_sharded(parsed, mesh))
+            else:
+                dev = (self._upload_batch(parsed) if mesh is None
+                       else self._upload_batch_sharded(parsed, mesh))
+            core_pcm = (self._device_step(dev, out_int16=False)
                         if mesh is None
-                        else self._device_step_sharded(parsed, mesh))
-            return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16,
-                                   mesh=mesh)
+                        else self._device_step_sharded(dev, mesh))
+            pcm2, seeds = self._sbr_dispatch(core_pcm, dense, ctx,
+                                             out_int16, mesh=mesh,
+                                             xfer_lock=xfer_lock)
+            # as in decode_pipelined: wait for the compute to consume its
+            # inputs so the double-buffered parse/pack arrays can be
+            # reused two chunks ahead (zero-copy backends alias them)
+            jax.block_until_ready(pcm2)
+            return pcm2, seeds, core_pcm, ctx
+
+        def download(args):
+            pcm2, seeds, core_pcm, ctx = args
+            if xfer_lock is not None:
+                with xfer_lock:
+                    return self._sbr_download(pcm2, seeds, ctx, core_pcm)
+            return self._sbr_download(pcm2, seeds, ctx, core_pcm)
 
         try:
             self._pipeline_active = True
             for chunk in chunk_iter:
                 if self._deferred_resets:
-                    # drain the in-flight chunk (its device half mutates
-                    # overlap + SBR state), then recycle at the boundary
-                    if pending is not None:
-                        yield pending.result()
-                        pending = None
+                    # a reset touches state both workers mutate (overlap
+                    # carry, SBR device state, numpy replay procs): drain
+                    # everything in flight, then recycle at the boundary
+                    if up_fut is not None:
+                        args = up_fut.result()
+                        up_fut = None
+                        if down_fut is not None:
+                            yield down_fut.result()
+                        down_fut = down_pool.submit(download, args)
+                    if down_fut is not None:
+                        yield down_fut.result()
+                        down_fut = None
                     self._apply_deferred_resets()
                 host = self._he_host_phase(chunk, compact, buf_slot=slot)
-                if pending is not None:
-                    yield pending.result()
-                    pending = None
-                pending = pool.submit(device_half, host)
+                if up_fut is not None:
+                    args = up_fut.result()
+                    if down_fut is not None:
+                        yield down_fut.result()
+                    down_fut = down_pool.submit(download, args)
+                up_fut = up_pool.submit(upload_dispatch, host)
                 slot ^= 1
-            if pending is not None:
-                yield pending.result()
+            if up_fut is not None:
+                args = up_fut.result()
+                if down_fut is not None:
+                    yield down_fut.result()
+                down_fut = down_pool.submit(download, args)
+            if down_fut is not None:
+                yield down_fut.result()
         finally:
             self._pipeline_active = False
             self._apply_deferred_resets()
-            pool.shutdown(wait=False)
+            up_pool.shutdown(wait=False)
+            down_pool.shutdown(wait=False)
 
     def step_he_raw(self, payloads_per_stream: list[list[bytes] | None],
                     compact: bool | None = None,

@@ -168,6 +168,51 @@ def test_step_he_raw_native_parse_matches_python():
     assert float(np.abs(got - want).max()) / scale < 5e-4
 
 
+def test_request_reset_mid_he_pipeline():
+    """Serving on the HE path: a slot is recycled WHILE the 3-stage
+    decode_he_pipelined generator has chunks in flight (upload/dispatch
+    AND download workers).  The deferred reset drains everything in
+    flight, the newcomer restarts like a fresh decoder, and the neighbor
+    stream's PCM is bit-identical to an undisturbed run."""
+    from aacjax.host import native
+    if not native.available():
+        pytest.skip("native parser not built")
+    a = make_he_stream(ch=2, n_frames=12, invf=1)
+    b = make_he_stream(ch=2, n_frames=12, invf=1, num_env=2)
+    c = make_he_stream(ch=2, n_frames=6, invf=1, num_env=4)
+    config, _ = _parse_he(a, 2)
+    pa = [a[s:e] for _, s, e in adts.split_frames(a)]
+    pb = [b[s:e] for _, s, e in adts.split_frames(b)]
+    pc = [c[s:e] for _, s, e in adts.split_frames(c)]
+    T = 3
+
+    ref = BatchDecoder([config, config], chunk_frames=T)
+    want_b = [np.asarray(x)[2:4] for x in ref.decode_he_pipelined(
+        iter([[pa[i*T:(i+1)*T], pb[i*T:(i+1)*T]] for i in range(4)]))]
+    fresh = BatchDecoder([config], chunk_frames=T)
+    want_c = [np.asarray(x) for x in fresh.decode_he_pipelined(
+        iter([[pc[i*T:(i+1)*T]] for i in range(2)]))]
+
+    dec = BatchDecoder([config, config], chunk_frames=T)
+
+    def source():
+        for i in range(4):
+            if i == 2:
+                dec.request_reset(0)
+            src0 = pa[i*T:(i+1)*T] if i < 2 else pc[(i-2)*T:(i-1)*T]
+            yield [src0, pb[i*T:(i+1)*T]]
+
+    got = [np.asarray(x) for x in dec.decode_he_pipelined(source())]
+    assert len(got) == 4
+    for i in range(4):
+        np.testing.assert_array_equal(got[i][2:4], want_b[i])
+    for i in (0, 1):
+        peak = max(float(np.abs(want_c[i][0:2]).max()), 1)
+        err = float(np.abs(got[2 + i][0:2].astype(np.int32)
+                           - want_c[i][0:2].astype(np.int32)).max())
+        assert err / peak < 1e-4, (i, err, peak)
+
+
 def test_decode_he_pipelined_matches_step_he_raw():
     """The pipelined HE generator (host parse of chunk k+1 overlapping
     chunk k's device work, per-chunk SBR context snapshotted) yields the
