@@ -89,6 +89,37 @@ def alloc_dense(B: int, T: int) -> SBRDense:
     )
 
 
+_TBL_MAPS: dict = {}
+_AR64 = np.arange(BANDS)
+
+
+def _tbl_maps(tbl) -> dict:
+    """Per-SBRTables constant band maps, computed once (SBRTables is a
+    frozen hashable dataclass cached by derive_tables; ~12k redundant
+    searchsorted/clip calls per 128-stream chunk otherwise dominate the
+    pack loop)."""
+    maps = _TBL_MAPS.get(tbl)
+    if maps is None:
+        kx, m = tbl.kx, tbl.m
+        karr = np.arange(kx, kx + m)
+        nb = np.clip(np.searchsorted(np.asarray(tbl.f_noise), karr,
+                                     side="right") - 1, 0, tbl.n_q - 1)
+        f_high = np.asarray(tbl.f_high, np.int64)
+        mm = (f_high[:-1] + f_high[1:]) // 2 - kx          # [n_high]
+        fi = {}
+        fedge = {}
+        for res in (0, 1):
+            ftab = tbl.freq_table(res)
+            fi[res] = np.clip(np.searchsorted(ftab, karr, side="right")
+                              - 1, 0, len(ftab) - 2)
+            fedge[res] = np.asarray(ftab, np.int64) - kx
+        if len(_TBL_MAPS) > 64:
+            _TBL_MAPS.clear()
+        maps = dict(nb=nb, mm=mm, fi=fi, fedge=fedge)
+        _TBL_MAPS[tbl] = maps
+    return maps
+
+
 def pack_channel_frame(dense: SBRDense, b: int, t: int,
                        state: SBRHostState, frame: S.SBRFrame, ch: int,
                        e_orig_q: tuple[np.ndarray, np.ndarray]) -> None:
@@ -101,6 +132,7 @@ def pack_channel_frame(dense: SBRDense, b: int, t: int,
     kx, m = tbl.kx, tbl.m
     la = S.l_a(g)
     num_env = g.num_env
+    maps = _tbl_maps(tbl)
     # VAR-class borders may overhang the frame (t_env up to 19); the
     # adjusted overhang slots carry into the next frame via the kernel's
     # Y double-buffer (dense.i_temp + the y_tail device state)
@@ -113,34 +145,25 @@ def pack_channel_frame(dense: SBRDense, b: int, t: int,
     # SBRHostState carries exactly the .bw/.invf_prev fields _chirp
     # mutates, so it ducks for SBRChannelProc directly
     bw_bands = SD._chirp(state, cd.invf_mode)
-    f_noise = np.asarray(tbl.f_noise)
-    nb = np.clip(np.searchsorted(f_noise, np.arange(kx, kx + m),
-                                 side="right") - 1, 0, len(bw_bands) - 1)
+    nb = maps["nb"]
     dense.bw[b, t, kx: kx + m] = bw_bands[nb]
 
-    # sinusoid index mapping with persistence
+    # sinusoid index mapping with persistence: s_index[e, mm[band]] for
+    # every signalled harmonic band, set where e >= la or it persisted
     s_prev = state.s_index_prev
     if s_prev is None or len(s_prev) != m:
         s_prev = np.zeros(m, bool)
-    f_high = np.asarray(tbl.f_high)
     s_index = np.zeros((num_env, m), bool)
-    add = cd.add_harmonic
-    for e in range(num_env):
-        for band in range(tbl.n_high):
-            if not add[band]:
-                continue
-            mm = (int(f_high[band]) + int(f_high[band + 1])) // 2 - kx
-            if e >= la or s_prev[mm]:
-                s_index[e, mm] = True
+    add_mm = maps["mm"][np.asarray(cd.add_harmonic[: tbl.n_high], bool)]
+    if add_mm.size and num_env:
+        on = (np.arange(num_env)[:, None] >= la) | s_prev[add_mm][None, :]
+        s_index[:, add_mm] |= on
     state.s_index_prev = s_index[-1].copy() if num_env else s_prev
 
     prev_la = state.la_prev
-    karr = np.arange(kx, kx + m)
     for e in range(num_env):
         res = int(g.freq_res[e + 1])
-        ftab = tbl.freq_table(res)
-        fi = np.clip(np.searchsorted(ftab, karr, side="right") - 1,
-                     0, len(ftab) - 2)
+        fi = maps["fi"][res]
         dense.e_orig[b, t, e, kx: kx + m] = e_orig[e][fi]
         nenv = 1 if (g.num_noise > 1 and g.t_env[e] >= t_q[1]) else 0
         dense.q_map[b, t, e, kx: kx + m] = q_orig[nenv][nb]
@@ -150,7 +173,7 @@ def pack_channel_frame(dense: SBRDense, b: int, t: int,
         # (393k such calls per chunk dominated the pack loop)
         cs = np.zeros(m + 1, np.int32)
         np.cumsum(s_index[e], out=cs[1:])
-        fedge = np.asarray(ftab, np.int64) - kx
+        fedge = maps["fedge"][res]
         band_any = cs[fedge[1:]] > cs[fedge[:-1]]
         dense.s_map[b, t, e, kx: kx + m] = band_any[fi]
         transient = (e == la or e == prev_la)
@@ -161,9 +184,9 @@ def pack_channel_frame(dense: SBRDense, b: int, t: int,
         dense.env_id[b, t, lo_s:hi_s] = e
         dense.covered[b, t, lo_s:hi_s] = 1.0
         dense.noise_base[b, t, lo_s:hi_s] = (
-            state.index_noise + m * np.arange(ns)) & 0x1FF
+            state.index_noise + m * _AR64[:ns]) & 0x1FF
         dense.sine_idx[b, t, lo_s:hi_s] = (
-            state.index_sine + np.arange(ns)) & 3
+            state.index_sine + _AR64[:ns]) & 3
         state.index_noise = (state.index_noise + m * ns) & 0x1FF
         state.index_sine = (state.index_sine + ns) & 3
     state.la_prev = 0 if la == num_env else -1
