@@ -1310,6 +1310,27 @@ class BatchDecoder:
                 self._ps_pack_states[s] = PP.PSPackState()
 
     def save_state(self) -> dict:
+        """Complete batch decoder state at a chunk boundary, as plain
+        numpy arrays and picklable dataclasses: the dict round-trips
+        through pickle, so a serving batch can checkpoint and resume in
+        a FRESH process or BatchDecoder (SURVEY.md §5 checkpoint/resume;
+        the reference's resumable state is the same set, per-channel —
+        filter_bank.js:38-41 overlap + ics.js:271 window shape — plus
+        everything the HE-AAC extension layers carry).
+
+        Covers the core pipeline (overlap carry, window-shape history,
+        Main-profile predictor) and, once the batch has decoded HE-AAC,
+        the full SBR/PS state: device FIFOs (QMF analysis/synthesis
+        histories, X_low line, VAR-overhang Y-carry), host sequential
+        state (chirp smoothing, noise/sine counters, sinusoid
+        persistence, scalefactor-carry parse contexts), PS pack/parse
+        state and pair routing, and the sticky per-slot numpy
+        processors.  Call between chunks — raises while a pipelined
+        generator has a chunk in flight."""
+        import copy
+        if self._pipeline_active:
+            raise RuntimeError("save_state with a pipelined chunk in "
+                               "flight; drain the generator first")
         out = {
             'overlap': np.asarray(self.overlap),
             'prev_shapes': self.prev_shapes.copy(),
@@ -1317,12 +1338,54 @@ class BatchDecoder:
         }
         if getattr(self, '_pred_state', None) is not None:
             out['pred_state'] = np.asarray(self._pred_state)
+        if hasattr(self, '_sbr_ctxs'):
+            out['sbr'] = dict(
+                dev={k: np.asarray(v)
+                     for k, v in self._sbr_dev_state.items()},
+                ctxs=copy.deepcopy(self._sbr_ctxs),
+                host=copy.deepcopy(self._sbr_host_states),
+                procs=copy.deepcopy(self._sbr_np_procs),
+                sticky=list(self._sbr_np_sticky),
+                cfg=copy.deepcopy(self._sbr_cfg),
+                ps_enabled=self._ps_enabled,
+                ps_is34=self._ps_is34,
+                ps_pair=list(self._ps_pair),
+                ps_pack=copy.deepcopy(self._ps_pack_states),
+                ps_np=copy.deepcopy(self._ps_np),
+                ps_dev=(None if self._ps_dev_state is None else
+                        {k: np.asarray(v)
+                         for k, v in self._ps_dev_state.items()}))
         return out
 
     def restore_state(self, state: dict) -> None:
+        """Inverse of save_state; the target decoder must have the same
+        stream layout (C, T, frame length).  Deep-copies host objects so
+        the caller's checkpoint stays reusable."""
+        import copy
         self.overlap = jnp.asarray(state['overlap'])
         self.prev_shapes[:] = state['prev_shapes']  # in place: keeps views
         for st, n in zip(self.streams, state['frames_decoded']):
             st.frames_decoded = n
         if 'pred_state' in state:
             self._pred_state = jnp.asarray(state['pred_state'])
+        if 'sbr' in state:
+            from aacjax.host import ps_pack as PP
+            self._sbr_init()
+            s = state['sbr']
+            self._sbr_dev_state = {k: jnp.asarray(v)
+                                   for k, v in s['dev'].items()}
+            self._sbr_ctxs = copy.deepcopy(s['ctxs'])
+            self._sbr_host_states = copy.deepcopy(s['host'])
+            self._sbr_np_procs = copy.deepcopy(s['procs'])
+            self._sbr_np_sticky = list(s['sticky'])
+            self._sbr_cfg = copy.deepcopy(s['cfg'])
+            self._ps_enabled = s['ps_enabled']
+            self._ps_is34 = s['ps_is34']
+            self._ps_pair = list(s['ps_pair'])
+            self._ps_pack_states = copy.deepcopy(s['ps_pack'])
+            self._ps_np = copy.deepcopy(s['ps_np'])
+            self._ps_dev_state = (
+                None if s['ps_dev'] is None else
+                {k: jnp.asarray(v) for k, v in s['ps_dev'].items()})
+            self._ps_dense = (PP.alloc_ps_dense(self.C, self.T)
+                              if self._ps_enabled else None)

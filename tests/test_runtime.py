@@ -49,6 +49,51 @@ def test_checkpoint_resume():
     np.testing.assert_array_equal(got2, want2)
 
 
+def test_checkpoint_resume_he_ps_pickled():
+    """Checkpoint/resume covers the HE-AAC extension layers: an HE v1
+    (stereo SBR) stream and an HE v2 (Parametric Stereo) stream decode
+    2 chunks, the state round-trips through PICKLE into a fresh
+    BatchDecoder in-process (stand-in for a fresh process), and the
+    continuation is identical to the uninterrupted run — SBR QMF FIFOs,
+    Y-carry, chirp/counter host state, PS mixing history and pair
+    routing all carried."""
+    import pickle
+    import sys as _sys
+    import pathlib
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from test_sbr import make_he_stream
+    from test_ps import make_ps_stream
+    from aacjax.testing.sbr_encoder import PSSpec
+    from aacjax.host import adts
+    from aacjax.host.asc import parse_asc
+
+    he = make_he_stream(ch=2, n_frames=8, invf=1, num_env=2)
+    ps = make_ps_stream(PSSpec(
+        iid_mode=0, num_env=2,
+        iid_par=np.stack([np.arange(10) % 15 - 7, 7 - np.arange(10) % 15]),
+        icc_mode=0, icc_par=np.arange(20).reshape(2, 10) % 8),
+        n_frames=8)
+    pays_he = [he[s:e] for _, s, e in adts.split_frames(he)][:8]
+    pays_ps = [ps[s:e] for _, s, e in adts.split_frames(ps)][:8]
+    cfg_he = parse_asc(adts.synthesize_cookie(adts.split_frames(he)[0][0]))
+    cfg_ps = parse_asc(adts.synthesize_cookie(adts.split_frames(ps)[0][0]))
+
+    def chunks(i):
+        return [pays_he[2 * i: 2 * i + 2], pays_ps[2 * i: 2 * i + 2]]
+
+    dec = BatchDecoder([cfg_he, cfg_ps], chunk_frames=2, cce_slots=1)
+    dec.step_he_raw(chunks(0))
+    dec.step_he_raw(chunks(1))
+    blob = pickle.dumps(dec.save_state())
+    want = [np.asarray(dec.step_he_raw(chunks(i))) for i in (2, 3)]
+
+    dec2 = BatchDecoder([cfg_he, cfg_ps], chunk_frames=2, cce_slots=1)
+    dec2.restore_state(pickle.loads(blob))
+    got = [np.asarray(dec2.step_he_raw(chunks(i))) for i in (2, 3)]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_adts_crc_header():
     """protection_absent=0 headers carry a 16-bit CRC that both parsers
     skip (adts_demuxer.js:48-49)."""
