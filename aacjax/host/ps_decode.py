@@ -387,13 +387,12 @@ def resolve_frame_indices(ps: "P.PSData", ipd_hist: np.ndarray,
         if ipdopd:
             ipd = _phase_row(ps.ipd_par, e, is34, cut)
             opd = _phase_row(ps.opd_par, e, is34, cut)
-            for b in range(cut):
-                oi = int(opd_hist[b]) * 8 + int(opd[b])
-                ii = int(ipd_hist[b]) * 8 + int(ipd[b])
-                opd_hist[b] = oi & 0x3F
-                ipd_hist[b] = ii & 0x3F
-                opd_pd[e, b] = oi
-                ipd_pd[e, b] = ii
+            oi = opd_hist[:cut] * 8 + opd
+            ii = ipd_hist[:cut] * 8 + ipd
+            opd_hist[:cut] = oi & 0x3F
+            ipd_hist[:cut] = ii & 0x3F
+            opd_pd[e, :cut] = oi
+            ipd_pd[e, :cut] = ii
     return ha, ic, opd_pd, ipd_pd, ipdopd
 
 
