@@ -100,18 +100,32 @@ def run_case(seed: int) -> str:
     label = (f"seed={seed} AOT{profile} F={frame_length} si={si} "
              f"{'CPE' if stereo else 'SCE'} frames={n_frames}")
 
-    # 1) native == python (bit-exact)
+    # 1) native == python (bit-exact on the exact-f32 transfer; the
+    #    DEFAULT compact int16 transfer is deliberately lossy, so it is
+    #    checked separately against its documented fidelity bound)
     nat = BatchDecoder([cfg], chunk_frames=n_frames)
     ref = BatchDecoder([cfg], chunk_frames=n_frames, use_native=False)
     frames = ref.parse_stream_frames(0, payloads)
     want = ref.stream_pcm(ref.step([frames]), 0, n_frames)
     if nat.use_native:
-        got = nat.stream_pcm(nat.step_raw([payloads]), 0, n_frames)
+        got = nat.stream_pcm(nat.step_raw([payloads], compact=False),
+                             0, n_frames)
         if int(nat._last_status[0]) != 0:
             return f"{label}: native status {nat._last_status[0]}"
         if not np.array_equal(got, want):
             d = float(np.abs(got - want).max())
             return f"{label}: native != python (max abs {d})"
+        # compact leg: block-scaled int16 spectra, <= 2 LSB of each
+        # 16-bin block's max |coeff| through the linear decode chain
+        # (tests/test_native.py::test_compact_spec_transfer_close_to_exact)
+        natc = BatchDecoder([cfg], chunk_frames=n_frames)
+        gotc = natc.stream_pcm(natc.step_raw([payloads], compact=True),
+                               0, n_frames)
+        bound = 2.5 * max(1.0, float(np.abs(want).max())) / 32767.0
+        dc = float(np.abs(gotc - want).max())
+        if dc > bound:
+            return (f"{label}: compact transfer err {dc:.3g} "
+                    f"> bound {bound:.3g}")
 
     # 2) device ~= fp64 model
     model = ModelDecoder(cfg, n_channels=2 if stereo else 1)
