@@ -322,7 +322,11 @@ def test_cce_stream_keeps_batch_native():
     np.testing.assert_allclose(pcm[3:5], want_cce[0:2], atol=2e-5 * scale)
 
 
-def test_decode_pipelined_matches_step_raw():
+@pytest.mark.parametrize("duplex", [True, False])
+def test_decode_pipelined_matches_step_raw(duplex):
+    """3-stage pipelined decode equals sequential step_raw with
+    transfers overlapped (duplex) AND under the serialized-transfer
+    lock used on half-duplex links."""
     from aacjax.runtime.batch import BatchDecoder
     rng = np.random.default_rng(2024)
     config = _cfg(si=4, ch=2)
@@ -335,7 +339,8 @@ def test_decode_pipelined_matches_step_raw():
 
     dec = BatchDecoder([config] * 2, chunk_frames=3, use_native=True)
     got = list(dec.decode_pipelined(
-        ([p[i:i + 3] for p in streams] for i in (0, 3)), out_int16=True))
+        ([p[i:i + 3] for p in streams] for i in (0, 3)), out_int16=True,
+        duplex=duplex))
     assert len(got) == 2
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)

@@ -213,11 +213,13 @@ def test_request_reset_mid_he_pipeline():
         assert err / peak < 1e-4, (i, err, peak)
 
 
-def test_decode_he_pipelined_matches_step_he_raw():
-    """The pipelined HE generator (host parse of chunk k+1 overlapping
-    chunk k's device work, per-chunk SBR context snapshotted) yields the
+@pytest.mark.parametrize("duplex", [True, False])
+def test_decode_he_pipelined_matches_step_he_raw(duplex):
+    """The 3-stage pipelined HE generator (host parse ∥ H2D+dispatch ∥
+    D2H+sticky replay, per-chunk SBR context snapshotted) yields the
     same chunks as sequential step_he_raw — cross-chunk SBR/QMF state
-    carried identically."""
+    carried identically — with transfers overlapped (duplex) AND under
+    the serialized-transfer lock used on half-duplex links."""
     from aacjax.host import native
     if not native.available():
         pytest.skip("native parser not built")
@@ -233,7 +235,7 @@ def test_decode_he_pipelined_matches_step_he_raw():
 
     pl = BatchDecoder([config], chunk_frames=3)
     it = ([payloads[lo:lo + 3]] for lo in (0, 3, 6))
-    got = list(pl.decode_he_pipelined(it, out_int16=True))
+    got = list(pl.decode_he_pipelined(it, out_int16=True, duplex=duplex))
     assert len(got) == 3
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), w)
