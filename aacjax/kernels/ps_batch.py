@@ -44,7 +44,17 @@ _HI = jax.lax.Precision.HIGHEST
 # lax.scan forms for on-hardware A/B.  Both forms agree to float
 # reassociation error (~1e-6 rel), far inside the 3e-3 path tolerance and
 # the >70 dB oracle bar (tests/test_ps_batch.py, test_ps_scan_modes_agree).
+# The env var is re-read and folded into the jit cache key on every
+# jitted_sbr_ps_apply call, so flipping it mid-process retraces instead of
+# silently reusing the other mode's compiled program (the module global
+# exists for the eager-path tests that monkeypatch it).
 _SEQ_SCAN = os.environ.get("AACJAX_PS_SCAN", "assoc") == "seq"
+
+
+def _sync_seq_scan() -> bool:
+    global _SEQ_SCAN
+    _SEQ_SCAN = os.environ.get("AACJAX_PS_SCAN", "assoc") == "seq"
+    return _SEQ_SCAN
 
 # per-mode geometry (20-band / 34-band): hybrid channel count, parameter
 # bands, allpass bands, short-delay boundary, decay cutoff, phase cut
@@ -546,9 +556,13 @@ def sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state, cfg,
 
 
 @functools.lru_cache(maxsize=None)
-def jitted_sbr_ps_apply(cfg, out_int16: bool = False, is34: bool = False):
+def _jitted_sbr_ps_apply(cfg, out_int16: bool, is34: bool, seq_scan: bool):
     def fn(core_pcm, dense, ps_dense, state, ps_state):
         return sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state,
                             cfg, out_int16, is34)
 
     return jax.jit(fn, donate_argnums=(3, 4))
+
+
+def jitted_sbr_ps_apply(cfg, out_int16: bool = False, is34: bool = False):
+    return _jitted_sbr_ps_apply(cfg, out_int16, is34, _sync_seq_scan())

@@ -308,7 +308,7 @@ class BatchDecoder:
             None if self._sbr_np_sticky[s] else
             clone(self._sbr_host_states[s]) for s in range(self.C)]
 
-    def _sbr_pack_payload(self, dense, np_jobs, sf, slot: int, nch: int,
+    def _sbr_pack_payload(self, dense, sf, slot: int, nch: int,
                           t: int) -> None:
         """Pack one parsed SBRFrame into the dense arrays.  Slots whose
         header deviates from the batch header (or whose PS band mode
@@ -396,12 +396,14 @@ class BatchDecoder:
         dense_dict = dense if isinstance(dense, dict) else vars(dense)
         sticky = ctx["sticky"]
         # materialize pre-chunk filter states for newly-sticky slots NOW:
-        # the jitted step donates its state buffers
+        # the jitted step donates its state buffers.  This is a D2H, so
+        # it takes the transfer lock like every other transfer here.
         prev_state = self._sbr_dev_state
-        seeds = {
-            s: tuple(np.asarray(prev_state[k][s], np.float64)
-                     for k in ("x_hist", "v_hist", "xlow_r", "xlow_i"))
-            for s in sticky if self._sbr_np_procs[s] is None}
+        with lk:
+            seeds = {
+                s: tuple(np.asarray(prev_state[k][s], np.float64)
+                         for k in ("x_hist", "v_hist", "xlow_r", "xlow_i"))
+                for s in sticky if self._sbr_np_procs[s] is None}
         if ctx["ps_enabled"]:
             from aacjax.kernels.ps_batch import (jitted_sbr_ps_apply,
                                                  ps_state_init)
@@ -429,11 +431,17 @@ class BatchDecoder:
                     self._sbr_cfg[1], mesh, out_int16 and not sticky,
                     bool(ctx["ps_is34"]))
                 with lk:
-                    dense_dict = meshlib.shard_stream_tree(mesh, dense_dict)
-                    ps_dense = meshlib.shard_stream_tree(mesh, ps_dense)
-                    prev_state = meshlib.shard_stream_tree(mesh, prev_state)
-                    self._ps_dev_state = meshlib.shard_stream_tree(
-                        mesh, self._ps_dev_state)
+                    # block INSIDE the lock: device_put only enqueues, and
+                    # the serialized-transfer contract needs the bytes on
+                    # the wire before the lock releases
+                    dense_dict = jax.block_until_ready(
+                        meshlib.shard_stream_tree(mesh, dense_dict))
+                    ps_dense = jax.block_until_ready(
+                        meshlib.shard_stream_tree(mesh, ps_dense))
+                    prev_state = jax.block_until_ready(
+                        meshlib.shard_stream_tree(mesh, prev_state))
+                    self._ps_dev_state = jax.block_until_ready(
+                        meshlib.shard_stream_tree(mesh, self._ps_dev_state))
             else:
                 fn = jitted_sbr_ps_apply(self._sbr_cfg[1],
                                          out_int16 and not sticky,
@@ -451,8 +459,10 @@ class BatchDecoder:
                 fn = meshlib.sharded_sbr_apply(self._sbr_cfg[1], mesh,
                                                out_int16 and not sticky)
                 with lk:
-                    dense_dict = meshlib.shard_stream_tree(mesh, dense_dict)
-                    prev_state = meshlib.shard_stream_tree(mesh, prev_state)
+                    dense_dict = jax.block_until_ready(
+                        meshlib.shard_stream_tree(mesh, dense_dict))
+                    prev_state = jax.block_until_ready(
+                        meshlib.shard_stream_tree(mesh, prev_state))
             else:
                 fn = jitted_sbr_apply(self._sbr_cfg[1],
                                       out_int16 and not sticky)
@@ -467,7 +477,7 @@ class BatchDecoder:
             self._pending_steps[id(pcm2)] = pending
         return pcm2, seeds
 
-    def _sbr_stage(self, core_pcm, dense, np_jobs, ctx: dict,
+    def _sbr_stage(self, core_pcm, dense, ctx: dict,
                    out_int16: bool = False, mesh=None) -> np.ndarray:
         """Run the batched device SBR program on device-resident core PCM
         and materialize (dispatch + download in one call — the pipelined
@@ -477,18 +487,23 @@ class BatchDecoder:
         return self._sbr_download(pcm2, seeds, ctx, core_pcm)
 
     def _sbr_download(self, pcm2, seeds: dict, ctx: dict,
-                      core_pcm) -> np.ndarray:
+                      core_pcm, xfer_lock=None) -> np.ndarray:
         """Download half of the SBR stage: materialize the device PCM and
         replay sticky slots (deviant header / PS band-mode mismatch) on
         the numpy path, seeded from the pre-chunk batched state so the
-        switch is continuous."""
+        switch is continuous.  Only the D2H transfers take `xfer_lock`;
+        the (host CPU) sticky replay runs outside it so it never stalls
+        the upload worker's H2D."""
+        import contextlib
         from aacjax.host import sbr_decode as SD
+        lk = xfer_lock if xfer_lock is not None else contextlib.nullcontext()
         sticky = ctx["sticky"]
-        out = self.finalize_step(pcm2)
+        with lk:
+            out = self.finalize_step(pcm2)
+            core_np = np.asarray(core_pcm) if sticky else None
         if sticky:
             if not out.flags.writeable:
                 out = np.array(out)  # device buffers are read-only views
-            core_np = np.asarray(core_pcm)
             for slot in sticky:
                 proc = self._sbr_np_procs[slot]
                 if proc is None:
@@ -554,7 +569,7 @@ class BatchDecoder:
         """Host half of one HE chunk on the native path: C core parse
         (records SBR FIL payload positions) + python parse of the ~30-byte
         SBR extensions + dense pack.  Returns (parsed_core, dense,
-        np_jobs, ctx) for _device_step/_sbr_stage — the device half can
+        ctx) for _device_step/_sbr_stage — the device half can
         run on a worker thread while the next chunk's host phase runs."""
         from aacjax.host import sbr as sbrmod
         from aacjax.host import sbr_pack as SP
@@ -571,7 +586,6 @@ class BatchDecoder:
         # keep fresh allocations
         dense = (SP.alloc_dense_cached(self.C, self.T, buf_slot)
                  if compact else SP.alloc_dense(self.C, self.T))
-        np_jobs: list = []
         # core spectra stay EXACT f32 on the HE path: the SBR envelope
         # adjuster normalizes patched bands by the source-band energy, so
         # int16 spec quantization (harmless ~90 dB on plain LC PCM) gets
@@ -605,12 +619,11 @@ class BatchDecoder:
                             if len(cache) > 512:
                                 cache.clear()
                             cache[key] = sf
-                    self._sbr_pack_payload(dense, np_jobs, sf, slot,
-                                           nch, t)
+                    self._sbr_pack_payload(dense, sf, slot, nch, t)
                 g += 1
         dense_out = (SP.compact_dense(dense, buf_slot) if compact
                      else dense)
-        return parsed, dense_out, np_jobs, self._he_ctx()
+        return parsed, dense_out, self._he_ctx()
 
     def decode_he_pipelined(self, chunk_iter, out_int16: bool = True,
                             compact: bool | None = None, mesh=None,
@@ -646,13 +659,12 @@ class BatchDecoder:
         slot = 0
         xfer_lock = self._transfer_lock(duplex)
 
+        import contextlib
+        lk = xfer_lock if xfer_lock is not None else contextlib.nullcontext()
+
         def upload_dispatch(host):
-            parsed, dense, np_jobs, ctx = host
-            if xfer_lock is not None:
-                with xfer_lock:
-                    dev = (self._upload_batch(parsed) if mesh is None
-                           else self._upload_batch_sharded(parsed, mesh))
-            else:
+            parsed, dense, ctx = host
+            with lk:
                 dev = (self._upload_batch(parsed) if mesh is None
                        else self._upload_batch_sharded(parsed, mesh))
             core_pcm = (self._device_step(dev, out_int16=False)
@@ -669,10 +681,8 @@ class BatchDecoder:
 
         def download(args):
             pcm2, seeds, core_pcm, ctx = args
-            if xfer_lock is not None:
-                with xfer_lock:
-                    return self._sbr_download(pcm2, seeds, ctx, core_pcm)
-            return self._sbr_download(pcm2, seeds, ctx, core_pcm)
+            return self._sbr_download(pcm2, seeds, ctx, core_pcm,
+                                      xfer_lock=xfer_lock)
 
         try:
             self._pipeline_active = True
@@ -734,18 +744,17 @@ class BatchDecoder:
         from aacjax.host.syntax import CPEData
 
         if self.use_native:
-            parsed, dense, np_jobs, ctx = self._he_host_phase(
+            parsed, dense, ctx = self._he_host_phase(
                 payloads_per_stream, compact)
             core_pcm = (self._device_step(parsed, out_int16=False)
                         if mesh is None
                         else self._device_step_sharded(parsed, mesh))
-            return self._sbr_stage(core_pcm, dense, np_jobs, ctx, out_int16,
+            return self._sbr_stage(core_pcm, dense, ctx, out_int16,
                                    mesh=mesh)
 
         self._sbr_init()
         self._sbr_chunk_begin(payloads_per_stream)
         dense = SP.alloc_dense(self.C, self.T)
-        np_jobs: list = []
 
         # python path: full element walk with SBR contexts
         frames_per_stream: list[list | None] = []
@@ -793,10 +802,9 @@ class BatchDecoder:
                     nch = 2 if isinstance(elem, CPEData) else 1
                     sf = getattr(elem, 'sbr', None)
                     if sf is not None:
-                        self._sbr_pack_payload(dense, np_jobs, sf, slot,
-                                               nch, t)
+                        self._sbr_pack_payload(dense, sf, slot, nch, t)
                     slot += nch
-        return self._sbr_stage(core_pcm, dense, np_jobs, self._he_ctx(),
+        return self._sbr_stage(core_pcm, dense, self._he_ctx(),
                                out_int16, mesh=mesh)
 
     def decode_block(self, buffer_tail: bytes):
@@ -1123,12 +1131,11 @@ class BatchDecoder:
         slot = 0
         xfer_lock = self._transfer_lock(duplex)
 
+        import contextlib
+        lk = xfer_lock if xfer_lock is not None else contextlib.nullcontext()
+
         def upload_dispatch(batch):
-            if xfer_lock is not None:
-                with xfer_lock:
-                    dev = (self._upload_batch(batch) if mesh is None
-                           else self._upload_batch_sharded(batch, mesh))
-            else:
+            with lk:
                 dev = (self._upload_batch(batch) if mesh is None
                        else self._upload_batch_sharded(batch, mesh))
             pcm = (self._device_step(dev, out_int16=out_int16)
@@ -1147,10 +1154,8 @@ class BatchDecoder:
             return pcm
 
         def download(pcm_dev):
-            if xfer_lock is not None:
-                with xfer_lock:
-                    return self.finalize_step(pcm_dev)
-            return self.finalize_step(pcm_dev)
+            with lk:
+                return self.finalize_step(pcm_dev)
 
         try:
             self._pipeline_active = True

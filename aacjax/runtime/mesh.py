@@ -167,10 +167,8 @@ def sharded_sbr_apply(cfg, mesh: Mesh, out_int16: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool = False,
-                         is34: bool = False):
-    """jit-compiled SBR + Parametric Stereo program over a stream-only
-    mesh (kernels.ps_batch.sbr_ps_apply)."""
+def _sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool, is34: bool,
+                          seq_scan: bool):
     from aacjax.kernels.ps_batch import sbr_ps_apply
 
     def fn(core_pcm, dense, ps_dense, state, ps_state):
@@ -178,3 +176,14 @@ def sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool = False,
                             cfg, out_int16, is34)
 
     return jax.jit(fn, donate_argnums=(3, 4))
+
+
+def sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool = False,
+                         is34: bool = False):
+    """jit-compiled SBR + Parametric Stereo program over a stream-only
+    mesh (kernels.ps_batch.sbr_ps_apply).  The PS scan mode
+    (AACJAX_PS_SCAN) is part of the cache key, like the single-device
+    jitted_sbr_ps_apply."""
+    from aacjax.kernels.ps_batch import _sync_seq_scan
+    return _sharded_sbr_ps_apply(cfg, mesh, out_int16, is34,
+                                 _sync_seq_scan())

@@ -115,7 +115,7 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        parsed, dense, np_jobs, ctx = dec._he_host_phase(chunk_payloads)
+        parsed, dense, ctx = dec._he_host_phase(chunk_payloads)
         t1 = time.perf_counter()
         core_pcm = dec._device_step(parsed, out_int16=False)
         jax.block_until_ready(core_pcm)

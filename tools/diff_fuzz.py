@@ -116,12 +116,20 @@ def run_case(seed: int) -> str:
             d = float(np.abs(got - want).max())
             return f"{label}: native != python (max abs {d})"
         # compact leg: block-scaled int16 spectra, <= 2 LSB of each
-        # 16-bin block's max |coeff| through the linear decode chain
-        # (tests/test_native.py::test_compact_spec_transfer_close_to_exact)
+        # 16-bin block's max |coeff| through the decode chain
+        # (tests/test_native.py::test_compact_spec_transfer_close_to_exact).
+        # Engineering bound for the harness: per-bin error <= 2*specmax/
+        # 32767; the IMDCT row sums give <= 4x that in time domain, and
+        # the PCM-peak term covers TNS/coupling gain (error and signal
+        # ride the same filters).
         natc = BatchDecoder([cfg], chunk_frames=n_frames)
         gotc = natc.stream_pcm(natc.step_raw([payloads], compact=True),
                                0, n_frames)
-        bound = 2.5 * max(1.0, float(np.abs(want).max())) / 32767.0
+        nats = BatchDecoder([cfg], chunk_frames=n_frames)
+        specmax = float(np.abs(
+            nats._parse_native([payloads], compact=False)['spec']).max())
+        bound = (2.5 / 32767.0) * max(1.0, float(np.abs(want).max()),
+                                      4.0 * specmax)
         dc = float(np.abs(gotc - want).max())
         if dc > bound:
             return (f"{label}: compact transfer err {dc:.3g} "
