@@ -56,6 +56,35 @@ def _sync_seq_scan() -> bool:
     _SEQ_SCAN = os.environ.get("AACJAX_PS_SCAN", "assoc") == "seq"
     return _SEQ_SCAN
 
+
+# The mixing stage reads two small LUTs with DYNAMIC (host-packed)
+# indices: HA[ha, icc] ([46,8,4]) and the smoothed-phase table pd[idx]
+# ([512], re/im).  XLA:TPU lowers these to element gathers — the op
+# class that dominated the SBR program before the gather-free rewrite.
+# AACJAX_PS_LUT=onehot replaces both with exact one-hot HIGHEST matmuls
+# (one 1.0 per row, so values reproduce bitwise; the one-hot build is
+# HBM-traffic-bound, ~0.5 GB/chunk at B=256 — cheap next to a
+# serialized gather IF the gather is hot).  Default stays 'gather'
+# pending an on-hardware A/B; folded into the jit cache key like the
+# scan mode.
+_LUT_ONEHOT = os.environ.get("AACJAX_PS_LUT", "gather") == "onehot"
+
+
+def _sync_lut_mode() -> bool:
+    global _LUT_ONEHOT
+    _LUT_ONEHOT = os.environ.get("AACJAX_PS_LUT", "gather") == "onehot"
+    return _LUT_ONEHOT
+
+
+def _lut_rows(table2d, idx):
+    """table2d [N, K] rows selected by integer idx [...]: exact one-hot
+    matmul (AACJAX_PS_LUT=onehot) or a plain gather."""
+    if not _LUT_ONEHOT:
+        return table2d[idx]
+    oh = (idx[..., None] == jnp.arange(table2d.shape[0])).astype(
+        jnp.float32)
+    return jnp.einsum('...n,nk->...k', oh, table2d, precision=_HI)
+
 # per-mode geometry (20-band / 34-band): hybrid channel count, parameter
 # bands, allpass bands, short-delay boundary, decay cutoff, phase cut
 _NB = (71, 91)
@@ -401,12 +430,14 @@ def _mixing_h(dense, c, B, T, is34):
     pd_i = jnp.asarray(c["pd_i"])
     ha = dense["ps_ha"][:, :, :, :NPAR]                       # [B,T,6,npar]
     ic = dense["ps_icc"][:, :, :, :NPAR]
-    base = HA[jnp.maximum(ha, 0), ic]                         # [B,T,6,20,4]
+    base = _lut_rows(HA.reshape(-1, 4),
+                     jnp.maximum(ha, 0) * HA.shape[1] + ic)   # [B,T,6,20,4]
     base = base * (ha >= 0).astype(jnp.float32)[..., None]
     opd = dense["ps_opd"]                                     # [B,T,6,17]
     ipd = dense["ps_ipd"]
-    o_r, o_i = pd_r[opd], pd_i[opd]
-    i_r, i_i = pd_r[ipd], pd_i[ipd]
+    pd_ri = jnp.stack([pd_r, pd_i], axis=-1)                  # [512, 2]
+    o_r, o_i = jnp.moveaxis(_lut_rows(pd_ri, opd), -1, 0)
+    i_r, i_i = jnp.moveaxis(_lut_rows(pd_ri, ipd), -1, 0)
     adj_r = o_r * i_r + o_i * i_i                             # opd*conj(ipd)
     adj_i = o_i * i_r - o_r * i_i
     rot_r = jnp.stack([o_r, adj_r, o_r, adj_r], axis=-1)      # [B,T,6,17,4]
@@ -556,7 +587,7 @@ def sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state, cfg,
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_sbr_ps_apply(cfg, out_int16: bool, is34: bool, seq_scan: bool):
+def _jitted_sbr_ps_apply(cfg, out_int16: bool, is34: bool, modes: tuple):
     def fn(core_pcm, dense, ps_dense, state, ps_state):
         return sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state,
                             cfg, out_int16, is34)
@@ -564,5 +595,11 @@ def _jitted_sbr_ps_apply(cfg, out_int16: bool, is34: bool, seq_scan: bool):
     return jax.jit(fn, donate_argnums=(3, 4))
 
 
+def kernel_modes() -> tuple:
+    """(seq_scan, lut_onehot) resolved fresh from the environment — the
+    jit cache key component for every PS program variant."""
+    return (_sync_seq_scan(), _sync_lut_mode())
+
+
 def jitted_sbr_ps_apply(cfg, out_int16: bool = False, is34: bool = False):
-    return _jitted_sbr_ps_apply(cfg, out_int16, is34, _sync_seq_scan())
+    return _jitted_sbr_ps_apply(cfg, out_int16, is34, kernel_modes())

@@ -168,7 +168,7 @@ def sharded_sbr_apply(cfg, mesh: Mesh, out_int16: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool, is34: bool,
-                          seq_scan: bool):
+                          modes: tuple):
     from aacjax.kernels.ps_batch import sbr_ps_apply
 
     def fn(core_pcm, dense, ps_dense, state, ps_state):
@@ -181,9 +181,9 @@ def _sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool, is34: bool,
 def sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool = False,
                          is34: bool = False):
     """jit-compiled SBR + Parametric Stereo program over a stream-only
-    mesh (kernels.ps_batch.sbr_ps_apply).  The PS scan mode
-    (AACJAX_PS_SCAN) is part of the cache key, like the single-device
-    jitted_sbr_ps_apply."""
-    from aacjax.kernels.ps_batch import _sync_seq_scan
+    mesh (kernels.ps_batch.sbr_ps_apply).  The PS kernel modes
+    (AACJAX_PS_SCAN / AACJAX_PS_LUT) are part of the cache key, like
+    the single-device jitted_sbr_ps_apply."""
+    from aacjax.kernels.ps_batch import kernel_modes
     return _sharded_sbr_ps_apply(cfg, mesh, out_int16, is34,
-                                 _sync_seq_scan())
+                                 kernel_modes())

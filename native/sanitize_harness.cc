@@ -79,6 +79,7 @@ int run_case(const Case& c) {
   int32_t counts[2] = {0, 0};
   std::vector<int64_t> consumed(T);
   std::vector<int64_t> fil(static_cast<size_t>(T) * 12);
+  std::vector<int64_t> fil_drc(T);
   int32_t status[1] = {0};
   int32_t has_tns[1] = {0};
   char err[256];
@@ -92,7 +93,7 @@ int run_case(const Case& c) {
       tns_lpc.data(), tns_range.data(), post_idx.data(), post_gain.data(),
       64, time_idx.data(), time_gain.data(),
       static_cast<int32_t>(slots * T), counts, consumed.data(), fil.data(),
-      status, has_tns, err, sizeof(err));
+      fil_drc.data(), status, has_tns, err, sizeof(err));
 }
 
 }  // namespace

@@ -185,6 +185,42 @@ def test_ps_scan_modes_agree(is34):
                                    err_msg=k)
 
 
+@pytest.mark.parametrize("is34", [False, True])
+def test_ps_lut_modes_bitwise_equal(is34):
+    """AACJAX_PS_LUT=onehot replaces the dynamic HA/phase-table gathers
+    with exact one-hot HIGHEST matmuls — bitwise identical (one 1.0 per
+    row; the other addends are exact zeros)."""
+    pytest.importorskip("jax")
+    import jax.numpy as jnp
+    from aacjax.kernels import ps_batch as PB
+
+    rng = np.random.default_rng(13)
+    npar = PB._NPAR[is34]
+    dense = dict(
+        ps_ha=jnp.asarray(rng.integers(-1, 46 - 7, (B, T, 6, npar)),
+                          jnp.int32),
+        ps_icc=jnp.asarray(rng.integers(0, 8, (B, T, 6, npar)), jnp.int32),
+        ps_opd=jnp.asarray(rng.integers(0, 512, (B, T, 6, 17)), jnp.int32),
+        ps_ipd=jnp.asarray(rng.integers(0, 512, (B, T, 6, 17)), jnp.int32),
+        ps_knot_lo=jnp.asarray(rng.integers(0, 6, (B, T, 32)), jnp.int32),
+        ps_knot_hi=jnp.asarray(rng.integers(0, 6, (B, T, 32)), jnp.int32),
+        ps_alpha=jnp.asarray(rng.random((B, T, 32)), jnp.float32),
+    )
+    c = PB._consts(is34)
+
+    def run(onehot):
+        old = PB._LUT_ONEHOT
+        PB._LUT_ONEHOT = onehot
+        try:
+            return [np.asarray(x)
+                    for x in PB._mixing_h(dense, c, B, T, is34)]
+        finally:
+            PB._LUT_ONEHOT = old
+
+    for a, g in zip(run(True), run(False)):
+        np.testing.assert_array_equal(a, g)
+
+
 HAVE_ORACLE = None
 
 
