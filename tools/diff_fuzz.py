@@ -160,14 +160,115 @@ def run_case(seed: int) -> str:
     return ""
 
 
+def run_he_case(seed: int) -> str:
+    """Randomized HE-AAC differential: the batched device SBR program
+    (decode_adts -> step_he_raw) vs the per-channel numpy reference
+    (AACDecoder streaming path, itself held sample-exact vs libavcodec
+    in tests/test_sbr.py), over random headers, envelope grids (all four
+    VAR classes with overhanging borders), inverse-filter transitions,
+    harmonics and noise floors; plus batched chunk-size invariance."""
+    import numpy as np
+    from aacjax.api import AACDecoder, decode_adts
+    from aacjax.host import sbr as S
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.sbr_encoder import SBRFrameSpec, sbr_payload
+    from test_sbr import _lowpass_noise
+
+    rng = np.random.default_rng(seed)
+    ch = int(rng.integers(1, 3))
+    h = S.SBRHeader(amp_res=int(rng.integers(0, 2)),
+                    start_freq=int(rng.integers(2, 7)),
+                    stop_freq=int(rng.integers(1, 5)), xover_band=0)
+    core_cfg = parse_asc(make_asc(2, 7, ch))
+    t = S.derive_tables(h, 2 * core_cfg.sample_rate)
+    n_frames = int(rng.integers(6, 10))
+    label = (f"seed={seed} HE ch={ch} amp={h.amp_res} "
+             f"sf={h.start_freq}/{h.stop_freq} frames={n_frames}")
+
+    def rand_spec(first):
+        fres = int(rng.integers(0, 2))
+        nb = t.n_bands(fres)
+        kw = dict(frame_class=S.FIXFIX, num_env=int(rng.choice([1, 2, 4])))
+        if not first and rng.random() < 0.6:
+            fc = int(rng.integers(1, 4))
+            ne = 1 if fc == S.VARVAR else int(rng.integers(1, 3))
+            kw = dict(frame_class=fc, num_env=ne)
+            if fc in (S.FIXVAR, S.VARVAR):
+                vb = int(rng.integers(0, 4))
+                kw["var_bord_1"] = vb
+                kw["rel_widths"] = ([2 * int(rng.integers(1, 5))]
+                                    if ne == 2 and fc == S.FIXVAR else [])
+                kw["pointer"] = int(rng.integers(0, ne + 1))
+            if fc in (S.VARFIX, S.VARVAR):
+                kw["abs_bord_0"] = int(rng.integers(0, 4))
+                kw["rel_widths_lead"] = ([2 * int(rng.integers(1, 5))]
+                                         if ne == 2 and fc == S.VARFIX
+                                         else [])
+        ne = kw["num_env"]
+        nn = 2 if ne > 1 else 1
+        # envelope/noise values as bounded random walks: the writer
+        # freq-delta-codes adjacent bands, so steps must stay inside the
+        # Huffman books; even values keep the amp_res=0 halving exact
+        hi = (40 if h.amp_res else 80) // 2
+        env = np.clip(rng.integers(5, hi - 5)
+                      + np.cumsum(rng.integers(-3, 4, (ne, nb)), axis=1),
+                      0, hi) * 2
+        nz = np.clip(15 + np.cumsum(rng.integers(-3, 4, (nn, t.n_q)),
+                                    axis=1), 0, 30)
+        return SBRFrameSpec(
+            freq_res=fres, invf=list(rng.integers(0, 4, t.n_q)),
+            env_q=env.astype(np.int64), noise_q=nz.astype(np.int64),
+            add_harmonic=(rng.random(t.n_high) < 0.15),
+            **kw)
+
+    pays = []
+    for f in range(n_frames):
+        sp = [rand_spec(f == 0)] if ch == 1 else \
+             [rand_spec(f == 0), rand_spec(f == 0)]
+        pays.append(sbr_payload(sp, h, 2 * core_cfg.sample_rate,
+                                write_header=(f == 0)))
+    x = _lowpass_noise(rng, 1024 * n_frames, ch)
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+    dec = AACDecoder()
+    dec.feed(stream)
+    chunks = []
+    while (c := dec.read_chunk()) is not None:
+        chunks.append(c.reshape(-1, ch))
+    want = np.concatenate(chunks, axis=0)
+
+    got, rate = decode_adts(stream, chunk_frames=3)
+    if rate != 44100 or got.shape[1] != ch:
+        return f"{label}: batched emitted {got.shape} @ {rate}"
+    n = min(len(want), len(got))
+    sl = slice(2 * 2048, n - 64)   # QMF warm-up convention (test_sbr)
+    scale = max(float(np.abs(want[sl]).max()), 1e-3)
+    err = float(np.abs(got[sl] - want[sl]).max()) / scale
+    if not np.isfinite(got).all() or err > 1e-3:
+        return f"{label}: batched vs numpy rel err {err:.2e}"
+
+    got2, _ = decode_adts(stream, chunk_frames=n_frames)
+    n2 = min(len(got), len(got2))
+    err2 = float(np.abs(got[:n2] - got2[:n2]).max()) / scale
+    if err2 > 3e-4:
+        return f"{label}: chunk-size variance {err2:.2e}"
+    return ""
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--encoders", action="store_true",
                     help="fuzz the encoder roundtrips instead of the parsers")
+    ap.add_argument("--he", action="store_true",
+                    help="fuzz the HE-AAC batched-vs-numpy decode paths")
     args = ap.parse_args()
-    case_fn = run_encoder_case if args.encoders else run_case
+    case_fn = (run_he_case if args.he
+               else run_encoder_case if args.encoders else run_case)
     fails = 0
     for i in range(args.cases):
         msg = case_fn(args.seed * 1_000_000 + i)
