@@ -173,6 +173,15 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     kx, m = cfg.kx, cfg.m
     kvec = jnp.arange(BANDS)
     patched = jnp.asarray(np.array(cfg.patched, np.float32))
+    # the full SBR range [kx, kx+m): the patch construction can cover
+    # FEWER than m subbands (its source range k0..kx runs out — e.g.
+    # start_freq=6/stop_freq=4 at 44.1k gives m=16 but only 14 patched),
+    # and the spec still fills the unpatched tail with envelope noise
+    # and sinusoids (xhigh is zero there, so gain*xhigh contributes
+    # nothing, but q_m/s_m do) — ffmpeg sbr_hf_assemble semantics,
+    # mirrored by host.sbr_decode.  Masking those bands out of the
+    # output silenced them (found by tools/diff_fuzz.py --he)
+    in_range = ((kvec >= kx) & (kvec < kx + m)).astype(jnp.float32)
 
     # --- analysis (FFmpeg-unit scale: full-scale PCM) ---------------------
     xr, xi, x_hist = qmf.analysis(
@@ -292,7 +301,7 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
         nstart.reshape(-1))                                  # [BT38,64,2]
     noise = nrows.reshape(*nstart.shape, BANDS, 2)
     n_on = ((s_slot == 0.0).astype(jnp.float32) * (1.0 - tr_slot)
-            * dense['covered'][..., None] * patched)
+            * dense['covered'][..., None] * in_range)
     y_r = y_r + n_on * q_slot * noise[..., 0]
     y_i = y_i + n_on * q_slot * noise[..., 1]
 
@@ -333,7 +342,7 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     pad = jnp.zeros((B, T, SLOTS, BANDS - 32), jnp.float32)
     xlow64_r = jnp.concatenate([out_r, pad], axis=3)
     xlow64_i = jnp.concatenate([out_i, pad], axis=3)
-    hf_mask = patched * has
+    hf_mask = in_range * has
     Xr = xlow64_r * low_mask + yo_r * hf_mask
     Xi = xlow64_i * low_mask + yo_i * hf_mask
 

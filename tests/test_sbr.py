@@ -109,6 +109,32 @@ def test_sbr_matches_ffmpeg_sample_exact(kw, label):
     assert snr > 80.0, (label, snr)  # observed ~130 dB (float32 floor)
 
 
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_sbr_unpatched_tail_bands_match_ffmpeg():
+    """Headers whose patch construction covers FEWER than m subbands
+    (start_freq=6/stop_freq=4 at 44.1k: m=16, patch total 14): the
+    unpatched tail bands carry envelope noise/sinusoids even though
+    xhigh is zero there — on the streaming numpy path AND the batched
+    device path (whose output mask once dropped them; found by
+    tools/diff_fuzz.py --he)."""
+    from aacjax.api import decode_adts
+    h = S.SBRHeader(amp_res=1, start_freq=6, stop_freq=4, xover_band=0)
+    t = S.derive_tables(h, 44100)
+    assert sum(t.patch_num_subbands) < t.m   # the geometry this pins
+    stream = make_he_stream(ch=1, n_frames=7, header=h, noise_q=12)
+    want, rate = ffmpeg_oracle.decode_adts(stream)
+    assert rate == 44100
+    got_np = decode_ours(stream)
+    got_dev, r2 = decode_adts(stream)
+    assert r2 == 44100
+    for name, got in (("numpy", got_np), ("batched", got_dev)):
+        a = want[4000:12000, 0].astype(np.float64)
+        b = got[4000:12000, 0].astype(np.float64)
+        snr = 10 * np.log10(float(np.sum(a ** 2))
+                            / max(float(np.sum((a - b) ** 2)), 1e-30))
+        assert snr > 80.0, (name, snr)
+
+
 # ---------------------------------------------------------------------------
 # bitstream / tables
 # ---------------------------------------------------------------------------

@@ -258,6 +258,76 @@ def run_he_case(seed: int) -> str:
     return ""
 
 
+def run_ps_case(seed: int) -> str:
+    """Randomized HE-AAC v2 differential: the batched SBR+PS device
+    program vs the numpy reference (AACDecoder streaming path, held
+    sample-exact vs libavcodec in tests/test_ps.py) over random IID/ICC
+    modes and band counts (10/20/34), envelope counts, IPD/OPD phase
+    tracks, and occasional mid-stream band-mode flips (which divert the
+    slot to the sticky numpy path inside the batched decoder)."""
+    import numpy as np
+    from aacjax.api import AACDecoder, decode_adts
+    from aacjax.host import sbr as S
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.sbr_encoder import PSSpec, SBRFrameSpec, sbr_payload
+    from test_sbr import _lowpass_noise
+
+    rng = np.random.default_rng(seed)
+    core_cfg = parse_asc(make_asc(2, 7, 1))
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 2 * core_cfg.sample_rate)
+    nb = t.n_bands(1)
+    n_frames = int(rng.integers(6, 10))
+    mode = int(rng.integers(0, 3))
+    label = f"seed={seed} PS mode={mode} frames={n_frames}"
+
+    def rand_ps(mode):
+        nr = (10, 20, 34)[mode]
+        ne = int(rng.choice([1, 2, 4]))
+        kw = dict(iid_mode=mode, num_env=ne,
+                  iid_par=rng.integers(-7, 8, (ne, nr)),
+                  icc_mode=mode, icc_par=rng.integers(0, 8, (ne, nr)))
+        if rng.random() < 0.6:
+            nri = (5, 11, 17)[mode]
+            kw["ipd_par"] = rng.integers(0, 8, (ne, nri))
+            kw["opd_par"] = rng.integers(0, 8, (ne, nri))
+        return PSSpec(**kw)
+
+    pays = []
+    for f in range(n_frames):
+        m = mode
+        if f > 2 and rng.random() < 0.15:      # mid-stream mode flip
+            m = int(rng.integers(0, 3))
+        spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                            env_q=np.full((2, nb), 25, np.int64),
+                            noise_q=np.full((2, t.n_q), 30, np.int64))
+        pays.append(sbr_payload([spec], h, 2 * core_cfg.sample_rate,
+                                ps=rand_ps(m), write_header=(f == 0)))
+    x = _lowpass_noise(rng, 1024 * n_frames)
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+    dec = AACDecoder()
+    dec.feed(stream)
+    chunks = []
+    while (c := dec.read_chunk()) is not None:
+        chunks.append(c.reshape(-1, 2))
+    want = np.concatenate(chunks, axis=0)
+
+    got, rate = decode_adts(stream, chunk_frames=3)
+    if rate != 44100 or got.shape[1] != 2:
+        return f"{label}: batched emitted {got.shape} @ {rate}"
+    n = min(len(want), len(got))
+    sl = slice(2 * 2048, n - 64)
+    scale = max(float(np.abs(want[sl]).max()), 1e-3)
+    err = float(np.abs(got[sl] - want[sl]).max()) / scale
+    if not np.isfinite(got).all() or err > 3e-3:
+        return f"{label}: batched vs numpy rel err {err:.2e}"
+    return ""
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", type=int, default=200)
@@ -266,8 +336,11 @@ def main() -> int:
                     help="fuzz the encoder roundtrips instead of the parsers")
     ap.add_argument("--he", action="store_true",
                     help="fuzz the HE-AAC batched-vs-numpy decode paths")
+    ap.add_argument("--ps", action="store_true",
+                    help="fuzz the HE-AAC v2 (PS) batched-vs-numpy paths")
     args = ap.parse_args()
-    case_fn = (run_he_case if args.he
+    case_fn = (run_ps_case if args.ps
+               else run_he_case if args.he
                else run_encoder_case if args.encoders else run_case)
     fails = 0
     for i in range(args.cases):
