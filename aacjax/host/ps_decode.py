@@ -408,15 +408,18 @@ def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
     proc.ps_prev = ps
     is34 = ps.is34
     if proc.is34_prev is not None and is34 != proc.is34_prev:
-        # band-count switch: filter/delay state is laid out per band
-        # scheme, so restart it (FFmpeg resets the same buffers)
-        proc.in_hist[:] = 0
+        # band-count switch: the decorrelator/transient state is laid
+        # out per band scheme, so restart it — EXACTLY the buffer set
+        # libavcodec memsets (delay, ap_delay, peak/power trackers).
+        # The hybrid input history (raw low-QMF line, scheme-
+        # independent) and the H matrices / phase smoothers persist,
+        # reinterpreted in the new scheme's parameter bands, as in
+        # FFmpeg (verified vs the oracle through 34<->20 flips).
         proc.delay[:] = 0
         proc.ap_delay[:] = 0
         proc.peak_decay_nrg[:] = 0
         proc.power_smooth[:] = 0
         proc.peak_decay_diff[:] = 0
-        proc.h_prev[:] = 0
     proc.is34_prev = is34
     k_to_i = t["k_to_i_34"] if is34 else t["k_to_i_20"]
     npar = NR_PAR_BANDS[is34]
