@@ -308,6 +308,20 @@ class BatchDecoder:
             None if self._sbr_np_sticky[s] else
             clone(self._sbr_host_states[s]) for s in range(self.C)]
 
+        def clone_ps(pst):
+            from aacjax.host.ps_pack import PSPackState
+            return PSPackState(
+                ha_prev=pst.ha_prev.copy(), icc_prev=pst.icc_prev.copy(),
+                opd_pd_prev=pst.opd_pd_prev.copy(),
+                ipd_pd_prev=pst.ipd_pd_prev.copy(),
+                ipd_hist=pst.ipd_hist.copy(), opd_hist=pst.opd_hist.copy(),
+                ps_prev=pst.ps_prev, is34_prev=pst.is34_prev)
+
+        self._ps_pack_snap = (
+            None if not self._ps_enabled else
+            [None if self._sbr_np_sticky[s] else
+             clone_ps(self._ps_pack_states[s]) for s in range(self.C)])
+
     def _sbr_pack_payload(self, dense, sf, slot: int, nch: int,
                           t: int) -> None:
         """Pack one parsed SBRFrame into the dense arrays.  Slots whose
@@ -366,6 +380,7 @@ class BatchDecoder:
             nframes=self._chunk_nframes,
             records=self._chunk_sbr_records,
             host_snap=self._host_state_snap,
+            ps_snap=self._ps_pack_snap,
             sticky=[s for s in range(self.C)
                     if self._sbr_np_sticky[s] and self._chunk_nframes[s]],
             ps_enabled=self._ps_enabled,
@@ -398,12 +413,25 @@ class BatchDecoder:
         # materialize pre-chunk filter states for newly-sticky slots NOW:
         # the jitted step donates its state buffers.  This is a D2H, so
         # it takes the transfer lock like every other transfer here.
+        # For PS slots the PS device state seeds the numpy PSProc warm
+        # (synthesis histories, delay/allpass lines, transient trackers)
+        # instead of the old cold start.
         prev_state = self._sbr_dev_state
+        fresh = [s for s in sticky if self._sbr_np_procs[s] is None]
         with lk:
             seeds = {
                 s: tuple(np.asarray(prev_state[k][s], np.float64)
                          for k in ("x_hist", "v_hist", "xlow_r", "xlow_i"))
-                for s in sticky if self._sbr_np_procs[s] is None}
+                for s in fresh}
+            if ctx["ps_enabled"] and self._ps_dev_state is not None:
+                pdev = self._ps_dev_state
+                for s in fresh:
+                    if ctx["ps_pair"][s] >= 0 and self._ps_np[s] is None:
+                        seeds[("ps", s)] = {
+                            k: np.asarray(pdev[k][s], np.float64)
+                            for k in ("v_l", "v_r", "delay_r", "delay_i",
+                                      "ap_r", "ap_i", "peak", "psmooth",
+                                      "pdiff", "hist4_r", "hist4_i")}
         if ctx["ps_enabled"]:
             from aacjax.kernels.ps_batch import (jitted_sbr_ps_apply,
                                                  ps_state_init)
@@ -536,15 +564,14 @@ class BatchDecoder:
                         sf, c, eq = recs[t]
                         if pair >= 0:
                             # PS stream (e.g. 34-band mode): full numpy
-                            # stereo path.  The PS DSP state starts cold
-                            # at the transition (one-frame settle).
-                            from aacjax.host.ps_decode import (PSProc,
-                                                               apply_ps)
+                            # stereo path, seeded WARM from the batched
+                            # PS device state + pre-chunk pack snapshot
+                            # (falls back to a cold start when no prior
+                            # PS state exists)
+                            from aacjax.host.ps_decode import apply_ps
                             if self._ps_np[slot] is None:
-                                self._ps_np[slot] = (
-                                    PSProc(),
-                                    np.array(proc.v_hist),
-                                    np.array(proc.v_hist) * 0.0)
+                                self._ps_np[slot] = self._seed_ps_np(
+                                    slot, ctx, seeds, proc)
                             psproc, vl, vr = self._ps_np[slot]
                             X = SD.process_channel(proc, core, sf, 0,
                                                    eq, return_x=True)
@@ -563,6 +590,68 @@ class BatchDecoder:
                         if pair >= 0:
                             out[pair, t] = out[slot, t]
         return out
+
+    def _seed_ps_np(self, slot: int, ctx: dict, seeds: dict, proc):
+        """Build the sticky-transition numpy PS state (PSProc, v_l, v_r)
+        for `slot`, WARM where prior batched PS state exists:
+
+        - QMF synthesis histories from the PS device state (the cold
+          start used the mono v_hist for L and SILENCE for R);
+        - delay/allpass lines and transient trackers from the device
+          state (apply_ps re-clears them itself if this frame switches
+          band scheme, matching libavcodec);
+        - the hybrid FIR input history from the SBR xlow seed (the PS
+          line is the low 5 QMF bands of the same continuous signal);
+        - H matrices reconstructed from the pre-chunk pack snapshot's
+          knot-0 indices (HA LUT x smoothed-phase rotation — identical
+          math to the device _mixing_h), plus the 6-bit phase histories
+          and the ps_data replay reference."""
+        from aacjax.host.ps_decode import _tables as ps_tables
+        from aacjax.host.ps_decode import PSProc
+        p = PSProc()
+        vl = np.array(proc.v_hist)
+        vr = vl * 0.0
+        dev = seeds.get(("ps", slot))
+        if dev is not None:
+            vl = dev["v_l"].copy()
+            vr = dev["v_r"].copy()
+            nb = dev["delay_r"].shape[0]
+            p.delay[:nb] = dev["delay_r"] + 1j * dev["delay_i"]
+            nap = dev["ap_r"].shape[0]
+            p.ap_delay[:nap] = dev["ap_r"] + 1j * dev["ap_i"]
+            npar = dev["peak"].shape[0]
+            p.peak_decay_nrg[:npar] = dev["peak"]
+            p.power_smooth[:npar] = dev["psmooth"]
+            p.peak_decay_diff[:npar] = dev["pdiff"]
+        sd = seeds.get(slot)
+        if sd is not None and dev is not None:
+            # the hybrid FIR history is X slots 26..31 of the last
+            # frame: slots 26..29 live in the PS hist4 carry, 30..31 in
+            # the SBR xlow line (whose 8 rows are X slots 30..37)
+            _, _, xlr, xli = sd
+            for i in range(5):
+                p.in_hist[i] = np.concatenate([
+                    dev["hist4_r"][:, i] + 1j * dev["hist4_i"][:, i],
+                    xlr[0:2, i] + 1j * xli[0:2, i]])
+        snap = (ctx.get("ps_snap") or [None] * self.C)[slot]
+        if snap is not None and snap.ps_prev is not None:
+            t = ps_tables()
+            ha = snap.ha_prev
+            base = t["HA"][np.maximum(ha, 0),
+                           snap.icc_prev].astype(np.complex128)
+            base[ha < 0] = 0.0
+            o = t["pd_smooth"][snap.opd_pd_prev]
+            adj = o * np.conj(t["pd_smooth"][snap.ipd_pd_prev])
+            base[:17, 0] *= o
+            base[:17, 1] *= adj
+            base[:17, 2] *= o
+            base[:17, 3] *= adj
+            p.h_prev = base
+            p.ipd_hist[:17] = snap.ipd_hist
+            p.opd_hist[:17] = snap.opd_hist
+            p.ps_prev = snap.ps_prev
+            p.is34_prev = snap.is34_prev
+        return p, vl, vr
 
     def _he_host_phase(self, payloads_per_stream, compact=None,
                        buf_slot: int = 0):

@@ -262,6 +262,64 @@ def test_decode_adts_ps_batched_matches_oracle():
             assert _snr(want[sl, ch], pcm[sl, ch]) > 70.0
 
 
+def test_ps_sticky_transition_is_seamless():
+    """A PS stream whose SBR header changes mid-stream goes STICKY to
+    the numpy path; the transition seeds the PS DSP state WARM from the
+    batched device state (synthesis histories, delay/allpass lines,
+    transient trackers, hybrid FIR history from hist4+xlow, H matrices
+    reconstructed from the pack snapshot's knot indices) — output stays
+    at float noise through the transition instead of a cold-start
+    glitch (was ~0.6 rel on the transition chunk's first frame)."""
+    if not _oracle():
+        pytest.skip("libavcodec oracle not built")
+    import sys as _sys
+    import pathlib
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from test_sbr import _lowpass_noise
+    from aacjax.api import AACDecoder, decode_adts
+    from aacjax.host import sbr as S
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.sbr_encoder import sbr_payload as sp
+
+    core_cfg = parse_asc(make_asc(2, 7, 1))
+    h1 = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    h2 = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0,
+                     limiter_gains=1)
+    t = S.derive_tables(h1, 44100)
+    nb = t.n_bands(1)
+    ps = PSSpec(iid_mode=1, num_env=2,
+                iid_par=np.stack([np.arange(20) % 15 - 7,
+                                  7 - np.arange(20) % 15]),
+                icc_mode=1, icc_par=np.arange(40).reshape(2, 20) % 8,
+                ipd_par=np.arange(22).reshape(2, 11) % 8,
+                opd_par=np.arange(22)[::-1].reshape(2, 11) % 8)
+    from aacjax.testing.sbr_encoder import SBRFrameSpec
+    spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                        env_q=np.full((2, nb), 25, np.int64),
+                        noise_q=np.full((2, t.n_q), 30, np.int64))
+    pays = [sp([spec], h2 if f >= 6 else h1, 44100, ps=ps,
+               write_header=(f in (0, 6))) for f in range(8)]
+    x = _lowpass_noise(np.random.default_rng(1), 1024 * 8, 1)
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+    dec = AACDecoder()
+    dec.feed(stream)
+    chunks = []
+    while (c := dec.read_chunk()) is not None:
+        chunks.append(c.reshape(-1, 2))
+    want = np.concatenate(chunks, axis=0)
+    got, _ = decode_adts(stream, chunk_frames=4)   # header flips inside
+    n = min(len(want), len(got))                   # the second chunk
+    scale = float(np.abs(want[2 * 2048: n - 64]).max())
+    for f in range(4, 8):
+        sl = slice(f * 2048 + 64, min((f + 1) * 2048, n))
+        err = float(np.abs(got[sl] - want[sl]).max()) / scale
+        assert err < 1e-4, (f, err)
+
+
 def test_ps_batched_chunk_carry_and_mixed_batch():
     """PS device state carries exactly across chunk boundaries, and a
     chunk mixing a PS stream with a plain HE-AAC stream keeps both
