@@ -333,19 +333,11 @@ def run_ps_case(seed: int) -> str:
         return f"{label}: non-finite batched output"
     n = min(len(want), len(got))
     scale = max(float(np.abs(want[2 * 2048: n - 64]).max()), 1e-3)
-    # exclusion window around the FIRST band-mode flip: the batched
-    # decoder diverts the slot to the sticky numpy path for the whole
-    # chunk containing the flip (so frames of that chunk BEFORE the
-    # flip replay too) with a cold PS DSP state that settles over a few
-    # frames (documented in runtime.batch).  Later flips happen with
-    # both paths already on warm numpy state and stay comparable.
-    excl: set = set()
-    flips = [f for f in range(1, n_frames) if modes[f] != modes[f - 1]]
-    if flips:
-        excl = set(range(3 * (flips[0] // 3), min(n_frames, flips[0] + 4)))
+    # no exclusion around band-mode flips: the sticky transition seeds
+    # the numpy fallback WARM from the batched state (runtime.batch
+    # _seed_ps_np), so even the flip chunk stays at float noise
+    del modes
     for f in range(2, n_frames):
-        if f in excl:
-            continue
         sl = slice(f * 2048 + 64, min((f + 1) * 2048, n - 64))
         if sl.start >= sl.stop:
             continue
