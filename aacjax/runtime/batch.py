@@ -640,6 +640,12 @@ class BatchDecoder:
             base = t["HA"][np.maximum(ha, 0),
                            snap.icc_prev].astype(np.complex128)
             base[ha < 0] = 0.0
+            # rows beyond the previous scheme's parameter count are
+            # ZERO on the numpy path (prev_h is rebuilt as zeros each
+            # frame); the pack carry marks them with the identity index
+            # 7 instead, which must not leak into a band-scheme flip
+            if snap.is34_prev is not None:
+                base[(34, 20)[not snap.is34_prev]:] = 0.0
             o = t["pd_smooth"][snap.opd_pd_prev]
             adj = o * np.conj(t["pd_smooth"][snap.ipd_pd_prev])
             base[:17, 0] *= o
