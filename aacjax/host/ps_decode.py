@@ -140,6 +140,76 @@ def _map_20_to_34(par: np.ndarray) -> np.ndarray:
     return out
 
 
+def _map_h_34_to_20(par: np.ndarray) -> np.ndarray:
+    """libavcodec map_val_34_to_20: averaging downsample of a per-
+    34-parameter-band float track to 20 bands (applied to the persisted
+    H matrices on a band-scheme switch)."""
+    q = par
+    out = np.zeros_like(par)
+    out[0] = (2 * q[0] + q[1]) / 3
+    out[1] = (q[1] + 2 * q[2]) / 3
+    out[2] = (2 * q[3] + q[4]) / 3
+    out[3] = (q[4] + 2 * q[5]) / 3
+    out[4] = (q[6] + q[7]) / 2
+    out[5] = (q[8] + q[9]) / 2
+    out[6] = q[10]
+    out[7] = q[11]
+    out[8] = (q[12] + q[13]) / 2
+    out[9] = (q[14] + q[15]) / 2
+    out[10] = q[16]
+    out[11] = q[17]
+    out[12] = q[18]
+    out[13] = q[19]
+    out[14] = (q[20] + q[21]) / 2
+    out[15] = (q[22] + q[23]) / 2
+    out[16] = (q[24] + q[25]) / 2
+    out[17] = (q[26] + q[27]) / 2
+    out[18] = (q[28] + q[29] + q[30] + q[31]) / 4
+    out[19] = (q[32] + q[33]) / 2
+    return out
+
+
+def _map_h_20_to_34(par: np.ndarray) -> np.ndarray:
+    """libavcodec map_val_20_to_34 (nearest/averaged upsample)."""
+    p = par
+    out = np.zeros_like(par)
+    out[0] = p[0]
+    out[1] = (p[0] + p[1]) / 2
+    out[2] = p[1]
+    out[3] = p[2]
+    out[4] = (p[2] + p[3]) / 2
+    out[5] = p[3]
+    out[6] = p[4]
+    out[7] = p[4]
+    out[8] = p[5]
+    out[9] = p[5]
+    out[10] = p[6]
+    out[11] = p[7]
+    out[12] = p[8]
+    out[13] = p[8]
+    out[14] = p[9]
+    out[15] = p[9]
+    out[16] = p[10]
+    out[17] = p[11]
+    out[18] = p[12]
+    out[19] = p[13]
+    out[20] = p[14]
+    out[21] = p[14]
+    out[22] = p[15]
+    out[23] = p[15]
+    out[24] = p[16]
+    out[25] = p[16]
+    out[26] = p[17]
+    out[27] = p[17]
+    out[28] = p[18]
+    out[29] = p[18]
+    out[30] = p[19]
+    out[31] = p[19]
+    out[32] = p[19]
+    out[33] = p[19]
+    return out
+
+
 @dataclass
 class PSProc:
     """Per-stream persistent PS DSP state."""
@@ -162,6 +232,13 @@ class PSProc:
         default_factory=lambda: np.zeros(34, np.int64))
     opd_hist: np.ndarray = field(
         default_factory=lambda: np.zeros(34, np.int64))
+    # Imaginary H components per envelope SLOT (libavcodec H11[1][e+1]
+    # etc.): with IPD/OPD active, bands >= the scheme's IPD cut are
+    # never rewritten, so their stale per-slot values keep being
+    # interpolated — permanently, e.g. after a 34->20 band-scheme
+    # switch (slots 1+ are not even remapped; only env slot 0 is).
+    h_slot_imag: np.ndarray = field(
+        default_factory=lambda: np.zeros((5, 34, 4)))
 
 
 def _hybrid_filter(x: np.ndarray, filt: np.ndarray) -> np.ndarray:
@@ -412,14 +489,25 @@ def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
         # out per band scheme, so restart it — EXACTLY the buffer set
         # libavcodec memsets (delay, ap_delay, peak/power trackers).
         # The hybrid input history (raw low-QMF line, scheme-
-        # independent) and the H matrices / phase smoothers persist,
-        # reinterpreted in the new scheme's parameter bands, as in
-        # FFmpeg (verified vs the oracle through 34<->20 flips).
+        # independent) persists.  Sample-exact vs the oracle through
+        # 34<->20<->10 flips incl. the flip frame itself
+        # (tests/test_ps.py::test_ps_band_scheme_flip_sample_exact).
         proc.delay[:] = 0
         proc.ap_delay[:] = 0
         proc.peak_decay_nrg[:] = 0
         proc.power_smooth[:] = 0
         proc.peak_decay_diff[:] = 0
+        # the persisted H matrices are REMAPPED to the new scheme's
+        # parameter bands (libavcodec map_val_34_to_20/_20_to_34),
+        # component-wise per column
+        remap = _map_h_20_to_34 if is34 else _map_h_34_to_20
+        for col in range(4):
+            proc.h_prev[:, col] = remap(proc.h_prev[:, col])
+        # ... and the running IPD/OPD phase accumulators restart
+        # (libavcodec ipdopd_reset); they are mod-64 RUNNING sums, so
+        # a mismatch here would never decay
+        proc.ipd_hist[:] = 0
+        proc.opd_hist[:] = 0
     proc.is34_prev = is34
     k_to_i = t["k_to_i_34"] if is34 else t["k_to_i_20"]
     npar = NR_PAR_BANDS[is34]
@@ -436,11 +524,11 @@ def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
     ha, ic, opd_pd, ipd_pd, ipdopd = resolve_frame_indices(
         ps, proc.ipd_hist, proc.opd_hist)
 
-    if not ipdopd:
-        # FFmpeg interpolates real-only matrices when ipdopd is off
-        proc.h_prev = proc.h_prev.real.astype(np.complex128)
-
-    prev_h = proc.h_prev
+    # FFmpeg interpolates real-only matrices when ipdopd is off — but
+    # it does NOT clear the stored imaginary components; they are
+    # simply unread that frame and resume if IPD/OPD returns.
+    prev_h = (proc.h_prev if ipdopd
+              else proc.h_prev.real.astype(np.complex128))
     last_stop = -1
     for e in range(num_env):
         h_target = t["HA"][ha[e], ic[e]].astype(np.complex128)  # [npar,4]
@@ -451,6 +539,12 @@ def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
             h_target[:ipd_cut, 1] *= adj
             h_target[:ipd_cut, 2] *= opd_c
             h_target[:ipd_cut, 3] *= adj
+            # bands >= the IPD cut inherit this envelope SLOT's stale
+            # imaginary H (never rewritten in libavcodec)
+            slot = proc.h_slot_imag[min(e + 1, 4)]
+            h_target[ipd_cut:npar] = (h_target[ipd_cut:npar].real
+                                      + 1j * slot[ipd_cut:npar])
+            slot[:ipd_cut] = h_target[:ipd_cut].imag
         start = int(ps.border_position[e])
         stop = int(ps.border_position[e + 1])
         stop = min(stop, SLOTS - 1)
@@ -487,6 +581,10 @@ def apply_ps(proc: PSProc, X: np.ndarray, ps: "P.PSData | None"
         # envelopes ended before the frame did: hold the final matrices
         for n in range(last_stop + 1, SLOTS):
             mix(prev_h[:npar], None, n)
+    if not ipdopd:
+        # ffmpeg's unconditional env-slot-0 copy carries the stored
+        # imaginary components through real-only frames untouched
+        prev_h = prev_h.real + 1j * proc.h_slot_imag[min(num_env, 4)]
     proc.h_prev = prev_h
     xl = hybrid_synthesis(l, is34)
     xr = hybrid_synthesis(r, is34)

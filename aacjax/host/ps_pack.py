@@ -42,6 +42,13 @@ class PSPackState:
     opd_hist: np.ndarray = field(default_factory=lambda: np.zeros(17, np.int64))
     ps_prev: object = None          # last PSData (replayed when absent)
     is34_prev: bool | None = None
+    # shadow of PSProc.h_slot_imag (per-envelope-slot imaginary H) so a
+    # slot that turns sticky at a band-scheme switch can seed the numpy
+    # fallback with the stale values ffmpeg keeps interpolating; on the
+    # device itself these are always zero (constant-scheme chunks never
+    # read bands >= the IPD cut)
+    h_slot_imag: np.ndarray = field(
+        default_factory=lambda: np.zeros((5, 34, 4)))
 
 
 @dataclass
@@ -85,13 +92,13 @@ def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
     if bool(ps.is34) != chunk_is34:
         return False
     if st.is34_prev is not None and st.is34_prev != bool(ps.is34):
-        # band-scheme switch: restart like PSProc
-        st.ha_prev[:] = -1
-        st.icc_prev[:] = 0
-        st.opd_pd_prev[:] = 0
-        st.ipd_pd_prev[:] = 0
-        st.ipd_hist[:] = 0
-        st.opd_hist[:] = 0
+        # band-scheme switch: the carried H must be REMAPPED between
+        # parameter-band schemes (apply_ps, mirroring libavcodec's
+        # map_val_34_to_20/_20_to_34) — remapped VALUES cannot be
+        # expressed as HA-LUT indices, so the slot goes sticky and the
+        # warm-seeded numpy path owns the flip (even when the flip
+        # lands exactly on a chunk boundary)
+        return False
     st.is34_prev = bool(ps.is34)
     st.ps_prev = ps
     npar = NR_PAR_BANDS[ps.is34]
@@ -139,6 +146,22 @@ def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
         dense.knot_lo[slot, t, n] = num_env
         dense.knot_hi[slot, t, n] = num_env
         dense.alpha[slot, t, n] = 1.0
+
+    # shadow the per-envelope-slot imaginary H exactly like apply_ps
+    # (written only below the IPD cut, only on ipdopd frames)
+    if ipdopd:
+        from aacjax.host.ps_decode import _tables as _ps_tables
+        t_ = _ps_tables()
+        cut = 17 if ps.is34 else 11
+        for e in range(num_env):
+            base = t_["HA"][ha[e, :cut], ic[e, :cut]].astype(np.complex128)
+            o = t_["pd_smooth"][opd_pd[e, :cut]]
+            adj = o * np.conj(t_["pd_smooth"][ipd_pd[e, :cut]])
+            sl = st.h_slot_imag[min(e + 1, 4)]
+            sl[:cut, 0] = (base[:, 0] * o).imag
+            sl[:cut, 1] = (base[:, 1] * adj).imag
+            sl[:cut, 2] = (base[:, 2] * o).imag
+            sl[:cut, 3] = (base[:, 3] * adj).imag
 
     # carry for the next frame
     st.ha_prev[:npar] = ha[num_env - 1]

@@ -315,7 +315,8 @@ class BatchDecoder:
                 opd_pd_prev=pst.opd_pd_prev.copy(),
                 ipd_pd_prev=pst.ipd_pd_prev.copy(),
                 ipd_hist=pst.ipd_hist.copy(), opd_hist=pst.opd_hist.copy(),
-                ps_prev=pst.ps_prev, is34_prev=pst.is34_prev)
+                ps_prev=pst.ps_prev, is34_prev=pst.is34_prev,
+                h_slot_imag=pst.h_slot_imag.copy())
 
         self._ps_pack_snap = (
             None if not self._ps_enabled else
@@ -652,7 +653,23 @@ class BatchDecoder:
             base[:17, 1] *= adj
             base[:17, 2] *= o
             base[:17, 3] *= adj
+            # frame-end imaginary components mirror apply_ps: bands at
+            # or beyond the IPD cut carry the stale per-envelope-slot
+            # values; real-only frames carry the whole stored imag
+            ne = min(int(snap.ps_prev.num_env), 4)
+            ipdopd_last = bool(
+                getattr(snap.ps_prev, "enable_ipdopd", False)
+                and snap.ps_prev.ipd_par is not None)
+            if ipdopd_last:
+                cut = 17 if snap.is34_prev else 11
+                npar_prev = (34, 20)[not snap.is34_prev]
+                base[cut:npar_prev] = (base[cut:npar_prev].real
+                                       + 1j * snap.h_slot_imag[ne,
+                                                               cut:npar_prev])
+            else:
+                base = base.real + 1j * snap.h_slot_imag[ne]
             p.h_prev = base
+            p.h_slot_imag[:] = snap.h_slot_imag
             p.ipd_hist[:17] = snap.ipd_hist
             p.opd_hist[:17] = snap.opd_hist
             p.ps_prev = snap.ps_prev

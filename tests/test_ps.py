@@ -243,3 +243,62 @@ def test_ps_parse_roundtrip():
     assert ps.num_env >= 1
     np.testing.assert_array_equal(ps.iid_par[0], _RAMP20)
     np.testing.assert_array_equal(ps.icc_par[0], _ICC10)
+
+
+# ---------------------------------------------------------------------------
+# band-scheme switches (10/20 <-> 34) vs libavcodec
+# ---------------------------------------------------------------------------
+def _make_flip_stream(modes, seed=7):
+    """One PS frame per entry in `modes` (0/1/2 = 10/20/34 bands), all
+    with IID/ICC/IPD/OPD random walks — flips band scheme mid-stream."""
+    rng = np.random.default_rng(seed)
+    core_cfg = parse_asc(make_asc(2, 7, 1))
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 2 * core_cfg.sample_rate)
+    nb = t.n_bands(1)
+    pays = []
+    for f, m in enumerate(modes):
+        nr = (10, 20, 34)[m]
+        nri = (5, 11, 17)[m]
+        iid = np.clip(np.cumsum(rng.integers(-2, 3, (2, nr)), axis=1), -7, 7)
+        icc = np.clip(3 + np.cumsum(rng.integers(-2, 3, (2, nr)), axis=1),
+                      0, 7)
+        ps = PSSpec(
+            iid_mode=m, num_env=2, iid_par=iid, icc_mode=m, icc_par=icc,
+            ipd_par=np.clip(np.cumsum(
+                rng.integers(-1, 2, (2, nri)), axis=1) % 8, 0, 7),
+            opd_par=np.clip(np.cumsum(
+                rng.integers(-1, 2, (2, nri)), axis=1) % 8, 0, 7))
+        spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                            env_q=np.full((2, nb), 25, np.int64),
+                            noise_q=np.full((2, t.n_q), 30, np.int64))
+        pays.append(sbr_payload([spec], h, 2 * core_cfg.sample_rate,
+                                ps=ps, write_header=(f == 0)))
+    x = _lowpass_noise(rng, 1024 * len(modes))
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    return b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+@pytest.mark.parametrize("head,tail", [(2, 1), (1, 2), (2, 0), (0, 2)])
+def test_ps_band_scheme_flip_sample_exact(head, tail):
+    """A mid-stream 10/20<->34 band-scheme switch stays sample-exact vs
+    libavcodec on EVERY frame including the flip frame itself: the
+    persisted H matrices are remapped (map_val_34_to_20/_20_to_34 on
+    envelope slot 0 only), the running IPD/OPD phase accumulators
+    restart, and bands at/beyond the new scheme's IPD cut keep
+    interpolating the stale per-envelope-slot imaginary H components
+    (aacps.c keeps those array entries forever; recovered by
+    least-squares probing of the binary oracle)."""
+    modes = [head] * 4 + [tail] * 4
+    stream = _make_flip_stream(modes)
+    want, rate = ffmpeg_oracle.decode_adts(stream)
+    assert rate == 44100 and want.shape[1] == 2
+    got = decode_ours(stream)
+    n = min(len(want), len(got))
+    scale = max(float(np.abs(want[:n]).max()), 1e-3)
+    for f in range(2, len(modes)):
+        sl = slice(f * 2048, min((f + 1) * 2048, n))
+        err = float(np.abs(got[sl] - want[sl]).max()) / scale
+        assert err < 1e-4, f"frame {f}: rel err {err:.2e}"
