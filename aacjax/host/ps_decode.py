@@ -441,7 +441,10 @@ def resolve_frame_indices(ps: "P.PSData", ipd_hist: np.ndarray,
     Returns (ha_idx [num_env, npar], icc_idx [num_env, npar],
     opd_pd / ipd_pd [num_env, 17] 9-bit smoothed-phase indices where 0
     means identity, ipdopd flag).  Advances the 6-bit phase histories in
-    place (resets them when ipdopd is off, as FFmpeg does)."""
+    place.  When ipdopd is off this frame the histories FREEZE — ffmpeg
+    only ever resets them on a band-scheme switch, so an explicit
+    enable_ipdopd=0 frame resumes from the pre-off phase state
+    (tests/test_ps.py::test_ps_ipdopd_explicit_off_resume)."""
     is34 = ps.is34
     npar = NR_PAR_BANDS[is34]
     fine = ps.enable_iid and ps.iid_mode >= 3
@@ -453,9 +456,6 @@ def resolve_frame_indices(ps: "P.PSData", ipd_hist: np.ndarray,
     ic = np.zeros((num_env, npar), np.int64)
     opd_pd = np.zeros((num_env, 17), np.int64)
     ipd_pd = np.zeros((num_env, 17), np.int64)
-    if not ipdopd:
-        ipd_hist[:] = 0
-        opd_hist[:] = 0
     for e in range(num_env):
         if ps.enable_iid:
             ha[e] = _par_row(ps.iid_par, e, npar) + off

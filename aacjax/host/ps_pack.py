@@ -42,6 +42,7 @@ class PSPackState:
     opd_hist: np.ndarray = field(default_factory=lambda: np.zeros(17, np.int64))
     ps_prev: object = None          # last PSData (replayed when absent)
     is34_prev: bool | None = None
+    ipd_seen: bool = False          # any ipdopd frame packed so far
     # shadow of PSProc.h_slot_imag (per-envelope-slot imaginary H) so a
     # slot that turns sticky at a band-scheme switch can seed the numpy
     # fallback with the stale values ffmpeg keeps interpolating; on the
@@ -103,8 +104,17 @@ def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
     st.ps_prev = ps
     npar = NR_PAR_BANDS[ps.is34]
 
+    if st.ipd_seen and not bool(
+            ps.enable_ipdopd and ps.ipd_par is not None):
+        # explicit enable_ipdopd=0 after active IPD frames: the frozen
+        # phase state and the stored imaginary H must survive the off
+        # span and resume (ffmpeg context semantics) — the index-based
+        # device carry cannot express that, so the slot goes sticky
+        return False
+
     ha, ic, opd_pd, ipd_pd, ipdopd = resolve_frame_indices(
         ps, st.ipd_hist, st.opd_hist)
+    st.ipd_seen = st.ipd_seen or ipdopd
     num_env = ps.num_env
 
     dense.has_ps[slot, t] = 1.0

@@ -316,6 +316,7 @@ class BatchDecoder:
                 ipd_pd_prev=pst.ipd_pd_prev.copy(),
                 ipd_hist=pst.ipd_hist.copy(), opd_hist=pst.opd_hist.copy(),
                 ps_prev=pst.ps_prev, is34_prev=pst.is34_prev,
+                ipd_seen=pst.ipd_seen,
                 h_slot_imag=pst.h_slot_imag.copy())
 
         self._ps_pack_snap = (

@@ -293,6 +293,8 @@ class PSSpec:
     icc_par: np.ndarray | None = None
     ipd_par: np.ndarray | None = None   # [num_env, nr_ipdopd] in 0..7
     opd_par: np.ndarray | None = None   # (written as PS extension id 0)
+    ipd_off: bool = False               # write ext with enable_ipdopd=0
+                                        # (explicit OFF, vs ext absent)
 
 
 def write_ps_data(w: BitWriter, spec: PSSpec) -> None:
@@ -310,7 +312,7 @@ def write_ps_data(w: BitWriter, spec: PSSpec) -> None:
     w.write(1 if spec.icc_par is not None else 0, 1)
     if spec.icc_par is not None:
         w.write(spec.icc_mode, 3)
-    has_ext = spec.ipd_par is not None
+    has_ext = spec.ipd_par is not None or spec.ipd_off
     w.write(1 if has_ext else 0, 1)      # bs_enable_ext
     w.write(0, 1)                        # frame_class FIX
     w.write({0: 0, 1: 1, 2: 2, 4: 3}[spec.num_env], 2)
@@ -333,8 +335,8 @@ def write_ps_data(w: BitWriter, spec: PSSpec) -> None:
         # PS extension id 0: IPD/OPD (delta-freq, raw mod-8 symbols)
         ext = BitWriter()
         ext.write(0, 2)                  # ps_extension_id
-        ext.write(1, 1)                  # enable_ipdopd
-        for e in range(spec.num_env):
+        ext.write(0 if spec.ipd_off else 1, 1)   # enable_ipdopd
+        for e in range(0 if spec.ipd_off else spec.num_env):
             for name, par in (("ipd", spec.ipd_par), ("opd", spec.opd_par)):
                 ext.write(0, 1)          # delta-freq
                 acc = 0

@@ -302,3 +302,59 @@ def test_ps_band_scheme_flip_sample_exact(head, tail):
         sl = slice(f * 2048, min((f + 1) * 2048, n))
         err = float(np.abs(got[sl] - want[sl]).max()) / scale
         assert err < 1e-4, f"frame {f}: rel err {err:.2e}"
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ps_ipdopd_explicit_off_resume():
+    """An extension transmitting enable_ipdopd=0 (explicit OFF, unlike
+    an absent extension) freezes — not resets — the 6-bit phase
+    accumulators and leaves the stored imaginary H untouched, so IPD
+    resumes from the pre-off state (ffmpeg context semantics).  Checked
+    sample-exact vs libavcodec on the streaming path and self-consistent
+    on the batched path (explicit-off slots divert to the warm numpy
+    fallback)."""
+    rng = np.random.default_rng(3)
+    core_cfg = parse_asc(make_asc(2, 7, 1))
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 2 * core_cfg.sample_rate)
+    nb = t.n_bands(1)
+    flags = ["on"] * 3 + ["off"] * 3 + ["on"] * 4
+    pays = []
+    for f, fl in enumerate(flags):
+        iid = np.clip(np.cumsum(rng.integers(-2, 3, (2, 20)), axis=1), -7, 7)
+        icc = np.clip(3 + np.cumsum(rng.integers(-2, 3, (2, 20)), axis=1),
+                      0, 7)
+        kw = dict(iid_mode=1, num_env=2, iid_par=iid,
+                  icc_mode=1, icc_par=icc)
+        if fl == "on":
+            kw["ipd_par"] = np.clip(np.cumsum(
+                rng.integers(-1, 2, (2, 11)), axis=1) % 8, 0, 7)
+            kw["opd_par"] = np.clip(np.cumsum(
+                rng.integers(-1, 2, (2, 11)), axis=1) % 8, 0, 7)
+        else:
+            kw["ipd_off"] = True
+        spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                            env_q=np.full((2, nb), 25, np.int64),
+                            noise_q=np.full((2, t.n_q), 30, np.int64))
+        pays.append(sbr_payload([spec], h, 2 * core_cfg.sample_rate,
+                                ps=PSSpec(**kw), write_header=(f == 0)))
+    x = _lowpass_noise(rng, 1024 * len(flags))
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+    want, rate = ffmpeg_oracle.decode_adts(stream)
+    assert rate == 44100
+    got = decode_ours(stream)
+    n = min(len(want), len(got))
+    scale = max(float(np.abs(want[:n]).max()), 1e-3)
+    for f in range(2, len(flags)):
+        sl = slice(f * 2048, min((f + 1) * 2048, n))
+        err = float(np.abs(got[sl] - want[sl]).max()) / scale
+        assert err < 1e-4, f"frame {f}: rel err {err:.2e}"
+
+    from aacjax.api import decode_adts as batched_decode
+    got_b, rate_b = batched_decode(stream, chunk_frames=4)
+    nb2 = min(n, len(got_b))
+    err_b = float(np.abs(got_b[:nb2] - got[:nb2]).max()) / scale
+    assert rate_b == 44100 and err_b < 3e-3, f"batched rel err {err_b:.2e}"
