@@ -20,7 +20,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from aacjax.host.ps_decode import NR_PAR_BANDS, resolve_frame_indices
+from aacjax.host.ps_decode import (NR_PAR_BANDS, _tables as _ps_tables,
+                                   resolve_frame_indices)
 
 SLOTS = 32
 MAX_KNOTS = 6           # carry + up to 5 envelopes (incl. the fixup one)
@@ -29,25 +30,22 @@ MAX_KNOTS = 6           # carry + up to 5 envelopes (incl. the fixup one)
 @dataclass
 class PSPackState:
     """Per-slot host-side sequential PS state for the batched path."""
-    # previous frame's final-envelope indices (knot 0 of the next frame);
-    # ha -1 = no PS seen yet (H starts at zero, like PSProc.h_prev)
-    ha_prev: np.ndarray = field(
-        default_factory=lambda: np.full(34, -1, np.int64))
-    icc_prev: np.ndarray = field(default_factory=lambda: np.zeros(34, np.int64))
-    opd_pd_prev: np.ndarray = field(
-        default_factory=lambda: np.zeros(17, np.int64))
-    ipd_pd_prev: np.ndarray = field(
-        default_factory=lambda: np.zeros(17, np.int64))
+    # previous frame's final H matrices (knot 0 of the next frame) as
+    # VALUES — an exact mirror of PSProc.h_prev.  Explicit values (not
+    # LUT indices) make every cross-frame carry expressible on device:
+    # IPD/OPD-off spans (real carry), off->on resumes (stored imag),
+    # and post-band-flip remapped carries (re-adoption)
+    h_prev: np.ndarray = field(
+        default_factory=lambda: np.zeros((34, 4), np.complex128))
     ipd_hist: np.ndarray = field(default_factory=lambda: np.zeros(17, np.int64))
     opd_hist: np.ndarray = field(default_factory=lambda: np.zeros(17, np.int64))
     ps_prev: object = None          # last PSData (replayed when absent)
     is34_prev: bool | None = None
-    ipd_seen: bool = False          # any ipdopd frame packed so far
-    # shadow of PSProc.h_slot_imag (per-envelope-slot imaginary H) so a
-    # slot that turns sticky at a band-scheme switch can seed the numpy
-    # fallback with the stale values ffmpeg keeps interpolating; on the
-    # device itself these are always zero (constant-scheme chunks never
-    # read bands >= the IPD cut)
+    # shadow of PSProc.h_slot_imag (per-envelope-slot imaginary H): the
+    # device reads its rows as the chunk-constant imaginary tail for
+    # bands >= the IPD cut (nonzero only after a band-scheme switch,
+    # libavcodec's never-rewritten stale values), and a slot that turns
+    # sticky seeds the numpy fallback from the same shadow
     h_slot_imag: np.ndarray = field(
         default_factory=lambda: np.zeros((5, 34, 4)))
 
@@ -59,6 +57,9 @@ class PSDense:
     icc_idx: np.ndarray     # [B,T,6,34] i32
     opd_pd: np.ndarray      # [B,T,6,17] i32  9-bit phase idx (0=identity)
     ipd_pd: np.ndarray      # [B,T,6,17] i32
+    h0_r: np.ndarray        # [B,T,34,4] f32  knot-0 carry H (values)
+    h0_i: np.ndarray        # [B,T,34,4] f32
+    hslot: np.ndarray       # [B,T,6] i8  imag-tail row per knot (0 = none)
     knot_lo: np.ndarray     # [B,T,32] i32  interpolation knots per slot
     knot_hi: np.ndarray     # [B,T,32] i32
     alpha: np.ndarray       # [B,T,32] f32
@@ -72,12 +73,40 @@ def alloc_ps_dense(B: int, T: int) -> PSDense:
         icc_idx=np.zeros((B, T, MAX_KNOTS, 34), np.int32),
         opd_pd=np.zeros((B, T, MAX_KNOTS, 17), np.int32),
         ipd_pd=np.zeros((B, T, MAX_KNOTS, 17), np.int32),
+        h0_r=np.zeros((B, T, 34, 4), np.float32),
+        h0_i=np.zeros((B, T, 34, 4), np.float32),
+        hslot=np.zeros((B, T, MAX_KNOTS), np.int8),
         knot_lo=np.zeros((B, T, SLOTS), np.int32),
         knot_hi=np.zeros((B, T, SLOTS), np.int32),
         alpha=np.zeros((B, T, SLOTS), np.float32),
         ipd_on=np.zeros((B, T), np.float32),
         has_ps=np.zeros((B, T), np.float32),
     )
+
+
+def himag_plane(pack_states: list, B: int) -> np.ndarray:
+    """Per-slot chunk-constant imaginary-tail plane [B, 4, 34, 4] f32 —
+    rows 1..4 of each slot's h_slot_imag shadow.  The device only reads
+    columns at/past the IPD cut, which are never rewritten in-mode, so
+    a chunk-start snapshot is exact for the whole chunk."""
+    out = np.zeros((B, 4, 34, 4), np.float32)
+    for s, st in enumerate(pack_states):
+        if st is not None and st.ps_prev is not None:
+            out[s] = st.h_slot_imag[1:5]
+    return out
+
+
+def dense_to_dict(d: PSDense, himag: np.ndarray, out_src: np.ndarray,
+                  out_role: np.ndarray) -> dict:
+    """The device-facing ps_dense dict for kernels.ps_batch."""
+    return dict(
+        ps_ha=d.ha_idx, ps_icc=d.icc_idx,
+        ps_opd=d.opd_pd, ps_ipd=d.ipd_pd,
+        ps_h0_r=d.h0_r, ps_h0_i=d.h0_i,
+        ps_hslot=d.hslot, ps_himag=himag,
+        ps_knot_lo=d.knot_lo, ps_knot_hi=d.knot_hi,
+        ps_alpha=d.alpha, ps_has=d.has_ps,
+        out_src=out_src, out_role=out_role)
 
 
 def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
@@ -103,36 +132,29 @@ def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
     st.is34_prev = bool(ps.is34)
     st.ps_prev = ps
     npar = NR_PAR_BANDS[ps.is34]
-
-    if st.ipd_seen and not bool(
-            ps.enable_ipdopd and ps.ipd_par is not None):
-        # explicit enable_ipdopd=0 after active IPD frames: the frozen
-        # phase state and the stored imaginary H must survive the off
-        # span and resume (ffmpeg context semantics) — the index-based
-        # device carry cannot express that, so the slot goes sticky
-        return False
+    cut = 17 if ps.is34 else 11
 
     ha, ic, opd_pd, ipd_pd, ipdopd = resolve_frame_indices(
         ps, st.ipd_hist, st.opd_hist)
-    st.ipd_seen = st.ipd_seen or ipdopd
     num_env = ps.num_env
 
     dense.has_ps[slot, t] = 1.0
     dense.ipd_on[slot, t] = 1.0 if ipdopd else 0.0
-    # knot 0 = carry
-    dense.ha_idx[slot, t, 0, :npar] = st.ha_prev[:npar]
-    dense.icc_idx[slot, t, 0, :npar] = st.icc_prev[:npar]
-    if ipdopd:
-        dense.opd_pd[slot, t, 0, :] = st.opd_pd_prev
-        dense.ipd_pd[slot, t, 0, :] = st.ipd_pd_prev
-    # (when ipdopd is off this frame the kernel zeroes every imaginary
-    # part via ipd_on, which also covers the carry — matching apply_ps's
-    # h_prev.real reset)
+    # knot 0 = carry, shipped as explicit H values (apply_ps's prev_h:
+    # the full stored matrices when ipdopd is on this frame — including
+    # an off->on resume's stored imaginary components — and their real
+    # part only on real frames)
+    prev_h = st.h_prev if ipdopd else st.h_prev.real.astype(np.complex128)
+    dense.h0_r[slot, t] = prev_h.real
+    dense.h0_i[slot, t] = prev_h.imag
     for e in range(num_env):
         dense.ha_idx[slot, t, e + 1, :npar] = ha[e]
         dense.icc_idx[slot, t, e + 1, :npar] = ic[e]
         dense.opd_pd[slot, t, e + 1, :] = opd_pd[e]
         dense.ipd_pd[slot, t, e + 1, :] = ipd_pd[e]
+        if ipdopd:
+            # per-envelope imaginary tail row (bands >= cut)
+            dense.hslot[slot, t, e + 1] = min(e + 1, 4)
 
     # per-slot interpolation weights between knots
     borders = ps.border_position
@@ -159,10 +181,8 @@ def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
 
     # shadow the per-envelope-slot imaginary H exactly like apply_ps
     # (written only below the IPD cut, only on ipdopd frames)
+    t_ = _ps_tables()
     if ipdopd:
-        from aacjax.host.ps_decode import _tables as _ps_tables
-        t_ = _ps_tables()
-        cut = 17 if ps.is34 else 11
         for e in range(num_env):
             base = t_["HA"][ha[e, :cut], ic[e, :cut]].astype(np.complex128)
             o = t_["pd_smooth"][opd_pd[e, :cut]]
@@ -173,15 +193,29 @@ def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
             sl[:cut, 2] = (base[:, 2] * o).imag
             sl[:cut, 3] = (base[:, 3] * adj).imag
 
-    # carry for the next frame
-    st.ha_prev[:npar] = ha[num_env - 1]
-    st.ha_prev[npar:] = 7            # unused bands: identity row
-    st.icc_prev[:npar] = ic[num_env - 1]
-    st.icc_prev[npar:] = 0
-    if ipdopd:
-        st.opd_pd_prev[:] = opd_pd[num_env - 1]
-        st.ipd_pd_prev[:] = ipd_pd[num_env - 1]
+    # carry for the next frame: mirror apply_ps's h_prev update — the
+    # final envelope's H target (phases + stored imag tail), or, on a
+    # frame with no envelopes, the unchanged carry; real frames swap in
+    # the stored per-slot imaginary row (ffmpeg's unconditional
+    # env-slot-0 copy)
+    new_h = np.zeros((34, 4), np.complex128)
+    if num_env:
+        e = num_env - 1
+        ht = t_["HA"][ha[e], ic[e]].astype(np.complex128)     # [npar, 4]
+        if ipdopd:
+            o = t_["pd_smooth"][opd_pd[e, :cut]]
+            adj = o * np.conj(t_["pd_smooth"][ipd_pd[e, :cut]])
+            ht[:cut, 0] *= o
+            ht[:cut, 1] *= adj
+            ht[:cut, 2] *= o
+            ht[:cut, 3] *= adj
+            ht[cut:npar] = (ht[cut:npar].real
+                            + 1j * st.h_slot_imag[min(e + 1, 4),
+                                                  cut:npar])
+        new_h[:npar] = ht
     else:
-        st.opd_pd_prev[:] = 0
-        st.ipd_pd_prev[:] = 0
+        new_h[:] = prev_h
+    if not ipdopd:
+        new_h = new_h.real + 1j * st.h_slot_imag[min(num_env, 4)]
+    st.h_prev = new_h
     return True

@@ -422,9 +422,22 @@ def _decorrelate(s_r, s_i, state, c, B, S, is34):
 
 
 def _mixing_h(dense, c, B, T, is34):
-    """Host-packed knot indices -> per-slot H [B,T,32,npar,4] (re, im)
-    and the imneg interpolation track (imaginary-start negation)."""
+    """Host-packed knot data -> per-slot H [B,T,32,npar,4] (re, im)
+    and the imneg interpolation track (imaginary-start negation).
+
+    Knot 0 (the cross-frame carry) arrives as EXPLICIT H values
+    (ps_h0_r/i, the host packer's h_prev mirror) rather than LUT
+    indices: remapped band-flip carries, IPD/OPD-off spans, and
+    off->on resumes are all representable, so none of those states
+    forces the numpy fallback anymore.  Envelope knots additionally
+    take a per-slot chunk-constant imaginary tail for bands at/past
+    the IPD cut (ps_himag rows selected by ps_hslot) — the stale
+    per-envelope-slot values libavcodec keeps interpolating after a
+    band-scheme switch (host.ps_decode h_slot_imag semantics); the
+    tail columns are never rewritten in-mode, so chunk-constant is
+    exact."""
     NPAR = _NPAR[is34]
+    CUT = 17 if is34 else 11
     HA = jnp.asarray(c["HA"])
     pd_r = jnp.asarray(c["pd_r"])
     pd_i = jnp.asarray(c["pd_i"])
@@ -449,6 +462,20 @@ def _mixing_h(dense, c, B, T, is34):
         [rot_i, jnp.zeros(pad_shape, jnp.float32)], axis=3)
     K_r = base * rot_r                                        # [B,T,6,20,4]
     K_i = base * rot_i
+    # imaginary tail: rows 1..4 of the per-slot h_slot_imag shadow,
+    # selected per knot (ps_hslot 0 = no tail), applied at bands >= CUT
+    hs = dense["ps_hslot"].astype(jnp.int32)                  # [B,T,6]
+    oh_t = (hs[..., None] == (1 + jnp.arange(4))).astype(jnp.float32)
+    tail = jnp.einsum('btkr,brpx->btkpx', oh_t,
+                      dense["ps_himag"][:, :, :NPAR], precision=_HI)
+    cutm = (jnp.arange(NPAR) >= CUT).astype(jnp.float32)[
+        None, None, None, :, None]
+    K_i = K_i * (1.0 - cutm) + tail * cutm
+    # knot 0: explicit carry values (overrides indices AND the tail)
+    K_r = jnp.concatenate(
+        [dense["ps_h0_r"][:, :, None, :NPAR], K_r[:, :, 1:]], axis=2)
+    K_i = jnp.concatenate(
+        [dense["ps_h0_i"][:, :, None, :NPAR], K_i[:, :, 1:]], axis=2)
 
     al = dense["ps_alpha"][..., None, None]                   # [B,T,32,1,1]
 

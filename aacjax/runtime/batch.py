@@ -245,6 +245,13 @@ class BatchDecoder:
             self._sbr_np_sticky = [False] * self.C
             self._sbr_dev_state = sbr_state_init(self.C)
             self._sbr_cfg = None
+            # the elected config's SBRTables (lru-cached by
+            # derive_tables, so identity-comparable); None = match on
+            # header alone (restored checkpoints)
+            self._sbr_cfg_tbl = None
+            # slots _readopt_sticky could not re-adopt (genuinely mixed
+            # headers/modes): the pipelined path skips draining for them
+            self._readopt_blocked: set[int] = set()
             # cache for context-free (all-delta-freq) SBR payloads, shared
             # across streams: serving fleets repeat identical payloads
             self._sbr_parse_cache: dict = {}
@@ -302,7 +309,8 @@ class BatchDecoder:
                 index_noise=hs.index_noise, index_sine=hs.index_sine,
                 la_prev=hs.la_prev,
                 s_index_prev=(None if hs.s_index_prev is None
-                              else hs.s_index_prev.copy()))
+                              else hs.s_index_prev.copy()),
+                t_env_last=hs.t_env_last)
 
         self._host_state_snap = [
             None if self._sbr_np_sticky[s] else
@@ -311,12 +319,9 @@ class BatchDecoder:
         def clone_ps(pst):
             from aacjax.host.ps_pack import PSPackState
             return PSPackState(
-                ha_prev=pst.ha_prev.copy(), icc_prev=pst.icc_prev.copy(),
-                opd_pd_prev=pst.opd_pd_prev.copy(),
-                ipd_pd_prev=pst.ipd_pd_prev.copy(),
+                h_prev=pst.h_prev.copy(),
                 ipd_hist=pst.ipd_hist.copy(), opd_hist=pst.opd_hist.copy(),
                 ps_prev=pst.ps_prev, is34_prev=pst.is34_prev,
-                ipd_seen=pst.ipd_seen,
                 h_slot_imag=pst.h_slot_imag.copy())
 
         self._ps_pack_snap = (
@@ -339,13 +344,19 @@ class BatchDecoder:
             self._sbr_cfg = (sf.header, SBRStaticConfig.from_tables(
                 sf.tables, float(sbrmod._consts()["limgain"][
                     sf.header.limiter_gains])))
+            self._sbr_cfg_tbl = sf.tables
         eq = sbrmod.dequant(sf)
         ps = getattr(sf, "ps", None) if nch == 1 else None
+        deviant = (sf.header != self._sbr_cfg[0]
+                   or (self._sbr_cfg_tbl is not None
+                       and sf.tables is not self._sbr_cfg_tbl))
         for c in range(nch):
             self._chunk_sbr_records[slot + c].append((t, sf, c, eq[c]))
-            if sf.header != self._sbr_cfg[0]:
-                # deviant header: this slot's grid tables don't fit the
-                # chunk's compiled static config
+            if deviant:
+                # deviant header (or same header at a different sample
+                # rate): this slot's grid tables don't fit the chunk's
+                # compiled static config.  _readopt_sticky re-adopts at
+                # the next chunk boundary once the election allows it
                 self._sbr_np_sticky[slot + c] = True
             if not self._sbr_np_sticky[slot + c]:
                 SP.pack_channel_frame(dense, slot + c, t,
@@ -375,9 +386,11 @@ class BatchDecoder:
         if self._sbr_cfg is None:
             # no SBR payload seen yet anywhere: whole chunk upsample-only
             hdr = SBRHeader()
-            self._sbr_cfg = (hdr, SBRStaticConfig.from_tables(
-                derive_tables(hdr, 2 * self.streams[0].config.sample_rate),
-                1.0))
+            tbl = derive_tables(hdr,
+                                2 * self.streams[0].config.sample_rate)
+            self._sbr_cfg = (hdr, SBRStaticConfig.from_tables(tbl, 1.0))
+            self._sbr_cfg_tbl = tbl
+        from aacjax.host import ps_pack as PP
         return dict(
             nframes=self._chunk_nframes,
             records=self._chunk_sbr_records,
@@ -388,6 +401,8 @@ class BatchDecoder:
             ps_enabled=self._ps_enabled,
             ps_is34=self._ps_is34,
             ps_dense=self._ps_dense,
+            ps_himag=(PP.himag_plane(self._ps_pack_states, self.C)
+                      if self._ps_enabled else None),
             ps_pair=list(self._ps_pair))
 
     def _sbr_dispatch(self, core_pcm, dense, ctx: dict,
@@ -423,7 +438,8 @@ class BatchDecoder:
         with lk:
             seeds = {
                 s: tuple(np.asarray(prev_state[k][s], np.float64)
-                         for k in ("x_hist", "v_hist", "xlow_r", "xlow_i"))
+                         for k in ("x_hist", "v_hist", "xlow_r", "xlow_i",
+                                   "ytail_r", "ytail_i"))
                 for s in fresh}
             if ctx["ps_enabled"] and self._ps_dev_state is not None:
                 pdev = self._ps_dev_state
@@ -443,19 +459,15 @@ class BatchDecoder:
                 # PS owns the L synthesis from here: continue the mono
                 # path's filterbank state seamlessly
                 self._ps_dev_state["v_l"] = prev_state["v_hist"].copy()
+            from aacjax.host import ps_pack as PP
             out_src = np.arange(self.C, dtype=np.int32)
             out_role = np.zeros(self.C, np.int32)
             for s, p in enumerate(ctx["ps_pair"]):
                 if p >= 0:
                     out_src[p] = s
                     out_role[p] = 1
-            d = ctx["ps_dense"]
-            ps_dense = dict(
-                ps_ha=d.ha_idx, ps_icc=d.icc_idx,
-                ps_opd=d.opd_pd, ps_ipd=d.ipd_pd,
-                ps_knot_lo=d.knot_lo, ps_knot_hi=d.knot_hi,
-                ps_alpha=d.alpha, ps_has=d.has_ps,
-                out_src=out_src, out_role=out_role)
+            ps_dense = PP.dense_to_dict(ctx["ps_dense"], ctx["ps_himag"],
+                                        out_src, out_role)
             if mesh is not None:
                 fn = meshlib.sharded_sbr_ps_apply(
                     self._sbr_cfg[1], mesh, out_int16 and not sticky,
@@ -552,10 +564,12 @@ class BatchDecoder:
                         proc.s_index_prev = (
                             None if hs.s_index_prev is None
                             else np.array(hs.s_index_prev))
-                    x_hist, v_hist, xlr, xli = seeds[slot]
+                        proc.t_env_last = hs.t_env_last
+                    x_hist, v_hist, xlr, xli, ytr, yti = seeds[slot]
                     proc.x_hist = x_hist
                     proc.v_hist = v_hist
                     proc.xlow_hist = xlr + 1j * xli
+                    proc.y_tail = ytr + 1j * yti
                     self._sbr_np_procs[slot] = proc
                 recs = {t: (sf, c, eq)
                         for (t, sf, c, eq) in ctx["records"][slot]}
@@ -604,11 +618,10 @@ class BatchDecoder:
           band scheme, matching libavcodec);
         - the hybrid FIR input history from the SBR xlow seed (the PS
           line is the low 5 QMF bands of the same continuous signal);
-        - H matrices reconstructed from the pre-chunk pack snapshot's
-          knot-0 indices (HA LUT x smoothed-phase rotation — identical
-          math to the device _mixing_h), plus the 6-bit phase histories
-          and the ps_data replay reference."""
-        from aacjax.host.ps_decode import _tables as ps_tables
+        - H matrices copied from the pre-chunk pack snapshot's h_prev
+          value mirror (the same values the device's knot-0 carry
+          plane ships), plus the 6-bit phase histories and the ps_data
+          replay reference."""
         from aacjax.host.ps_decode import PSProc
         p = PSProc()
         vl = np.array(proc.v_hist)
@@ -630,52 +643,180 @@ class BatchDecoder:
             # the hybrid FIR history is X slots 26..31 of the last
             # frame: slots 26..29 live in the PS hist4 carry, 30..31 in
             # the SBR xlow line (whose 8 rows are X slots 30..37)
-            _, _, xlr, xli = sd
+            xlr, xli = sd[2], sd[3]
             for i in range(5):
                 p.in_hist[i] = np.concatenate([
                     dev["hist4_r"][:, i] + 1j * dev["hist4_i"][:, i],
                     xlr[0:2, i] + 1j * xli[0:2, i]])
         snap = (ctx.get("ps_snap") or [None] * self.C)[slot]
         if snap is not None and snap.ps_prev is not None:
-            t = ps_tables()
-            ha = snap.ha_prev
-            base = t["HA"][np.maximum(ha, 0),
-                           snap.icc_prev].astype(np.complex128)
-            base[ha < 0] = 0.0
-            # rows beyond the previous scheme's parameter count are
-            # ZERO on the numpy path (prev_h is rebuilt as zeros each
-            # frame); the pack carry marks them with the identity index
-            # 7 instead, which must not leak into a band-scheme flip
-            if snap.is34_prev is not None:
-                base[(34, 20)[not snap.is34_prev]:] = 0.0
-            o = t["pd_smooth"][snap.opd_pd_prev]
-            adj = o * np.conj(t["pd_smooth"][snap.ipd_pd_prev])
-            base[:17, 0] *= o
-            base[:17, 1] *= adj
-            base[:17, 2] *= o
-            base[:17, 3] *= adj
-            # frame-end imaginary components mirror apply_ps: bands at
-            # or beyond the IPD cut carry the stale per-envelope-slot
-            # values; real-only frames carry the whole stored imag
-            ne = min(int(snap.ps_prev.num_env), 4)
-            ipdopd_last = bool(
-                getattr(snap.ps_prev, "enable_ipdopd", False)
-                and snap.ps_prev.ipd_par is not None)
-            if ipdopd_last:
-                cut = 17 if snap.is34_prev else 11
-                npar_prev = (34, 20)[not snap.is34_prev]
-                base[cut:npar_prev] = (base[cut:npar_prev].real
-                                       + 1j * snap.h_slot_imag[ne,
-                                                               cut:npar_prev])
-            else:
-                base = base.real + 1j * snap.h_slot_imag[ne]
-            p.h_prev = base
+            p.h_prev = snap.h_prev.copy()
             p.h_slot_imag[:] = snap.h_slot_imag
             p.ipd_hist[:17] = snap.ipd_hist
             p.opd_hist[:17] = snap.opd_hist
             p.ps_prev = snap.ps_prev
             p.is34_prev = snap.is34_prev
         return p, vl, vr
+
+    def _readopt_sticky(self) -> set[int]:
+        """Re-adopt sticky numpy-fallback slots onto the batched device
+        path at a settled chunk boundary — the inverse of the warm
+        seeding that diverted them (SURVEY.md §5 "per-stream error
+        isolation": isolation must be temporary, not a one-way door).
+
+        Two elections run first:
+        - SBR header: if every SBR-active stream's current header (and
+          derived table set) agrees, the chunk static config re-elects
+          to it — covering the whole-fleet (and single-stream) header
+          change that previously exiled streams to host numpy forever.
+        - PS band mode: if every PS-active slot's current scheme agrees,
+          the chunk kernel mode re-elects; mode-dependent decorrelator
+          state reallocates (zeros — exactly the libavcodec band-switch
+          reset the numpy replay already applied), mode-independent
+          state (QMF synthesis, hybrid FIR history) carries over.
+
+        Each sticky slot whose header+mode now match the elected chunk
+        program gets its device state rebuilt from the numpy
+        SBRChannelProc/PSProc (QMF FIFOs, X_low line, Y-carry, delay/
+        allpass lines, transient trackers, dual synthesis histories)
+        and its host sequential state (SBRHostState, PSPackState incl.
+        the h_prev value mirror) reconstructed, then rejoins the
+        batched path on the next chunk.  Returns the slots that could
+        NOT be re-adopted (genuinely mixed headers/modes across
+        concurrent streams — those stay on the isolated numpy path)."""
+        if not hasattr(self, '_sbr_ctxs'):
+            return set()
+        sticky = [s for s in range(self.C) if self._sbr_np_sticky[s]]
+        if not sticky:
+            self._readopt_blocked = set()
+            return set()
+        from aacjax.host import ps_pack as PP
+        from aacjax.host import sbr as sbrmod
+        from aacjax.host.sbr_pack import SBRHostState
+        from aacjax.kernels.sbr_batch import SBRStaticConfig
+
+        slot_stream = np.zeros(self.C, np.int32)
+        for i, st in enumerate(self.streams):
+            slot_stream[st.base_slot: st.base_slot + st.n_slots] = i
+
+        # -- SBR header election -----------------------------------------
+        live = {}
+        for ctx in self._sbr_ctxs:
+            if ctx.header is not None:
+                tbl = sbrmod.derive_tables(ctx.header, ctx.sample_rate)
+                live[(ctx.header, id(tbl))] = (ctx.header, tbl)
+        if len(live) == 1:
+            hdr, tbl = next(iter(live.values()))
+            if (hdr != self._sbr_cfg[0] or (self._sbr_cfg_tbl is not None
+                                            and tbl is not self._sbr_cfg_tbl)):
+                limgain = float(
+                    sbrmod._consts()["limgain"][hdr.limiter_gains])
+                self._sbr_cfg = (hdr,
+                                 SBRStaticConfig.from_tables(tbl, limgain))
+                self._sbr_cfg_tbl = tbl
+
+        # -- PS band-mode election ----------------------------------------
+        modes = set()
+        for s in range(self.C):
+            if self._ps_pair[s] < 0:
+                continue
+            m = (self._ps_np[s][0].is34_prev if self._ps_np[s] is not None
+                 else self._ps_pack_states[s].is34_prev)
+            if m is not None:
+                modes.add(bool(m))
+        if len(modes) == 1 and self._ps_is34 is not None \
+                and modes != {bool(self._ps_is34)}:
+            from aacjax.kernels.ps_batch import ps_state_init
+            old = self._ps_dev_state
+            self._ps_is34 = modes.pop()
+            new = ps_state_init(self.C, bool(self._ps_is34))
+            if old is not None:
+                for k in ("v_l", "v_r", "hist4_r", "hist4_i"):
+                    new[k] = old[k]   # mode-independent state carries
+            else:
+                new["v_l"] = self._sbr_dev_state["v_hist"].copy()
+            self._ps_dev_state = new
+
+        # -- per-slot adoption ----------------------------------------------
+        adopt, blocked = [], set()
+        for s in sticky:
+            ctx = self._sbr_ctxs[int(slot_stream[s])]
+            proc = self._sbr_np_procs[s]
+            ok = proc is not None and ctx.header is not None
+            if ok:
+                tbl = sbrmod.derive_tables(ctx.header, ctx.sample_rate)
+                ok = (ctx.header == self._sbr_cfg[0]
+                      and (self._sbr_cfg_tbl is None
+                           or tbl is self._sbr_cfg_tbl))
+            if ok and self._ps_pair[s] >= 0:
+                pnp = self._ps_np[s]
+                ok = (pnp is not None and pnp[0].is34_prev is not None
+                      and bool(pnp[0].is34_prev) == bool(self._ps_is34))
+            if ok:
+                adopt.append(s)
+            else:
+                blocked.add(s)
+        if adopt:
+            f32 = np.float32
+            ds = {k: np.array(v) for k, v in self._sbr_dev_state.items()}
+            ps = (None if self._ps_dev_state is None else
+                  {k: np.array(v) for k, v in self._ps_dev_state.items()})
+            for s in adopt:
+                proc = self._sbr_np_procs[s]
+                ds["x_hist"][s] = proc.x_hist
+                ds["xlow_r"][s] = proc.xlow_hist.real
+                ds["xlow_i"][s] = proc.xlow_hist.imag
+                ds["ytail_r"][s] = proc.y_tail.real
+                ds["ytail_i"][s] = proc.y_tail.imag
+                hs = SBRHostState(
+                    bw=np.asarray(proc.bw, np.float64).copy(),
+                    invf_prev=(None if proc.invf_prev is None
+                               else np.array(proc.invf_prev)),
+                    index_noise=proc.index_noise,
+                    index_sine=proc.index_sine,
+                    la_prev=proc.la_prev,
+                    s_index_prev=(None if proc.s_index_prev is None
+                                  else np.array(proc.s_index_prev)),
+                    t_env_last=proc.t_env_last)
+                self._sbr_host_states[s] = hs
+                if self._ps_pair[s] >= 0:
+                    pp, vl, vr = self._ps_np[s]
+                    ps["v_l"][s] = vl
+                    ps["v_r"][s] = vr
+                    ps["hist4_r"][s] = np.stack(
+                        [pp.in_hist[i][:4].real for i in range(5)], axis=1)
+                    ps["hist4_i"][s] = np.stack(
+                        [pp.in_hist[i][:4].imag for i in range(5)], axis=1)
+                    nb = ps["delay_r"].shape[1]
+                    nap = ps["ap_r"].shape[1]
+                    npar = ps["peak"].shape[1]
+                    ps["delay_r"][s] = pp.delay[:nb].real
+                    ps["delay_i"][s] = pp.delay[:nb].imag
+                    ps["ap_r"][s] = pp.ap_delay[:nap].real
+                    ps["ap_i"][s] = pp.ap_delay[:nap].imag
+                    ps["peak"][s] = pp.peak_decay_nrg[:npar]
+                    ps["psmooth"][s] = pp.power_smooth[:npar]
+                    ps["pdiff"][s] = pp.peak_decay_diff[:npar]
+                    self._ps_pack_states[s] = PP.PSPackState(
+                        h_prev=pp.h_prev.copy(),
+                        ipd_hist=pp.ipd_hist[:17].copy(),
+                        opd_hist=pp.opd_hist[:17].copy(),
+                        ps_prev=pp.ps_prev,
+                        is34_prev=pp.is34_prev,
+                        h_slot_imag=pp.h_slot_imag.copy())
+                    self._ps_np[s] = None
+                else:
+                    ds["v_hist"][s] = proc.v_hist
+                self._sbr_np_procs[s] = None
+                self._sbr_np_sticky[s] = False
+            import jax.numpy as jnp
+            self._sbr_dev_state = {k: jnp.asarray(v, f32)
+                                   for k, v in ds.items()}
+            if ps is not None:
+                self._ps_dev_state = {k: jnp.asarray(v, f32)
+                                      for k, v in ps.items()}
+        self._readopt_blocked = blocked
+        return blocked
 
     def _he_host_phase(self, payloads_per_stream, compact=None,
                        buf_slot: int = 0):
@@ -800,10 +941,17 @@ class BatchDecoder:
         try:
             self._pipeline_active = True
             for chunk in chunk_iter:
-                if self._deferred_resets:
-                    # a reset touches state both workers mutate (overlap
-                    # carry, SBR device state, numpy replay procs): drain
-                    # everything in flight, then recycle at the boundary
+                readoptable = hasattr(self, '_sbr_np_sticky') and any(
+                    self._sbr_np_sticky[s] and s not in
+                    self._readopt_blocked for s in range(self.C))
+                if self._deferred_resets or readoptable:
+                    # resets and sticky re-adoption touch state both
+                    # workers mutate (overlap carry, SBR/PS device state,
+                    # numpy replay procs): drain everything in flight,
+                    # then act at the settled boundary.  Re-adoption
+                    # drains at most once per stickiness event — slots
+                    # the election can't adopt go to _readopt_blocked
+                    # and stop forcing pipeline bubbles
                     if up_fut is not None:
                         args = up_fut.result()
                         up_fut = None
@@ -814,6 +962,7 @@ class BatchDecoder:
                         yield down_fut.result()
                         down_fut = None
                     self._apply_deferred_resets()
+                    self._readopt_sticky()
                 host = self._he_host_phase(chunk, compact, buf_slot=slot)
                 if up_fut is not None:
                     args = up_fut.result()
@@ -856,6 +1005,9 @@ class BatchDecoder:
         from aacjax.host import sbr_pack as SP
         from aacjax.host.syntax import CPEData
 
+        # chunk boundary: pull any sticky numpy-fallback slots back onto
+        # the batched device path (no chunk is in flight here)
+        self._readopt_sticky()
         if self.use_native:
             parsed, dense, ctx = self._he_host_phase(
                 payloads_per_stream, compact)
@@ -1415,6 +1567,7 @@ class BatchDecoder:
                 self._sbr_host_states[s] = SP.SBRHostState()
                 self._sbr_np_procs[s] = None
                 self._sbr_np_sticky[s] = False
+                self._readopt_blocked.discard(s)
                 self._ps_np[s] = None
                 if self._ps_pair[s] >= 0:
                     self._ps_pair[s] = -1
@@ -1497,6 +1650,11 @@ class BatchDecoder:
             self._sbr_np_procs = copy.deepcopy(s['procs'])
             self._sbr_np_sticky = list(s['sticky'])
             self._sbr_cfg = copy.deepcopy(s['cfg'])
+            # restored configs match on header alone (the table-identity
+            # fast check only holds within one process's derive_tables
+            # cache); _readopt_sticky re-elects from live contexts anyway
+            self._sbr_cfg_tbl = None
+            self._readopt_blocked = set()
             self._ps_enabled = s['ps_enabled']
             self._ps_is34 = s['ps_is34']
             self._ps_pair = list(s['ps_pair'])

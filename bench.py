@@ -137,13 +137,9 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
                 if p >= 0:
                     out_src[p] = s
                     out_role[p] = 1
-            ps_dense = dict(
-                ps_ha=jnp.asarray(d.ha_idx), ps_icc=jnp.asarray(d.icc_idx),
-                ps_opd=jnp.asarray(d.opd_pd), ps_ipd=jnp.asarray(d.ipd_pd),
-                ps_knot_lo=jnp.asarray(d.knot_lo),
-                ps_knot_hi=jnp.asarray(d.knot_hi),
-                ps_alpha=jnp.asarray(d.alpha), ps_has=jnp.asarray(d.has_ps),
-                out_src=jnp.asarray(out_src), out_role=jnp.asarray(out_role))
+            from aacjax.host import ps_pack as PP
+            ps_dense = {k: jnp.asarray(v) for k, v in PP.dense_to_dict(
+                d, ctx["ps_himag"], out_src, out_role).items()}
             fn0 = jitted_sbr_ps_apply(dec._sbr_cfg[1], True,
                                       bool(ctx["ps_is34"]))
             step = lambda st: fn0(core_pcm, dense_dev, ps_dense,

@@ -122,6 +122,10 @@ def test_ps_batch_matches_numpy_reference(is34):
         "ps_icc": jnp.asarray(dense.icc_idx),
         "ps_opd": jnp.asarray(dense.opd_pd),
         "ps_ipd": jnp.asarray(dense.ipd_pd),
+        "ps_h0_r": jnp.asarray(dense.h0_r),
+        "ps_h0_i": jnp.asarray(dense.h0_i),
+        "ps_hslot": jnp.asarray(dense.hslot),
+        "ps_himag": jnp.asarray(PP.himag_plane(states, B)),
         "ps_knot_lo": jnp.asarray(dense.knot_lo),
         "ps_knot_hi": jnp.asarray(dense.knot_hi),
         "ps_alpha": jnp.asarray(dense.alpha),
@@ -202,6 +206,13 @@ def test_ps_lut_modes_bitwise_equal(is34):
         ps_icc=jnp.asarray(rng.integers(0, 8, (B, T, 6, npar)), jnp.int32),
         ps_opd=jnp.asarray(rng.integers(0, 512, (B, T, 6, 17)), jnp.int32),
         ps_ipd=jnp.asarray(rng.integers(0, 512, (B, T, 6, 17)), jnp.int32),
+        ps_h0_r=jnp.asarray(rng.standard_normal((B, T, 34, 4)),
+                            jnp.float32),
+        ps_h0_i=jnp.asarray(rng.standard_normal((B, T, 34, 4)),
+                            jnp.float32),
+        ps_hslot=jnp.asarray(rng.integers(0, 5, (B, T, 6)), jnp.int8),
+        ps_himag=jnp.asarray(rng.standard_normal((B, 4, 34, 4)),
+                             jnp.float32),
         ps_knot_lo=jnp.asarray(rng.integers(0, 6, (B, T, 32)), jnp.int32),
         ps_knot_hi=jnp.asarray(rng.integers(0, 6, (B, T, 32)), jnp.int32),
         ps_alpha=jnp.asarray(rng.random((B, T, 32)), jnp.float32),

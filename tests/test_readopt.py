@@ -1,0 +1,218 @@
+"""Sticky-fallback RE-ADOPTION: a slot diverted to the per-channel numpy
+path (PS band-scheme flip, deviant/changed SBR header) must return to
+the batched device path at the next chunk boundary — isolation is
+temporary, never a one-way door (SURVEY.md §5 error-isolation spirit;
+the reference has no SBR/PS at all, decoder.js:279-280, decoder.js:221).
+
+Covers BatchDecoder._readopt_sticky: the inverse warm seeding (device
+QMF/X_low/Y-carry FIFOs, PS delay/allpass/transient/synthesis state,
+SBRHostState + PSPackState reconstruction from the numpy procs), the
+SBR header re-election, and the PS band-mode re-election.  Also pins
+the new device-native IPD/OPD-off handling (explicit-values knot-0
+carry): an off->on resume never leaves the device path at all.
+"""
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from aacjax.host import adts
+from aacjax.host.asc import parse_asc
+from aacjax.runtime.batch import BatchDecoder
+
+try:
+    from aacjax.testing import ffmpeg_oracle
+    HAVE_ORACLE = ffmpeg_oracle.available()
+except Exception:  # pragma: no cover
+    HAVE_ORACLE = False
+
+
+def _decode_chunked(stream: bytes, chunk_frames: int = 2,
+                    hook=None, pipelined: bool = False):
+    """Decode an HE-AAC v2 ADTS stream with an inspectable BatchDecoder;
+    returns (pcm [n, 2], decoder).  `hook(chunk_idx, dec)` runs after
+    each chunk's device step + sticky replay."""
+    frames = adts.split_frames(stream)
+    cfg = parse_asc(adts.synthesize_cookie(frames[0][0]))
+    dec = BatchDecoder([cfg], chunk_frames=chunk_frames, cce_slots=1)
+    payloads = [stream[s:e] for _, s, e in frames]
+    chunks = [payloads[k:k + chunk_frames]
+              for k in range(0, len(payloads), chunk_frames)]
+    outs = []
+    if pipelined:
+        for k, out in enumerate(dec.decode_he_pipelined(
+                ([c] for c in chunks), out_int16=False)):
+            out = np.asarray(out, np.float32)
+            outs.append(out)
+            if hook:
+                hook(k, dec)
+    else:
+        for k, chunk in enumerate(chunks):
+            outs.append(np.asarray(dec.step_he_raw([chunk]), np.float32))
+            if hook:
+                hook(k, dec)
+    pair = dec._ps_pair[0] if dec._ps_pair[0] >= 0 else 1
+    pcm = [np.stack([o[0, :len(c)].reshape(-1),
+                     o[pair, :len(c)].reshape(-1)], axis=1)
+           for o, c in zip(outs, chunks)]
+    return np.concatenate(pcm, axis=0), dec
+
+
+def _assert_oracle_exact(stream, got, tol=3e-4, start_frame=2):
+    want, rate = ffmpeg_oracle.decode_adts(stream)
+    assert rate == 44100 and want.shape[1] == 2
+    n = min(len(want), len(got))
+    scale = max(float(np.abs(want[:n]).max()), 1e-3)
+    nfr = n // 2048
+    for f in range(start_frame, nfr):
+        sl = slice(f * 2048, min((f + 1) * 2048, n))
+        err = float(np.abs(got[sl] - want[sl]).max()) / scale
+        assert err < tol, f"frame {f}: rel err {err:.2e}"
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+@pytest.mark.parametrize("head,tail", [(2, 1), (1, 2), (2, 0), (0, 2)])
+def test_flip_readopts_next_chunk(head, tail):
+    """A band-scheme flip diverts the slot to numpy for AT MOST one
+    chunk: the next chunk boundary re-elects the kernel band mode and
+    rebuilds the device state from the numpy procs; output stays
+    oracle-exact through divert AND re-adopt."""
+    from test_ps import _make_flip_stream
+    modes = [head] * 4 + [tail] * 8
+    stream = _make_flip_stream(modes)
+    sticky_per_chunk = []
+
+    def hook(k, dec):
+        sticky_per_chunk.append(list(dec._sbr_np_sticky))
+
+    got, dec = _decode_chunked(stream, chunk_frames=2, hook=hook)
+    # flip lands in chunk 2 (frames 4-5): sticky there, clear from the
+    # next processed chunk on
+    assert any(sticky_per_chunk[2]), "flip chunk should divert to numpy"
+    for k in range(3, len(sticky_per_chunk)):
+        assert not any(sticky_per_chunk[k]), f"chunk {k} still sticky"
+    assert all(p is None for p in dec._sbr_np_procs)
+    assert all(p is None for p in dec._ps_np)
+    assert dec._ps_is34 == (tail == 2)      # band mode re-elected
+    _assert_oracle_exact(stream, got)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_header_change_readopts_next_chunk():
+    """A mid-stream SBR header change re-elects the chunk static config
+    at the next boundary (all live streams agree on the new header) and
+    re-adopts the slot; output stays oracle-exact."""
+    from test_ps import PSSpec, _RAMP20
+    from test_sbr import _lowpass_noise
+    from aacjax.host import sbr as S
+    from aacjax.host.asc import make_asc
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.sbr_encoder import SBRFrameSpec, sbr_payload
+
+    core_cfg = parse_asc(make_asc(2, 7, 1))
+    h1 = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    h2 = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0,
+                     limiter_gains=1)
+    t = S.derive_tables(h1, 44100)
+    nb = t.n_bands(1)
+    ps = PSSpec(iid_mode=1, num_env=2,
+                iid_par=np.stack([_RAMP20, -_RAMP20]),
+                icc_mode=1, icc_par=np.arange(40).reshape(2, 20) % 8)
+    spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                        env_q=np.full((2, nb), 25, np.int64),
+                        noise_q=np.full((2, t.n_q), 30, np.int64))
+    n_frames = 12
+    pays = [sbr_payload([spec], h2 if f >= 6 else h1, 44100, ps=ps,
+                        write_header=(f in (0, 6)))
+            for f in range(n_frames)]
+    x = _lowpass_noise(np.random.default_rng(5), 1024 * n_frames, 1)
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+    sticky_per_chunk = []
+
+    def hook(k, dec):
+        sticky_per_chunk.append(list(dec._sbr_np_sticky))
+
+    got, dec = _decode_chunked(stream, chunk_frames=2, hook=hook)
+    assert any(sticky_per_chunk[3]), "header flip should divert"
+    for k in range(4, len(sticky_per_chunk)):
+        assert not any(sticky_per_chunk[k]), f"chunk {k} still sticky"
+    assert dec._sbr_cfg[0] == h2            # header re-elected
+    assert all(p is None for p in dec._sbr_np_procs)
+    _assert_oracle_exact(stream, got)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ipdopd_off_resume_never_leaves_device():
+    """enable_ipdopd=0 spans and the off->on resume are now expressible
+    on the device (explicit-values knot-0 carry + stored-imag planes):
+    the batched path decodes them with NO numpy divert at all."""
+    from test_ps import PSSpec, _lowpass_noise
+    from aacjax.host import sbr as S
+    from aacjax.host.asc import make_asc
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.sbr_encoder import SBRFrameSpec, sbr_payload
+
+    rng = np.random.default_rng(3)
+    core_cfg = parse_asc(make_asc(2, 7, 1))
+    h = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    t = S.derive_tables(h, 44100)
+    nb = t.n_bands(1)
+    flags = ["on"] * 3 + ["off"] * 3 + ["on"] * 4
+    pays = []
+    for f, fl in enumerate(flags):
+        iid = np.clip(np.cumsum(rng.integers(-2, 3, (2, 20)), axis=1),
+                      -7, 7)
+        icc = np.clip(3 + np.cumsum(rng.integers(-2, 3, (2, 20)), axis=1),
+                      0, 7)
+        kw = dict(iid_mode=1, num_env=2, iid_par=iid,
+                  icc_mode=1, icc_par=icc)
+        if fl == "on":
+            kw["ipd_par"] = np.clip(np.cumsum(
+                rng.integers(-1, 2, (2, 11)), axis=1) % 8, 0, 7)
+            kw["opd_par"] = np.clip(np.cumsum(
+                rng.integers(-1, 2, (2, 11)), axis=1) % 8, 0, 7)
+        else:
+            kw["ipd_off"] = True
+        spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
+                            env_q=np.full((2, nb), 25, np.int64),
+                            noise_q=np.full((2, t.n_q), 30, np.int64))
+        pays.append(sbr_payload([spec], h, 44100, ps=PSSpec(**kw),
+                                write_header=(f == 0)))
+    x = _lowpass_noise(rng, 1024 * len(flags))
+    frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
+                                   fil_payloads=pays)
+    stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+
+    ever_sticky = []
+
+    def hook(k, dec):
+        ever_sticky.append(any(dec._sbr_np_sticky))
+
+    got, dec = _decode_chunked(stream, chunk_frames=2, hook=hook)
+    assert not any(ever_sticky), "off/resume must stay on device"
+    _assert_oracle_exact(stream, got)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_pipelined_no_permanent_numpy_residents():
+    """decode_he_pipelined drains once per stickiness event and
+    re-adopts: after a band flip mid-stream, the generator finishes with
+    ZERO numpy residents and the output matches the non-pipelined path
+    bit-for-bit."""
+    from test_ps import _make_flip_stream
+    modes = [1] * 4 + [2] * 8
+    stream = _make_flip_stream(modes)
+    got_pipe, dec = _decode_chunked(stream, chunk_frames=2,
+                                    pipelined=True)
+    assert not any(dec._sbr_np_sticky)
+    assert all(p is None for p in dec._sbr_np_procs)
+    assert all(p is None for p in dec._ps_np)
+    got_step, _ = _decode_chunked(stream, chunk_frames=2)
+    np.testing.assert_array_equal(got_pipe, got_step)
+    _assert_oracle_exact(stream, got_pipe)

@@ -336,7 +336,6 @@ def run_ps_case(seed: int) -> str:
     # no exclusion around band-mode flips: the sticky transition seeds
     # the numpy fallback WARM from the batched state (runtime.batch
     # _seed_ps_np), so even the flip chunk stays at float noise
-    del modes
     for f in range(2, n_frames):
         sl = slice(f * 2048 + 64, min((f + 1) * 2048, n - 64))
         if sl.start >= sl.stop:
@@ -344,6 +343,24 @@ def run_ps_case(seed: int) -> str:
         err = float(np.abs(got[sl] - want[sl]).max()) / scale
         if err > 3e-3:
             return f"{label}: batched vs numpy rel err {err:.2e} at f{f}"
+
+    # re-adoption: a flipped slot rides the numpy fallback for AT MOST
+    # its flip chunk — the next chunk boundary re-elects the kernel band
+    # mode and rebuilds the device state (_readopt_sticky); no slot may
+    # remain a permanent numpy resident
+    import aacjax.host.adts as adts
+    from aacjax.runtime.batch import BatchDecoder
+    fr = adts.split_frames(stream)
+    bd = BatchDecoder([parse_asc(adts.synthesize_cookie(fr[0][0]))],
+                      chunk_frames=3, cce_slots=1)
+    payloads = [stream[s:e] for _, s, e in fr]
+    flip_chunks = {f // 3 for f in range(1, len(modes))
+                   if modes[f] != modes[f - 1]}
+    for k in range(0, len(payloads), 3):
+        bd.step_he_raw([payloads[k: k + 3]])
+        if any(bd._sbr_np_sticky) and (k // 3) not in flip_chunks:
+            return (f"{label}: slot still sticky after chunk {k // 3} "
+                    f"(flips at {sorted(flip_chunks)})")
     return ""
 
 
