@@ -38,7 +38,7 @@ class NativeParseError(Exception):
 
 
 _lib = None
-_ABI_VERSION = 7  # must match native aacparse_version()
+_ABI_VERSION = 8  # must match native aacparse_version()
 
 
 def _load():
@@ -79,7 +79,8 @@ def _load():
         ctypes.c_void_p,                                   # consumed bits
         ctypes.c_void_p,                                   # fil sbr records
         ctypes.c_void_p,                                   # fil drc records
-        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,                  # status, has_tns
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # q/sf/ok
         ctypes.c_char_p, ctypes.c_int,
     ]
     _lib = lib
@@ -117,6 +118,15 @@ class SpecBatchArrays:
         # compact-transfer buffers (allocated on first use)
         self.spec_i16: np.ndarray | None = None
         self.spec_scale: np.ndarray | None = None
+        # exact-i16 q/sf transfer buffers (allocated on first use)
+        self.spec_q: np.ndarray | None = None
+        self.spec_sf: np.ndarray | None = None
+        self.qsf_ok: np.ndarray | None = None  # [n_streams] of last parse
+
+    def ensure_qsf(self) -> None:
+        if self.spec_q is None:
+            self.spec_q = np.zeros((self.C, self.T, self.F), np.int16)
+            self.spec_sf = np.zeros((self.C, self.T, self.F // 4), np.uint8)
 
 
 def stream_tables(configs) -> dict:
@@ -160,13 +170,22 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
                      base_slots: np.ndarray, n_slots: np.ndarray,
                      prev_shapes: np.ndarray,
                      out: SpecBatchArrays,
-                     tables_pack: dict | None = None
+                     tables_pack: dict | None = None,
+                     want_qsf: bool = False
                      ) -> tuple[np.ndarray, bool]:
     """One C call parsing every stream's chunk into final f32 spectra.
 
     tables_pack: stream_tables(configs) output — per-stream profile, SWB
     and TNS tables.  Defaults to plain AAC-LC at 1024 derived from the
     sample indices (the historical behavior).
+
+    want_qsf=True additionally fills out.spec_q / out.spec_sf with the
+    exact-i16 spectral representation (raw quantized coefficients +
+    8-bit scalefactor index per 4-bin group) and sets out.qsf_ok[s]=1
+    for every stream whose whole chunk rode it — those streams can skip
+    the f32 spectra on H2D and dequantize on-device bit-exactly (the
+    HE-AAC fast path, where block-scaled i16 would lose precision on
+    near-empty patch source bands).
 
     Returns (stream_status [n_streams] int32, has_tns).  Status 0 = ok,
     3 = needs Python fallback (capacity overflow), other nonzero = the
@@ -199,6 +218,9 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
 
     status = np.zeros(n_streams, np.int32)
     has_tns = np.zeros(1, np.int32)
+    qsf_ok = np.zeros(n_streams, np.int32)
+    if want_qsf:
+        out.ensure_qsf()
     consumed = np.zeros(max(len(parts), 1), np.int64)
     fil_sbr = np.zeros((max(len(parts), 1), 4, 3), np.int64)
     fil_drc = np.zeros(max(len(parts), 1), np.int64)
@@ -222,9 +244,15 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
         _ptr(out.cce_counts),
         _ptr(consumed),
         _ptr(fil_sbr), _ptr(fil_drc),
-        _ptr(status), _ptr(has_tns), errbuf, len(errbuf))
+        _ptr(status), _ptr(has_tns),
+        # exact-i16 q/sf outputs, nullable (emit_qsf in aacparse.cc)
+        _ptr(out.spec_q) if want_qsf else ctypes.c_void_p(0),
+        _ptr(out.spec_sf) if want_qsf else ctypes.c_void_p(0),
+        _ptr(qsf_ok) if want_qsf else ctypes.c_void_p(0),
+        errbuf, len(errbuf))
     if code != ERR_OK:
         raise NativeParseError(code, errbuf.value.decode(), -1)
+    out.qsf_ok = qsf_ok if want_qsf else None
     out.consumed_bits = consumed  # per successful global frame index
     out.fil_sbr = fil_sbr         # SBR FIL records per global frame index
     out.fil_drc = fil_drc         # DRC FIL bit offsets per global frame

@@ -61,6 +61,12 @@ class PipelineFlags:
     # compact transfer: spectra arrive as per-row int16 fixed point with a
     # per-channel-frame f32 scale (half the H2D bytes, ~1.5e-5 rel error)
     spec_i16: bool = False
+    # exact-i16 q/sf transfer (HE fast path): spectra arrive as RAW
+    # quantized coefficients (int16, |q| <= 8191) + one scalefactor byte
+    # per 4 bins; dequantization runs on-device through gathers into the
+    # same pow(i,4/3)->f32 and 2^((sf-100)/4)->f32 LUTs the native parser
+    # uses — bit-exact vs the host-fused f32 spectra at 2.25 B/bin H2D
+    spec_qsf: bool = False
     # Main-profile backward prediction: a stateful device stage between
     # M/S and intensity (cross-frame [C,672,6] predictor state)
     has_pred: bool = False
@@ -72,6 +78,19 @@ class PipelineFlags:
     # IMDCT path — one [N, 3N] synthesis matmul + a 3-segment shifted
     # overlap-add with a 2N-per-channel carry (tables.eld_synthesis_matrix)
     eld: bool = False
+
+
+@functools.lru_cache(maxsize=None)
+def _qsf_luts():
+    """Dequant LUTs for the exact-i16 q/sf spectral transfer, numerically
+    identical to the native parser's (double pow -> f32 cast, same libm):
+    iq_lut[i] = i^(4/3) for i in [0,8192), sf_lut[s] = 2^((s-100)/4) for
+    s in [0,256).  Embedded as XLA constants at trace time (33 KB)."""
+    iq = np.power(np.arange(8192, dtype=np.float64),
+                  4.0 / 3.0).astype(np.float32)
+    sf = np.power(2.0, (np.arange(256, dtype=np.float64) - 100.0)
+                  / 4.0).astype(np.float32)
+    return iq, sf
 
 
 @functools.lru_cache(maxsize=None)
@@ -629,7 +648,20 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
     transfer.  The device runs the FLOP-heavy tail: TNS + IMDCT matmuls +
     windowed overlap-add (+ int16 PCM conversion)."""
     batch = _unpack_spec_batch(batch)
-    if flags.spec_i16:
+    if flags.spec_qsf:
+        # exact-i16 q/sf -> f32: two LUT gathers + one IEEE f32 multiply,
+        # the same float values the native parser's finalize_spec would
+        # have produced (native/aacparse.cc inverse_quant/sf_gain_index)
+        q = batch['spec_q'].astype(jnp.int32)       # [C,T,F]
+        sf = batch['spec_sf'].astype(jnp.int32)     # [C,T,F/4]
+        iq_lut, sf_lut = _qsf_luts()
+        m = jnp.asarray(iq_lut)[jnp.abs(q)]
+        m = jnp.where(q < 0, -m, m)
+        gain = jnp.asarray(sf_lut)[sf]              # [C,T,F/4]
+        C_, T_, F_ = q.shape
+        spec = (m.reshape(C_, T_, F_ // 4, 4)
+                * gain[..., None]).reshape(C_, T_, F_)
+    elif flags.spec_i16:
         # block-scaled int16 -> f32: scale [C,T,64] applies per 16-bin block
         q = batch['spec_i16']
         C_, T_, F_ = q.shape

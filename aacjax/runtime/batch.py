@@ -840,14 +840,18 @@ class BatchDecoder:
         # keep fresh allocations
         dense = (SP.alloc_dense_cached(self.C, self.T, buf_slot)
                  if compact else SP.alloc_dense(self.C, self.T))
-        # core spectra stay EXACT f32 on the HE path: the SBR envelope
+        # core spectra must stay EXACT on the HE path: the SBR envelope
         # adjuster normalizes patched bands by the source-band energy, so
         # int16 spec quantization (harmless ~90 dB on plain LC PCM) gets
         # amplified ~100x on near-empty HF source bands (measured 1.5e-2
-        # rel).  The dominant HE H2D cost is the SBR planes, which DO
+        # rel).  The exact-i16 q/sf transfer (raw quantized coefficients
+        # + sf bytes, dequantized on-device through the same LUT values
+        # as the host — bit-exact) keeps exactness at 2.25 B/bin instead
+        # of f32's 4; PNS/IS/M-S/CCE chunks fall back to exact f32.
+        # The other dominant HE H2D cost is the SBR planes, which DO
         # compact (compact_dense, exact flags + 1/1024-log2 energies)
         parsed = self._parse_native(payloads_per_stream, buf_slot=buf_slot,
-                                    compact=False)
+                                    compact=False, qsf=compact)
         fil = self._last_fil_sbr
         g = 0
         cache = self._sbr_parse_cache
@@ -1107,9 +1111,16 @@ class BatchDecoder:
         return q
 
     def _parse_native(self, payloads_per_stream, buf_slot: int = 0,
-                      compact: bool | None = None):
+                      compact: bool | None = None, qsf: bool = False):
         """Native parse into buffer `buf_slot` (double-buffered for the
-        pipelined path).  Returns a batch dict of numpy arrays."""
+        pipelined path).  Returns a batch dict of numpy arrays.
+
+        qsf=True requests the exact-i16 q/sf spectral transfer (raw
+        quantized coefficients + per-4-bin scalefactor bytes; HE fast
+        path).  It is used only when EVERY stream in the chunk rode the
+        representation (native qsf_ok) — PNS / intensity / M-S / CCE /
+        escape>8191 content, or an applied DRC gain, falls back to the
+        exact f32 spectra for the chunk (both are always filled)."""
         if compact is None:
             # compact transfer is the DEFAULT (AACJAX_COMPACT=0 reverts):
             # block-scaled int16 spectra halve the H2D bytes (+31%
@@ -1127,15 +1138,17 @@ class BatchDecoder:
         status, has_tns, errmsg = native.parse_batch_spec(
             payloads_per_stream, self._sample_indices, self._chan_configs,
             self._base_slots, self._n_slots, self.prev_shapes, out,
-            tables_pack=self._tables_pack)
+            tables_pack=self._tables_pack, want_qsf=qsf)
         parse_seconds = time.perf_counter() - t0
         self._last_status = status
         self._last_consumed = out.consumed_bits
         self._last_fil_sbr = out.fil_sbr
+        use_qsf = qsf and bool(out.qsf_ok.all())
         if self.drc_scale > 0 and out.fil_drc.any():
             t0 = time.perf_counter()
             self._apply_native_drc(payloads_per_stream, out)
             parse_seconds += time.perf_counter() - t0
+            use_qsf = False  # DRC gains fold into the f32 spectra only
 
         for i, st in enumerate(self.streams):
             code = int(status[i])
@@ -1156,7 +1169,9 @@ class BatchDecoder:
 
         meta = out.meta
         valid = meta[:, :, 5] != 0
-        if compact:
+        if use_qsf:
+            spec_entries = dict(spec_q=out.spec_q, spec_sf=out.spec_sf)
+        elif compact:
             t0 = time.perf_counter()
             spec_i16, spec_scale = native.compact_spec(out)
             parse_seconds += time.perf_counter() - t0  # host prep work
@@ -1186,7 +1201,8 @@ class BatchDecoder:
             batch.update(cce_time_idx=idx, cce_time_gain=gain)
         batch['_has_tns'] = has_tns
         batch['_has_short'] = bool(meta[:, :, 4].any())
-        batch['_spec_i16'] = compact
+        batch['_spec_i16'] = compact and not use_qsf
+        batch['_spec_qsf'] = use_qsf
         batch['_has_cce_post'] = n_post > 0
         batch['_has_cce_time'] = n_time > 0
         batch['_parse_seconds'] = parse_seconds
@@ -1239,6 +1255,7 @@ class BatchDecoder:
         has_tns = batch.pop('_has_tns')
         has_short = batch.pop('_has_short')
         spec_i16 = batch.pop('_spec_i16')
+        spec_qsf = batch.pop('_spec_qsf', False)
         has_cce_post = batch.pop('_has_cce_post')
         has_cce_time = batch.pop('_has_cce_time')
         parse_seconds = batch.pop('_parse_seconds')
@@ -1251,7 +1268,8 @@ class BatchDecoder:
                               use_pallas=use_pallas,
                               has_cce_post=has_cce_post,
                               has_cce_time=has_cce_time,
-                              spec_i16=spec_i16, has_short=has_short,
+                              spec_i16=spec_i16, spec_qsf=spec_qsf,
+                              has_short=has_short,
                               eld=self._eld)
         step_fn = jitted_decode_spec_step(flags)
         t0 = time.perf_counter()
@@ -1280,6 +1298,7 @@ class BatchDecoder:
         has_tns = batch.pop('_has_tns')
         has_short = batch.pop('_has_short')
         spec_i16 = batch.pop('_spec_i16')
+        spec_qsf = batch.pop('_spec_qsf', False)
         has_cce_post = batch.pop('_has_cce_post')
         has_cce_time = batch.pop('_has_cce_time')
         parse_seconds = batch.pop('_parse_seconds')
@@ -1289,7 +1308,8 @@ class BatchDecoder:
                               has_cce=False, out_int16=out_int16,
                               has_cce_post=has_cce_post,
                               has_cce_time=has_cce_time,
-                              spec_i16=spec_i16, has_short=has_short,
+                              spec_i16=spec_i16, spec_qsf=spec_qsf,
+                              has_short=has_short,
                               eld=self._eld)
         step_fn = meshlib.sharded_decode_spec_step(flags, mesh)
         sharded = meshlib.shard_spec_batch(mesh, batch)

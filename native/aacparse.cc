@@ -305,6 +305,10 @@ struct Channel {
   int32_t band_types[kMaxSections] = {0};
   int32_t sect_end[kMaxSections] = {0};
   float sf_gain[kMaxSections] = {0};
+  // raw scalefactor index per spectrum band (the integer whose gain is
+  // 2^((sf-100)/4)) for the exact-i16 q/sf transfer; only valid where
+  // band_types is a spectrum book
+  int16_t sf_idx[kMaxSections] = {0};
   // dense outputs (pointers into caller arrays)
   int32_t* quant = nullptr;
   float* scale = nullptr;
@@ -480,6 +484,7 @@ bool decode_scale_factors(BitReader* br, Channel* ch, ParseError* err) {
           offset[0] += d;
           if (offset[0] > 255)
             FAIL(err, ERR_BITSTREAM, "Scalefactor out of range: %d", offset[0]);
+          ch->sf_idx[idx] = static_cast<int16_t>(offset[0]);
           ch->sf_gain[idx] = sf_gain_index(offset[0] - 100 + 200);
         }
       }
@@ -934,6 +939,50 @@ int resolve_cce_targets(const CCE& cce, const ElemRef* elems, int n_elems,
 // transfer is 4KB/channel-frame instead of 16KB (quant+scale+noise+masks).
 // The device then runs TNS + IMDCT + overlap-add only.
 // ---------------------------------------------------------------------
+// Exact-i16 spectral transfer (HE-AAC fast path): emit the RAW quantized
+// coefficients (int16-exact after pulse application, |q| <= 32767) and
+// the 8-bit scalefactor index per 4-bin group (every SWB offset and
+// window stride is a multiple of 4 across all frame lengths, verified
+// against aacjax.tables).  The device dequantizes: |q|^(4/3) * scale,
+// via a gather into the SAME 8192-entry f64-pow->f32 LUT as
+// inverse_quant — bit-exact vs the host-fused f32 path.
+// Returns false when the channel cannot ride this representation —
+// PNS bands (host-generated noise values), intensity bands (fused
+// per-band gains), or quantized values past the LUT (|q| > 8191, only
+// reachable through escape sequences) — the caller then ships the
+// classic fused f32 row for the whole chunk.
+bool emit_qsf(const Channel& ch, int16_t* qrow, uint8_t* sfrow) {
+  const ICSInfo& info = ch.info;
+  const int F = info.frame_len;
+  memset(qrow, 0, sizeof(int16_t) * F);
+  memset(sfrow, 0, static_cast<size_t>(F) / 4);
+  int idx = 0, group_off = 0;
+  for (int g = 0; g < info.group_count; ++g) {
+    for (int sfb = 0; sfb < info.max_sfb; ++sfb, ++idx) {
+      int bt = ch.band_types[idx];
+      if (bt == NOISE_BT || bt == INTENSITY_BT || bt == INTENSITY_BT2)
+        return false;
+      if (bt == ZERO_BT) continue;
+      if (ch.sf_idx[idx] < 0 || ch.sf_idx[idx] > 255) return false;
+      const uint8_t sf = static_cast<uint8_t>(ch.sf_idx[idx]);
+      const int off = info.swb_offsets[sfb];
+      const int width = info.swb_offsets[sfb + 1] - off;
+      int base = group_off + off;
+      for (int w = 0; w < info.group_length[g];
+           ++w, base += info.short_len) {
+        for (int k = 0; k < width; ++k) {
+          int32_t q = ch.quant[base + k];
+          if (q > 8191 || q < -8191) return false;
+          qrow[base + k] = static_cast<int16_t>(q);
+        }
+        memset(sfrow + (base >> 2), sf, static_cast<size_t>(width) >> 2);
+      }
+    }
+    group_off += info.group_length[g] * info.short_len;
+  }
+  return true;
+}
+
 void finalize_spec(const Channel& ch, float* spec_row) {
   for (int i = 0; i < ch.info.frame_len; ++i)
     spec_row[i] = inverse_quant(ch.quant[i]) * ch.scale[i] + ch.noise[i];
@@ -1059,6 +1108,15 @@ int aacparse_batch_spec(
                              // the native fast path
     int32_t* stream_status,  // [n_streams]
     int32_t* has_tns_out,    // [1]
+    int16_t* spec_q,         // [total_slots, T, frame_len] out (nullable):
+                             // exact-i16 transfer — raw quantized
+                             // coefficients; see emit_qsf
+    uint8_t* spec_sf,        // [total_slots, T, frame_len/4] out: 8-bit
+                             // scalefactor index per 4-bin group
+    int32_t* qsf_ok,         // [n_streams] out: 1 = every frame of the
+                             // stream rode the q/sf representation (no
+                             // PNS/intensity/M-S/CCE/escape-past-i16);
+                             // 0 = caller must ship the f32 spectra
     char* errbuf, int errbuf_len) {
   ensure_init();
   (void)total_slots;
@@ -1098,9 +1156,19 @@ int aacparse_batch_spec(
     int n_frames = f_hi - f_lo;
     if (n_frames > T) { stream_status[s] = ERR_BOUNDS; return; }
 
+    const bool want_qsf = spec_q != nullptr && spec_sf != nullptr;
+    bool qsf_stream = want_qsf;
+    if (qsf_ok) qsf_ok[s] = 0;
+
     // zero this stream's meta + tns region (spec rows of valid frames are
     // fully overwritten; invalid frames carry valid=0 and are discarded)
     for (int sl = base; sl < base + n_slots; ++sl) {
+      if (want_qsf) {
+        memset(spec_q + static_cast<size_t>(sl) * T * frame_len, 0,
+               sizeof(int16_t) * T * frame_len);
+        memset(spec_sf + static_cast<size_t>(sl) * T * (frame_len / 4), 0,
+               static_cast<size_t>(T) * (frame_len / 4));
+      }
       memset(meta + static_cast<size_t>(sl) * T * 6, 0,
              sizeof(int32_t) * T * 6);
       memset(tns_lpc + static_cast<size_t>(sl) * T * 2 * kTnsSlots * kTnsOrder,
@@ -1181,6 +1249,10 @@ int aacparse_batch_spec(
             return false;
           float* row = spec + (static_cast<size_t>(slot) * T + t) * F;
           finalize_spec(ch, row);
+          if (qsf_stream)
+            qsf_stream = emit_qsf(
+                ch, spec_q + (static_cast<size_t>(slot) * T + t) * F,
+                spec_sf + (static_cast<size_t>(slot) * T + t) * (F / 4));
           emit_meta(ch, slot, false);
           prev_shapes[slot] = ch.info.window_shape;
           if (!emit_tns(ch, slot)) return false;
@@ -1242,6 +1314,24 @@ int aacparse_batch_spec(
           finalize_spec(left, lrow);
           finalize_spec(right, rrow);
           apply_stereo(left, right, ms_used, mask_present, lrow, rrow);
+          if (qsf_stream) {
+            // M/S mixes dequantized values (not integers) and intensity
+            // is caught per band inside emit_qsf
+            if (mask_present) {
+              qsf_stream = false;
+            } else {
+              qsf_stream =
+                  emit_qsf(left,
+                           spec_q + (static_cast<size_t>(slot) * T + t) * F,
+                           spec_sf
+                               + (static_cast<size_t>(slot) * T + t) * (F / 4))
+                  && emit_qsf(
+                      right,
+                      spec_q + (static_cast<size_t>(slot + 1) * T + t) * F,
+                      spec_sf
+                          + (static_cast<size_t>(slot + 1) * T + t) * (F / 4));
+            }
+          }
           for (int which = 0; which < 2; ++which) {
             Channel* ch = which ? &right : &left;
             int sl = slot + which;
@@ -1296,6 +1386,7 @@ int aacparse_batch_spec(
             }
             CCE* cc = &cce_store[n_cces];
             if (!decode_cce(&br, cfg, cc, &scratch[0], &err)) goto sfail;
+            qsf_stream = false;  // coupling writes fused f32 spectra
             finalize_spec(cc->ch, cc->spec);
             cc->id = eid;
             cc->slot = -1;
@@ -1423,6 +1514,13 @@ int aacparse_batch_spec(
       for (int sl = base; sl < base + n_slots; ++sl) {
         memset(spec + (static_cast<size_t>(sl) * T + t) * cfg.frame_len, 0,
                sizeof(float) * cfg.frame_len);
+        if (want_qsf) {
+          memset(spec_q + (static_cast<size_t>(sl) * T + t) * cfg.frame_len,
+                 0, sizeof(int16_t) * cfg.frame_len);
+          memset(spec_sf
+                     + (static_cast<size_t>(sl) * T + t) * (cfg.frame_len / 4),
+                 0, static_cast<size_t>(cfg.frame_len) / 4);
+        }
         memset(meta + (static_cast<size_t>(sl) * T + t) * 6, 0,
                sizeof(int32_t) * 6);
         memset(tns_lpc + (static_cast<size_t>(sl) * T + t)
@@ -1447,6 +1545,7 @@ int aacparse_batch_spec(
         meta[(static_cast<size_t>(sl) * T + t) * 6 + 5] = 1;
     }
     if (stream_status[s] == OK && first_err != OK) stream_status[s] = first_err;
+    if (qsf_ok) qsf_ok[s] = qsf_stream ? 1 : 0;
     *any_tns_out = *any_tns_out || any_tns;
   };
 
@@ -1576,6 +1675,6 @@ void aacjax_spec_to_i16(const float* spec, int64_t n_rows, int n_cols,
   }
 }
 
-int aacparse_version() { return 7; }
+int aacparse_version() { return 8; }
 
 }  // extern "C"

@@ -652,3 +652,129 @@ def _sce_payload(rng, cfg):
                                          allow_pulse=False,
                                          allow_noise=False), cfg)
     return enc.end_frame(w)
+
+
+# ---------------------------------------------------------------------------
+# Exact-i16 q/sf spectral transfer (HE-AAC fast path; VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+def _run_native_qsf(config, payloads, n_slots):
+    T = len(payloads)
+    out = native.SpecBatchArrays(n_slots, T)
+    prev = np.zeros(n_slots, np.int32)
+    status, _, _ = native.parse_batch_spec(
+        [payloads], np.array([config.sample_index], np.int32),
+        np.array([config.chan_config], np.int32),
+        np.array([0], np.int32), np.array([n_slots], np.int32), prev, out,
+        want_qsf=True)
+    return out, status
+
+
+def _qsf_reconstruct(out):
+    """Host replica of the device dequant (pipeline._qsf_luts gathers)."""
+    from aacjax.kernels.pipeline import _qsf_luts
+    iq, sfl = _qsf_luts()
+    q = out.spec_q.astype(np.int32)
+    m = iq[np.abs(q)]
+    m = np.where(q < 0, -m, m)
+    gain = np.repeat(sfl[out.spec_sf.astype(np.int32)], 4, axis=-1)
+    return (m * gain).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_qsf_transfer_bit_exact_mono(seed):
+    """Raw quantized i16 + per-4-bin scalefactor bytes dequantize to
+    EXACTLY the host-fused f32 spectra (same double-pow->f32 LUT values,
+    same single f32 multiply) on PNS-free content — incl. short windows,
+    TNS side info, pulse application and book-11 escapes <= 8191."""
+    rng = np.random.default_rng(4200 + seed)
+    config = _cfg(si=int(rng.integers(0, 13)), ch=1)
+    payloads = []
+    for _ in range(4):
+        w = BitWriter()
+        enc.write_sce(w, random_channel_spec(rng, config,
+                                             allow_noise=False), config)
+        payloads.append(enc.end_frame(w))
+    out, status = _run_native_qsf(config, payloads, 1)
+    assert status[0] == 0
+    assert out.qsf_ok[0] == 1
+    np.testing.assert_array_equal(_qsf_reconstruct(out), out.spec)
+
+
+def test_qsf_rejects_pns_intensity_ms_cce():
+    """Content the i16 q/sf representation cannot express marks the
+    stream qsf_ok=0 (the caller then ships the exact f32 spectra):
+    PNS bands (host noise), M/S or intensity stereo (fused on host) and
+    coupling (fused f32 spectra)."""
+    rng = np.random.default_rng(99)
+    config = _cfg(si=4, ch=1)
+
+    # PNS: force noise bands until one actually lands
+    for attempt in range(50):
+        w = BitWriter()
+        spec = random_channel_spec(rng, config, allow_noise=True,
+                                   allow_pulse=False)
+        if not (np.asarray(spec.band_books) == 13).any():
+            continue
+        enc.write_sce(w, spec, config)
+        out, status = _run_native_qsf(config, [enc.end_frame(w)], 1)
+        assert status[0] == 0
+        assert out.qsf_ok[0] == 0
+        break
+    else:
+        pytest.fail("specgen never produced a PNS band")
+
+    # M/S stereo
+    config2 = _cfg(si=4, ch=2)
+    for attempt in range(50):
+        cpe = random_cpe_spec(rng, config2, common=True)
+        if cpe.ms_type == 0:
+            continue
+        w = BitWriter()
+        enc.write_cpe(w, cpe, config2)
+        out, status = _run_native_qsf(config2, [enc.end_frame(w)], 2)
+        assert status[0] == 0
+        assert out.qsf_ok[0] == 0
+        break
+    else:
+        pytest.fail("specgen never produced an M/S mask")
+
+    # CCE (any coupling point forces the fused f32 chunk)
+    config6 = _cfg(si=3, ch=6)
+    payload = _cce_payload(rng, config6, point=0)
+    out, status = _run_native_qsf(config6, [payload], 6)
+    assert status[0] == 0
+    assert out.qsf_ok[0] == 0
+
+
+def test_qsf_device_step_matches_f32(monkeypatch):
+    """BatchDecoder end to end: a chunk parsed with qsf=True decodes
+    bit-identically to the exact-f32 transfer, and mixed content falls
+    back transparently (still bit-identical)."""
+    from aacjax.runtime.batch import BatchDecoder
+    rng = np.random.default_rng(7)
+    config = _cfg(si=4, ch=2)
+    clean, noisy = [], []
+    for _ in range(4):
+        w = BitWriter()
+        from aacjax.testing.encoder import CPESpec
+        left = random_channel_spec(rng, config, allow_noise=False)
+        right = random_channel_spec(rng, config, allow_noise=False)
+        enc.write_cpe(w, CPESpec(left=left, right=right,
+                                 common_window=False, ms_type=0,
+                                 ms_used=np.zeros(128, bool)), config)
+        clean.append(enc.end_frame(w))
+        w = BitWriter()
+        enc.write_cpe(w, random_cpe_spec(rng, config), config)
+        noisy.append(enc.end_frame(w))
+
+    for payloads in (clean, noisy):
+        dq = BatchDecoder([config], chunk_frames=4)
+        bq = dq._parse_native([payloads], qsf=True, compact=False)
+        df = BatchDecoder([config], chunk_frames=4)
+        bf = df._parse_native([payloads], qsf=False, compact=False)
+        if payloads is clean:
+            assert bq['_spec_qsf'], "clean CPE content must ride q/sf"
+        got = dq.finalize_step(dq._device_step(bq, out_int16=False))
+        want = df.finalize_step(df._device_step(bf, out_int16=False))
+        np.testing.assert_array_equal(got, want)

@@ -292,3 +292,50 @@ def test_sharded_ld_eld_matches_single_device(profile, frame_length):
                                np.asarray(pcm_single), atol=1e-5 * scale)
     np.testing.assert_allclose(np.asarray(ov_mesh), np.asarray(ov_single),
                                atol=1e-5 * scale)
+
+
+@needs_mesh
+def test_sharded_qsf_spec_path_matches_single_device():
+    """The exact-i16 q/sf transfer (HE fast path spectra) sharded over a
+    ('stream','frame') mesh: spec_q [C,T,F] i16 + spec_sf [C,T,F/4] u8
+    ride P('stream','frame'); output matches the single-device program
+    to the same few-ulp bound as the f32 spec path (the IMDCT matmul
+    accumulates in a different tile order under GSPMD — the dequant
+    itself is exact, tests/test_native.py::test_qsf_transfer_bit_exact)."""
+    from aacjax.host import native
+    from aacjax.host.asc import make_asc, parse_asc
+    from aacjax.host.bitio import BitWriter
+    from aacjax.runtime.batch import BatchDecoder
+    from aacjax.testing import encoder as enc
+    from aacjax.testing.specgen import random_channel_spec
+
+    if not native.available():
+        pytest.skip("native parser not built")
+
+    rng = np.random.default_rng(11)
+    config = parse_asc(make_asc(2, 4, 1))
+    n_stream, T = 4, 4
+    per_stream = []
+    for _i in range(n_stream):
+        payloads = []
+        for _t in range(T):
+            w = BitWriter()
+            enc.write_sce(w, random_channel_spec(rng, config,
+                                                 allow_noise=False), config)
+            payloads.append(enc.end_frame(w))
+        per_stream.append(payloads)
+
+    dec = BatchDecoder([config] * n_stream, chunk_frames=T, use_native=True)
+    batch = dec._parse_native(per_stream, qsf=True, compact=False)
+    assert batch['_spec_qsf']
+    ref = np.asarray(dec.finalize_step(dec._device_step(batch,
+                                                        out_int16=False)))
+
+    dec2 = BatchDecoder([config] * n_stream, chunk_frames=T, use_native=True)
+    batch2 = dec2._parse_native(per_stream, qsf=True, compact=False)
+    assert batch2['_spec_qsf']
+    m = meshlib.make_mesh(n_stream, 2)
+    got = np.asarray(dec2.finalize_step(
+        dec2._device_step_sharded(batch2, m)))
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(got, ref, atol=1e-5 * scale)
