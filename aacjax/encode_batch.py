@@ -140,9 +140,11 @@ def _long_windows(frame: int = FRAME):
 # ---------------------------------------------------------------------------
 # device programs
 # ---------------------------------------------------------------------------
-@functools.lru_cache(maxsize=None)
-def _jitted_analysis(sample_index: int, cutoff_bin: int, frame: int,
-                     n_frames: int, psy_key: tuple):
+def _analysis_fn(sample_index: int, cutoff_bin: int, frame: int,
+                 n_frames: int, psy_key: tuple):
+    """Build the (un-jitted) analysis program — separated from the jit
+    wrapper so runtime.mesh can compile the same body with explicit
+    ('stream',) shardings for multi-chip encoding."""
     import jax
     import jax.numpy as jnp
 
@@ -348,12 +350,18 @@ def _jitted_analysis(sample_index: int, cutoff_bin: int, frame: int,
         est = est.T                                            # [N, K]
         return coefs, base, fit_sf, est, bin_band.astype(jnp.int32)
 
-    return jax.jit(analysis)
+    return analysis
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_quantize():
+def _jitted_analysis(sample_index: int, cutoff_bin: int, frame: int,
+                     n_frames: int, psy_key: tuple):
     import jax
+    return jax.jit(_analysis_fn(sample_index, cutoff_bin, frame,
+                                n_frames, psy_key))
+
+
+def _quantize_fn():
     import jax.numpy as jnp
 
     def fn(coefs, base, fit_sf, bin_band, off):
@@ -368,7 +376,13 @@ def _jitted_quantize():
         q = jnp.sign(coefs) * jnp.minimum(c, 8191.0)
         return q.astype(jnp.int16), sfb.astype(jnp.int16)
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_quantize():
+    import jax
+    return jax.jit(_quantize_fn())
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +395,7 @@ class BatchEncoder:
 
     def __init__(self, sample_rate: int = 44100, channels: int = 2,
                  bitrate: int = 128_000, n_streams: int = 1,
-                 cutoff_hz: float | None = None):
+                 cutoff_hz: float | None = None, mesh=None):
         si = int(np.argmin(np.abs(
             tables.SAMPLE_RATES[:12].astype(np.int64) - sample_rate)))
         if int(tables.SAMPLE_RATES[si]) != sample_rate:
@@ -401,7 +415,21 @@ class BatchEncoder:
         self._si = si
         self._arr = _arrangement(si, self._cutoff_bin)
         self._psy = PsyParams()
-        self._quantize = _jitted_quantize()
+        # multi-chip: P('stream') data parallelism over the channel-row
+        # axis (see runtime.mesh "TPU-batched encoder"); rows must split
+        # evenly across the mesh's 'stream' axis
+        self.mesh = mesh
+        if mesh is not None:
+            n_shards = mesh.shape["stream"]
+            if (n_streams * channels) % n_shards:
+                raise ValueError(
+                    f"{n_streams} streams x {channels} ch = "
+                    f"{n_streams * channels} channel rows do not split "
+                    f"over {n_shards} 'stream' shards")
+            from aacjax.runtime.mesh import sharded_encode_quantize
+            self._quantize = sharded_encode_quantize(mesh)
+        else:
+            self._quantize = _jitted_quantize()
         self._reservoir = np.zeros(n_streams)
         self._res_cap = 6.0 * bitrate * FRAME / sample_rate
         # online calibration of the device bit estimate against bits
@@ -475,10 +503,15 @@ class BatchEncoder:
             self.S * ch, nF)
         is_short = np.repeat((seqs == EIGHT_SHORT)[:, None, :], ch,
                              axis=1).reshape(self.S * ch, nF)
-        analysis = _jitted_analysis(
-            self._si, self._cutoff_bin, F, nF,
-            (self._psy.smr_db, self._psy.spread_up_db,
-             self._psy.spread_down_db))
+        psy_key = (self._psy.smr_db, self._psy.spread_up_db,
+                   self._psy.spread_down_db)
+        if self.mesh is not None:
+            from aacjax.runtime.mesh import sharded_encode_analysis
+            analysis = sharded_encode_analysis(
+                self._si, self._cutoff_bin, F, nF, psy_key, self.mesh)
+        else:
+            analysis = _jitted_analysis(
+                self._si, self._cutoff_bin, F, nF, psy_key)
         self.stats["host_s"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()

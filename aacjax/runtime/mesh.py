@@ -187,3 +187,47 @@ def sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool = False,
     from aacjax.kernels.ps_batch import kernel_modes
     return _sharded_sbr_ps_apply(cfg, mesh, out_int16, is34,
                                  kernel_modes())
+
+
+# -- TPU-batched encoder ------------------------------------------------------
+# Both encoder dispatches (encode_batch._analysis_fn / _quantize_fn) lead
+# with a flat channel-row axis (B = streams*channels on the analysis inputs,
+# N = B*n_frames on everything downstream).  Every op is row-local — the
+# windowed-MDCT einsums, band matmuls, psy spreading scan and the Huffman
+# cost grid never mix rows — so a 1-D P('stream') sharding over the leading
+# axis encodes with ZERO collectives: pure data parallelism, the encode
+# mirror of decode_spec_step's stream axis.  (The [B, L] -> [N, 2F] overlap
+# segmentation reshapes split the major axis only, so GSPMD keeps each
+# B-row's n_frames child rows on the B-row's shard.)
+
+def _row_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P("stream", *([None] * (ndim - 1))))
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_encode_analysis(sample_index: int, cutoff_bin: int, frame: int,
+                            n_frames: int, psy_key: tuple, mesh: Mesh):
+    """jit-compiled encoder analysis with explicit P('stream') shardings
+    over the leading channel-row axis (encode_batch dispatch 1)."""
+    from aacjax.encode_batch import _analysis_fn
+    fn = _analysis_fn(sample_index, cutoff_bin, frame, n_frames, psy_key)
+    row2 = _row_sharding(mesh, 2)
+    return jax.jit(
+        fn,
+        in_shardings=(row2, row2, row2),
+        out_shardings=(row2,) * 5,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_encode_quantize(mesh: Mesh):
+    """jit-compiled encoder quantize with P('stream') row shardings
+    (encode_batch dispatch 2)."""
+    from aacjax.encode_batch import _quantize_fn
+    row2 = _row_sharding(mesh, 2)
+    row1 = _row_sharding(mesh, 1)
+    return jax.jit(
+        _quantize_fn(),
+        in_shardings=(row2, row2, row2, row2, row1),
+        out_shardings=(row2, row2),
+    )

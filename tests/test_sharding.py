@@ -339,3 +339,38 @@ def test_sharded_qsf_spec_path_matches_single_device():
         dec2._device_step_sharded(batch2, m)))
     scale = max(1.0, float(np.abs(ref).max()))
     np.testing.assert_allclose(got, ref, atol=1e-5 * scale)
+
+
+@needs_mesh
+def test_sharded_encoder_matches_single_device():
+    """The TPU-batched ENCODER over a stream-only mesh: both jitted
+    dispatches (analysis + quantize) run with P('stream') shardings on
+    the flat channel-row axis.  Every op is row-local (zero collectives),
+    so the bitstreams must be byte-identical to the single-device run —
+    including across a chunk boundary with a transient (EIGHT_SHORT in
+    the plan) and the reservoir/calibration state carried between
+    chunks."""
+    from aacjax.encode_batch import BatchEncoder
+
+    S, ch, n = 4, 2, 1024 * 4
+    rng = np.random.default_rng(13)
+    t = np.arange(2 * n) / 44100.0
+    pcm = np.zeros((S, 2 * n, ch))
+    for s in range(S):
+        f0 = 250.0 * (s + 1)
+        pcm[s, :, 0] = 7000 * np.sin(2 * np.pi * f0 * t)
+        pcm[s, :, 1] = 7000 * np.sin(2 * np.pi * 1.5 * f0 * t)
+    pcm += 300 * rng.standard_normal(pcm.shape)
+    pcm[1, n + 900: n + 1100] += 15000          # straddles chunk 2's frames
+
+    def run(mesh):
+        e = BatchEncoder(44100, ch, 96_000, n_streams=S, mesh=mesh)
+        return [e.encode_chunk(pcm[:, :n]), e.encode_chunk(pcm[:, n:])]
+
+    ref = run(None)
+    got = run(meshlib.make_mesh(8, 1))
+    assert got == ref                           # byte-identical payloads
+
+    with pytest.raises(ValueError):             # rows must split evenly
+        BatchEncoder(44100, 1, 96_000, n_streams=3,
+                     mesh=meshlib.make_mesh(8, 1))
