@@ -19,7 +19,8 @@ import numpy as np
 
 from aacjax.host import adts
 from aacjax.host.asc import StreamConfig, UnsupportedError, parse_asc
-from aacjax.host.bitio import BitReader, BitstreamUnderflow
+from aacjax.host.bitio import (BitReader, BitstreamError,
+                               BitstreamUnderflow)
 from aacjax.host.syntax import decode_frame
 from aacjax.runtime.batch import BatchDecoder
 
@@ -489,8 +490,8 @@ def decode_m4a(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
 
 
 def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
-                on_error: str = "raise", drc_scale: float = 0.0
-                ) -> tuple[np.ndarray, int]:
+                on_error: str = "raise", drc_scale: float = 0.0,
+                verify_crc: bool = False) -> tuple[np.ndarray, int]:
     """Decode a whole ADTS byte stream through the batched device pipeline.
 
     Returns (pcm [total_samples, channels] float32 in 1/32768 scale,
@@ -509,12 +510,33 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
     FIL payloads (0 = ignore, the default; DRC parsing lives on the
     python parse path, so a nonzero value trades the native parser for
     loudness processing).
+
+    verify_crc=True checks each protected frame's 13818-7 §8.2.2
+    crc_check (aacjax.host.adts.check_crc) before decoding; a mismatch
+    raises BitstreamError (on_error='raise') or conceals the frame as
+    silence (on_error='skip').  Default False: the reference skips the
+    field (adts_demuxer.js:48-49), as does libavcodec — verification
+    exceeds both.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error: {on_error}")
     frames = adts.split_frames(data)
     if not frames:
         raise UnsupportedError("no ADTS frames found")
+    if verify_crc:
+        checked = []
+        for i, (h, s, e) in enumerate(frames):
+            # split_frames strips the header from the payload range;
+            # the CRC covers header bits too, so rewind to the syncword
+            if adts.check_crc(data[s - h.header_bytes: e], h):
+                checked.append((h, s, e))
+            elif on_error == "raise":
+                raise BitstreamError(f"ADTS frame {i}: crc_check mismatch")
+            else:
+                # empty slice -> parse error -> concealed as silence by
+                # every downstream branch's per-frame error isolation
+                checked.append((h, s, s))
+        frames = checked
     header = frames[0][0]
     config = parse_asc(adts.synthesize_cookie(header))
 
@@ -537,8 +559,16 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         # AAC-LTP: each frame's prediction reads the previous frames'
         # TIME output — an inherently sequential loop that would
         # serialize the batched pipeline; the rare profile decodes on
-        # the fp64 reference path (aacjax.host.refdec)
-        from aacjax.host.refdec import ModelDecoder
+        # the fp64 reference path (aacjax.host.refdec).  The native
+        # fast path parses in C and runs only the frame-serial math in
+        # vectorized numpy (~25x the per-frame python loop below, which
+        # stays as the error/concealment and no-native fallback).
+        from aacjax.host.refdec import ModelDecoder, decode_ltp_native
+        if drc_scale == 0.0:
+            fast = decode_ltp_native([data[s:e] for _, s, e in frames],
+                                     config)
+            if fast is not None:
+                return fast, config.sample_rate
         dec = ModelDecoder(config)
         prev_shapes = [0] * config.channels
         out = []
@@ -664,17 +694,31 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
     if dec.use_native:
         # pipelined: the host parses chunk k+1 while the link/device work
         # on chunk k (measured +60% end-to-end on a link-bound host)
+        from aacjax.host import native as native_mod
         sizes = [min(chunk_frames, len(payloads) - i) for i in starts]
         it = ([payloads[i:i + chunk_frames]] for i in starts)
+        delegated = False
         for k, pcm in enumerate(dec.decode_pipelined(it, out_int16=False,
                                                      compact=False)):
             if dec.streams[0].failed:
+                codes = getattr(dec, "_last_status", ())
+                if any(int(c) == native_mod.ERR_DELEGATE for c in codes):
+                    # legal content the native fast path delegates
+                    # (Main + intensity, prediction + coupling): restart
+                    # the whole single-stream decode on the python path
+                    delegated = True
+                    break
                 if on_error == "raise":
                     raise UnsupportedError(
                         f"stream failed: {dec.streams[0].last_error}")
                 dec.streams[0].failed = False  # concealed; keep decoding
             out.append(dec.stream_pcm(pcm, 0, sizes[k]))
-        return np.concatenate(out, axis=0), config.sample_rate
+        if not delegated:
+            return np.concatenate(out, axis=0), config.sample_rate
+        out = []
+        dec = BatchDecoder([config], chunk_frames=chunk_frames,
+                           cce_slots=cce_slots, drc_scale=drc_scale,
+                           use_native=False)
     for i in starts:
         group = payloads[i:i + chunk_frames]
         pcm = dec.step_raw([group], compact=False)

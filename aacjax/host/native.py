@@ -26,8 +26,10 @@ TNS_ORDER = 20
 ERR_OK = 0
 ERR_BITSTREAM = 1
 ERR_UNSUPPORTED = 2
-ERR_FALLBACK = 3
+ERR_FALLBACK = 3       # capacity limit: caller must raise a knob
 ERR_BOUNDS = 4
+ERR_DELEGATE = 5       # legal content the fast path delegates: the
+                       # runtime redoes the chunk on the python path
 
 
 class NativeParseError(Exception):
@@ -38,7 +40,7 @@ class NativeParseError(Exception):
 
 
 _lib = None
-_ABI_VERSION = 8  # must match native aacparse_version()
+_ABI_VERSION = 9  # must match native aacparse_version()
 
 
 def _load():
@@ -70,6 +72,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,                  # swb long
         ctypes.c_void_p, ctypes.c_void_p,                  # swb short
         ctypes.c_void_p,                                   # tns max
+        ctypes.c_void_p,                                   # pred sfb max
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
@@ -81,6 +84,8 @@ def _load():
         ctypes.c_void_p,                                   # fil drc records
         ctypes.c_void_p, ctypes.c_void_p,                  # status, has_tns
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # q/sf/ok
+        ctypes.c_void_p, ctypes.c_void_p,                  # pred meta/used
+        ctypes.c_void_p, ctypes.c_void_p,                  # ltp meta/used
         ctypes.c_char_p, ctypes.c_int,
     ]
     _lib = lib
@@ -122,11 +127,26 @@ class SpecBatchArrays:
         self.spec_q: np.ndarray | None = None
         self.spec_sf: np.ndarray | None = None
         self.qsf_ok: np.ndarray | None = None  # [n_streams] of last parse
+        # Main-profile predictor / AAC-LTP side-info planes (on first use)
+        self.pred_meta: np.ndarray | None = None
+        self.pred_used: np.ndarray | None = None
+        self.ltp_meta: np.ndarray | None = None
+        self.ltp_used: np.ndarray | None = None
 
     def ensure_qsf(self) -> None:
         if self.spec_q is None:
             self.spec_q = np.zeros((self.C, self.T, self.F), np.int16)
             self.spec_sf = np.zeros((self.C, self.T, self.F // 4), np.uint8)
+
+    def ensure_pred(self) -> None:
+        if self.pred_meta is None:
+            self.pred_meta = np.zeros((self.C, self.T, 3), np.int32)
+            self.pred_used = np.zeros((self.C, self.T, 672), np.uint8)
+
+    def ensure_ltp(self) -> None:
+        if self.ltp_meta is None:
+            self.ltp_meta = np.zeros((self.C, self.T, 3), np.int32)
+            self.ltp_used = np.zeros((self.C, self.T, 40), np.uint8)
 
 
 def stream_tables(configs) -> dict:
@@ -143,8 +163,11 @@ def stream_tables(configs) -> dict:
     swb_short_count = np.zeros(n, np.int32)
     tns_max = np.zeros((n, 2), np.int32)
     profiles = np.zeros(n, np.int32)
+    pred_sfb = np.zeros(n, np.int32)
     for i, cfg in enumerate(configs):
         profiles[i] = cfg.profile
+        if cfg.profile == 1:  # Main: predictor sfb cap (Table 4.128)
+            pred_sfb[i] = cfg.pred_sfb_max
         lo = cfg.swb_offsets_long
         nl = cfg.swb_count_long
         swb_long[i, :nl + 1] = lo[:nl + 1]
@@ -162,6 +185,7 @@ def stream_tables(configs) -> dict:
     return dict(profiles=profiles, swb_long=swb_long,
                 swb_long_count=swb_long_count, swb_short=swb_short,
                 swb_short_count=swb_short_count, tns_max=tns_max,
+                pred_sfb=pred_sfb,
                 frame_len=int(configs[0].frame_length) if configs else FRAME)
 
 
@@ -171,7 +195,9 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
                      prev_shapes: np.ndarray,
                      out: SpecBatchArrays,
                      tables_pack: dict | None = None,
-                     want_qsf: bool = False
+                     want_qsf: bool = False,
+                     want_pred: bool = False,
+                     want_ltp: bool = False
                      ) -> tuple[np.ndarray, bool]:
     """One C call parsing every stream's chunk into final f32 spectra.
 
@@ -221,6 +247,10 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
     qsf_ok = np.zeros(n_streams, np.int32)
     if want_qsf:
         out.ensure_qsf()
+    if want_pred:
+        out.ensure_pred()
+    if want_ltp:
+        out.ensure_ltp()
     consumed = np.zeros(max(len(parts), 1), np.int64)
     fil_sbr = np.zeros((max(len(parts), 1), 4, 3), np.int64)
     fil_drc = np.zeros(max(len(parts), 1), np.int64)
@@ -236,6 +266,7 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
         _ptr(tp["swb_long"]), _ptr(tp["swb_long_count"]),
         _ptr(tp["swb_short"]), _ptr(tp["swb_short_count"]),
         _ptr(tp["tns_max"]),
+        _ptr(tp["pred_sfb"]) if "pred_sfb" in tp else ctypes.c_void_p(0),
         n_streams, out.C, out.T,
         _ptr(prev_shapes),
         _ptr(out.spec), _ptr(out.meta), _ptr(out.tns_lpc), _ptr(out.tns_range),
@@ -249,6 +280,11 @@ def parse_batch_spec(payloads_per_stream: list[list[bytes] | None],
         _ptr(out.spec_q) if want_qsf else ctypes.c_void_p(0),
         _ptr(out.spec_sf) if want_qsf else ctypes.c_void_p(0),
         _ptr(qsf_ok) if want_qsf else ctypes.c_void_p(0),
+        # Main-profile predictor / LTP side-info planes, nullable
+        _ptr(out.pred_meta) if want_pred else ctypes.c_void_p(0),
+        _ptr(out.pred_used) if want_pred else ctypes.c_void_p(0),
+        _ptr(out.ltp_meta) if want_ltp else ctypes.c_void_p(0),
+        _ptr(out.ltp_used) if want_ltp else ctypes.c_void_p(0),
         errbuf, len(errbuf))
     if code != ERR_OK:
         raise NativeParseError(code, errbuf.value.decode(), -1)

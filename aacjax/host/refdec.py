@@ -1,18 +1,24 @@
 """Independent fp64 reference decoder.
 
 Consumes the same parsed Frame structures as the production runtime but
-performs all spectral processing with explicit per-band loops and
-per-window-sequence branches in float64 — deliberately mirroring the
-*reference's* control structure (decoder.js processSingle/processPair,
+performs all spectral processing frame-at-a-time in float64 with
+per-window-sequence branches — deliberately mirroring the *reference's*
+control structure (decoder.js processSingle/processPair,
 filter_bank.js process) rather than the production pipeline's linearized
 batched form, so the two implementations cross-validate each other
-(tests use it as the model oracle).
+(tests use it as the model oracle).  The per-frame math itself is
+vectorized (scipy lfilter for the TNS recurrences, one DCT-IV per
+transform — tables.imdct_via_dct4/mdct_via_dct4) so the oracle is also
+fast enough to serve as a production path.
 
 It is also the production decode path for AAC-LTP (AOT 4): long-term
 prediction feeds each frame's spectrum from the previous frames' TIME
 output (ltp_state), an inherently sequential per-frame loop that would
 serialize the batched device pipeline; the rare profile runs here
-instead (decode_adts/AACDecoder route it automatically).
+instead.  decode_adts routes profile 4 through `decode_ltp_native`
+(native C parse + the same vectorized math, ~25x the per-frame python
+loop) and falls back to the ModelDecoder loop for error/concealment
+handling, DRC, coupling, or when the native parser isn't built.
 
 Spec-correct choices match aacjax (TNS applied as the AR filter over
 spec-correct regions, pulse applied, CCE with reference gain bookkeeping).
@@ -25,7 +31,7 @@ from aacjax import tables
 from aacjax.host.asc import StreamConfig
 from aacjax.host.syntax import (
     AFTER_IMDCT, AFTER_TNS, BEFORE_TNS, CCEData, CPEData, Frame,
-    INTENSITY_BT, INTENSITY_BT2, NOISE_BT, SCEData,
+    INTENSITY_BT, INTENSITY_BT2, NOISE_BT, SCEData, TnsFilter,
 )
 
 class ModelDecoder:
@@ -94,17 +100,20 @@ class ModelDecoder:
                 r[s:s + width] = l[s:s + width] * scale
 
     def apply_tns(self, ch, spec: np.ndarray) -> None:
-        """Sequential AR filter (spec-correct decode direction)."""
+        """Sequential AR filter (spec-correct decode direction): the
+        recurrence y[n] = x[n] - sum_i lpc[i-1]*y[n-i] over each region,
+        zero history at the region start — exactly scipy's direct-form
+        IIR, run at C speed instead of a per-bin python loop."""
+        from scipy.signal import lfilter
         for f in ch.tns_filters:
-            if f.inc == 1:
-                rng = range(f.start, f.end)
-            else:
-                rng = range(f.end - 1, f.start - 1, -1)
-            done = 0
-            for n in rng:
-                for i in range(1, min(done, f.order) + 1):
-                    spec[n] -= spec[n - i * f.inc] * f.lpc[i - 1]
-                done += 1
+            a = np.empty(f.order + 1, np.float64)
+            a[0] = 1.0
+            a[1:] = f.lpc[: f.order]
+            region = spec[f.start: f.end]
+            if f.inc == -1:
+                region = region[::-1]
+            y = lfilter([1.0], a, region)
+            spec[f.start: f.end] = y[::-1] if f.inc == -1 else y
 
     def filterbank(self, info, spec: np.ndarray,
                    overlap: np.ndarray) -> np.ndarray:
@@ -132,7 +141,7 @@ class ModelDecoder:
         self._last_raw = None
 
         if seq != 2:
-            buf = spec @ tables.imdct_matrix(2 * FRAME)  # [2*FRAME]
+            buf = tables.imdct_via_dct4(spec)            # [2*FRAME]
             self._last_raw = buf
             if seq == 0:  # ONLY_LONG
                 out[:] = overlap + buf[:FRAME] * wl_prev
@@ -151,12 +160,11 @@ class ModelDecoder:
                                      + buf[MID + SHORT:FRAME])
                 overlap[:] = buf[FRAME:] * wl_cur[::-1]
         else:  # EIGHT_SHORT
-            m = tables.imdct_matrix(FRAME // 4)
+            blocks = tables.imdct_via_dct4(
+                spec.reshape(8, SHORT))                  # [8, 2*SHORT]
             t = np.zeros(2 * FRAME, np.float64)
-            raw = []
             for w in range(8):
-                block = spec[w * SHORT:(w + 1) * SHORT] @ m  # [256]
-                raw.append(block)
+                block = blocks[w]
                 rise = ws_prev if w == 0 else ws_cur
                 windowed = np.concatenate([block[:SHORT] * rise,
                                            block[SHORT:] * ws_cur[::-1]])
@@ -164,7 +172,7 @@ class ModelDecoder:
                 t[off:off + 2 * SHORT] += windowed
             out[:] = overlap + t[:FRAME]
             overlap[:] = t[FRAME:]
-            self._last_raw = raw
+            self._last_raw = list(blocks)
         return out
 
     # -- AAC-LTP (AOT 4) -----------------------------------------------------
@@ -204,21 +212,22 @@ class ModelDecoder:
             pred[F + MID + S:] = 0.0
 
         # forward MDCT (exact PR pair of tables.imdct_matrix)
-        pred_freq = pred @ (tables.imdct_matrix(2 * F).T * (2.0 * F))
+        pred_freq = tables.mdct_via_dct4(pred)
 
         # TNS analysis (all-zero/FIR) filtering of the prediction, over
-        # the same regions and direction as the synthesis filter
+        # the same regions and direction as the synthesis filter:
+        # y[n] = x[n] + sum_i lpc[i-1]*x[n-i] with zero history at the
+        # region start — a pure FIR, run as scipy lfilter(b, 1)
+        from scipy.signal import lfilter
         for f in ch.tns_filters:
-            rng = (range(f.start, f.end) if f.inc == 1
-                   else range(f.end - 1, f.start - 1, -1))
-            base = pred_freq.copy()
-            done = 0
-            for n in rng:
-                acc = pred_freq[n]
-                for i in range(1, min(done, f.order) + 1):
-                    acc += base[n - i * f.inc] * f.lpc[i - 1]
-                pred_freq[n] = acc
-                done += 1
+            b = np.empty(f.order + 1, np.float64)
+            b[0] = 1.0
+            b[1:] = f.lpc[: f.order]
+            region = pred_freq[f.start: f.end]
+            if f.inc == -1:
+                region = region[::-1]
+            y = lfilter(b, [1.0], region)
+            pred_freq[f.start: f.end] = y[::-1] if f.inc == -1 else y
 
         offs = info.swb_offsets
         for sfb in range(min(info.max_sfb, self.MAX_LTP_SFB)):
@@ -316,13 +325,17 @@ class ModelDecoder:
             dst += float(cce.gain[index][0]) * src
             return
         gains = cce.gain[index]
+        # expand the per-band gains to one per-bin vector, then a single
+        # fused multiply-add (the device stage's form, pipeline.py CCE)
+        g_bin = np.zeros(self.F, np.float64)
         for idx, start, width, glen in self._band_iter(cce.ics.info):
             if cce.ics.band_types[idx] == 0:
                 continue
             g = float(gains[idx])
             for w in range(glen):
                 s = start + w * self.S
-                dst[s:s + width] += g * src[s:s + width]
+                g_bin[s:s + width] = g
+        dst += g_bin * src
 
     # ------------------------------------------------------------------
     def decode_frame(self, frame: Frame) -> np.ndarray:
@@ -372,3 +385,130 @@ class ModelDecoder:
                 outs.extend([pl, pr])
                 channel += 2
         return np.stack(outs, axis=1) / 32768.0
+
+
+# ---------------------------------------------------------------------------
+# AAC-LTP fast path: native parse + vectorized frame-serial math
+# ---------------------------------------------------------------------------
+class _InfoShim:
+    """Minimal ICSInfo stand-in built from the native parser's dense
+    planes — just the fields the ModelDecoder math reads."""
+    __slots__ = ("window_sequence", "window_shape", "prev_window_shape",
+                 "max_sfb", "swb_offsets", "ltp")
+
+
+class _ChShim:
+    __slots__ = ("info", "tns_filters")
+
+
+class _LTPShim:
+    __slots__ = ("lag", "coef_idx", "used")
+
+
+def decode_ltp_native(payloads: list[bytes], config: StreamConfig,
+                      chunk_frames: int = 256) -> np.ndarray | None:
+    """AAC-LTP (AOT 4) production path: ONE native C call per chunk
+    parses the bitstream into spectra + TNS filters + LTP side info
+    (aacparse.cc emit_ltp); the frame-serial prediction/filterbank math
+    — the only part LTP's time feedback truly serializes — runs here
+    with the same ModelDecoder routines (lfilter TNS, DCT-IV
+    transforms), skipping the per-frame python bitstream walk.
+
+    Exactness: when the chunk rides the exact-i16 q/sf representation
+    the fp64 dequant is bit-identical to the python parse, so the
+    output equals the ModelDecoder loop exactly; content that needs the
+    host-fused f32 spectra (M/S, PNS, escapes) differs only by the f32
+    rounding of values libavcodec also holds in f32 (tests/test_ltp.py
+    oracle bounds).
+
+    Returns None when the stream must take the python loop instead:
+    native parser unavailable, any frame error (the python loop owns
+    concealment semantics), or delegated content (CCE coupling)."""
+    from aacjax.host import native
+
+    if not native.available() or config.frame_length != 1024:
+        return None
+    C = config.channels
+    F = config.frame_length
+    offs = np.asarray(config.swb_offsets_long, np.int64)
+    n_sfb = min(40, int(config.swb_count_long))
+    tp = native.stream_tables([config])
+    sf_lut = np.power(2.0, (np.arange(256, dtype=np.float64) - 100.0)
+                      / 4.0).astype(np.float32)
+    dec = ModelDecoder(config, n_channels=C)
+    prev_shapes = np.zeros(C, np.int32)
+    pcm_out = np.empty((len(payloads) * F, C), np.float32)
+    wrote = 0
+
+    for lo in range(0, len(payloads), chunk_frames):
+        group = payloads[lo: lo + chunk_frames]
+        T = len(group)
+        out = native.SpecBatchArrays(C, T, F)
+        try:
+            status, _, _ = native.parse_batch_spec(
+                [group], np.array([config.sample_index], np.int32),
+                np.array([config.chan_config], np.int32),
+                np.zeros(1, np.int32), np.array([C], np.int32),
+                prev_shapes, out, tables_pack=tp,
+                want_qsf=True, want_ltp=True)
+        except native.NativeParseError:
+            return None
+        if int(status[0]) != 0:
+            return None  # python loop owns error/concealment semantics
+
+        if out.qsf_ok is not None and bool(out.qsf_ok.all()):
+            # exact-i16: fp64 dequant identical to the python parse
+            q = out.spec_q.astype(np.float64)
+            mag = np.sign(q) * np.abs(q) ** (4.0 / 3.0)
+            gain = sf_lut[out.spec_sf].astype(np.float64)   # [C,T,F/4]
+            spec64 = (mag.reshape(C, T, F // 4, 4)
+                      * gain[..., None]).reshape(C, T, F)
+        else:
+            spec64 = out.spec.astype(np.float64)
+
+        meta = out.meta
+        for t in range(T):
+            for c in range(C):
+                info = _InfoShim()
+                info.window_sequence = int(meta[c, t, 1]) // 2
+                info.window_shape = int(meta[c, t, 2])
+                info.prev_window_shape = int(meta[c, t, 3])
+                info.max_sfb = n_sfb
+                info.swb_offsets = offs
+                lag = int(out.ltp_meta[c, t, 0])
+                if lag > 0:
+                    ltp = _LTPShim()
+                    ltp.lag = lag
+                    ltp.coef_idx = int(out.ltp_meta[c, t, 1])
+                    ltp.used = out.ltp_used[c, t].astype(bool)
+                    info.ltp = ltp
+                else:
+                    info.ltp = None
+                ch = _ChShim()
+                ch.info = info
+                fl = []
+                for bank, inc in ((0, 1), (1, -1)):
+                    for k in range(8):
+                        s_ = int(out.tns_range[c, t, bank, k, 0])
+                        e_ = int(out.tns_range[c, t, bank, k, 1])
+                        if e_ <= s_:
+                            continue
+                        if inc == -1:
+                            # rev bank stores flipped-spectrum coords
+                            s_, e_ = F - e_, F - s_
+                        fl.append(TnsFilter(
+                            start=s_, end=e_, inc=inc,
+                            order=out.tns_lpc.shape[-1],
+                            lpc=out.tns_lpc[c, t, bank, k]
+                                .astype(np.float64)))
+                ch.tns_filters = fl
+
+                spec = spec64[c, t]
+                dec.apply_ltp(ch, spec, c)
+                dec.apply_tns(ch, spec)
+                pcm = dec.filterbank(info, spec, dec.overlaps[c])
+                dec.update_ltp(info, pcm, dec.overlaps[c], c)
+                pcm_out[wrote + t * F: wrote + (t + 1) * F, c] = (
+                    pcm / 32768.0)
+        wrote += T * F
+    return pcm_out

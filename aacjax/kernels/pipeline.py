@@ -637,11 +637,20 @@ def _unpack_spec_batch(batch: dict) -> dict:
             batch[f'cce_{key}_src'] = idx[:, 0]
             batch[f'cce_{key}_dst'] = idx[:, 1]
             batch[f'cce_{key}_t'] = idx[:, 2]
+    if 'pred_meta' in batch:
+        # Main-profile predictor feed (native parser emit_pred): meta
+        # [C,T,3] i32 = (mode, reset_group, nbins) + per-bin used mask
+        # shipped as u8 (H2D stays compact; the f32 cast runs on-device)
+        pm = batch.pop('pred_meta')
+        batch['pred_mode'] = pm[:, :, 0]
+        batch['pred_reset'] = pm[:, :, 1]
+        batch['pred_nbins'] = pm[:, :, 2]
+        batch['pred_used'] = batch.pop('pred_used_u8').astype(jnp.float32)
     return batch
 
 
 def decode_spec_step(batch: dict, overlap_in: jax.Array,
-                     flags: PipelineFlags) -> tuple[jax.Array, jax.Array]:
+                     flags: PipelineFlags, pred_state: jax.Array | None = None):
     """Host-prep decode step: the native parser has already fused
     dequantization, PNS, M/S and intensity into final float32 spectra
     (native/aacparse.cc aacparse_batch_spec), quartering the host->device
@@ -670,6 +679,12 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
                 * batch['spec_scale'][..., None]).reshape(C_, T_, F_)
     else:
         spec = batch['spec']
+    if flags.has_pred:
+        # Main-profile backward prediction: the native parser host-fuses
+        # M/S (which precedes prediction) and falls back on intensity/CCE
+        # content (which must follow it), so the stage runs first here —
+        # same position in the tool chain as the python-packer path
+        spec, pred_state = apply_prediction(spec, batch, pred_state)
     if flags.has_tns:
         spec = tns(spec, batch['tns_fwd_lpc'], batch['tns_fwd_start'],
                    batch['tns_fwd_end'], batch['tns_rev_lpc'],
@@ -716,12 +731,19 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
     pcm = pcm * batch['valid'][..., None].astype(pcm.dtype)
     if flags.out_int16:
         out = jnp.clip(jnp.round(pcm), -32768.0, 32767.0).astype(jnp.int16)
-        return out, new_overlap
-    return pcm * jnp.float32(1.0 / 32768.0), new_overlap
+    else:
+        out = pcm * jnp.float32(1.0 / 32768.0)
+    if flags.has_pred:
+        return out, new_overlap, pred_state
+    return out, new_overlap
 
 
 @functools.lru_cache(maxsize=None)
 def jitted_decode_spec_step(flags: PipelineFlags):
+    if flags.has_pred:
+        def fn_pred(batch, overlap_in, pred_state):
+            return decode_spec_step(batch, overlap_in, flags, pred_state)
+        return jax.jit(fn_pred, donate_argnums=(1, 2))
     def fn(batch, overlap_in):
         return decode_spec_step(batch, overlap_in, flags)
     return jax.jit(fn, donate_argnums=(1,))

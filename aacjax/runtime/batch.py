@@ -86,13 +86,16 @@ class BatchDecoder:
         self.overlap = jnp.zeros(
             (c, 3 * self.F if self._eld else self.F), jnp.float32)
         # the native parser handles every frame length (1024/960/512/480)
-        # and the standard + ER/LD/ELD syntaxes; Main-profile streams run
-        # on the python path (backward prediction is a stateful device
-        # stage fed by the python packer), as does LTP (time feedback)
-        any_main = any(cfg.profile in (1, 4) for cfg in configs)
+        # and the standard + ER/LD/ELD syntaxes, incl. Main-profile
+        # predictor side info (the prediction itself is a stateful device
+        # stage, decode_spec_step).  LTP streams keep the python path
+        # here (time feedback serializes the batch step; the native LTP
+        # fast path lives in host/refdec.decode_ltp_native)
+        any_ltp = any(cfg.profile == 4 for cfg in configs)
+        self._any_main = any(cfg.profile == 1 for cfg in configs)
         self.use_native = ((native.available()
                             and self.F in (1024, 960, 512, 480)
-                            and not any_main)
+                            and not any_ltp)
                            if use_native is None else use_native)
         if self.use_native and self.F not in (1024, 960, 512, 480):
             raise ValueError(f"native parser: unsupported frame length "
@@ -221,7 +224,24 @@ class BatchDecoder:
         """
         if not self.use_native:
             return self._step_python_raw(payloads_per_stream)
+        prev_snap = self.prev_shapes.copy()
+        fd_snap = [st.frames_decoded for st in self.streams]
         parsed = self._parse_native(payloads_per_stream, compact=compact)
+        if any(int(c) == native.ERR_DELEGATE for c in self._last_status):
+            # a stream carries legal content the native spec path cannot
+            # order correctly (Main-profile + intensity, prediction +
+            # coupling): redo the WHOLE chunk on the python packer path —
+            # correctness beats the fast path for these rare
+            # combinations.  Window-shape history and frame counts roll
+            # back first (the native call advanced them in place).
+            self.prev_shapes[:] = prev_snap
+            for st, fd, code in zip(self.streams, fd_snap,
+                                    self._last_status):
+                st.frames_decoded = fd
+                if int(code) == native.ERR_DELEGATE:
+                    st.failed = False
+                    st.last_error = None
+            return self._step_python_raw(payloads_per_stream)
         pcm = self._device_step(parsed, out_int16=out_int16,
                                 use_pallas=use_pallas)
         return self.finalize_step(pcm) if materialize else pcm
@@ -1128,6 +1148,10 @@ class BatchDecoder:
             # the exact f32 path (tests/test_native.py fidelity bound) —
             # below the codec's own quantization noise
             compact = os.environ.get("AACJAX_COMPACT", "1") == "1"
+        if self._any_main:
+            # the Main-profile predictor is bit-precision-sensitive and
+            # its state feeds back across frames: ship exact spectra
+            compact = False
         if self._spec_buffers is None:
             self._spec_buffers = [
                 native.SpecBatchArrays(self.C, self.T, self.F),
@@ -1138,7 +1162,8 @@ class BatchDecoder:
         status, has_tns, errmsg = native.parse_batch_spec(
             payloads_per_stream, self._sample_indices, self._chan_configs,
             self._base_slots, self._n_slots, self.prev_shapes, out,
-            tables_pack=self._tables_pack, want_qsf=qsf)
+            tables_pack=self._tables_pack, want_qsf=qsf,
+            want_pred=self._any_main)
         parse_seconds = time.perf_counter() - t0
         self._last_status = status
         self._last_consumed = out.consumed_bits
@@ -1159,6 +1184,14 @@ class BatchDecoder:
                 st.failed = True
                 st.last_error = (f"native parse: {errmsg or 'capacity'}; "
                                  "raise cce_slots to cover coupling channels")
+            elif code == native.ERR_DELEGATE:
+                # legal content the fast path delegates (Main+intensity,
+                # prediction+coupling): step_raw redoes the chunk on the
+                # python packer path; other callers surface the reason
+                st.failed = True
+                st.last_error = (f"native parse delegates: {errmsg}; "
+                                 "decodes on the python parse path "
+                                 "(use_native=False)")
             elif code != 0:
                 st.failed = True
                 st.last_error = (errmsg
@@ -1199,8 +1232,12 @@ class BatchDecoder:
             gain = np.zeros(q, np.float32)
             gain[:n_time] = out.cce_time_gain[:n_time]
             batch.update(cce_time_idx=idx, cce_time_gain=gain)
+        if self._any_main:
+            batch.update(pred_meta=out.pred_meta,
+                         pred_used_u8=out.pred_used)
         batch['_has_tns'] = has_tns
         batch['_has_short'] = bool(meta[:, :, 4].any())
+        batch['_has_pred'] = self._any_main
         batch['_spec_i16'] = compact and not use_qsf
         batch['_spec_qsf'] = use_qsf
         batch['_has_cce_post'] = n_post > 0
@@ -1254,6 +1291,7 @@ class BatchDecoder:
                      use_pallas: bool | None = None):
         has_tns = batch.pop('_has_tns')
         has_short = batch.pop('_has_short')
+        has_pred = batch.pop('_has_pred', False)
         spec_i16 = batch.pop('_spec_i16')
         spec_qsf = batch.pop('_spec_qsf', False)
         has_cce_post = batch.pop('_has_cce_post')
@@ -1269,11 +1307,19 @@ class BatchDecoder:
                               has_cce_post=has_cce_post,
                               has_cce_time=has_cce_time,
                               spec_i16=spec_i16, spec_qsf=spec_qsf,
-                              has_short=has_short,
+                              has_short=has_short, has_pred=has_pred,
                               eld=self._eld)
         step_fn = jitted_decode_spec_step(flags)
         t0 = time.perf_counter()
-        pcm, self.overlap = step_fn(batch, self.overlap)
+        if has_pred:
+            # Main profile: cross-frame predictor state rides the step
+            from aacjax.kernels.pipeline import pred_state_init
+            if getattr(self, '_pred_state', None) is None:
+                self._pred_state = pred_state_init(self.C)
+            pcm, self.overlap, self._pred_state = step_fn(
+                batch, self.overlap, self._pred_state)
+        else:
+            pcm, self.overlap = step_fn(batch, self.overlap)
         # jit dispatch is async: the step's device time is only known once
         # the result materializes, so the timing record completes in
         # finalize_step (stats never report the async dispatch as device
@@ -1297,6 +1343,7 @@ class BatchDecoder:
         from aacjax.runtime import mesh as meshlib
         has_tns = batch.pop('_has_tns')
         has_short = batch.pop('_has_short')
+        has_pred = batch.pop('_has_pred', False)
         spec_i16 = batch.pop('_spec_i16')
         spec_qsf = batch.pop('_spec_qsf', False)
         has_cce_post = batch.pop('_has_cce_post')
@@ -1309,7 +1356,7 @@ class BatchDecoder:
                               has_cce_post=has_cce_post,
                               has_cce_time=has_cce_time,
                               spec_i16=spec_i16, spec_qsf=spec_qsf,
-                              has_short=has_short,
+                              has_short=has_short, has_pred=has_pred,
                               eld=self._eld)
         step_fn = meshlib.sharded_decode_spec_step(flags, mesh)
         sharded = meshlib.shard_spec_batch(mesh, batch)
@@ -1317,7 +1364,17 @@ class BatchDecoder:
             self.overlap, jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("stream", None)))
         t0 = time.perf_counter()
-        pcm, self.overlap = step_fn(sharded, overlap)
+        if has_pred:
+            from aacjax.kernels.pipeline import pred_state_init
+            if getattr(self, '_pred_state', None) is None:
+                self._pred_state = pred_state_init(self.C)
+            pred = jax.device_put(
+                self._pred_state, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("stream", None, None)))
+            pcm, self.overlap, self._pred_state = step_fn(
+                sharded, overlap, pred)
+        else:
+            pcm, self.overlap = step_fn(sharded, overlap)
         self._pending_steps[id(pcm)] = (
             t0, parse_seconds, n_stream_frames, n_channel_frames)
         self.stats.streams_failed = sum(st.failed for st in self.streams)

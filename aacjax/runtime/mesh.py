@@ -112,6 +112,19 @@ def sharded_decode_spec_step(flags, mesh: Mesh):
     from aacjax.kernels.pipeline import decode_spec_step
     overlap_sharding = NamedSharding(mesh, P("stream", None))
     pcm_sharding = NamedSharding(mesh, P("stream", "frame", None))
+    if flags.has_pred:
+        # Main profile: the [C,672,6] predictor state is slot-local and
+        # rides the step sharded over 'stream' like the overlap buffer
+        pred_sharding = NamedSharding(mesh, P("stream", None, None))
+
+        def fn_pred(batch, overlap_in, pred_state):
+            return decode_spec_step(batch, overlap_in, flags, pred_state)
+
+        return jax.jit(
+            fn_pred,
+            donate_argnums=(1, 2),
+            out_shardings=(pcm_sharding, overlap_sharding, pred_sharding),
+        )
 
     def fn(batch, overlap_in):
         return decode_spec_step(batch, overlap_in, flags)

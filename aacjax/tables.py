@@ -332,3 +332,35 @@ def imdct_matrix(n: int) -> np.ndarray:
     t = np.arange(n, dtype=np.float64)[None, :]
     return (2.0 / n) * np.cos(
         2.0 * np.pi / n * (t + 0.5 + n / 4.0) * (k + 0.5))
+
+
+# O(n log n) host-side equivalents of the imdct_matrix products, for the
+# fp64 reference/LTP path (the device keeps the matmul form — that IS the
+# right TPU mapping, SURVEY.md §2.9).  Both reduce to one DCT-IV via the
+# cos(pi(2m+1)(2k+1)/4h) fold: with u = t + h/2, the IMDCT phase
+# (t+0.5+N/4)(k+0.5)*2pi/N equals the DCT-IV phase at index u, and indices
+# past h fold back with a sign flip.  Verified against imdct_matrix for
+# every frame length in tests/test_tables.py.
+
+def imdct_via_dct4(X: np.ndarray) -> np.ndarray:
+    """[..., h] spectra -> [..., 2h] time; equals X @ imdct_matrix(2h)."""
+    from scipy.fft import dct
+    h = X.shape[-1]
+    D = dct(X, type=4, axis=-1) / (2.0 * h)
+    out = np.empty(X.shape[:-1] + (2 * h,), np.float64)
+    out[..., : h // 2] = D[..., h // 2:]
+    out[..., h // 2: 3 * h // 2] = -D[..., ::-1]
+    out[..., 3 * h // 2:] = -D[..., : h // 2]
+    return out
+
+
+def mdct_via_dct4(x: np.ndarray) -> np.ndarray:
+    """[..., 2h] time -> [..., h] spectra; equals
+    x @ (imdct_matrix(2h).T * 2h) — the exact PR dual used by LTP."""
+    from scipy.fft import dct
+    h = x.shape[-1] // 2
+    f = np.zeros(x.shape[:-1] + (h,), np.float64)
+    f[..., h // 2:] += x[..., : h // 2]
+    f -= x[..., h // 2: 3 * h // 2][..., ::-1]
+    f[..., : h // 2] -= x[..., 3 * h // 2:]
+    return dct(f, type=4, axis=-1)

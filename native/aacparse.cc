@@ -54,8 +54,14 @@ enum ErrCode {
   OK = 0,
   ERR_BITSTREAM = 1,     // malformed stream
   ERR_UNSUPPORTED = 2,   // valid but unsupported feature (PCE, SSR...)
-  ERR_FALLBACK = 3,      // feature the native path delegates to Python (CCE)
+  ERR_FALLBACK = 3,      // capacity limit (CCE slots/entries): the caller
+                         // must raise a knob; a python reparse hits the
+                         // same wall
   ERR_BOUNDS = 4,
+  ERR_DELEGATE = 5,      // legal content this fast path cannot order
+                         // correctly (Main + intensity, prediction +
+                         // coupling): the runtime transparently redoes
+                         // the chunk on the python packer path
 };
 
 // ---------------------------------------------------------------------
@@ -289,6 +295,15 @@ struct ICSInfo {
   int swb_count = 0;
   int frame_len = kFrameLen;   // 1024 / 960 / 512 / 480
   int short_len = 128;         // frame_len / 8 (window stride)
+  // Main-profile backward prediction side info (ISO/IEC 14496-3
+  // §4.6.2.1; mirrors aacjax/host/syntax.py ICSInfo fields)
+  bool pred_present = false;   // predictor_data_present bit
+  int pred_reset_group = 0;    // 0 = no group reset this frame
+  uint64_t pred_used = 0;      // bit per sfb, n = min(max_sfb, pred_sfb_max)
+  // AAC-LTP (AOT 4) long-term prediction side info (§4.6.6 ltp_data)
+  int ltp_lag = 0;             // 0 = no prediction this frame
+  int ltp_coef = 0;
+  uint64_t ltp_used = 0;       // bit per sfb, n = min(max_sfb, 40)
 };
 
 struct TnsSide {
@@ -336,6 +351,9 @@ struct StreamConfig {
   int swb_short_count = 0;
   int tns_max_long = 0;        // TNS band clamps (caller-resolved)
   int tns_max_short = 0;
+  int pred_sfb_max = 0;        // Main (AOT 1): highest predicted sfb
+                               // (ISO/IEC 14496-3 Table 4.128, caller-
+                               // resolved = python tables.PRED_SFB_MAX)
 };
 
 bool decode_ics_info(BitReader* br, const StreamConfig& cfg, ICSInfo* info,
@@ -373,8 +391,37 @@ bool decode_ics_info(BitReader* br, const StreamConfig& cfg, ICSInfo* info,
     info->window_count = 1;
     info->swb_offsets = cfg.swb_long;
     info->swb_count = cfg.swb_long_count;
-    if (br->read(1, &ok))
-      FAIL(err, ERR_UNSUPPORTED, "Main/LTP prediction not implemented.");
+    if (br->read(1, &ok)) {  // predictor_data_present
+      info->pred_present = true;
+      if (cfg.profile == 1) {
+        // Main-profile backward prediction (ISO/IEC 14496-3 §4.6.2.1;
+        // mirrors syntax.py / libavcodec decode_prediction)
+        if (br->read(1, &ok)) {  // predictor_reset
+          info->pred_reset_group = static_cast<int>(br->read(5, &ok));
+          if (info->pred_reset_group < 1 || info->pred_reset_group > 30)
+            FAIL(err, ERR_BITSTREAM, "invalid predictor reset group");
+        }
+        const int n = info->max_sfb < cfg.pred_sfb_max ? info->max_sfb
+                                                       : cfg.pred_sfb_max;
+        for (int i = 0; i < n; ++i)
+          if (br->read(1, &ok)) info->pred_used |= 1ull << i;
+      } else if (cfg.profile == 4) {
+        if (br->read(1, &ok)) {  // ltp_data_present
+          info->ltp_lag = static_cast<int>(br->read(11, &ok));
+          info->ltp_coef = static_cast<int>(br->read(3, &ok));
+          const int n = info->max_sfb < 40 ? info->max_sfb : 40;
+          for (int i = 0; i < n; ++i)
+            if (br->read(1, &ok)) info->ltp_used |= 1ull << i;
+        }
+      } else if (cfg.profile == 23) {
+        // LD LTP uses a different lag coding (§4.6.20.3); libavcodec
+        // also rejects it (decode_ics_info)
+        FAIL(err, ERR_UNSUPPORTED, "LTP in ER AAC-LD not supported");
+      } else {
+        FAIL(err, ERR_UNSUPPORTED,
+             "prediction data in a non-predictive profile");
+      }
+    }
   }
   if (!ok) FAIL(err, ERR_BITSTREAM, "ics_info: eof");
   if (info->max_sfb > info->swb_count)
@@ -1073,6 +1120,8 @@ int aacparse_batch_spec(
     const int32_t* swb_short_flat,  // [n_streams, 20]; count 0 = no shorts
     const int32_t* swb_short_count, // [n_streams]
     const int32_t* tns_max_arr,     // [n_streams, 2] = (long, short)
+    const int32_t* pred_sfb_arr,    // [n_streams] Main pred_sfb_max
+                                    // (nullable: 0 for non-Main streams)
     int n_streams, int total_slots, int T,
     int32_t* prev_shapes,
     float* spec,        // [total_slots, T, frame_len]
@@ -1117,6 +1166,18 @@ int aacparse_batch_spec(
                              // stream rode the q/sf representation (no
                              // PNS/intensity/M-S/CCE/escape-past-i16);
                              // 0 = caller must ship the f32 spectra
+    int32_t* pred_meta,      // [total_slots, T, 3] out (nullable): Main-
+                             // profile predictor stage feed = (mode,
+                             // reset_group, nbins); mode 0 none, 1
+                             // predict+update (long), 2 reset-all
+                             // (short) — mirrors runtime/pack.py
+    uint8_t* pred_used_bin,  // [total_slots, T, 672] out: 1 per bin of a
+                             // prediction_used sfb (device stage mask)
+    int32_t* ltp_meta,       // [total_slots, T, 3] out (nullable): AAC-
+                             // LTP side info = (lag, coef_idx, 0); lag 0
+                             // = no prediction this channel-frame
+    uint8_t* ltp_used_sfb,   // [total_slots, T, 40] out: used flag per
+                             // sfb (host LTP fast path expands to bins)
     char* errbuf, int errbuf_len) {
   ensure_init();
   (void)total_slots;
@@ -1149,6 +1210,7 @@ int aacparse_batch_spec(
     cfg.swb_short_count = swb_short_count[s];
     cfg.tns_max_long = tns_max_arr[s * 2 + 0];
     cfg.tns_max_short = tns_max_arr[s * 2 + 1];
+    cfg.pred_sfb_max = pred_sfb_arr ? pred_sfb_arr[s] : 0;
     int base = base_slot_arr[s];
     int n_slots = n_slots_arr[s];
     int f_lo = stream_frame_start[s];
@@ -1175,6 +1237,18 @@ int aacparse_batch_spec(
              0, sizeof(float) * T * 2 * kTnsSlots * kTnsOrder);
       memset(tns_range + static_cast<size_t>(sl) * T * 2 * kTnsSlots * 2, 0,
              sizeof(int32_t) * T * 2 * kTnsSlots * 2);
+      if (pred_meta) {
+        memset(pred_meta + static_cast<size_t>(sl) * T * 3, 0,
+               sizeof(int32_t) * T * 3);
+        memset(pred_used_bin + static_cast<size_t>(sl) * T * 672, 0,
+               static_cast<size_t>(T) * 672);
+      }
+      if (ltp_meta) {
+        memset(ltp_meta + static_cast<size_t>(sl) * T * 3, 0,
+               sizeof(int32_t) * T * 3);
+        memset(ltp_used_sfb + static_cast<size_t>(sl) * T * 40, 0,
+               static_cast<size_t>(T) * 40);
+      }
     }
 
     ParseError err{OK, ""};
@@ -1220,6 +1294,75 @@ int aacparse_batch_spec(
           m[4] = seq == EIGHT_SHORT ? 1 : 0;
           m[5] = 1;
         };
+        auto has_intensity = [&](const Channel& ch) -> bool {
+          const int n = ch.info.group_count * ch.info.max_sfb;
+          for (int i = 0; i < n; ++i)
+            if (ch.band_types[i] == INTENSITY_BT
+                || ch.band_types[i] == INTENSITY_BT2)
+              return true;
+          return false;
+        };
+        auto emit_pred = [&](const Channel& ch, int sl) -> bool {
+          // Main-profile predictor feed: EVERY valid frame of an AOT-1
+          // stream carries a mode (the state updates even without
+          // prediction_used) — mirrors runtime/pack.py add_channel_frame
+          if (cfg.profile != 1) return true;
+          if (!pred_meta) {
+            err = {ERR_DELEGATE, "main: predictor planes not requested"};
+            return false;
+          }
+          if (has_intensity(ch)) {
+            // the spec path host-fuses intensity, but IS must read the
+            // POST-prediction left channel (pipeline.apply_is) — the
+            // rare Main+IS combination keeps the python packer path
+            err = {ERR_DELEGATE, "main profile with intensity stereo"};
+            return false;
+          }
+          int32_t* pm = pred_meta + (static_cast<size_t>(sl) * T + t) * 3;
+          if (ch.info.window_sequence == EIGHT_SHORT) {
+            pm[0] = 2;  // short frame: reset the whole predictor state
+            return true;
+          }
+          pm[0] = 1;
+          pm[1] = ch.info.pred_reset_group;
+          const int top = cfg.pred_sfb_max < cfg.swb_long_count
+                              ? cfg.pred_sfb_max : cfg.swb_long_count;
+          int nbins = cfg.swb_long[top];
+          pm[2] = nbins < 672 ? nbins : 672;
+          if (ch.info.pred_present && ch.info.pred_used) {
+            uint8_t* pu = pred_used_bin
+                          + (static_cast<size_t>(sl) * T + t) * 672;
+            const int n = ch.info.max_sfb < cfg.pred_sfb_max
+                              ? ch.info.max_sfb : cfg.pred_sfb_max;
+            for (int sfb = 0; sfb < n; ++sfb) {
+              if (!(ch.info.pred_used >> sfb & 1)) continue;
+              int lo = cfg.swb_long[sfb];
+              int hi = cfg.swb_long[sfb + 1];
+              if (hi > 672) hi = 672;
+              for (int k = lo; k < hi; ++k) pu[k] = 1;
+            }
+          }
+          return true;
+        };
+        auto emit_ltp = [&](const Channel& ch, int sl) -> bool {
+          if (cfg.profile != 4) return true;
+          if (!ltp_meta) {
+            err = {ERR_DELEGATE, "ltp: side-info planes not requested"};
+            return false;
+          }
+          if (ch.info.ltp_lag <= 0
+              || ch.info.window_sequence == EIGHT_SHORT)
+            return true;  // zero row = no prediction (refdec apply_ltp)
+          int32_t* lm = ltp_meta + (static_cast<size_t>(sl) * T + t) * 3;
+          lm[0] = ch.info.ltp_lag;
+          lm[1] = ch.info.ltp_coef;
+          uint8_t* lu = ltp_used_sfb
+                        + (static_cast<size_t>(sl) * T + t) * 40;
+          const int n = ch.info.max_sfb < 40 ? ch.info.max_sfb : 40;
+          for (int sfb = 0; sfb < n; ++sfb)
+            lu[sfb] = static_cast<uint8_t>(ch.info.ltp_used >> sfb & 1);
+          return true;
+        };
         auto emit_tns = [&](const Channel& ch, int sl) -> bool {
           if (!ch.tns_present) return true;
           bool any = false;
@@ -1256,6 +1399,7 @@ int aacparse_batch_spec(
           emit_meta(ch, slot, false);
           prev_shapes[slot] = ch.info.window_shape;
           if (!emit_tns(ch, slot)) return false;
+          if (!emit_pred(ch, slot) || !emit_ltp(ch, slot)) return false;
           if (n_elems < 16)
             elems[n_elems++] = ElemRef{false, eid, slot, slot,
                                        ch.tns_present, ch.tns_present};
@@ -1275,12 +1419,26 @@ int aacparse_batch_spec(
           ICSInfo shared;
           float ms_used[kMaxSections] = {0};
           bool mask_present = false;
+          int r_ltp_lag = 0, r_ltp_coef = 0;
+          uint64_t r_ltp_used = 0;
           if (common_window) {
             if (cfg.profile == 39) {
               if (!decode_ics_info_eld(&br, cfg, &shared, &err)) return false;
             } else if (!decode_ics_info(&br, cfg, &shared, prev_shapes[slot],
                                         &err)) {
               return false;
+            }
+            // AAC-LTP: the shared ics_info carries channel 0's ltp_data;
+            // the second channel's ltp_data_present bit follows
+            // immediately (syntax.py decode_cpe; libavcodec decode_cpe)
+            if (shared.pred_present && cfg.profile == 4) {
+              if (br.read(1, &ok2)) {
+                r_ltp_lag = static_cast<int>(br.read(11, &ok2));
+                r_ltp_coef = static_cast<int>(br.read(3, &ok2));
+                const int n = shared.max_sfb < 40 ? shared.max_sfb : 40;
+                for (int i = 0; i < n; ++i)
+                  if (br.read(1, &ok2)) r_ltp_used |= 1ull << i;
+              }
             }
             int mask = static_cast<int>(br.read(2, &ok2));
             mask_present = mask != 0;
@@ -1309,6 +1467,13 @@ int aacparse_batch_spec(
                           prev_shapes[slot], &err)) return false;
           if (!decode_ics(&br, cfg, &right, common_window ? &shared : nullptr,
                           prev_shapes[slot + 1], &err)) return false;
+          if (common_window) {
+            // the right channel shares the ICSInfo copy but carries ITS
+            // OWN ltp_data (parsed above, may be absent)
+            right.info.ltp_lag = r_ltp_lag;
+            right.info.ltp_coef = r_ltp_coef;
+            right.info.ltp_used = r_ltp_used;
+          }
           float* lrow = spec + (static_cast<size_t>(slot) * T + t) * F;
           float* rrow = spec + (static_cast<size_t>(slot + 1) * T + t) * F;
           finalize_spec(left, lrow);
@@ -1338,6 +1503,7 @@ int aacparse_batch_spec(
             emit_meta(*ch, sl, false);
             prev_shapes[sl] = ch->info.window_shape;
             if (!emit_tns(*ch, sl)) return false;
+            if (!emit_pred(*ch, sl) || !emit_ltp(*ch, sl)) return false;
           }
           if (n_elems < 16)
             elems[n_elems++] = ElemRef{true, eid, slot, slot + 1,
@@ -1380,6 +1546,14 @@ int aacparse_batch_spec(
           } else if (etype == CPE_ELEM) {
             if (!do_cpe(eid, -1)) goto sfail;
           } else if (etype == CCE_ELEM) {
+            if (cfg.profile == 1 || cfg.profile == 4) {
+              // BEFORE_TNS coupling is host-fused into the spectra here,
+              // but prediction must run first (it is a device/host stage
+              // downstream) — predictive profiles + CCE keep the python
+              // parser path
+              err = {ERR_DELEGATE, "coupling in a predictive profile"};
+              goto sfail;
+            }
             if (n_cces >= kMaxCce) {
               err = {ERR_FALLBACK, "cce: too many coupling elements"};
               goto sfail;
@@ -1528,9 +1702,21 @@ int aacparse_batch_spec(
                0, sizeof(float) * 2 * kTnsSlots * kTnsOrder);
         memset(tns_range + (static_cast<size_t>(sl) * T + t) * 2 * kTnsSlots * 2,
                0, sizeof(int32_t) * 2 * kTnsSlots * 2);
+        if (pred_meta) {
+          memset(pred_meta + (static_cast<size_t>(sl) * T + t) * 3, 0,
+                 sizeof(int32_t) * 3);
+          memset(pred_used_bin + (static_cast<size_t>(sl) * T + t) * 672,
+                 0, 672);
+        }
+        if (ltp_meta) {
+          memset(ltp_meta + (static_cast<size_t>(sl) * T + t) * 3, 0,
+                 sizeof(int32_t) * 3);
+          memset(ltp_used_sfb + (static_cast<size_t>(sl) * T + t) * 40,
+                 0, 40);
+        }
       }
-      if (err.code == ERR_FALLBACK) {
-        stream_status[s] = ERR_FALLBACK;
+      if (err.code == ERR_FALLBACK || err.code == ERR_DELEGATE) {
+        stream_status[s] = err.code;
         snprintf(ebuf, eblen, "stream %d frame %d: %s", s, t, err.msg);
         break;
       }
@@ -1675,6 +1861,6 @@ void aacjax_spec_to_i16(const float* spec, int64_t n_rows, int n_cols,
   }
 }
 
-int aacparse_version() { return 8; }
+int aacparse_version() { return 9; }
 
 }  // extern "C"

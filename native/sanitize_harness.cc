@@ -82,6 +82,17 @@ int run_case(const Case& c) {
   std::vector<int64_t> fil_drc(T);
   int32_t status[1] = {0};
   int32_t has_tns[1] = {0};
+  // exact-i16 q/sf planes + predictor/LTP side-info planes: always
+  // requested so mutants exercise every emit path
+  std::vector<int16_t> spec_q(static_cast<size_t>(slots) * T * c.frame_len);
+  std::vector<uint8_t> spec_sf(static_cast<size_t>(slots) * T
+                               * (c.frame_len / 4));
+  int32_t qsf_ok[1] = {0};
+  int32_t pred_sfb = 40;
+  std::vector<int32_t> pred_meta(static_cast<size_t>(slots) * T * 3);
+  std::vector<uint8_t> pred_used(static_cast<size_t>(slots) * T * 672);
+  std::vector<int32_t> ltp_meta(static_cast<size_t>(slots) * T * 3);
+  std::vector<uint8_t> ltp_used(static_cast<size_t>(slots) * T * 40);
   char err[256];
   return aacparse_batch_spec(
       blob.empty() ? reinterpret_cast<const uint8_t*>("") : blob.data(),
@@ -89,11 +100,14 @@ int run_case(const Case& c) {
       &profile, c.frame_len,
       c.swb_long.data(), c.swb_long_count.data(),
       c.swb_short.data(), c.swb_short_count.data(), c.tns_max.data(),
+      &pred_sfb,
       n_streams, slots, T, prev_shapes.data(), spec.data(), meta.data(),
       tns_lpc.data(), tns_range.data(), post_idx.data(), post_gain.data(),
       64, time_idx.data(), time_gain.data(),
       static_cast<int32_t>(slots * T), counts, consumed.data(), fil.data(),
-      fil_drc.data(), status, has_tns, err, sizeof(err));
+      fil_drc.data(), status, has_tns, spec_q.data(), spec_sf.data(),
+      qsf_ok, pred_meta.data(), pred_used.data(), ltp_meta.data(),
+      ltp_used.data(), err, sizeof(err));
 }
 
 }  // namespace

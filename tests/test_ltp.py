@@ -165,3 +165,88 @@ def test_ltp_parse_roundtrip():
     ltp = frame.elements[0].ics.info.ltp
     assert ltp is not None and ltp.lag == 777 and ltp.coef_idx == 5
     np.testing.assert_array_equal(ltp.used, spec.ltp_used)
+
+
+def test_ltp_native_fast_path_bit_identical():
+    """The native LTP fast path (C parse + vectorized frame-serial math,
+    refdec.decode_ltp_native) engages on plain content and its output is
+    BIT-identical to the per-frame python ModelDecoder loop — the
+    exact-i16 q/sf representation makes the fp64 dequant equal to the
+    python parse, and both paths share the ModelDecoder math."""
+    from aacjax.host import adts, native
+    from aacjax.host.refdec import ModelDecoder, decode_ltp_native
+
+    if not native.available():
+        pytest.skip("native parser not built")
+    stream = _stream(n_frames=12, tns=True)
+    frames = adts.split_frames(stream)
+    payloads = [stream[s:e] for _, s, e in frames]
+
+    fast = decode_ltp_native(payloads, CFG, chunk_frames=5)  # odd chunking
+    assert fast is not None, "fast path must engage on plain LTP content"
+
+    dec = ModelDecoder(CFG)
+    prev = [0] * CFG.channels
+    outs = []
+    for p in payloads:
+        f = decode_frame(BitReader(p), CFG, prev)
+        ch = 0
+        for el in f.elements:
+            infos = ([el.ics.info] if hasattr(el, "ics")
+                     else [el.left.info, el.right.info])
+            for info in infos:
+                prev[ch] = info.window_shape
+                ch += 1
+        outs.append(dec.decode_frame(f).astype(np.float32))
+    want = np.concatenate(outs, axis=0)
+    np.testing.assert_array_equal(fast, want)
+
+
+def test_ltp_native_fast_path_stereo_ms():
+    """Stereo common-window M/S content cannot ride the exact-i16
+    representation (M/S mixes dequantized values); the fast path falls
+    back to the host-fused f32 spectra and stays within f32 rounding of
+    the fp64 python loop."""
+    from aacjax.host import adts, native
+    from aacjax.host.refdec import decode_ltp_native
+
+    if not native.available():
+        pytest.skip("native parser not built")
+    from aacjax.testing.encoder import CPESpec
+    rng = np.random.default_rng(21)
+    payloads = []
+    for f in range(5):
+        chs = []
+        for _ in range(2):
+            s = random_channel_spec(rng, CFG2, window_sequence=0,
+                                    max_sfb=42, allow_tns=False,
+                                    allow_noise=False, allow_pulse=False)
+            if f >= 1:
+                s.ltp_lag = int(rng.integers(64, 2048))
+                s.ltp_coef_idx = int(rng.integers(8))
+                s.ltp_used = rng.integers(0, 2, 40) > 0
+            chs.append(s)
+        cpe = CPESpec(left=chs[0], right=chs[1], common_window=True,
+                      ms_type=2)
+        w = BitWriter()
+        enc.write_cpe(w, cpe, CFG2, instance=0)
+        payloads.append(enc.end_frame(w))
+
+    fast = decode_ltp_native(payloads, CFG2)
+    assert fast is not None
+    stream = b"".join(enc.adts_frame(p, CFG2) for p in payloads)
+    want, _ = decode_adts(stream)      # same fast path end-to-end
+    np.testing.assert_array_equal(fast, want)
+    # python loop agreement within f32-input rounding
+    from aacjax.host.refdec import ModelDecoder
+    dec = ModelDecoder(CFG2)
+    prev = [0, 0]
+    outs = []
+    for p in payloads:
+        fr = decode_frame(BitReader(p), CFG2, prev)
+        for el in fr.elements:
+            prev[0] = el.left.info.window_shape
+            prev[1] = el.right.info.window_shape
+        outs.append(dec.decode_frame(fr).astype(np.float32))
+    ref = np.concatenate(outs, axis=0)
+    assert _snr(ref.ravel(), fast.ravel()) > 110.0

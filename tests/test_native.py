@@ -778,3 +778,81 @@ def test_qsf_device_step_matches_f32(monkeypatch):
         got = dq.finalize_step(dq._device_step(bq, out_int16=False))
         want = df.finalize_step(df._device_step(bf, out_int16=False))
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_native_main_profile_matches_python(seed):
+    """Native parse of AAC Main (AOT 1): predictor side info
+    (predictor_reset groups, prediction_used bits) feeds the same
+    apply_prediction device stage as the python packer — output is
+    bit-identical to the python parse path on the same payloads,
+    including short-window resets, TNS and CPE common-window M/S."""
+    from aacjax.runtime.batch import BatchDecoder
+
+    cfg = parse_asc(make_asc(1, 4, 2))
+    rng = np.random.default_rng(9800 + seed)
+    payloads = []
+    for f in range(6):
+        seq = 2 if f == 3 else (1 if f == 2 else (3 if f == 4 else 0))
+        def chan(like=None):
+            kw = {} if like is None else dict(
+                max_sfb=like.max_sfb, window_shape=like.window_shape,
+                grouping=like.grouping)  # common window: shared ICSInfo
+            s = random_channel_spec(
+                rng, cfg, window_sequence=seq,
+                allow_pulse=False, allow_noise=False, **kw)
+            if seq != 2:
+                n = min(s.max_sfb, cfg.pred_sfb_max)
+                s.pred_used = rng.integers(0, 2, n) > 0
+                s.pred_reset_group = (f % 30) + 1 if f == 1 else 0
+            return s
+        left = chan()
+        right = chan(like=left)
+        ms_type = int(rng.integers(0, 2))
+        ms_used = ((rng.random(128) < 0.5).astype(np.int64)
+                   if ms_type == 1 else None)
+        spec = enc.CPESpec(left=left, right=right, common_window=True,
+                           ms_type=ms_type, ms_used=ms_used)
+        w = BitWriter()
+        enc.write_cpe(w, spec, cfg)
+        payloads.append(enc.end_frame(w))
+
+    nat = BatchDecoder([cfg], chunk_frames=6)
+    assert nat.use_native, "Main profile must ride the native fast path"
+    got = nat.stream_pcm(nat.step_raw([payloads]), 0, 6)
+    assert int(nat._last_status[0]) == 0  # genuinely native, no fallback
+    ref = BatchDecoder([cfg], chunk_frames=6, use_native=False)
+    frames = ref.parse_stream_frames(0, payloads)
+    want = ref.stream_pcm(ref.step([frames]), 0, 6)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_main_intensity_falls_back():
+    """Main + intensity stereo cannot ride the host-fused spec path (IS
+    must read the POST-prediction left channel): the native parser
+    reports ERR_FALLBACK and the runtime's python reparse still decodes
+    the stream correctly end-to-end."""
+    from aacjax.host import adts as adts_mod
+    from aacjax import decode_adts as api_decode
+
+    cfg = parse_asc(make_asc(1, 4, 2))
+    rng = np.random.default_rng(9900)
+    payloads = []
+    for _f in range(3):
+        left = random_channel_spec(rng, cfg, window_sequence=0,
+                                   allow_pulse=False, allow_noise=False)
+        right = random_channel_spec(rng, cfg, window_sequence=0,
+                                    max_sfb=left.max_sfb,
+                                    window_shape=left.window_shape,
+                                    allow_pulse=False, allow_noise=False)
+        right.band_books[0] = 15          # INTENSITY_BT
+        right.band_sf[0] = 0
+        right.quant[:int(cfg.swb_offsets_long[1])] = 0
+        spec = enc.CPESpec(left=left, right=right, common_window=True,
+                           ms_type=0)
+        w = BitWriter()
+        enc.write_cpe(w, spec, cfg)
+        payloads.append(enc.end_frame(w))
+    stream = b"".join(enc.adts_frame(p, cfg) for p in payloads)
+    out, rate = api_decode(stream)
+    assert np.isfinite(out).all() and out.shape == (3 * 1024, 2)
