@@ -1192,15 +1192,17 @@ class AACEncoder:
             payloads.append(end_frame(w))
         return payloads
 
-    def encode(self, pcm: np.ndarray) -> bytes:
+    def encode(self, pcm: np.ndarray, crc: bool = False) -> bytes:
         """Encode PCM to an ADTS byte stream (AAC-LC at 1024 frames;
         960/ER/LD streams have no ADTS representation — use
-        encode_loas)."""
+        encode_loas).  crc=True emits 9-byte protected headers with the
+        13818-7 §8.2.2 crc_check (decode_adts verify_crc=True checks
+        it; interoperating decoders skip the field)."""
         if self._er or self.config.frame_length != 1024:
             raise ValueError(
                 "ADTS cannot signal this profile/frame length; use "
                 "encode_loas() or encode_frames()")
-        return b"".join(adts_frame(p, self.config)
+        return b"".join(adts_frame(p, self.config, crc=crc)
                         for p in self.encode_frames(pcm))
 
     def encode_loas(self, pcm: np.ndarray) -> bytes:

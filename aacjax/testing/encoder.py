@@ -509,7 +509,12 @@ def write_eld_frame(elements, config: StreamConfig) -> bytes:
 
 def adts_frame(payload: bytes, config: StreamConfig,
                crc: bool = False) -> bytes:
-    """Wrap a raw_data_block in a 7-byte ADTS header (9 with CRC)."""
+    """Wrap a raw_data_block in a 7-byte ADTS header (9 with CRC).
+
+    crc=True writes the real ISO/IEC 13818-7 §8.2.2 crc_check
+    (aacjax.host.adts.compute_crc) — verified by decode_adts
+    verify_crc=True; every interoperating decoder (incl. the reference,
+    adts_demuxer.js:48-49, and libavcodec) skips the field."""
     w = BitWriter()
     header_len = 9 if crc else 7
     length = len(payload) + header_len
@@ -525,7 +530,8 @@ def adts_frame(payload: bytes, config: StreamConfig,
     w.write(0x7FF, 11)       # fullness
     w.write(0, 2)            # numFrames - 1
     if crc:
-        w.write(0xFFFF, 16)  # CRC placeholder (decoders skip it)
+        from aacjax.host.adts import compute_crc
+        w.write(compute_crc(w.getvalue(), payload), 16)
     return w.getvalue() + payload
 
 
