@@ -42,7 +42,8 @@ def main() -> int:
     rng = np.random.default_rng(7)
     for case in range(total):
         profile, fl = [(2, 1024), (2, 960), (17, 1024), (17, 960),
-                       (23, 512), (23, 480), (39, 512), (39, 480)][case % 8]
+                       (23, 512), (23, 480), (39, 512), (39, 480),
+                       (1, 1024), (4, 1024)][case % 10]
         si = int(rng.integers(0, 12))
         ch = 2 if case % 3 else 1
         try:
@@ -53,12 +54,31 @@ def main() -> int:
         er, eld = profile in (17, 23, 39), profile == 39
         kw = dict(allow_pulse=not er, allow_noise=not er)
         seqs = (legal_sequence_chain(rng, 3)
-                if profile in (2, 17) and fl == 1024 else [0] * 3)
+                if profile in (1, 2, 4, 17) and fl == 1024 else [0] * 3)
+        def add_pred(spec, seq):
+            """Predictive-profile side info (exercises the new native
+            predictor/ltp_data parse incl. its mutant bit patterns)."""
+            if seq == 2:
+                return
+            if profile == 1:
+                n = min(spec.max_sfb, cfg.pred_sfb_max)
+                spec.pred_used = rng.integers(0, 2, n) > 0
+                if rng.random() < 0.5:
+                    spec.pred_reset_group = int(rng.integers(1, 31))
+            elif profile == 4:
+                spec.ltp_lag = int(rng.integers(0, 2048))
+                spec.ltp_coef_idx = int(rng.integers(8))
+                spec.ltp_used = rng.integers(0, 2, 40) > 0
+
         pays = []
         for s in seqs:
             if ch == 2 and not er:
+                cpe = random_cpe_spec(rng, cfg)
+                if profile in (1, 4) and cpe.common_window:
+                    add_pred(cpe.left, cpe.left.window_sequence)
+                    add_pred(cpe.right, cpe.right.window_sequence)
                 w = BitWriter()
-                enc.write_cpe(w, random_cpe_spec(rng, cfg), cfg)
+                enc.write_cpe(w, cpe, cfg)
                 pays.append(enc.end_frame(w))
             elif ch == 2:
                 left = random_channel_spec(rng, cfg, window_sequence=s, **kw)
@@ -73,6 +93,8 @@ def main() -> int:
                             else enc.write_er_frame([("CPE", spec)], cfg))
             else:
                 spec = random_channel_spec(rng, cfg, window_sequence=s, **kw)
+                if profile in (1, 4):
+                    add_pred(spec, s)
                 if eld:
                     pays.append(enc.write_eld_frame([("SCE", spec)], cfg))
                 elif er:
