@@ -657,6 +657,21 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
     transfer.  The device runs the FLOP-heavy tail: TNS + IMDCT matmuls +
     windowed overlap-add (+ int16 PCM conversion)."""
     batch = _unpack_spec_batch(batch)
+    from aacjax.kernels import pallas_tail as PT
+    spec_arr = (batch['spec_q'] if flags.spec_qsf
+                else batch['spec_i16'] if flags.spec_i16
+                else batch['spec'])
+    use_tail = flags.use_pallas and PT.supported(flags, *spec_arr.shape)
+    if use_tail and flags.spec_i16 and not flags.has_tns:
+        # fully fused fast path: the kernel decompresses the compact i16
+        # spectra itself — the XLA program is ONE pallas_call
+        pcm, new_overlap = PT.decode_tail(
+            batch['spec_i16'], batch['spec_scale'], batch['f_idx'],
+            batch['s_idx'], batch['shape_idx'], batch['prev_shape_idx'],
+            batch['is_short'], batch['valid'], batch['last_valid'],
+            overlap_in, out_int16=flags.out_int16,
+            has_short=flags.has_short)
+        return pcm, new_overlap
     if flags.spec_qsf:
         # exact-i16 q/sf -> f32: two LUT gathers + one IEEE f32 multiply,
         # the same float values the native parser's finalize_spec would
@@ -699,6 +714,16 @@ def decode_spec_step(batch: dict, overlap_in: jax.Array,
     if flags.eld:
         pcm, new_overlap = eld_synthesis(spec, overlap_in,
                                          batch['last_valid'])
+    elif use_tail:
+        # fused synthesis + cross-frame OLA + conceal + pack (post-TNS /
+        # exact-f32 variant; the decompressing variant returned above)
+        pcm, new_overlap = PT.decode_tail(
+            spec, None, batch['f_idx'], batch['s_idx'],
+            batch['shape_idx'], batch['prev_shape_idx'],
+            batch['is_short'], batch['valid'], batch['last_valid'],
+            overlap_in, out_int16=flags.out_int16,
+            has_short=flags.has_short)
+        return pcm, new_overlap
     elif flags.use_pallas and (C * T) % 8 == 0 and F == 1024:
         from aacjax.kernels.pallas_synth import synthesis
         first, second = synthesis(

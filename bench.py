@@ -104,9 +104,28 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
             pcm2, ov = fn(dev_batch, ov)
         jax.block_until_ready(pcm2)
         dec.overlap = ov
+        compute_s = (time.perf_counter() - tc) / n_chain
+        # A/B the fused Pallas decode tail against the XLA pipeline on the
+        # same device-resident batch (VERDICT r3 #7: record the comparison
+        # honestly; the faster one should be the serving default)
+        alt_flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
+                                  has_cce=False, out_int16=True,
+                                  use_pallas=not use_pallas,
+                                  spec_i16=spec_i16, has_short=has_short)
+        alt_fn = jitted_decode_spec_step(alt_flags)
+        ov = dec.overlap
+        pcm2, ov = alt_fn(dev_batch, ov)       # compile outside the timer
+        jax.block_until_ready(pcm2)
+        tc = time.perf_counter()
+        for _ in range(n_chain):
+            pcm2, ov = alt_fn(dev_batch, ov)
+        jax.block_until_ready(pcm2)
+        dec.overlap = ov
+        alt_s = (time.perf_counter() - tc) / n_chain
         cur = dict(parse_s=t1 - t0, h2d_s=t2 - t1, dispatch_s=t3 - t2,
-                   compute_s=(time.perf_counter() - tc) / n_chain,
+                   compute_s=compute_s,
                    d2h_s=t4 - t3)
+        cur["compute_pallas_s" if not use_pallas else "compute_xla_s"] = alt_s
         if best is None:
             best = cur
         else:
