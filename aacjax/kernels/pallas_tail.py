@@ -155,10 +155,14 @@ def _tables_f32():
 
 
 def supported(flags, C: int, T: int, F: int) -> bool:
-    """Can the fused tail take this decode_spec_step configuration?"""
+    """Can the fused tail take this decode_spec_step configuration?
+
+    spec_qsf (the native HE core's exact-i16 q/sf transfer) is fine: the
+    two LUT dequant gathers stay in XLA and the kernel takes the f32
+    spectra — same split as the TNS case."""
     return (F == FRAME and C % TILE_C == 0 and not flags.eld
             and not flags.has_pred and not flags.has_cce_post
-            and not flags.has_cce_time and not flags.spec_qsf)
+            and not flags.has_cce_time)
 
 
 def decode_tail(spec, spec_scale, f_idx, s_idx, shape_idx, prev_shape_idx,

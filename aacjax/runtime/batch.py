@@ -1432,7 +1432,8 @@ class BatchDecoder:
 
     def decode_pipelined(self, chunk_iter, out_int16: bool = True,
                          compact: bool | None = None, mesh=None,
-                         duplex: bool | None = None):
+                         duplex: bool | None = None,
+                         use_pallas: bool | None = None):
         """Generator decoding an iterator of payload chunks as a 3-stage
         pipeline with double-buffered transfers:
 
@@ -1480,7 +1481,8 @@ class BatchDecoder:
             with lk:
                 dev = (self._upload_batch(batch) if mesh is None
                        else self._upload_batch_sharded(batch, mesh))
-            pcm = (self._device_step(dev, out_int16=out_int16)
+            pcm = (self._device_step(dev, out_int16=out_int16,
+                                     use_pallas=use_pallas)
                    if mesh is None
                    else self._device_step_sharded(dev, mesh,
                                                   out_int16=out_int16))

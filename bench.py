@@ -410,8 +410,12 @@ def _parse_args():
                     help="transfer exact f32 spectra instead of per-row "
                          "int16 fixed point (compact halves H2D; ~1.5e-5 "
                          "rel err, below the codec's own noise floor)")
-    ap.add_argument("--pallas", action="store_true",
-                    help="use the fused Pallas synthesis kernel")
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="use the fused Pallas decode-tail kernel for the "
+                         "headline LC run (default: on — it wins the "
+                         "recorded A/B on hardware; --no-pallas reverts to "
+                         "the XLA pipeline)")
     ap.add_argument("--no-pipelined", action="store_false", dest="pipelined",
                     help="disable the parse/device overlap (pipelined is the "
                          "default: parse of chunk k+1 overlaps chunk k's "
@@ -464,8 +468,13 @@ def bench_lc(args, rep_budget_s: float = 330.0) -> dict:
         print(f"# native parser: {use_native}; {args.streams} streams x "
               f"{n_frames} frames, chunk={args.chunk}", file=sys.stderr)
 
-    use_pallas = args.pallas or __import__("os").environ.get(
-        "AACJAX_PALLAS", "0") == "1"
+    if args.pallas is not None:
+        use_pallas = args.pallas
+    else:
+        env = __import__("os").environ.get("AACJAX_PALLAS")
+        # default ON: the fused decode tail wins the recorded stages A/B
+        # (BASELINE.md); env var still overrides for A/B runs
+        use_pallas = env != "0" if env is not None else True
 
     # warmup/compile with a small throwaway pass
     warm = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,
@@ -500,7 +509,8 @@ def bench_lc(args, rep_budget_s: float = 330.0) -> dict:
             # (wins on multi-core hosts; on a 1-core host the link transfer
             # itself is CPU-bound and overlap just thrashes)
             for _pcm in dec.decode_pipelined(chunks(), out_int16=True,
-                                             compact=args.compact):
+                                             compact=args.compact,
+                                             use_pallas=use_pallas):
                 pass
         else:
             pending = None
@@ -531,7 +541,8 @@ def bench_lc(args, rep_budget_s: float = 330.0) -> dict:
         "reps": vals,
         "unit": f"x_realtime ({args.streams} AAC-LC stereo streams, 1 chip, "
                 f"end-to-end incl. host parse + int16 PCM D2H"
-                f"{', compact i16 H2D' if args.compact else ''})",
+                f"{', compact i16 H2D' if args.compact else ''}"
+                f"{', fused pallas tail' if use_pallas else ''})",
         "vs_baseline": round(best / 1000.0, 3),
     }
     if use_native and not args.no_stages:

@@ -137,7 +137,33 @@ def test_supported_gates():
     assert supported(fl, TILE_C, 4, 1024)
     assert not supported(fl, TILE_C + 1, 4, 1024)   # C % TILE_C
     assert not supported(fl, TILE_C, 4, 960)        # 960 mode
-    for k in ("eld", "has_pred", "has_cce_post", "has_cce_time",
-              "spec_qsf"):
+    # qsf (native HE core transfer) IS supported: dequant stays in XLA
+    assert supported(pipeline.PipelineFlags(spec_qsf=True), TILE_C, 4, 1024)
+    for k in ("eld", "has_pred", "has_cce_post", "has_cce_time"):
         assert not supported(
             pipeline.PipelineFlags(**{k: True}), TILE_C, 4, 1024), k
+
+
+def test_fused_tail_qsf_path():
+    """The native HE core's exact-i16 q/sf transfer: LUT dequant runs in
+    XLA, the fused kernel takes the f32 spectra (out_int16=False — the
+    core PCM feeds the SBR stage)."""
+    rng = np.random.default_rng(9)
+    batch, overlap = _mk_batch(9)
+    batch.pop('spec')
+    C, T = 8, 4
+    batch['spec_q'] = jnp.asarray(
+        rng.integers(-300, 300, (C, T, 1024)).astype(np.int16))
+    batch['spec_sf'] = jnp.asarray(
+        rng.integers(60, 120, (C, T, 256)).astype(np.int16))
+    kw = dict(has_stereo=False, out_int16=False, spec_qsf=True)
+    ref_pcm, ref_ov = pipeline.decode_spec_step(
+        dict(batch), jnp.array(overlap), pipeline.PipelineFlags(**kw))
+    pcm, ov = pipeline.decode_spec_step(
+        dict(batch), jnp.array(overlap),
+        pipeline.PipelineFlags(use_pallas=True, **kw))
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(ref_ov),
+                               atol=3e-3 * float(np.abs(ref_ov).max()))
+    scale = max(1.0, float(np.abs(np.asarray(ref_pcm)).max()))
+    np.testing.assert_allclose(np.asarray(pcm), np.asarray(ref_pcm),
+                               atol=5e-5 * scale)
