@@ -289,17 +289,30 @@ def sbr_apply(core_pcm: jax.Array, dense: dict, state: dict,
     y_i = xh_i * g_slot
 
     # noise: each (b,t,slot) row reads 64 CONSECUTIVE table entries
-    # (base + k - kx + 1 mod 512), so fetch per-row 64-blocks with a
-    # vmapped dynamic_slice instead of a per-element gather — the
-    # element gather of ~34M random indices was 95% of the whole SBR
-    # program's device time (fusion profile: 180 of 190 ms/step)
+    # (base + k - kx + 1 mod 512).  Neither a per-element gather (~34M
+    # random indices: 95% of the program, fusion profile 180/190 ms) nor
+    # a vmapped dynamic_slice (lowers to a SERIAL while loop of ~160k
+    # tiny update-slices: 208 of 212 ms/step, he_prof --trace) survives
+    # on TPU.  Decompose the row shift s = 8*hi + lo instead: the coarse
+    # shift is an exact 64-way one-hot matmul (MXU; 0/1 x f32 is exact
+    # under bf16x3) into a [64, 71, 2] Hankel slab of the table, the
+    # fine shift an 8-way masked select over static slices (VPU).  No
+    # loop, no gather: 208 ms -> sub-ms.
     ntab = np.asarray(_noise_table(), np.float32)            # [512, 2]
-    ntab2 = jnp.asarray(np.concatenate([ntab, ntab[:BANDS - 1]], axis=0))
+    ntab2 = np.concatenate([ntab, ntab[:BANDS - 1]], axis=0)  # [575, 2]
     nstart = (dense['noise_base'] + (1 - kx)) & 0x1FF        # [B,T,38]
-    nrows = jax.vmap(
-        lambda i: jax.lax.dynamic_slice(ntab2, (i, 0), (BANDS, 2)))(
-        nstart.reshape(-1))                                  # [BT38,64,2]
-    noise = nrows.reshape(*nstart.shape, BANDS, 2)
+    hi = nstart >> 3                                         # 0..63
+    lo = nstart & 7                                          # 0..7
+    hank = np.stack([ntab2[8 * h: 8 * h + BANDS + 7]
+                     for h in range(64)])                    # [64, 71, 2]
+    oh_hi = (hi[..., None] == jnp.arange(64)).astype(jnp.float32)
+    tmp = jnp.einsum('btsh,hjc->btsjc', oh_hi, jnp.asarray(hank),
+                     precision=_HI)                          # [B,T,38,71,2]
+    noise = None
+    for sh in range(8):
+        term = jnp.where((lo == sh)[..., None, None],
+                         tmp[:, :, :, sh: sh + BANDS, :], 0.0)
+        noise = term if noise is None else noise + term      # [B,T,38,64,2]
     n_on = ((s_slot == 0.0).astype(jnp.float32) * (1.0 - tr_slot)
             * dense['covered'][..., None] * in_range)
     y_r = y_r + n_on * q_slot * noise[..., 0]
