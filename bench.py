@@ -164,14 +164,16 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
         t2b = time.perf_counter()  # sbr-h2d baseline: excludes the chain
         dense_dict = dense if isinstance(dense, dict) else vars(dense)
         dense_dev = jax.block_until_ready(jax.device_put(dense_dict))
-        t3 = time.perf_counter()
         if ps:
+            # the PS planes are part of the chunk's H2D (the production
+            # pipeline uploads them under the same transfer lock as the
+            # SBR planes), so they belong in sbr_h2d_s — not in the
+            # dispatch window
             from aacjax.kernels.ps_batch import jitted_sbr_ps_apply
             from aacjax.kernels.ps_batch import ps_state_init
             if dec._ps_dev_state is None:
                 dec._ps_dev_state = ps_state_init(dec.C,
                                                   bool(ctx["ps_is34"]))
-            import jax.numpy as jnp
             d = ctx["ps_dense"]
             out_src = np.arange(dec.C, dtype=np.int32)
             out_role = np.zeros(dec.C, np.int32)
@@ -180,8 +182,10 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
                     out_src[p] = s
                     out_role[p] = 1
             from aacjax.host import ps_pack as PP
-            ps_dense = {k: jnp.asarray(v) for k, v in PP.dense_to_dict(
-                d, ctx["ps_himag"], out_src, out_role).items()}
+            ps_dense = jax.block_until_ready(jax.device_put(
+                PP.dense_to_dict(d, ctx["ps_himag"], out_src, out_role)))
+        t3 = time.perf_counter()
+        if ps:
             fn0 = jitted_sbr_ps_apply(dec._sbr_cfg[1], True,
                                       bool(ctx["ps_is34"]))
             step = lambda st: fn0(core_pcm, dense_dev, ps_dense,
