@@ -447,6 +447,8 @@ class BatchEncoder:
             and native_write.available())
         self.stats = dict(h2d_analysis_s=0.0, d2h_s=0.0, host_s=0.0,
                           write_s=0.0, frames=0)
+        import threading
+        self._stats_lock = threading.Lock()
 
     # -- plan ---------------------------------------------------------------
     def _plan(self, full: np.ndarray, nF: int) -> np.ndarray:
@@ -478,11 +480,11 @@ class BatchEncoder:
         return seqs
 
     # -- encode -------------------------------------------------------------
-    def encode_chunk(self, pcm: np.ndarray) -> list[list[bytes]]:
-        """pcm [S, n_samples, channels] float (reference 32768 scale),
-        n_samples a multiple of 1024.  Returns per-stream
-        raw_data_block payload lists (wrap with
-        testing.encoder.adts_frame for ADTS)."""
+    def _prep_chunk(self, pcm: np.ndarray):
+        """Host stage: window-sequence plan + channel-major int16 PCM
+        rows (b = s*ch + c; n = b*nF + f) for this chunk.  Mutates the
+        1-frame carry and the window-chain state, so calls must stay in
+        chunk order."""
         S_, n, ch = pcm.shape
         assert S_ == self.S and ch == self.channels and n % FRAME == 0
         F, nF = FRAME, n // FRAME
@@ -490,10 +492,7 @@ class BatchEncoder:
             self._carry = np.zeros((self.S, F, ch), pcm.dtype)
         full = np.concatenate([self._carry, pcm], axis=1)
         self._carry = full[:, -F:].copy()
-
-        t0 = time.perf_counter()
         seqs = self._plan(full, nF)                        # [S, nF]
-        # channel-major rows: b = s*ch + c; n = b*nF + f
         pcm_i16 = np.clip(np.round(full.transpose(0, 2, 1)), -32768,
                           32767).astype(np.int16).reshape(
             self.S * ch, n + F)
@@ -503,31 +502,31 @@ class BatchEncoder:
             self.S * ch, nF)
         is_short = np.repeat((seqs == EIGHT_SHORT)[:, None, :], ch,
                              axis=1).reshape(self.S * ch, nF)
+        return seqs, pcm_i16, w_idx, is_short, nF
+
+    def _analysis_for(self, nF: int):
+        """The (cached) jitted analysis program for this chunk length —
+        mesh-sharded over the channel-row axis when a mesh is set."""
         psy_key = (self._psy.smr_db, self._psy.spread_up_db,
                    self._psy.spread_down_db)
         if self.mesh is not None:
             from aacjax.runtime.mesh import sharded_encode_analysis
-            analysis = sharded_encode_analysis(
-                self._si, self._cutoff_bin, F, nF, psy_key, self.mesh)
-        else:
-            analysis = _jitted_analysis(
-                self._si, self._cutoff_bin, F, nF, psy_key)
-        self.stats["host_s"] += time.perf_counter() - t0
+            return sharded_encode_analysis(
+                self._si, self._cutoff_bin, FRAME, nF, psy_key,
+                self.mesh)
+        return _jitted_analysis(self._si, self._cutoff_bin, FRAME, nF,
+                                psy_key)
 
-        t0 = time.perf_counter()
-        coefs, base, fit_sf, est, bin_band = analysis(
-            pcm_i16, w_idx, is_short)
-        est_np = np.asarray(est)                           # [N, K]
-        self.stats["h2d_analysis_s"] += time.perf_counter() - t0
-
-        # rate choice: finest grid offset whose estimated bits fit the
-        # frame budget (+ per-stream reservoir).  The estimate is the
-        # exact book-11 cost, a slight overestimate vs the host's final
-        # multi-book selection — errors land on the safe side and the
-        # reservoir absorbs them.
-        t0 = time.perf_counter()
+    def _rate_choice(self, est_np: np.ndarray, nF: int):
+        """Rate choice: finest grid offset whose estimated bits fit the
+        frame budget (+ per-stream reservoir).  The estimate is the
+        exact book-11 cost, a slight overestimate vs the host's final
+        multi-book selection — errors land on the safe side and the
+        reservoir absorbs them.  Mutates the reservoir, so calls must
+        stay in chunk order."""
+        ch = self.channels
         overhead = 60.0
-        bits_frame = self.bitrate * F / self.sample_rate
+        bits_frame = self.bitrate * FRAME / self.sample_rate
         est_sf = (est_np.reshape(self.S, ch, nF, -1).sum(axis=1)
                   * self._est_ratio[:, None, None])
         off_idx = np.empty((self.S, nF), np.int64)
@@ -545,16 +544,11 @@ class BatchEncoder:
                 self._reservoir + bits_frame - used, 0.0, self._res_cap)
         off = OFF_GRID[np.repeat(off_idx[:, None, :], ch, axis=1)
                        .reshape(-1)]
-        self.stats["host_s"] += time.perf_counter() - t0
+        return off, chosen_est
 
-        t0 = time.perf_counter()
-        q_dev, sf_dev = self._quantize(coefs, base, fit_sf, bin_band,
-                                       off)
-        q = np.asarray(q_dev).reshape(self.S, ch, nF, F)
-        sf = np.asarray(sf_dev).reshape(self.S, ch, nF, -1)
-        self.stats["d2h_s"] += time.perf_counter() - t0
-
-        t0 = time.perf_counter()
+    def _write_out(self, seqs, q, sf, chosen_est) -> list[list[bytes]]:
+        """Bitstream write + online calibration of the device bit
+        estimate against bits actually written."""
         if self._native_write:
             from aacjax.host import native_write
             arr = self._arr
@@ -565,14 +559,148 @@ class BatchEncoder:
         else:
             out = [self._write_stream(seqs[s], q[s], sf[s])
                    for s in range(self.S)]
-        # calibrate: actual written bits vs the (already-scaled)
-        # estimate that drove the rate choice
         actual = np.array([8.0 * sum(len(p) for p in o) for o in out])
         ratio = actual / np.maximum(chosen_est, 1.0)
         self._est_ratio = np.clip(self._est_ratio * ratio, 0.35, 1.2)
+        return out
+
+    def encode_chunk(self, pcm: np.ndarray) -> list[list[bytes]]:
+        """pcm [S, n_samples, channels] float (reference 32768 scale),
+        n_samples a multiple of 1024.  Returns per-stream
+        raw_data_block payload lists (wrap with
+        testing.encoder.adts_frame for ADTS)."""
+        t0 = time.perf_counter()
+        seqs, pcm_i16, w_idx, is_short, nF = self._prep_chunk(pcm)
+        analysis = self._analysis_for(nF)
+        self.stats["host_s"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        coefs, base, fit_sf, est, bin_band = analysis(
+            pcm_i16, w_idx, is_short)
+        est_np = np.asarray(est)                           # [N, K]
+        self.stats["h2d_analysis_s"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        off, chosen_est = self._rate_choice(est_np, nF)
+        self.stats["host_s"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        q_dev, sf_dev = self._quantize(coefs, base, fit_sf, bin_band,
+                                       off)
+        q = np.asarray(q_dev).reshape(self.S, self.channels, nF, FRAME)
+        sf = np.asarray(sf_dev).reshape(self.S, self.channels, nF, -1)
+        self.stats["d2h_s"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = self._write_out(seqs, q, sf, chosen_est)
         self.stats["write_s"] += time.perf_counter() - t0
         self.stats["frames"] += self.S * nF
         return out
+
+    def encode_pipelined(self, pcm_iter, duplex: bool | None = None):
+        """Generator encoding an iterator of [S, n, ch] PCM chunks as a
+        3-stage pipeline with double-buffered transfers — the encode
+        mirror of runtime.batch.decode_pipelined:
+
+            main thread : window plan + i16 prep, chunk k
+            up worker   : H2D + analysis dispatch + est D2H, chunk k-1
+            down worker : rate choice -> quantize dispatch -> q/sf D2H
+                          -> bitstream write, chunk k-2
+
+        Both workers are single-threaded, so the reservoir and the
+        estimate calibration update in chunk order — outputs are
+        byte-identical to sequential encode_chunk calls.  `duplex` as
+        in decode_pipelined: on links that serialize transfers anyway
+        (the tunneled 'axon' platform) a shared lock keeps H2D and D2H
+        from contending; both still overlap host work and device
+        compute.  Yields per-stream payload lists in chunk order."""
+        import concurrent.futures
+        import contextlib
+
+        import jax
+
+        from aacjax.runtime.batch import BatchDecoder
+
+        lock = BatchDecoder._transfer_lock(duplex)
+        lk = lock if lock is not None else contextlib.nullcontext()
+        up_pool = concurrent.futures.ThreadPoolExecutor(1)
+        down_pool = concurrent.futures.ThreadPoolExecutor(1)
+
+        def upload_analysis(pcm_i16, w_idx, is_short, nF):
+            t0 = time.perf_counter()
+            analysis = self._analysis_for(nF)
+            if self.mesh is None:
+                with lk:
+                    dev = jax.block_until_ready(jax.device_put(pcm_i16))
+            else:
+                dev = pcm_i16   # pjit lands it in the sharded layout
+            outs = analysis(dev, w_idx, is_short)
+            est = outs[3]
+            jax.block_until_ready(est)   # compute done; lock only the D2H
+            with lk:
+                est_np = np.asarray(est)
+            with self._stats_lock:
+                self.stats["h2d_analysis_s"] += time.perf_counter() - t0
+            return outs, est_np
+
+        def rate_quant_write(seqs, outs, est_np, nF):
+            t0 = time.perf_counter()
+            off, chosen_est = self._rate_choice(est_np, nF)
+            t1 = time.perf_counter()
+            coefs, base, fit_sf, _est, bin_band = outs
+            q_dev, sf_dev = self._quantize(coefs, base, fit_sf,
+                                           bin_band, off)
+            jax.block_until_ready((q_dev, sf_dev))
+            with lk:
+                q = np.asarray(q_dev).reshape(self.S, self.channels,
+                                              nF, FRAME)
+                sf = np.asarray(sf_dev).reshape(self.S, self.channels,
+                                                nF, -1)
+            t2 = time.perf_counter()
+            out = self._write_out(seqs, q, sf, chosen_est)
+            t3 = time.perf_counter()
+            with self._stats_lock:
+                self.stats["host_s"] += t1 - t0
+                self.stats["d2h_s"] += t2 - t1
+                self.stats["write_s"] += t3 - t2
+                self.stats["frames"] += self.S * nF
+            return out
+
+        def advance(up_fut, down_fut, pend):
+            """Move the finished upload into the down worker, yielding
+            the previous down result first to keep one chunk in each
+            stage."""
+            outs, est_np = up_fut.result()
+            prev = down_fut.result() if down_fut is not None else None
+            nxt = down_pool.submit(rate_quant_write, pend[0], outs,
+                                   est_np, pend[1])
+            return prev, nxt
+
+        up_fut = down_fut = None
+        pend = None   # (seqs, nF) for the chunk in the upload stage
+        try:
+            for pcm in pcm_iter:
+                t0 = time.perf_counter()
+                seqs, pcm_i16, w_idx, is_short, nF = self._prep_chunk(
+                    pcm)
+                with self._stats_lock:
+                    self.stats["host_s"] += time.perf_counter() - t0
+                if up_fut is not None:
+                    prev, down_fut = advance(up_fut, down_fut, pend)
+                    if prev is not None:
+                        yield prev
+                up_fut = up_pool.submit(upload_analysis, pcm_i16,
+                                        w_idx, is_short, nF)
+                pend = (seqs, nF)
+            if up_fut is not None:
+                prev, down_fut = advance(up_fut, down_fut, pend)
+                if prev is not None:
+                    yield prev
+            if down_fut is not None:
+                yield down_fut.result()
+        finally:
+            up_pool.shutdown(wait=False)
+            down_pool.shutdown(wait=False)
 
     # -- bitstream ----------------------------------------------------------
     def _write_stream(self, seqs, q, sf) -> list[bytes]:

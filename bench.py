@@ -329,12 +329,15 @@ def bench_he(n_streams: int, seconds: float, chunk: int, repeats: int,
 
 def bench_encode(n_streams: int, seconds: float, chunk: int,
                  repeats: int, bitrate: int = 128_000,
-                 rep_budget_s: float = 330.0) -> dict:
+                 rep_budget_s: float = 330.0,
+                 pipelined: bool = True) -> dict:
     """TPU-batched ENCODE throughput: device analysis (MDCT + band
     energies + psy + quant trials + Huffman-cost grid over rate
-    offsets), host rate choice + bitstream write (encode_batch.py).
-    The reference has no encoder at all; vs_baseline uses the same
-    >=1000x target axis."""
+    offsets), host rate choice + bitstream write (encode_batch.py),
+    run through encode_pipelined (prep / H2D+analysis / rate+D2H+write
+    overlapped across chunks) unless pipelined=False.  The reference
+    has no encoder at all; vs_baseline uses the same >=1000x target
+    axis."""
     from aacjax.encode_batch import BatchEncoder
 
     sr = 44100
@@ -365,9 +368,11 @@ def bench_encode(n_streams: int, seconds: float, chunk: int,
         enc = BatchEncoder(sr, 2, bitrate, n_streams=n_streams)
         t1 = time.time()
         total_bytes = 0
-        for k in range(n_chunks):
-            out = enc.encode_chunk(
-                pcm[:, k * chunk * 1024:(k + 1) * chunk * 1024])
+        chunks = (pcm[:, k * chunk * 1024:(k + 1) * chunk * 1024]
+                  for k in range(n_chunks))
+        outs = (enc.encode_pipelined(chunks) if pipelined
+                else map(enc.encode_chunk, chunks))
+        for out in outs:
             total_bytes += sum(len(p) for o in out for p in o)
         wall = time.time() - t1
         audio_seconds = n_streams * n_chunks * chunk * 1024 / sr
@@ -569,7 +574,8 @@ def main() -> int:
 
     if args.encode:
         print(json.dumps(bench_encode(args.streams, args.seconds,
-                                      args.chunk, args.repeats)))
+                                      args.chunk, args.repeats,
+                                      pipelined=args.pipelined)))
         return 0
     if args.he or args.ps:
         print(json.dumps(bench_he(args.streams, args.seconds, args.chunk,

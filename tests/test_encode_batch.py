@@ -133,3 +133,54 @@ def test_chunk_boundary_window_chain():
     # no gross discontinuity artifact at the boundary region
     seg = out[n - 2048: n + 2048] * 32768
     assert np.abs(seg).max() < 32768 * 1.5
+
+
+def _mixed_pcm(n_streams, n):
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(17)
+    pcm = np.empty((n_streams, n, 2), np.float32)
+    for s in range(n_streams):
+        x = (7000 * np.sin(2 * np.pi * (300 + 70 * s) * t)
+             + 500 * rng.standard_normal(n))
+        # a click per stream so short windows appear mid-run
+        x[n // 2: n // 2 + 64] += 15000
+        pcm[s, :, 0] = x
+        pcm[s, :, 1] = 0.8 * np.roll(x, 31)
+    return pcm
+
+
+@pytest.mark.parametrize("duplex", [False, True])
+def test_pipelined_matches_sequential(duplex):
+    """encode_pipelined yields byte-identical payloads, in order, to
+    sequential encode_chunk calls on a fresh encoder — the reservoir /
+    calibration chain advances identically because the down worker is
+    single-threaded."""
+    S, chunk, n_chunks = 3, 4 * 1024, 4
+    pcm = _mixed_pcm(S, chunk * n_chunks)
+    chunks = [pcm[:, k * chunk:(k + 1) * chunk] for k in range(n_chunks)]
+
+    seq = BatchEncoder(SR, 2, 96_000, n_streams=S)
+    want = [seq.encode_chunk(c) for c in chunks]
+
+    pipe = BatchEncoder(SR, 2, 96_000, n_streams=S)
+    got = list(pipe.encode_pipelined(iter(chunks), duplex=duplex))
+
+    assert len(got) == len(want)
+    for k, (w, g) in enumerate(zip(want, got)):
+        for s in range(S):
+            assert w[s] == g[s], (k, s)
+    assert np.allclose(seq._reservoir, pipe._reservoir)
+    assert np.allclose(seq._est_ratio, pipe._est_ratio)
+
+
+def test_pipelined_single_chunk_and_empty():
+    """Pipeline drain paths: zero and one chunk."""
+    S = 2
+    enc = BatchEncoder(SR, 2, 96_000, n_streams=S)
+    assert list(enc.encode_pipelined(iter([]))) == []
+    pcm = _mixed_pcm(S, 2 * 1024)
+    ref = BatchEncoder(SR, 2, 96_000, n_streams=S).encode_chunk(pcm)
+    out = list(enc.encode_pipelined(iter([pcm])))
+    assert len(out) == 1
+    for s in range(S):
+        assert out[0][s] == ref[s]

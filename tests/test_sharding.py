@@ -374,3 +374,30 @@ def test_sharded_encoder_matches_single_device():
     with pytest.raises(ValueError):             # rows must split evenly
         BatchEncoder(44100, 1, 96_000, n_streams=3,
                      mesh=meshlib.make_mesh(8, 1))
+
+
+@needs_mesh
+def test_sharded_encode_pipelined_matches_single_device():
+    """encode_pipelined over the stream mesh: the upload worker hands
+    numpy straight to the sharded analysis (pjit lands it in the
+    P('stream') row layout), the down worker runs the sharded quantize.
+    Byte-identical to the sequential single-device encode."""
+    from aacjax.encode_batch import BatchEncoder
+
+    S, ch, n = 4, 2, 1024 * 3
+    rng = np.random.default_rng(29)
+    t = np.arange(3 * n) / 44100.0
+    pcm = np.zeros((S, 3 * n, ch))
+    for s in range(S):
+        pcm[s, :, 0] = 7000 * np.sin(2 * np.pi * 300.0 * (s + 1) * t)
+        pcm[s, :, 1] = 0.7 * pcm[s, :, 0]
+    pcm += 250 * rng.standard_normal(pcm.shape)
+    pcm[2, n + 500: n + 600] += 15000
+    chunks = [pcm[:, k * n:(k + 1) * n] for k in range(3)]
+
+    seq = BatchEncoder(44100, ch, 96_000, n_streams=S)
+    want = [seq.encode_chunk(c) for c in chunks]
+    pipe = BatchEncoder(44100, ch, 96_000, n_streams=S,
+                        mesh=meshlib.make_mesh(8, 1))
+    got = list(pipe.encode_pipelined(iter(chunks)))
+    assert got == want
