@@ -361,28 +361,42 @@ def _jitted_analysis(sample_index: int, cutoff_bin: int, frame: int,
                                 n_frames, psy_key))
 
 
-def _quantize_fn():
+def _quantize_fn(w8: int = FRAME // 8):
+    """w8: coded-region width per short sub-block; the packed D2H width
+    is W = 8*w8 (<= FRAME).  Bins beyond the rate cutoff are never
+    written to the bitstream, so only the coded region crosses the
+    link: long rows ship their flat prefix [:W], short rows ship the
+    per-128-bin-block prefixes [:, :, :w8] — the host unpacker
+    (BatchEncoder._unpack_q) re-expands using the window plan."""
     import jax.numpy as jnp
 
-    def fn(coefs, base, fit_sf, bin_band, off):
-        """Quantize at the chosen per-channel-frame offset -> (q int16
-        [N, F], per-band sf int16 [N, nb])."""
+    S8 = FRAME // 8
+    W = 8 * w8
+
+    def fn(coefs, base, fit_sf, bin_band, off, is_short_row):
+        """Quantize at the chosen per-channel-frame offset -> (packed q
+        int16 [N, W], per-band sf int16 [N, nb])."""
         N = coefs.shape[0]
         sfb = jnp.clip(base + off[:, None], fit_sf, 255.0)
         ext = jnp.concatenate([sfb, jnp.full((N, 1), 255.0)], axis=1)
         sf_bin = jnp.take_along_axis(ext, bin_band, axis=1)
         gain = jnp.exp2((sf_bin - 100.0) * 0.25)
         c = jnp.floor(jnp.power(jnp.abs(coefs) / gain, 0.75) + 0.4054)
-        q = jnp.sign(coefs) * jnp.minimum(c, 8191.0)
-        return q.astype(jnp.int16), sfb.astype(jnp.int16)
+        q = (jnp.sign(coefs) * jnp.minimum(c, 8191.0)).astype(jnp.int16)
+        if W >= FRAME:
+            return q, sfb.astype(jnp.int16)
+        q_long = q[:, :W]
+        q_short = q.reshape(N, 8, S8)[:, :, :w8].reshape(N, W)
+        packed = jnp.where(is_short_row[:, None], q_short, q_long)
+        return packed, sfb.astype(jnp.int16)
 
     return fn
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_quantize():
+def _jitted_quantize(w8: int = FRAME // 8):
     import jax
-    return jax.jit(_quantize_fn())
+    return jax.jit(_quantize_fn(w8))
 
 
 # ---------------------------------------------------------------------------
@@ -418,6 +432,12 @@ class BatchEncoder:
         # multi-chip: P('stream') data parallelism over the channel-row
         # axis (see runtime.mesh "TPU-batched encoder"); rows must split
         # evenly across the mesh's 'stream' axis
+        # packed q D2H width: only the coded region (bins below the rate
+        # cutoff) crosses the link; see _quantize_fn
+        cut_l = int(self._arr["ptr_l"][-1])
+        cut_s = int(self._arr["cfg"].swb_offsets_short[
+            self._arr["max_sfb_s"]])
+        self._w8 = min(max(-(-cut_l // 8), cut_s), FRAME // 8)
         self.mesh = mesh
         if mesh is not None:
             n_shards = mesh.shape["stream"]
@@ -427,9 +447,9 @@ class BatchEncoder:
                     f"{n_streams * channels} channel rows do not split "
                     f"over {n_shards} 'stream' shards")
             from aacjax.runtime.mesh import sharded_encode_quantize
-            self._quantize = sharded_encode_quantize(mesh)
+            self._quantize = sharded_encode_quantize(mesh, self._w8)
         else:
-            self._quantize = _jitted_quantize()
+            self._quantize = _jitted_quantize(self._w8)
         self._reservoir = np.zeros(n_streams)
         self._res_cap = 6.0 * bitrate * FRAME / sample_rate
         # online calibration of the device bit estimate against bits
@@ -546,6 +566,24 @@ class BatchEncoder:
                        .reshape(-1)]
         return off, chosen_est
 
+    def _unpack_q(self, packed: np.ndarray, is_short_flat: np.ndarray
+                  ) -> np.ndarray:
+        """Re-expand packed coded-region q rows to [N, FRAME] (zeros
+        beyond the coded region, which the writer never reads) — the
+        host inverse of _quantize_fn's device packing."""
+        W = 8 * self._w8
+        if W >= FRAME:
+            return packed
+        N = packed.shape[0]
+        q = np.zeros((N, FRAME), np.int16)
+        m = is_short_flat
+        q[~m, :W] = packed[~m]
+        if m.any():
+            tmp = np.zeros((int(m.sum()), 8, FRAME // 8), np.int16)
+            tmp[:, :, : self._w8] = packed[m].reshape(-1, 8, self._w8)
+            q[m] = tmp.reshape(-1, FRAME)
+        return q
+
     def _write_out(self, seqs, q, sf, chosen_est) -> list[list[bytes]]:
         """Bitstream write + online calibration of the device bit
         estimate against bits actually written."""
@@ -585,9 +623,11 @@ class BatchEncoder:
         self.stats["host_s"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        short_flat = is_short.reshape(-1)
         q_dev, sf_dev = self._quantize(coefs, base, fit_sf, bin_band,
-                                       off)
-        q = np.asarray(q_dev).reshape(self.S, self.channels, nF, FRAME)
+                                       off, short_flat)
+        q = self._unpack_q(np.asarray(q_dev), short_flat).reshape(
+            self.S, self.channels, nF, FRAME)
         sf = np.asarray(sf_dev).reshape(self.S, self.channels, nF, -1)
         self.stats["d2h_s"] += time.perf_counter() - t0
 
@@ -643,19 +683,20 @@ class BatchEncoder:
                 self.stats["h2d_analysis_s"] += time.perf_counter() - t0
             return outs, est_np
 
-        def rate_quant_write(seqs, outs, est_np, nF):
+        def rate_quant_write(seqs, outs, est_np, nF, short_flat):
             t0 = time.perf_counter()
             off, chosen_est = self._rate_choice(est_np, nF)
             t1 = time.perf_counter()
             coefs, base, fit_sf, _est, bin_band = outs
             q_dev, sf_dev = self._quantize(coefs, base, fit_sf,
-                                           bin_band, off)
+                                           bin_band, off, short_flat)
             jax.block_until_ready((q_dev, sf_dev))
             with lk:
-                q = np.asarray(q_dev).reshape(self.S, self.channels,
-                                              nF, FRAME)
+                q_packed = np.asarray(q_dev)
                 sf = np.asarray(sf_dev).reshape(self.S, self.channels,
                                                 nF, -1)
+            q = self._unpack_q(q_packed, short_flat).reshape(
+                self.S, self.channels, nF, FRAME)
             t2 = time.perf_counter()
             out = self._write_out(seqs, q, sf, chosen_est)
             t3 = time.perf_counter()
@@ -673,11 +714,11 @@ class BatchEncoder:
             outs, est_np = up_fut.result()
             prev = down_fut.result() if down_fut is not None else None
             nxt = down_pool.submit(rate_quant_write, pend[0], outs,
-                                   est_np, pend[1])
+                                   est_np, pend[1], pend[2])
             return prev, nxt
 
         up_fut = down_fut = None
-        pend = None   # (seqs, nF) for the chunk in the upload stage
+        pend = None   # (seqs, nF, short_flat) for the upload-stage chunk
         try:
             for pcm in pcm_iter:
                 t0 = time.perf_counter()
@@ -691,7 +732,7 @@ class BatchEncoder:
                         yield prev
                 up_fut = up_pool.submit(upload_analysis, pcm_i16,
                                         w_idx, is_short, nF)
-                pend = (seqs, nF)
+                pend = (seqs, nF, is_short.reshape(-1))
             if up_fut is not None:
                 prev, down_fut = advance(up_fut, down_fut, pend)
                 if prev is not None:

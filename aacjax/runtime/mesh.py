@@ -233,14 +233,15 @@ def sharded_encode_analysis(sample_index: int, cutoff_bin: int, frame: int,
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_encode_quantize(mesh: Mesh):
+def sharded_encode_quantize(mesh: Mesh, w8: int):
     """jit-compiled encoder quantize with P('stream') row shardings
-    (encode_batch dispatch 2)."""
+    (encode_batch dispatch 2); w8 as in encode_batch._quantize_fn
+    (packed coded-region D2H width)."""
     from aacjax.encode_batch import _quantize_fn
     row2 = _row_sharding(mesh, 2)
     row1 = _row_sharding(mesh, 1)
     return jax.jit(
-        _quantize_fn(),
-        in_shardings=(row2, row2, row2, row2, row1),
+        _quantize_fn(w8),
+        in_shardings=(row2, row2, row2, row2, row1, row1),
         out_shardings=(row2, row2),
     )

@@ -173,6 +173,28 @@ def test_pipelined_matches_sequential(duplex):
     assert np.allclose(seq._est_ratio, pipe._est_ratio)
 
 
+def test_packed_q_d2h_matches_full_width():
+    """The coded-region D2H packing (_quantize_fn w8 < 128 + host
+    _unpack_q) is byte-identical to shipping the full [N, 1024] q
+    planes: bins beyond the rate cutoff never reach the writer."""
+    from aacjax.encode_batch import FRAME, _jitted_quantize
+
+    S, n = 2, 1024 * 6
+    pcm = _mixed_pcm(S, n)                 # clicks force short windows
+
+    enc = BatchEncoder(SR, 2, 96_000, n_streams=S)
+    assert enc._w8 < FRAME // 8            # packing actually engages
+    want = enc.encode_chunk(pcm)
+
+    full = BatchEncoder(SR, 2, 96_000, n_streams=S)
+    full._w8 = FRAME // 8
+    full._quantize = _jitted_quantize(FRAME // 8)
+    got = full.encode_chunk(pcm)
+
+    for s in range(S):
+        assert want[s] == got[s]
+
+
 def test_pipelined_single_chunk_and_empty():
     """Pipeline drain paths: zero and one chunk."""
     S = 2
