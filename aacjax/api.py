@@ -99,6 +99,12 @@ class AACDecoder:
         # Parametric Stereo (HE-AAC v2): (PSProc, right-channel synthesis
         # state) once ps_data has been seen; stays stereo thereafter
         self._ps_state: tuple | None = None
+        # protected multi-rdb ADTS bookkeeping (13818-7 §6.2): the parser
+        # records blocks-remaining / per-block-crc per frame here, and
+        # the flag gates the native streaming fast path off for streams
+        # whose blocks carry trailing crc_check words
+        self._adts_state: dict = {}
+        self._multi_rdb_crc = False
         if cookie is not None:
             self.set_cookie(cookie)
 
@@ -161,6 +167,8 @@ class AACDecoder:
                         continue
                     self.set_cookie(adts.synthesize_cookie(header))
                     self._bitpos = pos * 8
+                    if header.num_frames > 1 and not header.protection_absent:
+                        self._multi_rdb_crc = True
                     break
 
     def _feed_loas(self, data: bytes) -> None:
@@ -205,6 +213,7 @@ class AACDecoder:
         self._buffer.clear()
         self._bitpos = 0
         self._reader = None
+        self._adts_state = {}
         self._sbr_ctx = None
         self._sbr_procs = []
         self._ps_state = None
@@ -241,7 +250,8 @@ class AACDecoder:
             self._bitpos -= drop * 8
             self._reader = None
         if (self._runtime.use_native and self._bitpos % 8 == 0
-                and self._sbr_mode is False):
+                and self._sbr_mode is False and not self._multi_rdb_crc
+                and not self._adts_state.get("block_crc")):
             # native streaming fast path (only once the stream is known to
             # carry no SBR: the C parser skips FIL extensions): parse ONE
             # block from the buffered tail; a miss (partial or corrupt
@@ -267,7 +277,8 @@ class AACDecoder:
         try:
             frame = decode_frame(self._reader, self.config, st.prev_shapes,
                                  sbr_ctx=self._sbr_ctx,
-                                 drc_scale=self.drc_scale)
+                                 drc_scale=self.drc_scale,
+                                 adts_state=self._adts_state)
         except BitstreamUnderflow:
             return None  # need more data
         self._bitpos = self._reader.bit_position
@@ -661,6 +672,32 @@ def decode_adts(data: bytes, chunk_frames: int = 64, cce_slots: int = 2,
         # streaming decoder for the whole file
         dec = AACDecoder(cookie=adts.synthesize_cookie(header),
                          cce_slots=max(cce_slots, 1), drc_scale=drc_scale)
+        if any(h.num_frames > 1 and not h.protection_absent
+               for h, _, _ in frames):
+            # protected multi-rdb layout (per-block trailing crc_check):
+            # the python parser skips the CRC words statefully
+            dec._multi_rdb_crc = True
+        if verify_crc and any(s == e for _, s, e in frames):
+            # CRC-failed frames (emptied by the verify pass above) are
+            # excised from the fed stream and concealed as silence —
+            # one frame_length block per raw_data_block they carried
+            chunks = []
+            for h, s, e in frames:
+                if s == e:
+                    chunks.extend(
+                        np.zeros((config.frame_length, config.channels),
+                                 np.float32)
+                        for _ in range(h.num_frames))
+                    continue
+                dec.feed(data[s - h.header_bytes: e])
+                while True:
+                    chunk = dec.read_chunk()
+                    if chunk is None:
+                        break
+                    chunks.append(chunk.reshape(-1, config.channels))
+            if not chunks:
+                raise UnsupportedError("no decodable raw_data_blocks")
+            return np.concatenate(chunks, axis=0), config.sample_rate
         dec.feed(data)
         chunks = []
         while True:

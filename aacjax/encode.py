@@ -1192,18 +1192,35 @@ class AACEncoder:
             payloads.append(end_frame(w))
         return payloads
 
-    def encode(self, pcm: np.ndarray, crc: bool = False) -> bytes:
+    def encode(self, pcm: np.ndarray, crc: bool = False,
+               rdb_per_frame: int = 1) -> bytes:
         """Encode PCM to an ADTS byte stream (AAC-LC at 1024 frames;
         960/ER/LD streams have no ADTS representation — use
-        encode_loas).  crc=True emits 9-byte protected headers with the
+        encode_loas).  crc=True emits protected headers with the
         13818-7 §8.2.2 crc_check (decode_adts verify_crc=True checks
-        it; interoperating decoders skip the field)."""
+        it; interoperating decoders skip the field).
+
+        rdb_per_frame (1-4) groups that many raw_data_blocks per ADTS
+        frame (numFrames > 1); with crc=True the frame carries the full
+        multi-rdb protection layout — raw_data_block_position words, a
+        header crc_check over them, and a per-block trailing crc_check
+        (adts.crc_block_status verifies each unit independently)."""
         if self._er or self.config.frame_length != 1024:
             raise ValueError(
                 "ADTS cannot signal this profile/frame length; use "
                 "encode_loas() or encode_frames()")
-        return b"".join(adts_frame(p, self.config, crc=crc)
-                        for p in self.encode_frames(pcm))
+        if not 1 <= rdb_per_frame <= 4:
+            raise ValueError("rdb_per_frame must be 1..4 (2-bit "
+                             "number_of_raw_data_blocks_in_frame)")
+        payloads = self.encode_frames(pcm)
+        if rdb_per_frame == 1:
+            return b"".join(adts_frame(p, self.config, crc=crc)
+                            for p in payloads)
+        from aacjax.testing.encoder import adts_frame_multi
+        return b"".join(
+            adts_frame_multi(payloads[i:i + rdb_per_frame], self.config,
+                             crc=crc)
+            for i in range(0, len(payloads), rdb_per_frame))
 
     def encode_loas(self, pcm: np.ndarray) -> bytes:
         """Encode PCM to a LOAS/LATM byte stream (carries the full ASC,

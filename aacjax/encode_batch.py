@@ -465,8 +465,17 @@ class BatchEncoder:
         self._native_write = (
             os.environ.get("AACJAX_NATIVE_WRITE", "1") == "1"
             and native_write.available())
-        self.stats = dict(h2d_analysis_s=0.0, d2h_s=0.0, host_s=0.0,
-                          write_s=0.0, frames=0)
+        # per-stage accounting, split like the decode side's (VERDICT r4:
+        # one conflated h2d+compute bucket made the encoder unoptimizable):
+        #   h2d_s       synced PCM upload (the dominant input transfer)
+        #   analysis_s  analysis dispatch -> est ready (device compute +
+        #               dispatch latency; bench.py measure_stages_encode
+        #               additionally records the chained-amortized compute)
+        #   d2h_s       est + packed q/sf downloads
+        #   host_s      window plan / rate choice / unpack
+        #   write_s     bitstream write
+        self.stats = dict(h2d_s=0.0, analysis_s=0.0, d2h_s=0.0,
+                          host_s=0.0, write_s=0.0, frames=0)
         import threading
         self._stats_lock = threading.Lock()
 
@@ -612,11 +621,24 @@ class BatchEncoder:
         analysis = self._analysis_for(nF)
         self.stats["host_s"] += time.perf_counter() - t0
 
+        import jax
+        t0 = time.perf_counter()
+        if self.mesh is None:
+            dev = jax.block_until_ready(jax.device_put(pcm_i16))
+        else:
+            from aacjax.runtime.mesh import _row_sharding
+            dev = jax.block_until_ready(jax.device_put(
+                pcm_i16, _row_sharding(self.mesh, pcm_i16.ndim)))
+        self.stats["h2d_s"] += time.perf_counter() - t0
+
         t0 = time.perf_counter()
         coefs, base, fit_sf, est, bin_band = analysis(
-            pcm_i16, w_idx, is_short)
+            dev, w_idx, is_short)
+        jax.block_until_ready(est)
+        self.stats["analysis_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         est_np = np.asarray(est)                           # [N, K]
-        self.stats["h2d_analysis_s"] += time.perf_counter() - t0
+        self.stats["d2h_s"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
         off, chosen_est = self._rate_choice(est_np, nF)
@@ -626,10 +648,16 @@ class BatchEncoder:
         short_flat = is_short.reshape(-1)
         q_dev, sf_dev = self._quantize(coefs, base, fit_sf, bin_band,
                                        off, short_flat)
-        q = self._unpack_q(np.asarray(q_dev), short_flat).reshape(
-            self.S, self.channels, nF, FRAME)
+        jax.block_until_ready((q_dev, sf_dev))
+        self.stats["analysis_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        q_packed = np.asarray(q_dev)
         sf = np.asarray(sf_dev).reshape(self.S, self.channels, nF, -1)
         self.stats["d2h_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        q = self._unpack_q(q_packed, short_flat).reshape(
+            self.S, self.channels, nF, FRAME)
+        self.stats["host_s"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
         out = self._write_out(seqs, q, sf, chosen_est)
@@ -673,14 +701,25 @@ class BatchEncoder:
                 with lk:
                     dev = jax.block_until_ready(jax.device_put(pcm_i16))
             else:
-                dev = pcm_i16   # pjit lands it in the sharded layout
+                # explicit sharded H2D under the lock (the implicit
+                # transfer inside pjit would run outside it and contend
+                # with the down worker's q/sf D2H on serialized links)
+                from aacjax.runtime.mesh import _row_sharding
+                with lk:
+                    dev = jax.block_until_ready(jax.device_put(
+                        pcm_i16, _row_sharding(self.mesh, pcm_i16.ndim)))
+            t1 = time.perf_counter()
             outs = analysis(dev, w_idx, is_short)
             est = outs[3]
             jax.block_until_ready(est)   # compute done; lock only the D2H
+            t2 = time.perf_counter()
             with lk:
                 est_np = np.asarray(est)
+            t3 = time.perf_counter()
             with self._stats_lock:
-                self.stats["h2d_analysis_s"] += time.perf_counter() - t0
+                self.stats["h2d_s"] += t1 - t0
+                self.stats["analysis_s"] += t2 - t1
+                self.stats["d2h_s"] += t3 - t2
             return outs, est_np
 
         def rate_quant_write(seqs, outs, est_np, nF, short_flat):
@@ -691,18 +730,21 @@ class BatchEncoder:
             q_dev, sf_dev = self._quantize(coefs, base, fit_sf,
                                            bin_band, off, short_flat)
             jax.block_until_ready((q_dev, sf_dev))
+            t1b = time.perf_counter()
             with lk:
                 q_packed = np.asarray(q_dev)
                 sf = np.asarray(sf_dev).reshape(self.S, self.channels,
                                                 nF, -1)
+            t1c = time.perf_counter()
             q = self._unpack_q(q_packed, short_flat).reshape(
                 self.S, self.channels, nF, FRAME)
             t2 = time.perf_counter()
             out = self._write_out(seqs, q, sf, chosen_est)
             t3 = time.perf_counter()
             with self._stats_lock:
-                self.stats["host_s"] += t1 - t0
-                self.stats["d2h_s"] += t2 - t1
+                self.stats["host_s"] += (t1 - t0) + (t2 - t1c)
+                self.stats["analysis_s"] += t1b - t1
+                self.stats["d2h_s"] += t1c - t1b
                 self.stats["write_s"] += t3 - t2
                 self.stats["frames"] += self.S * nF
             return out

@@ -27,8 +27,12 @@ class ADTSHeader:
     frame_length: int      # whole ADTS frame incl. header, bytes
     num_frames: int        # raw_data_blocks in frame (usually 1)
     protection_absent: bool
-    header_bytes: int      # 7 or 9
+    header_bytes: int      # 7, 9, or 7 + 2*(num_frames-1) + 2 (multi-rdb)
     crc_value: int = 0     # transmitted crc_check when protection present
+    # protected multi-rdb frames (13818-7 §6.2 adts_header_error_check):
+    # raw_data_block_position[1..N], byte offsets of blocks 1..N from the
+    # start of the first raw data block
+    rdb_positions: tuple = ()
 
 
 def probe(data: bytes) -> bool:
@@ -59,13 +63,24 @@ def read_header(stream: BitReader) -> ADTSHeader:
     stream.advance(11)                      # buffer fullness
     num_frames = stream.read(2) + 1
     crc_value = 0
+    positions: tuple = ()
     if not protection_absent:
-        # crc_check (ISO/IEC 13818-7 §6.2 adts_error_check).  The
-        # reference also skips verification (adts_demuxer.js:48-49
-        # advances 16 bits without checking), as does libavcodec;
-        # compute_crc/check_crc verify it on request (decode_adts
-        # verify_crc=True).
+        # ISO/IEC 13818-7 §6.2: single-rdb frames carry adts_error_check
+        # (crc_check only); multi-rdb frames carry
+        # adts_header_error_check (raw_data_block_position[1..N] then
+        # crc_check), and each raw data block is followed by its own
+        # 16-bit adts_raw_data_block_error_check.  The reference skips
+        # verification entirely (adts_demuxer.js:48-49 advances 16 bits
+        # without checking), as does libavcodec; compute_crc/check_crc
+        # verify on request (decode_adts verify_crc=True).
+        if num_frames > 1:
+            positions = tuple(stream.read(16)
+                              for _ in range(num_frames - 1))
         crc_value = stream.read(16)
+    if protection_absent:
+        header_bytes = 7
+    else:
+        header_bytes = 7 + 2 * (num_frames - 1) + 2
     return ADTSHeader(
         profile=profile,
         sampling_index=sampling_index,
@@ -73,8 +88,9 @@ def read_header(stream: BitReader) -> ADTSHeader:
         frame_length=frame_length,
         num_frames=num_frames,
         protection_absent=protection_absent,
-        header_bytes=7 if protection_absent else 9,
+        header_bytes=header_bytes,
         crc_value=crc_value,
+        rdb_positions=positions,
     )
 
 
@@ -119,14 +135,48 @@ def compute_crc(header7: bytes, payload: bytes) -> int:
 
 
 def check_crc(frame: bytes, header: ADTSHeader) -> bool:
-    """Verify one whole ADTS frame's crc_check.  Frames without
-    protection (or with multiple raw data blocks, whose per-block CRC
-    layout we do not transmit) verify trivially True."""
-    if header.protection_absent or header.num_frames != 1:
-        return True
-    if len(frame) < 9:
-        return False
-    return compute_crc(frame[:7], frame[9:]) == header.crc_value
+    """Verify one whole ADTS frame's CRC protection.  Frames without
+    protection verify trivially True.
+
+    Multi-rdb frames (num_frames > 1) verify the header crc_check —
+    covering the 56 header bits plus the raw_data_block_position words —
+    AND every block's trailing adts_raw_data_block_error_check (each
+    covering the first min(192, len) bits of its raw data block, the
+    same §8.2.2 span rule as the single-rdb case)."""
+    status = crc_block_status(frame, header)
+    return status is None or all(status)
+
+
+def crc_block_status(frame: bytes, header: ADTSHeader
+                     ) -> list[bool] | None:
+    """Per-unit CRC verdicts for one whole ADTS frame, or None when the
+    frame carries no protection.  Single-rdb frames return [ok];
+    multi-rdb frames return [header_ok, block0_ok, ..., blockN_ok] so a
+    receiver can conceal just the corrupt raw_data_block(s)."""
+    if header.protection_absent:
+        return None
+    if header.num_frames == 1:
+        if len(frame) < 9:
+            return [False]
+        return [compute_crc(frame[:7], frame[9:]) == header.crc_value]
+    n = header.num_frames
+    base = header.header_bytes          # first raw data block start
+    if len(frame) < base:
+        return [False] * (n + 1)
+    pos_bytes = frame[7: 7 + 2 * (n - 1)]
+    header_ok = _crc16(frame[:7] + pos_bytes) == header.crc_value
+    # block i spans [p_i, p_{i+1} - 2) relative to `base` (each block is
+    # followed by its 2-byte crc_check); p_0 = 0, p_i from the header's
+    # position words, the last block ends 2 bytes before the frame end
+    bounds = [0, *header.rdb_positions, len(frame) - base]
+    out = [header_ok]
+    for i in range(n):
+        lo, hi = base + bounds[i], base + bounds[i + 1] - 2
+        ok = (0 <= lo <= hi <= len(frame) - 2
+              and _crc16(frame[lo:hi][:_CRC_SPAN_BYTES])
+              == int.from_bytes(frame[hi:hi + 2], "big"))
+        out.append(ok)
+    return out
 
 
 def synthesize_cookie(header: ADTSHeader) -> bytes:
@@ -159,7 +209,9 @@ def split_frames(data: bytes, start: int = 0,
         if not (data[pos] == 0xFF and (data[pos + 1] & 0xF6) == 0xF0):
             pos += 1  # resync scan
             continue
-        stream = BitReader(memoryview(data)[pos:pos + 9])
+        # 15 bytes covers the longest header form: 7 fixed/variable +
+        # 2*3 position words + 2 crc (protected 4-rdb frame)
+        stream = BitReader(memoryview(data)[pos:pos + 15])
         try:
             header = read_header(stream)
         except BitstreamError:

@@ -804,7 +804,8 @@ def decode_er_frame(stream: BitReader, config: StreamConfig,
 
 def decode_frame(stream: BitReader, config: StreamConfig,
                  prev_shapes: list[int], sbr_ctx=None,
-                 drc_scale: float = 0.0) -> Frame:
+                 drc_scale: float = 0.0, adts_state: dict | None = None
+                 ) -> Frame:
     """Parse one raw_data_block (decoder.js:125-201 element loop).
 
     prev_shapes: per-decoder-channel previous window shapes (persisted by
@@ -816,12 +817,22 @@ def decode_frame(stream: BitReader, config: StreamConfig,
     extension payloads carrying SBR data (HE-AAC implicit signaling) are
     parsed and attached to the preceding SCE/CPE element instead of being
     skipped (the reference throws on any SBR content, decoder.js:279-280).
+
+    adts_state: optional mutable dict a streaming caller persists across
+    calls so protected multi-rdb ADTS frames parse correctly: the header
+    records how many raw_data_blocks follow and whether each carries a
+    trailing 16-bit adts_raw_data_block_error_check (13818-7 §6.2),
+    which this parser then consumes after the block's byte-align.
     """
     if config.profile in (17, 23, 39):  # ER profiles: fixed layout, no SBR
         return decode_er_frame(stream, config, prev_shapes)
     # interleaved ADTS header (decoder.js:128-130)
     if stream.bits_left >= 12 and stream.peek(12) == 0xFFF:
-        read_header(stream)
+        hdr = read_header(stream)
+        if adts_state is not None:
+            adts_state["blocks_left"] = hdr.num_frames
+            adts_state["block_crc"] = (not hdr.protection_absent
+                                       and hdr.num_frames > 1)
 
     elements = []
     cces: list[CCEData] = []
@@ -903,6 +914,14 @@ def decode_frame(stream: BitReader, config: StreamConfig,
         else:
             raise BitstreamError("Unknown element")
     stream.align()
+    if adts_state is not None and adts_state.get("blocks_left", 0) > 0:
+        # inside a protected multi-rdb ADTS frame each raw_data_block is
+        # followed by its 16-bit adts_raw_data_block_error_check — skip
+        # it BEFORE the decrement so an underflow retry (streaming feed)
+        # replays this block with consistent state
+        if adts_state.get("block_crc"):
+            stream.advance(16)
+        adts_state["blocks_left"] -= 1
     frame = Frame(elements=elements, cces=cces, drc=frame_drc)
     if drc_scale > 0:
         apply_drc(frame, drc_scale)

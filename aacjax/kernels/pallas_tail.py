@@ -154,13 +154,35 @@ def _tables_f32():
             pad_rows(W.short_rise(), 2), pad_rows(W.short_fall(), 2), exp)
 
 
+def default_on() -> bool:
+    """Serving default for the fused decode tail: Pallas ON when the
+    backend is a real TPU (it wins the recorded hardware A/B — 4.7 ms
+    fused vs 5.2 ms XLA per chunk, BASELINE.md round 4), XLA everywhere
+    else (CPU CI, virtual meshes, oracle-exactness suites stay pinned
+    to the bit-stable XLA pipeline).  AACJAX_PALLAS=1/0 force-overrides
+    in both directions.  This is the ONE parse shared by the library
+    (runtime.batch._device_step) and bench.py, so the same env value
+    can never select different kernels in the two."""
+    import os
+    env = os.environ.get("AACJAX_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def supported(flags, C: int, T: int, F: int) -> bool:
     """Can the fused tail take this decode_spec_step configuration?
 
     spec_qsf (the native HE core's exact-i16 q/sf transfer) is fine: the
     two LUT dequant gathers stay in XLA and the kernel takes the f32
-    spectra — same split as the TNS case."""
-    return (F == FRAME and C % TILE_C == 0 and not flags.eld
+    spectra — same split as the TNS case.
+
+    T is bounded: the kernel's tile footprint grows linearly with
+    TILE_C*T (long_out alone is 8*T x 2048 f32, plus the short-window
+    intermediates) on top of ~10 MB of constants; past T=64 a chunk
+    could blow the 100 MB vmem_limit_bytes and fail Mosaic compilation
+    at runtime — fall back to the XLA pipeline instead."""
+    return (F == FRAME and C % TILE_C == 0 and T <= 64 and not flags.eld
             and not flags.has_pred and not flags.has_cce_post
             and not flags.has_cce_time)
 

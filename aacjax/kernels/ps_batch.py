@@ -614,8 +614,8 @@ def sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state, cfg,
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_sbr_ps_apply(cfg, out_int16: bool, is34: bool, modes: tuple):
-    def fn(core_pcm, dense, ps_dense, state, ps_state):
+def _jitted_sbr_ps_apply(out_int16: bool, is34: bool, modes: tuple):
+    def fn(core_pcm, dense, ps_dense, state, ps_state, cfg):
         return sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state,
                             cfg, out_int16, is34)
 
@@ -628,5 +628,8 @@ def kernel_modes() -> tuple:
     return (_sync_seq_scan(), _sync_lut_mode())
 
 
-def jitted_sbr_ps_apply(cfg, out_int16: bool = False, is34: bool = False):
-    return _jitted_sbr_ps_apply(cfg, out_int16, is34, kernel_modes())
+def jitted_sbr_ps_apply(out_int16: bool = False, is34: bool = False):
+    """ONE compiled SBR+PS program per (out dtype, PS band mode): the
+    per-slot SBR cfg planes arrive as a runtime argument, so mixed
+    SBR headers across the batch share the program."""
+    return _jitted_sbr_ps_apply(out_int16, is34, kernel_modes())

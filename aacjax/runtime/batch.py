@@ -264,11 +264,19 @@ class BatchDecoder:
             # back to the batched kernel's (now stale) device state
             self._sbr_np_sticky = [False] * self.C
             self._sbr_dev_state = sbr_state_init(self.C)
-            self._sbr_cfg = None
-            # the elected config's SBRTables (lru-cached by
-            # derive_tables, so identity-comparable); None = match on
-            # header alone (restored checkpoints)
-            self._sbr_cfg_tbl = None
+            # Per-SLOT header config: each slot's table-derived statics
+            # (kx / patch map / limiter grid) are rendered into dense
+            # per-slot planes the ONE compiled SBR program reads —
+            # heterogeneous-header fleets run on the device path with no
+            # recompiles and no numpy exile (VERDICT r4 #1).  _slot_sbr_key
+            # tracks the (header, id(tables)) rendered in each row;
+            # _sbr_cfg_dev caches the device copy until a row changes.
+            from aacjax.kernels.sbr_batch import cfg_planes_zeros
+            self._sbr_cfg_planes = cfg_planes_zeros(self.C)
+            self._slot_sbr_key = [None] * self.C
+            self._slot_sbr_hdr = [None] * self.C
+            self._sbr_cfg_dev = None
+            self._sbr_cfg_mesh = None
             # slots _readopt_sticky could not re-adopt (genuinely mixed
             # headers/modes): the pipelined path skips draining for them
             self._readopt_blocked: set[int] = set()
@@ -317,6 +325,10 @@ class BatchDecoder:
             for s in range(st.base_slot, st.base_slot + st.n_slots):
                 self._chunk_nframes[s] = n
         self._chunk_sbr_records: list[list] = [[] for _ in range(self.C)]
+        # slots that already packed an SBR frame THIS chunk: their cfg
+        # row is frozen for the chunk (a mid-chunk header change replays
+        # the chunk on numpy, then re-adopts at the boundary)
+        self._sbr_packed_chunk = [False] * self.C
         if self._ps_dense is not None:
             from aacjax.host import ps_pack as PP
             self._ps_dense = PP.alloc_ps_dense(self.C, self.T)
@@ -351,37 +363,38 @@ class BatchDecoder:
 
     def _sbr_pack_payload(self, dense, sf, slot: int, nch: int,
                           t: int) -> None:
-        """Pack one parsed SBRFrame into the dense arrays.  Slots whose
-        header deviates from the batch header (or whose PS band mode
-        differs from the chunk's) go STICKY: all their frames decode on
-        the per-channel numpy path (seeded from the batched state at
-        the transition).  VAR-class envelope overhang runs on-device
-        (the kernel's Y double-buffer)."""
+        """Pack one parsed SBRFrame into the dense arrays.  The slot's
+        header statics live in its own cfg-plane row (per-slot data, not
+        a compile key), so any mix of headers across the batch runs in
+        the ONE compiled device program.  A header change lands on the
+        device path immediately when the slot has not yet packed an SBR
+        frame this chunk (the row just re-renders); a MID-chunk change
+        replays that one chunk on the numpy path and re-adopts at the
+        next boundary (_readopt_sticky).  A PS band-mode (20/34)
+        mismatch with the chunk kernel likewise diverts to numpy until
+        the mode election settles.  VAR-class envelope overhang runs
+        on-device (the kernel's Y double-buffer)."""
         from aacjax.host import sbr as sbrmod
         from aacjax.host import sbr_pack as SP
-        from aacjax.kernels.sbr_batch import SBRStaticConfig
-        if self._sbr_cfg is None:
-            self._sbr_cfg = (sf.header, SBRStaticConfig.from_tables(
-                sf.tables, float(sbrmod._consts()["limgain"][
-                    sf.header.limiter_gains])))
-            self._sbr_cfg_tbl = sf.tables
         eq = sbrmod.dequant(sf)
         ps = getattr(sf, "ps", None) if nch == 1 else None
-        deviant = (sf.header != self._sbr_cfg[0]
-                   or (self._sbr_cfg_tbl is not None
-                       and sf.tables is not self._sbr_cfg_tbl))
+        key = (sf.header, id(sf.tables))
         for c in range(nch):
-            self._chunk_sbr_records[slot + c].append((t, sf, c, eq[c]))
-            if deviant:
-                # deviant header (or same header at a different sample
-                # rate): this slot's grid tables don't fit the chunk's
-                # compiled static config.  _readopt_sticky re-adopts at
-                # the next chunk boundary once the election allows it
-                self._sbr_np_sticky[slot + c] = True
-            if not self._sbr_np_sticky[slot + c]:
-                SP.pack_channel_frame(dense, slot + c, t,
-                                      self._sbr_host_states[slot + c],
+            s = slot + c
+            self._chunk_sbr_records[s].append((t, sf, c, eq[c]))
+            if self._slot_sbr_key[s] != key and not self._sbr_np_sticky[s]:
+                if self._sbr_packed_chunk[s]:
+                    # header changed mid-chunk: the chunk's cfg row is
+                    # frozen, so this chunk replays on numpy; the next
+                    # boundary re-renders the row and re-adopts
+                    self._sbr_np_sticky[s] = True
+                else:
+                    self._set_cfg_row(s, sf.header, sf.tables)
+            if not self._sbr_np_sticky[s]:
+                SP.pack_channel_frame(dense, s, t,
+                                      self._sbr_host_states[s],
                                       sf, c, eq[c])
+                self._sbr_packed_chunk[s] = True
         if nch == 1 and (
                 ps is not None
                 or self._ps_pack_states[slot].ps_prev is not None):
@@ -396,20 +409,42 @@ class BatchDecoder:
                     # band mode differs from the chunk's compiled kernel
                     self._sbr_np_sticky[slot] = True
 
+    def _set_cfg_row(self, s: int, hdr, tbl) -> None:
+        """Render slot `s`'s header statics into its cfg-plane row and
+        invalidate the cached device copy."""
+        from aacjax.host import sbr as sbrmod
+        from aacjax.kernels.sbr_batch import SBRStaticConfig, set_cfg_row
+        limgain = float(sbrmod._consts()["limgain"][hdr.limiter_gains])
+        set_cfg_row(self._sbr_cfg_planes,
+                    s, SBRStaticConfig.from_tables(tbl, limgain))
+        self._slot_sbr_key[s] = (hdr, id(tbl))
+        self._slot_sbr_hdr[s] = hdr
+        self._sbr_cfg_dev = None
+
+    def _cfg_planes_device(self, mesh=None):
+        """The per-slot cfg planes on device (sharded P('stream') under a
+        mesh), cached until a row changes — steady-state chunks pay zero
+        cfg H2D (the planes are ~44 KB/slot and change only on header
+        churn)."""
+        if self._sbr_cfg_dev is None or self._sbr_cfg_mesh is not mesh:
+            if mesh is not None:
+                from aacjax.runtime import mesh as meshlib
+                self._sbr_cfg_dev = jax.block_until_ready(
+                    meshlib.shard_stream_tree(mesh, self._sbr_cfg_planes))
+            else:
+                self._sbr_cfg_dev = jax.block_until_ready(
+                    jax.device_put(self._sbr_cfg_planes))
+            self._sbr_cfg_mesh = mesh
+        return self._sbr_cfg_dev
+
     def _he_ctx(self) -> dict:
         """Capture one chunk's SBR/PS bookkeeping into an explicit context
         so the device phase can run on a worker thread while the next
         chunk parses (the captured objects are re-created per chunk by
-        _sbr_chunk_begin; the sticky set is frozen at capture time)."""
-        from aacjax.host.sbr import SBRHeader, derive_tables
-        from aacjax.kernels.sbr_batch import SBRStaticConfig
-        if self._sbr_cfg is None:
-            # no SBR payload seen yet anywhere: whole chunk upsample-only
-            hdr = SBRHeader()
-            tbl = derive_tables(hdr,
-                                2 * self.streams[0].config.sample_rate)
-            self._sbr_cfg = (hdr, SBRStaticConfig.from_tables(tbl, 1.0))
-            self._sbr_cfg_tbl = tbl
+        _sbr_chunk_begin; the sticky set is frozen at capture time).
+        Slots with no SBR payload seen yet keep their zeroed cfg row —
+        a valid don't-care (has_sbr=0 routes them through the upsample
+        branch)."""
         from aacjax.host import ps_pack as PP
         return dict(
             nframes=self._chunk_nframes,
@@ -490,12 +525,12 @@ class BatchDecoder:
                                         out_src, out_role)
             if mesh is not None:
                 fn = meshlib.sharded_sbr_ps_apply(
-                    self._sbr_cfg[1], mesh, out_int16 and not sticky,
-                    bool(ctx["ps_is34"]))
+                    mesh, out_int16 and not sticky, bool(ctx["ps_is34"]))
                 with lk:
                     # block INSIDE the lock: device_put only enqueues, and
                     # the serialized-transfer contract needs the bytes on
                     # the wire before the lock releases
+                    cfg_dev = self._cfg_planes_device(mesh)
                     dense_dict = jax.block_until_ready(
                         meshlib.shard_stream_tree(mesh, dense_dict))
                     ps_dense = jax.block_until_ready(
@@ -505,34 +540,35 @@ class BatchDecoder:
                     self._ps_dev_state = jax.block_until_ready(
                         meshlib.shard_stream_tree(mesh, self._ps_dev_state))
             else:
-                fn = jitted_sbr_ps_apply(self._sbr_cfg[1],
-                                         out_int16 and not sticky,
+                fn = jitted_sbr_ps_apply(out_int16 and not sticky,
                                          bool(ctx["ps_is34"]))
                 with lk:
+                    cfg_dev = self._cfg_planes_device()
                     dense_dict = jax.block_until_ready(
                         jax.device_put(dense_dict))
                     ps_dense = jax.block_until_ready(
                         jax.device_put(ps_dense))
             pcm2, self._sbr_dev_state, self._ps_dev_state = fn(
                 core_pcm, dense_dict, ps_dense, prev_state,
-                self._ps_dev_state)
+                self._ps_dev_state, cfg_dev)
         else:
             if mesh is not None:
-                fn = meshlib.sharded_sbr_apply(self._sbr_cfg[1], mesh,
+                fn = meshlib.sharded_sbr_apply(mesh,
                                                out_int16 and not sticky)
                 with lk:
+                    cfg_dev = self._cfg_planes_device(mesh)
                     dense_dict = jax.block_until_ready(
                         meshlib.shard_stream_tree(mesh, dense_dict))
                     prev_state = jax.block_until_ready(
                         meshlib.shard_stream_tree(mesh, prev_state))
             else:
-                fn = jitted_sbr_apply(self._sbr_cfg[1],
-                                      out_int16 and not sticky)
+                fn = jitted_sbr_apply(out_int16 and not sticky)
                 with lk:
+                    cfg_dev = self._cfg_planes_device()
                     dense_dict = jax.block_until_ready(
                         jax.device_put(dense_dict))
             pcm2, self._sbr_dev_state = fn(core_pcm, dense_dict,
-                                           prev_state)
+                                           prev_state, cfg_dev)
         # re-home the pending stats record to the chained result
         pending = self._pending_steps.pop(id(core_pcm), None)
         if pending is not None:
@@ -713,27 +749,14 @@ class BatchDecoder:
         from aacjax.host import ps_pack as PP
         from aacjax.host import sbr as sbrmod
         from aacjax.host.sbr_pack import SBRHostState
-        from aacjax.kernels.sbr_batch import SBRStaticConfig
 
         slot_stream = np.zeros(self.C, np.int32)
         for i, st in enumerate(self.streams):
             slot_stream[st.base_slot: st.base_slot + st.n_slots] = i
 
-        # -- SBR header election -----------------------------------------
-        live = {}
-        for ctx in self._sbr_ctxs:
-            if ctx.header is not None:
-                tbl = sbrmod.derive_tables(ctx.header, ctx.sample_rate)
-                live[(ctx.header, id(tbl))] = (ctx.header, tbl)
-        if len(live) == 1:
-            hdr, tbl = next(iter(live.values()))
-            if (hdr != self._sbr_cfg[0] or (self._sbr_cfg_tbl is not None
-                                            and tbl is not self._sbr_cfg_tbl)):
-                limgain = float(
-                    sbrmod._consts()["limgain"][hdr.limiter_gains])
-                self._sbr_cfg = (hdr,
-                                 SBRStaticConfig.from_tables(tbl, limgain))
-                self._sbr_cfg_tbl = tbl
+        # No SBR header election: headers are per-slot cfg-plane rows,
+        # so a sticky slot re-adopts by re-rendering its OWN row — any
+        # header mix across the batch stays on the device path.
 
         # -- PS band-mode election ----------------------------------------
         modes = set()
@@ -763,11 +786,6 @@ class BatchDecoder:
             ctx = self._sbr_ctxs[int(slot_stream[s])]
             proc = self._sbr_np_procs[s]
             ok = proc is not None and ctx.header is not None
-            if ok:
-                tbl = sbrmod.derive_tables(ctx.header, ctx.sample_rate)
-                ok = (ctx.header == self._sbr_cfg[0]
-                      and (self._sbr_cfg_tbl is None
-                           or tbl is self._sbr_cfg_tbl))
             if ok and self._ps_pair[s] >= 0:
                 pnp = self._ps_np[s]
                 ok = (pnp is not None and pnp[0].is34_prev is not None
@@ -782,6 +800,10 @@ class BatchDecoder:
             ps = (None if self._ps_dev_state is None else
                   {k: np.array(v) for k, v in self._ps_dev_state.items()})
             for s in adopt:
+                ctx = self._sbr_ctxs[int(slot_stream[s])]
+                self._set_cfg_row(
+                    s, ctx.header,
+                    sbrmod.derive_tables(ctx.header, ctx.sample_rate))
                 proc = self._sbr_np_procs[s]
                 ds["x_hist"][s] = proc.x_hist
                 ds["xlow_r"][s] = proc.xlow_hist.real
@@ -1018,9 +1040,11 @@ class BatchDecoder:
         chained on the device-resident core PCM.  Returns [C, T, 2*F]
         float32 in the reference 1/32768 scale at the 2x output rate.
 
-        Streams whose SBR header differs from the chunk's first-seen
-        header fall back to the per-channel numpy SBR path (identical
-        output, host-side).
+        SBR headers are per-slot data (cfg-plane rows), so any mix of
+        headers across the batch decodes in the one compiled device
+        program; only a MID-chunk header change replays that slot's
+        chunk on the numpy path (identical output, host-side) before
+        re-adopting at the next boundary.
 
         With `mesh` (stream-only, make_mesh(n, 1)) BOTH device stages —
         the core spectral step and the chained SBR / SBR+PS program —
@@ -1300,7 +1324,10 @@ class BatchDecoder:
         n_stream_frames = batch.pop('_n_stream_frames')
         n_channel_frames = batch.pop('_n_channel_frames')
         if use_pallas is None:
-            use_pallas = os.environ.get("AACJAX_PALLAS", "0") == "1"
+            # default: fused Pallas tail on real TPU (wins the recorded
+            # hardware A/B), XLA elsewhere; AACJAX_PALLAS=1/0 overrides
+            from aacjax.kernels.pallas_tail import default_on
+            use_pallas = default_on()
         flags = PipelineFlags(has_stereo=False, has_tns=has_tns,
                               has_cce=False, out_int16=out_int16,
                               use_pallas=use_pallas,
@@ -1696,7 +1723,7 @@ class BatchDecoder:
                 host=copy.deepcopy(self._sbr_host_states),
                 procs=copy.deepcopy(self._sbr_np_procs),
                 sticky=list(self._sbr_np_sticky),
-                cfg=copy.deepcopy(self._sbr_cfg),
+                slot_hdr=copy.deepcopy(self._slot_sbr_hdr),
                 ps_enabled=self._ps_enabled,
                 ps_is34=self._ps_is34,
                 ps_pair=list(self._ps_pair),
@@ -1728,11 +1755,23 @@ class BatchDecoder:
             self._sbr_host_states = copy.deepcopy(s['host'])
             self._sbr_np_procs = copy.deepcopy(s['procs'])
             self._sbr_np_sticky = list(s['sticky'])
-            self._sbr_cfg = copy.deepcopy(s['cfg'])
-            # restored configs match on header alone (the table-identity
-            # fast check only holds within one process's derive_tables
-            # cache); _readopt_sticky re-elects from live contexts anyway
-            self._sbr_cfg_tbl = None
+            # re-render each slot's cfg-plane row from its restored
+            # header (table identity is process-local, so rows rebuild
+            # from derive_tables in THIS process's cache)
+            from aacjax.host import sbr as sbrmod
+            from aacjax.kernels.sbr_batch import cfg_planes_zeros
+            self._sbr_cfg_planes = cfg_planes_zeros(self.C)
+            self._slot_sbr_key = [None] * self.C
+            self._slot_sbr_hdr = [None] * self.C
+            self._sbr_cfg_dev = None
+            slot_rate = np.zeros(self.C, np.int64)
+            for st, ctx in zip(self.streams, self._sbr_ctxs):
+                slot_rate[st.base_slot: st.base_slot + st.n_slots] = \
+                    ctx.sample_rate
+            for sl, hdr in enumerate(copy.deepcopy(s['slot_hdr'])):
+                if hdr is not None:
+                    self._set_cfg_row(sl, hdr, sbrmod.derive_tables(
+                        hdr, int(slot_rate[sl])))
             self._readopt_blocked = set()
             self._ps_enabled = s['ps_enabled']
             self._ps_is34 = s['ps_is34']

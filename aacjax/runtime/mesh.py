@@ -167,38 +167,40 @@ def shard_stream_tree(mesh: Mesh, tree: dict) -> dict:
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_sbr_apply(cfg, mesh: Mesh, out_int16: bool = False):
+def sharded_sbr_apply(mesh: Mesh, out_int16: bool = False):
     """jit-compiled batched SBR stage (kernels.sbr_batch.sbr_apply) over a
     stream-only mesh; inputs arrive pre-sharded via shard_stream_tree and
-    the donated state keeps its sharding across chained chunks."""
+    the donated state keeps its sharding across chained chunks.  The
+    per-slot SBR cfg planes are a (P('stream')-sharded) runtime arg, so
+    mixed headers share the one compiled program."""
     from aacjax.kernels.sbr_batch import sbr_apply
 
-    def fn(core_pcm, dense, state):
+    def fn(core_pcm, dense, state, cfg):
         return sbr_apply(core_pcm, dense, state, cfg, out_int16=out_int16)
 
     return jax.jit(fn, donate_argnums=(2,))
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool, is34: bool,
+def _sharded_sbr_ps_apply(mesh: Mesh, out_int16: bool, is34: bool,
                           modes: tuple):
     from aacjax.kernels.ps_batch import sbr_ps_apply
 
-    def fn(core_pcm, dense, ps_dense, state, ps_state):
+    def fn(core_pcm, dense, ps_dense, state, ps_state, cfg):
         return sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state,
                             cfg, out_int16, is34)
 
     return jax.jit(fn, donate_argnums=(3, 4))
 
 
-def sharded_sbr_ps_apply(cfg, mesh: Mesh, out_int16: bool = False,
+def sharded_sbr_ps_apply(mesh: Mesh, out_int16: bool = False,
                          is34: bool = False):
     """jit-compiled SBR + Parametric Stereo program over a stream-only
     mesh (kernels.ps_batch.sbr_ps_apply).  The PS kernel modes
     (AACJAX_PS_SCAN / AACJAX_PS_LUT) are part of the cache key, like
     the single-device jitted_sbr_ps_apply."""
     from aacjax.kernels.ps_batch import kernel_modes
-    return _sharded_sbr_ps_apply(cfg, mesh, out_int16, is34,
+    return _sharded_sbr_ps_apply(mesh, out_int16, is34,
                                  kernel_modes())
 
 

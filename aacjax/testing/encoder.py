@@ -535,6 +535,52 @@ def adts_frame(payload: bytes, config: StreamConfig,
     return w.getvalue() + payload
 
 
+def adts_frame_multi(payloads: list[bytes], config: StreamConfig,
+                     crc: bool = False) -> bytes:
+    """Wrap 1-4 raw_data_blocks in ONE ADTS frame (numFrames > 1 when
+    len(payloads) > 1).  With crc=True the frame carries the full
+    13818-7 §6.2 multi-rdb protection layout: adts_header_error_check
+    (raw_data_block_position[1..N] + header crc_check) and a trailing
+    16-bit adts_raw_data_block_error_check after every block — the
+    self-validating counterpart of aacjax.host.adts.crc_block_status."""
+    from aacjax.host.adts import _CRC_SPAN_BYTES, _crc16
+    n = len(payloads)
+    assert 1 <= n <= 4
+    if n == 1:
+        return adts_frame(payloads[0], config, crc=crc)
+    header_len = 7 + (2 * (n - 1) + 2 if crc else 0)
+    body_len = sum(len(p) for p in payloads) + (2 * n if crc else 0)
+    length = header_len + body_len
+    w = BitWriter()
+    w.write(0xFFF, 12)
+    w.write(0b000, 3)            # MPEG-4, layer 00
+    w.write(0 if crc else 1, 1)  # protection_absent
+    w.write(config.profile - 1, 2)
+    w.write(config.sample_index, 4)
+    w.write(0, 1)                # private
+    w.write(config.chan_config, 3)
+    w.write(0, 4)                # original/home/(c)/(c)start
+    w.write(length, 13)
+    w.write(0x7FF, 11)           # fullness
+    w.write(n - 1, 2)            # numFrames - 1
+    if not crc:
+        return w.getvalue() + b"".join(payloads)
+    # block i starts at position p_i relative to the first block; each
+    # block is followed by its 2-byte crc_check
+    pos = 0
+    positions = []
+    for p in payloads[:-1]:
+        pos += len(p) + 2
+        positions.append(pos)
+    for p in positions:
+        w.write(p, 16)
+    w.write(_crc16(w.getvalue()), 16)   # header crc: 56 bits + positions
+    body = b"".join(
+        p + _crc16(p[:_CRC_SPAN_BYTES]).to_bytes(2, "big")
+        for p in payloads)
+    return w.getvalue() + body
+
+
 # ---------------------------------------------------------------------------
 # A minimal real encoder (forward MDCT + quantization) for bench corpora
 # ---------------------------------------------------------------------------

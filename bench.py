@@ -113,14 +113,18 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
                                   use_pallas=not use_pallas,
                                   spec_i16=spec_i16, has_short=has_short)
         alt_fn = jitted_decode_spec_step(alt_flags)
-        ov = dec.overlap
+        # side-effect-free A/B: the alternate (differently-rounded)
+        # kernel must not advance the decoder state the rest of the run
+        # consumes — snapshot the overlap and restore it after (ADVICE r4)
+        ov_snap = dec.overlap
+        ov = ov_snap + 0.0                     # fresh buffer (donation-safe)
         pcm2, ov = alt_fn(dev_batch, ov)       # compile outside the timer
         jax.block_until_ready(pcm2)
         tc = time.perf_counter()
         for _ in range(n_chain):
             pcm2, ov = alt_fn(dev_batch, ov)
         jax.block_until_ready(pcm2)
-        dec.overlap = ov
+        dec.overlap = ov_snap
         alt_s = (time.perf_counter() - tc) / n_chain
         cur = dict(parse_s=t1 - t0, h2d_s=t2 - t1, dispatch_s=t3 - t2,
                    compute_s=compute_s,
@@ -185,17 +189,17 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
             ps_dense = jax.block_until_ready(jax.device_put(
                 PP.dense_to_dict(d, ctx["ps_himag"], out_src, out_role)))
         t3 = time.perf_counter()
+        cfg_dev = dec._cfg_planes_device()
         if ps:
-            fn0 = jitted_sbr_ps_apply(dec._sbr_cfg[1], True,
-                                      bool(ctx["ps_is34"]))
+            fn0 = jitted_sbr_ps_apply(True, bool(ctx["ps_is34"]))
             step = lambda st: fn0(core_pcm, dense_dev, ps_dense,
-                                  st[0], st[1])
+                                  st[0], st[1], cfg_dev)
             st = (dec._sbr_dev_state, dec._ps_dev_state)
             unpack = lambda out: (out[1], out[2])
         else:
             from aacjax.kernels.sbr_batch import jitted_sbr_apply
-            fn0 = jitted_sbr_apply(dec._sbr_cfg[1], True)
-            step = lambda st: fn0(core_pcm, dense_dev, st[0])
+            fn0 = jitted_sbr_apply(True)
+            step = lambda st: fn0(core_pcm, dense_dev, st[0], cfg_dev)
             st = (dec._sbr_dev_state,)
             unpack = lambda out: (out[1],)
         out = step(st)
@@ -220,6 +224,70 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
                    core_compute_s=core_amortized, sbr_h2d_s=t3 - t2b,
                    sbr_dispatch_s=t4 - t3, sbr_compute_s=sbr_amortized,
                    d2h_s=t6 - t5)
+        best = cur if best is None else {k: min(best[k], cur[k])
+                                         for k in best}
+    return {k: round(v, 4) for k, v in best.items()}
+
+
+def measure_stages_encode(enc, pcm_chunk, reps: int = 2) -> dict:
+    """Decompose one encode chunk into prep / H2D / analysis-compute /
+    est-D2H / rate / quantize-compute / q-D2H / write wall seconds (min
+    over reps, each stage synced; the two device stages additionally
+    amortized over a chained queue — a single synced dispatch reads the
+    tunnel's ~30 ms RPC roundtrip, not the chip).  Mirrors
+    measure_stages for the decode side (VERDICT r4 #3: the conflated
+    h2d_analysis bucket made the encoder unoptimizable)."""
+    import jax
+
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        seqs, pcm_i16, w_idx, is_short, nF = enc._prep_chunk(pcm_chunk)
+        t1 = time.perf_counter()
+        analysis = enc._analysis_for(nF)
+        dev = jax.block_until_ready(jax.device_put(pcm_i16))
+        t2 = time.perf_counter()
+        outs = analysis(dev, w_idx, is_short)
+        jax.block_until_ready(outs[3])
+        t3 = time.perf_counter()
+        n_chain = 8
+        tc = time.perf_counter()
+        for _ in range(n_chain):
+            outs = analysis(dev, w_idx, is_short)
+        jax.block_until_ready(outs[3])
+        analysis_compute = (time.perf_counter() - tc) / n_chain
+        t3b = time.perf_counter()
+        est_np = np.asarray(outs[3])
+        t4 = time.perf_counter()
+        off, chosen_est = enc._rate_choice(est_np, nF)
+        t5 = time.perf_counter()
+        coefs, base, fit_sf, _est, bin_band = outs
+        short_flat = is_short.reshape(-1)
+        q_dev, sf_dev = enc._quantize(coefs, base, fit_sf, bin_band,
+                                      off, short_flat)
+        jax.block_until_ready((q_dev, sf_dev))
+        t6 = time.perf_counter()
+        tc = time.perf_counter()
+        for _ in range(n_chain):
+            q_dev, sf_dev = enc._quantize(coefs, base, fit_sf, bin_band,
+                                          off, short_flat)
+        jax.block_until_ready((q_dev, sf_dev))
+        quant_compute = (time.perf_counter() - tc) / n_chain
+        t6b = time.perf_counter()
+        q_packed = np.asarray(q_dev)
+        sf = np.asarray(sf_dev).reshape(enc.S, enc.channels, nF, -1)
+        t7 = time.perf_counter()
+        q = enc._unpack_q(q_packed, short_flat).reshape(
+            enc.S, enc.channels, nF, 1024)
+        enc._write_out(seqs, q, sf, chosen_est)
+        t8 = time.perf_counter()
+        cur = dict(prep_s=t1 - t0, h2d_s=t2 - t1,
+                   analysis_dispatch_s=t3 - t2,
+                   analysis_compute_s=analysis_compute,
+                   est_d2h_s=t4 - t3b, rate_s=t5 - t4,
+                   quantize_dispatch_s=t6 - t5,
+                   quantize_compute_s=quant_compute,
+                   q_d2h_s=t7 - t6b, write_s=t8 - t7)
         best = cur if best is None else {k: min(best[k], cur[k])
                                          for k in best}
     return {k: round(v, 4) for k, v in best.items()}
@@ -397,6 +465,16 @@ def bench_encode(n_streams: int, seconds: float, chunk: int,
         fr = max(stats.pop("frames"), 1)
         result["stages"] = {k: round(v, 4) for k, v in stats.items()}
         result["stages"]["frames"] = fr
+    try:
+        split = measure_stages_encode(warm, pcm[:, : chunk * 1024])
+        chunk_audio_s = n_streams * chunk * 1024 / sr
+        split["chunk_audio_s"] = round(chunk_audio_s, 2)
+        dev = split["analysis_compute_s"] + split["quantize_compute_s"]
+        split["compute_realtime_x"] = (round(chunk_audio_s / dev, 1)
+                                       if dev else None)
+        result["stages_split"] = split
+    except Exception as e:               # stage split is informational
+        print(f"# encode stage split failed: {e!r}", file=sys.stderr)
     return result
 
 
@@ -480,10 +558,11 @@ def bench_lc(args, rep_budget_s: float = 330.0) -> dict:
     if args.pallas is not None:
         use_pallas = args.pallas
     else:
-        env = __import__("os").environ.get("AACJAX_PALLAS")
-        # default ON: the fused decode tail wins the recorded stages A/B
-        # (BASELINE.md); env var still overrides for A/B runs
-        use_pallas = env != "0" if env is not None else True
+        # the ONE shared default (library == bench): Pallas on real TPU
+        # (wins the recorded stages A/B, BASELINE.md), XLA elsewhere;
+        # AACJAX_PALLAS=1/0 overrides for A/B runs
+        from aacjax.kernels.pallas_tail import default_on
+        use_pallas = default_on()
 
     # warmup/compile with a small throwaway pass
     warm = BatchDecoder([config] * args.streams, chunk_frames=args.chunk,

@@ -328,3 +328,90 @@ def test_crc_via_aacjax_encoder():
         # there identically to unprotected ones (parity note, no oracle)
         ref, rrate = ffmpeg_oracle.decode_adts(stream)
         assert rrate == 44100 and np.isfinite(ref).all()
+
+
+# ---------------------------------------------------------------------------
+# Multi-rdb ADTS CRC (13818-7 §6.2 adts_header_error_check +
+# adts_raw_data_block_error_check) — extends the single-rdb contract above:
+# the header crc_check covers the 56 header bits plus the
+# raw_data_block_position words, and each block carries a trailing 16-bit
+# crc_check over its first min(192, len) bits.  Same validation posture:
+# symmetric encode-verify (no decoder on earth checks the field) plus
+# per-block corruption rejection.
+# ---------------------------------------------------------------------------
+
+def _multi_rdb_stream(rdb=3, crc=True, n=6):
+    from aacjax.encode import AACEncoder
+    t = np.arange(1024 * n) / 44100.0
+    pcm = (9000 * np.sin(2 * np.pi * 523 * t)
+           + 900 * np.sin(2 * np.pi * 2210 * t)).reshape(-1, 1)
+    enc = AACEncoder(44100, 1, 96_000)
+    return enc.encode(pcm, crc=crc, rdb_per_frame=rdb), pcm
+
+
+def test_multi_rdb_crc_header_layout():
+    stream, _ = _multi_rdb_stream(rdb=3)
+    h = adts.read_header(BitReader(stream))
+    assert h.num_frames == 3 and not h.protection_absent
+    assert h.header_bytes == 7 + 2 * 2 + 2     # 2 positions + header crc
+    assert len(h.rdb_positions) == 2
+    frames = adts.split_frames(stream)
+    # the MDCT-lookahead flush frame may land alone in a final partial
+    # ADTS frame; every full frame groups 3 raw data blocks
+    assert all(hd.num_frames == 3 for hd, _, _ in frames[:-1])
+    for hd, s, e in frames:
+        fr = stream[s - hd.header_bytes:e]
+        status = adts.crc_block_status(fr, hd)
+        # multi-rdb: header verdict + one per block; single-rdb: the
+        # classic one combined crc_check
+        want = 1 + hd.num_frames if hd.num_frames > 1 else 1
+        assert status == [True] * want
+        assert adts.check_crc(fr, hd)
+
+
+def test_multi_rdb_crc_roundtrip_decodes():
+    from aacjax import decode_adts
+    stream, _ = _multi_rdb_stream(rdb=3)
+    out, rate = decode_adts(stream, verify_crc=True)
+    assert rate == 44100 and np.isfinite(out).all()
+    # same PCM as the plain single-rdb stream (framing and CRC never
+    # alter audio; the grouping shifts chunk boundaries, so the only
+    # permitted delta is overlap-add float32 rounding ~1e-7)
+    plain, _ = _multi_rdb_stream(rdb=1, crc=False)
+    out2, _ = decode_adts(plain)
+    np.testing.assert_allclose(out, out2, atol=2e-7)
+    # unprotected multi-rdb grouping decodes identically (same chunking)
+    grouped, _ = _multi_rdb_stream(rdb=3, crc=False)
+    out3, _ = decode_adts(grouped)
+    np.testing.assert_array_equal(out3, out)
+
+
+def test_multi_rdb_crc_per_block_rejection():
+    from aacjax import decode_adts
+    from aacjax.host.bitio import BitstreamError
+    stream, _ = _multi_rdb_stream(rdb=3)
+    frames = adts.split_frames(stream)
+    hd, s, e = frames[0]
+    # corrupt the SECOND raw data block of frame 0 (inside its 192-bit
+    # protected span): exactly that block's verdict must flip
+    base = s                                  # first block start
+    p1 = hd.rdb_positions[0]
+    bad = bytearray(stream)
+    bad[base + p1 + 3] ^= 0x20
+    status = adts.crc_block_status(
+        bytes(bad[s - hd.header_bytes:e]), hd)
+    assert status == [True, True, False, True]
+    with pytest.raises(BitstreamError, match="crc_check"):
+        decode_adts(bytes(bad), verify_crc=True)
+    # on_error='skip' conceals the frame's blocks and keeps decoding
+    out, _ = decode_adts(bytes(bad), verify_crc=True, on_error="skip")
+    n_blocks = sum(h.num_frames for h, _, _ in frames)
+    assert out.shape[0] == n_blocks * 1024
+    # position-word corruption is covered by the header crc
+    bad2 = bytearray(stream)
+    bad2[s - hd.header_bytes + 7] ^= 0x01
+    status2 = adts.crc_block_status(
+        bytes(bad2[s - hd.header_bytes:e]), hd)
+    assert status2[0] is False or status2[0] == False  # noqa: E712
+    with pytest.raises(BitstreamError, match="crc_check"):
+        decode_adts(bytes(bad2), verify_crc=True)

@@ -100,11 +100,7 @@ def test_flip_readopts_next_chunk(head, tail):
     _assert_oracle_exact(stream, got)
 
 
-@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
-def test_header_change_readopts_next_chunk():
-    """A mid-stream SBR header change re-elects the chunk static config
-    at the next boundary (all live streams agree on the new header) and
-    re-adopts the slot; output stays oracle-exact."""
+def _header_flip_stream(flip_at: int = 6, n_frames: int = 12):
     from test_ps import PSSpec, _RAMP20
     from test_sbr import _lowpass_noise
     from aacjax.host import sbr as S
@@ -124,14 +120,21 @@ def test_header_change_readopts_next_chunk():
     spec = SBRFrameSpec(num_env=2, freq_res=1, invf=[1] * t.n_q,
                         env_q=np.full((2, nb), 25, np.int64),
                         noise_q=np.full((2, t.n_q), 30, np.int64))
-    n_frames = 12
-    pays = [sbr_payload([spec], h2 if f >= 6 else h1, 44100, ps=ps,
-                        write_header=(f in (0, 6)))
+    pays = [sbr_payload([spec], h2 if f >= flip_at else h1, 44100, ps=ps,
+                        write_header=(f in (0, flip_at)))
             for f in range(n_frames)]
     x = _lowpass_noise(np.random.default_rng(5), 1024 * n_frames, 1)
     frames = enc.encode_pcm_frames(x, core_cfg, target_sf=118,
                                    fil_payloads=pays)
-    stream = b"".join(enc.adts_frame(p, core_cfg) for p in frames)
+    return b"".join(enc.adts_frame(p, core_cfg) for p in frames), h2
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_header_change_chunk_aligned_no_divert():
+    """An SBR header change landing ON a chunk boundary re-renders the
+    slot's cfg-plane row in place: the stream never leaves the batched
+    device path (headers are per-slot data, not a compile key)."""
+    stream, h2 = _header_flip_stream(flip_at=6)
 
     sticky_per_chunk = []
 
@@ -139,10 +142,33 @@ def test_header_change_readopts_next_chunk():
         sticky_per_chunk.append(list(dec._sbr_np_sticky))
 
     got, dec = _decode_chunked(stream, chunk_frames=2, hook=hook)
-    assert any(sticky_per_chunk[3]), "header flip should divert"
-    for k in range(4, len(sticky_per_chunk)):
+    for k, st in enumerate(sticky_per_chunk):
+        assert not any(st), f"chunk {k} diverted on an aligned flip"
+    assert all(hdr == h2 for hdr in dec._slot_sbr_hdr
+               if hdr is not None)          # slot rows re-rendered to h2
+    assert all(p is None for p in dec._sbr_np_procs)
+    _assert_oracle_exact(stream, got)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_header_change_midchunk_readopts_next_chunk():
+    """A MID-chunk SBR header change replays that one chunk on the numpy
+    path (the chunk's cfg row is frozen) and re-adopts the slot at the
+    next boundary; output stays oracle-exact."""
+    stream, h2 = _header_flip_stream(flip_at=6)
+
+    sticky_per_chunk = []
+
+    def hook(k, dec):
+        sticky_per_chunk.append(list(dec._sbr_np_sticky))
+
+    # chunk_frames=4: the flip at frame 6 lands mid-chunk-1 (frames 4-7)
+    got, dec = _decode_chunked(stream, chunk_frames=4, hook=hook)
+    assert any(sticky_per_chunk[1]), "mid-chunk flip should divert"
+    for k in range(2, len(sticky_per_chunk)):
         assert not any(sticky_per_chunk[k]), f"chunk {k} still sticky"
-    assert dec._sbr_cfg[0] == h2            # header re-elected
+    assert all(hdr == h2 for hdr in dec._slot_sbr_hdr
+               if hdr is not None)
     assert all(p is None for p in dec._sbr_np_procs)
     _assert_oracle_exact(stream, got)
 
@@ -216,3 +242,47 @@ def test_pipelined_no_permanent_numpy_residents():
     got_step, _ = _decode_chunked(stream, chunk_frames=2)
     np.testing.assert_array_equal(got_pipe, got_step)
     _assert_oracle_exact(stream, got_pipe)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_mixed_sbr_headers_one_batch_device_path():
+    """Two stream populations carrying DIFFERENT SBR headers decode in
+    ONE BatchDecoder entirely on the batched device path: the header
+    statics are per-slot cfg-plane rows (data, not compile keys), so a
+    mixed-encoder fleet never degrades to the numpy path and nothing
+    recompiles per header.  Every stream stays oracle-exact."""
+    from test_sbr import make_he_stream
+    from aacjax.host import sbr as S
+
+    h1 = S.SBRHeader(amp_res=1, start_freq=4, stop_freq=3, xover_band=0)
+    # different frequency grid AND limiter setup: start_freq=6/stop_freq=4
+    # also exercises the patched<m corner (see sbr_batch in_range note)
+    h2 = S.SBRHeader(amp_res=1, start_freq=6, stop_freq=4, xover_band=0,
+                     limiter_gains=1)
+    specs = [(h1, 1), (h2, 2), (h1, 3), (h2, 4)]
+    streams = [make_he_stream(ch=2, header=h, n_frames=8, seed=s)
+               for h, s in specs]
+    frames_per = [adts.split_frames(st) for st in streams]
+    cfg = parse_asc(adts.synthesize_cookie(frames_per[0][0][0]))
+    dec = BatchDecoder([cfg] * len(streams), chunk_frames=2)
+    payloads_per = [[st[s:e] for _, s, e in fr]
+                    for st, fr in zip(streams, frames_per)]
+    outs = []
+    for lo in range(0, 8, 2):
+        outs.append(np.asarray(dec.step_he_raw(
+            [p[lo:lo + 2] for p in payloads_per])))
+        assert not any(dec._sbr_np_sticky), f"chunk {lo//2} diverted"
+    assert not dec._readopt_blocked
+    assert all(p is None for p in dec._sbr_np_procs)
+    # the two headers rendered into per-slot rows, not one elected config
+    assert set(dec._slot_sbr_hdr) == {h1, h2}
+    got = np.concatenate(outs, axis=1)       # [C, T, 2048]
+    for i, st in enumerate(streams):
+        want, rate = ffmpeg_oracle.decode_adts(st)
+        assert rate == 44100
+        mine = np.stack([got[2 * i].reshape(-1),
+                         got[2 * i + 1].reshape(-1)], axis=1)
+        n = min(len(want), len(mine))
+        scale = max(float(np.abs(want[:n]).max()), 1e-3)
+        err = float(np.abs(mine[2048:n] - want[2048:n]).max()) / scale
+        assert err < 3e-4, f"stream {i}: rel err {err:.2e}"

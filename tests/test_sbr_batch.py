@@ -12,8 +12,8 @@ from aacjax.host import sbr_pack as SP
 from aacjax.host.asc import make_asc, parse_asc
 from aacjax.host.bitio import BitReader
 from aacjax.host.syntax import CPEData, decode_frame
-from aacjax.kernels.sbr_batch import (SBRStaticConfig, jitted_sbr_apply,
-                                      sbr_state_init)
+from aacjax.kernels.sbr_batch import (SBRStaticConfig, broadcast_cfg,
+                                      jitted_sbr_apply, sbr_state_init)
 from aacjax.runtime.batch import BatchDecoder
 from test_sbr import make_he_stream
 from aacjax.host import adts
@@ -66,7 +66,9 @@ def _batch(frames, ch, core, chunks=1):
     T = core.shape[1]
     outs = []
     step = T // chunks
-    fn = jitted_sbr_apply(cfg)
+    fn = jitted_sbr_apply()
+    cfg_planes = {k: jnp.asarray(v)
+                  for k, v in broadcast_cfg(cfg, ch).items()}
     for lo in range(0, T, step):
         n = min(step, T - lo)
         dense = SP.alloc_dense(ch, n)
@@ -78,7 +80,7 @@ def _batch(frames, ch, core, chunks=1):
                 SP.pack_channel_frame(dense, c, t, states[c], sf, c, eq[c])
         dense_d = {k: jnp.asarray(v) for k, v in vars(dense).items()}
         pcm, state = fn(jnp.asarray(core[:, lo:lo + n], jnp.float32),
-                        dense_d, state)
+                        dense_d, state, cfg_planes)
         outs.append(np.asarray(pcm))
     return np.concatenate(outs, axis=1)
 

@@ -72,12 +72,14 @@ def capture(ps: bool, n_streams=128, chunk=16, seconds=8.0):
         from aacjax.kernels import ps_batch as PB
         orig = PB.jitted_sbr_ps_apply
 
-        def spy(cfg, out_int16=False, is34=False):
-            fn = orig(cfg, out_int16, is34)
+        def spy(out_int16=False, is34=False):
+            fn = orig(out_int16, is34)
 
-            def wrapped(core_pcm, dense, ps_dense, state, ps_state):
+            def wrapped(core_pcm, dense, ps_dense, state, ps_state, cfg):
                 if 'cfg' not in cap:
-                    cap.update(cfg=cfg, out_int16=out_int16, is34=is34,
+                    cap.update(cfg={k: np.asarray(v)
+                                    for k, v in cfg.items()},
+                               out_int16=out_int16, is34=is34,
                                core=np.asarray(core_pcm),
                                dense={k: np.asarray(v)
                                       for k, v in dense.items()},
@@ -87,42 +89,38 @@ def capture(ps: bool, n_streams=128, chunk=16, seconds=8.0):
                                       for k, v in state.items()},
                                psstate={k: np.asarray(v)
                                         for k, v in ps_state.items()})
-                return fn(core_pcm, dense, ps_dense, state, ps_state)
+                return fn(core_pcm, dense, ps_dense, state, ps_state, cfg)
             return wrapped
         PB.jitted_sbr_ps_apply = spy
     else:
         from aacjax.kernels import sbr_batch as SB
         orig = SB.jitted_sbr_apply
 
-        def spy(cfg, out_int16=False):
-            fn = orig(cfg, out_int16)
+        def spy(out_int16=False):
+            fn = orig(out_int16)
 
-            def wrapped(core_pcm, dense, state):
+            def wrapped(core_pcm, dense, state, cfg):
                 if 'cfg' not in cap:
-                    cap.update(cfg=cfg, out_int16=out_int16,
+                    cap.update(cfg={k: np.asarray(v)
+                                    for k, v in cfg.items()},
+                               out_int16=out_int16,
                                core=np.asarray(core_pcm),
                                dense={k: np.asarray(v)
                                       for k, v in dense.items()},
                                state={k: np.asarray(v)
                                       for k, v in state.items()})
-                return fn(core_pcm, dense, state)
+                return fn(core_pcm, dense, state, cfg)
             return wrapped
         SB.jitted_sbr_apply = spy
 
     dec = BatchDecoder([core_cfg] * n_streams, chunk_frames=chunk,
                        **(dict(cce_slots=1) if ps else {}))
     dec.step_he_raw([p[:chunk] for p in per_stream], out_int16=True)
-    cfg = cap['cfg']
     arrs = dict(
         core=cap['core'],
         out_int16=np.int64(cap['out_int16']),
-        is34=np.int64(cap.get('is34', 0)),
-        cfg_kx=np.int64(cfg.kx), cfg_m=np.int64(cfg.m),
-        cfg_src_band=np.asarray(cfg.src_band, np.int64),
-        cfg_patched=np.asarray(cfg.patched, np.int64),
-        cfg_lim_ind=np.asarray(cfg.lim_ind, np.float64),
-        cfg_limgain=np.float64(cfg.limgain),
-        cfg_n_lim=np.int64(cfg.n_lim))
+        is34=np.int64(cap.get('is34', 0)))
+    arrs.update({f'cfg_{k}': v for k, v in cap['cfg'].items()})
     arrs.update({f'dense_{k}': v for k, v in cap['dense'].items()})
     arrs.update({f'state_{k}': v for k, v in cap['state'].items()})
     if ps:
@@ -135,32 +133,26 @@ def capture(ps: bool, n_streams=128, chunk=16, seconds=8.0):
 def time_program(ps: bool, trace: bool):
     import jax
 
-    from aacjax.kernels.sbr_batch import SBRStaticConfig
-
     d = np.load('/tmp/ps_inputs.npz' if ps else '/tmp/sbr_inputs.npz')
-    cfg = SBRStaticConfig(
-        kx=int(d['cfg_kx']), m=int(d['cfg_m']),
-        src_band=tuple(int(v) for v in d['cfg_src_band']),
-        patched=tuple(int(v) for v in d['cfg_patched']),
-        lim_ind=tuple(float(v) for v in d['cfg_lim_ind']),
-        limgain=float(d['cfg_limgain']), n_lim=int(d['cfg_n_lim']))
 
     def grp(p):
         return {k[len(p):]: jax.device_put(d[k]) for k in d.files
-                if k.startswith(p)}
+                if k.startswith(p) and not k.startswith('cfg_')}
 
+    cfg = {k[4:]: jax.device_put(d[k]) for k in d.files
+           if k.startswith('cfg_')}
     dense, state = grp('dense_'), grp('state_')
     core = jax.device_put(d['core'])
     if ps:
         from aacjax.kernels.ps_batch import jitted_sbr_ps_apply
-        fn0 = jitted_sbr_ps_apply(cfg, bool(d['out_int16']), bool(d['is34']))
+        fn0 = jitted_sbr_ps_apply(bool(d['out_int16']), bool(d['is34']))
         psdense, psstate = grp('psdense_'), grp('psstat_')
-        fn = lambda c, st, pst: fn0(c, dense, psdense, st, pst)
+        fn = lambda c, st, pst: fn0(c, dense, psdense, st, pst, cfg)
         args = (core, state, psstate)
     else:
         from aacjax.kernels.sbr_batch import jitted_sbr_apply
-        fn0 = jitted_sbr_apply(cfg, bool(d['out_int16']))
-        fn = lambda c, st: fn0(c, dense, st)
+        fn0 = jitted_sbr_apply(bool(d['out_int16']))
+        fn = lambda c, st: fn0(c, dense, st, cfg)
         args = (core, state)
 
     def run_k(k):
