@@ -110,17 +110,18 @@ def dense_to_dict(d: PSDense, himag: np.ndarray, out_src: np.ndarray,
 
 
 def pack_ps_frame(dense: PSDense, slot: int, t: int, st: PSPackState,
-                  ps, chunk_is34: bool = False) -> bool:
-    """Pack one frame's PS parameters for `slot`.  ps may be None (frame
+                  ps) -> bool:
+    """Pack one frame's PS parameters for `slot` in the frame's OWN band
+    mode (the dense planes are 34-padded and mode-agnostic; the device
+    program selects the slot's mode by its per-slot mask, so 20- and
+    34-band slots mix freely in one batch).  ps may be None (frame
     without ps_data: the previous frame's parameters replay, matching
-    apply_ps).  Returns False when the frame needs the numpy fallback
-    (its band mode differs from the chunk's compiled kernel mode)."""
+    apply_ps).  Returns False only when the frame needs the numpy
+    fallback: a band-scheme SWITCH with carried state."""
     if ps is None:
         ps = st.ps_prev
     if ps is None:
         return True              # no parameters yet: kernel emits L=R=mono
-    if bool(ps.is34) != chunk_is34:
-        return False
     if st.is34_prev is not None and st.is34_prev != bool(ps.is34):
         # band-scheme switch: the carried H must be REMAPPED between
         # parameter-band schemes (apply_ps, mirroring libavcodec's

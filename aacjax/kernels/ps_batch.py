@@ -613,6 +613,53 @@ def sbr_ps_apply(core_pcm, dense, ps_dense, state, ps_state, cfg,
     return out * jnp.float32(1.0 / 32768.0), new_state, new_ps
 
 
+def sbr_ps_apply_dual(core_pcm, dense, ps_dense, state, ps_state20,
+                      ps_state34, cfg, out_int16: bool = False):
+    """Mixed 20/34-band batch in ONE program: the SBR stage runs once
+    (emit_x), then BOTH band-mode PS paths process the full batch — each
+    with its own state set — and the per-slot mode mask
+    (ps_dense['slot_is34']) selects which mode's stereo output a slot
+    emits.  Slots running mode M keep exact state in M's set; their rows
+    in the other set carry bounded don't-care values that are never read
+    (a mode switch re-seeds via the sticky numpy replay).  Costs ~2x the
+    PS stage only when modes are actually mixed; homogeneous batches use
+    the single-mode program."""
+    from aacjax.kernels.sbr_batch import sbr_apply
+
+    B, T, F = core_pcm.shape
+    Xr, Xi, lo_r, lo_i, new_state = sbr_apply(
+        core_pcm, dense, state, cfg, emit_x=True)
+    new_state["v_hist"] = state["v_hist"]  # PS owns synthesis state
+    l20, r20, nps20 = ps_apply(Xr, Xi, lo_r, lo_i,
+                               ps_dense, ps_state20, B, T, False)
+    l34, r34, nps34 = ps_apply(Xr, Xi, lo_r, lo_i,
+                               ps_dense, ps_state34, B, T, True)
+    m34 = (ps_dense["slot_is34"] != 0.0)[:, None]             # [B,1]
+    pcm_l = jnp.where(m34, l34, l20)
+    pcm_r = jnp.where(m34, r34, r20)
+    src = ps_dense["out_src"]
+    role = ps_dense["out_role"][:, None]
+    out = jnp.where(role != 0, pcm_r[src], pcm_l[src])
+    out = out.reshape(B, T, 2 * F)
+    if out_int16:
+        return (jnp.clip(jnp.round(out), -32768.0, 32767.0)
+                .astype(jnp.int16), new_state, nps20, nps34)
+    return out * jnp.float32(1.0 / 32768.0), new_state, nps20, nps34
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_sbr_ps_apply_dual(out_int16: bool, modes: tuple):
+    def fn(core_pcm, dense, ps_dense, state, ps20, ps34, cfg):
+        return sbr_ps_apply_dual(core_pcm, dense, ps_dense, state,
+                                 ps20, ps34, cfg, out_int16)
+
+    return jax.jit(fn, donate_argnums=(3, 4, 5))
+
+
+def jitted_sbr_ps_apply_dual(out_int16: bool = False):
+    return _jitted_sbr_ps_apply_dual(out_int16, kernel_modes())
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_sbr_ps_apply(out_int16: bool, is34: bool, modes: tuple):
     def fn(core_pcm, dense, ps_dense, state, ps_state, cfg):

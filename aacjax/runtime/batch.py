@@ -286,11 +286,21 @@ class BatchDecoder:
             # Parametric Stereo (HE-AAC v2) batched stage
             from aacjax.host import ps_pack as PP
             self._ps_enabled = False
-            self._ps_is34 = None   # chunk kernel mode, fixed at first ps
+            # per-slot PS band mode (None until the slot's first
+            # ps_data); 20- and 34-band slots mix freely — homogeneous
+            # batches run the single-mode program, mixed batches the
+            # dual program (kernels.ps_batch.sbr_ps_apply_dual)
+            self._ps_slot_is34: list = [None] * self.C
             self._ps_dense = None
             self._ps_pack_states = [PP.PSPackState() for _ in range(self.C)]
             self._ps_pair = [-1] * self.C   # R-output slot per PS source
-            self._ps_dev_state = None
+            # device PS state per band mode (lazily created per mode),
+            # freshness flags (a set that sat out a chunk while the
+            # other mode ran is stale and re-seeds before reuse), and
+            # pending re-adoption row seeds applied at _ps_mode_begin
+            self._ps_dev_states: dict = {False: None, True: None}
+            self._ps_fresh: dict = {False: False, True: False}
+            self._ps_row_seeds: dict = {False: {}, True: {}}
             self._ps_np: list = [None] * self.C  # sticky (PSProc, vl, vr)
 
     def _ps_engage(self, slot: int) -> None:
@@ -312,6 +322,49 @@ class BatchDecoder:
         if self._ps_dense is None:
             self._ps_dense = PP.alloc_ps_dense(self.C, self.T)
         self._ps_enabled = True
+
+    def _ps_mode_begin(self, modes: list, prev_state: dict) -> None:
+        """Ensure a device PS state set exists and is FRESH for every
+        band mode running this chunk, then apply any pending re-adoption
+        row seeds.  Mode-independent planes (the dual QMF synthesis
+        histories and hybrid FIR history) seed from whichever set is
+        fresh — the running program owned the synthesis of EVERY slot,
+        PS or not — or from the mono path's v_hist before any PS program
+        ran.  A set that sat frozen while only the other mode ran
+        re-seeds those planes the same way (mode-dependent planes zero;
+        slots of the returning mode overlay their own exact rows from
+        the sticky re-adoption seeds)."""
+        from aacjax.kernels.ps_batch import ps_state_init
+        indep = ("v_l", "v_r", "hist4_r", "hist4_i")
+        for m in modes:
+            other = self._ps_dev_states[not m]
+            src = other if self._ps_fresh[not m] else None
+            st0 = self._ps_dev_states[m]
+            if st0 is None:
+                st0 = ps_state_init(self.C, m)
+                if src is not None:
+                    for k in indep:
+                        # fresh buffers: both sets are donated together
+                        st0[k] = jnp.array(src[k])
+                else:
+                    # PS owns the L synthesis from here: continue the
+                    # mono path's filterbank state seamlessly
+                    st0["v_l"] = prev_state["v_hist"].copy()
+            elif not self._ps_fresh[m]:
+                for k in list(st0):
+                    st0[k] = (jnp.array(src[k])
+                              if src is not None and k in indep
+                              else jnp.zeros_like(st0[k]))
+            for s, rows in self._ps_row_seeds[m].items():
+                for k, row in rows.items():
+                    st0[k] = st0[k].at[s].set(
+                        jnp.asarray(row, st0[k].dtype))
+            self._ps_row_seeds[m] = {}
+            self._ps_dev_states[m] = st0
+            self._ps_fresh[m] = True
+        for m in (False, True):
+            if m not in modes:
+                self._ps_fresh[m] = False
 
     def _sbr_chunk_begin(self, payloads_per_stream) -> None:
         """Per-chunk bookkeeping for the numpy fallback: frame counts per
@@ -400,14 +453,17 @@ class BatchDecoder:
                 or self._ps_pack_states[slot].ps_prev is not None):
             from aacjax.host import ps_pack as PP
             self._ps_engage(slot)
-            if self._ps_is34 is None and ps is not None:
-                self._ps_is34 = bool(ps.is34)   # chunk kernel mode
             if not self._sbr_np_sticky[slot]:
                 if not PP.pack_ps_frame(self._ps_dense, slot, t,
-                                        self._ps_pack_states[slot], ps,
-                                        bool(self._ps_is34)):
-                    # band mode differs from the chunk's compiled kernel
+                                        self._ps_pack_states[slot], ps):
+                    # band-scheme SWITCH with carried state: the carry
+                    # remap runs on the warm-seeded numpy path for this
+                    # chunk, then re-adopts into the new mode's device
+                    # state at the next boundary
                     self._sbr_np_sticky[slot] = True
+                else:
+                    self._ps_slot_is34[slot] = \
+                        self._ps_pack_states[slot].is34_prev
 
     def _set_cfg_row(self, s: int, hdr, tbl) -> None:
         """Render slot `s`'s header statics into its cfg-plane row and
@@ -446,6 +502,13 @@ class BatchDecoder:
         a valid don't-care (has_sbr=0 routes them through the upsample
         branch)."""
         from aacjax.host import ps_pack as PP
+        # live PS band modes this chunk (engaged, device-path slots):
+        # one mode -> single-mode program, two -> the dual program
+        ps_modes = sorted({bool(self._ps_slot_is34[s])
+                           for s in range(self.C)
+                           if self._ps_slot_is34[s] is not None
+                           and not self._sbr_np_sticky[s]
+                           and self._ps_pair[s] >= 0})
         return dict(
             nframes=self._chunk_nframes,
             records=self._chunk_sbr_records,
@@ -454,7 +517,10 @@ class BatchDecoder:
             sticky=[s for s in range(self.C)
                     if self._sbr_np_sticky[s] and self._chunk_nframes[s]],
             ps_enabled=self._ps_enabled,
-            ps_is34=self._ps_is34,
+            ps_modes=ps_modes,
+            ps_mask34=np.array([1.0 if self._ps_slot_is34[s] else 0.0
+                                for s in range(self.C)], np.float32),
+            ps_slot_modes=list(self._ps_slot_is34),
             ps_dense=self._ps_dense,
             ps_himag=(PP.himag_plane(self._ps_pack_states, self.C)
                       if self._ps_enabled else None),
@@ -496,10 +562,13 @@ class BatchDecoder:
                          for k in ("x_hist", "v_hist", "xlow_r", "xlow_i",
                                    "ytail_r", "ytail_i"))
                 for s in fresh}
-            if ctx["ps_enabled"] and self._ps_dev_state is not None:
-                pdev = self._ps_dev_state
+            if ctx["ps_enabled"]:
                 for s in fresh:
-                    if ctx["ps_pair"][s] >= 0 and self._ps_np[s] is None:
+                    m = ctx["ps_slot_modes"][s]
+                    pdev = (self._ps_dev_states[bool(m)]
+                            if m is not None else None)
+                    if (ctx["ps_pair"][s] >= 0 and pdev is not None
+                            and self._ps_np[s] is None):
                         seeds[("ps", s)] = {
                             k: np.asarray(pdev[k][s], np.float64)
                             for k in ("v_l", "v_r", "delay_r", "delay_i",
@@ -507,13 +576,11 @@ class BatchDecoder:
                                       "pdiff", "hist4_r", "hist4_i")}
         if ctx["ps_enabled"]:
             from aacjax.kernels.ps_batch import (jitted_sbr_ps_apply,
+                                                 jitted_sbr_ps_apply_dual,
                                                  ps_state_init)
-            if self._ps_dev_state is None:
-                self._ps_dev_state = ps_state_init(self.C,
-                                                   bool(ctx["ps_is34"]))
-                # PS owns the L synthesis from here: continue the mono
-                # path's filterbank state seamlessly
-                self._ps_dev_state["v_l"] = prev_state["v_hist"].copy()
+            modes = ctx["ps_modes"] or [False]
+            self._ps_mode_begin(modes, prev_state)
+            dual = len(modes) == 2
             from aacjax.host import ps_pack as PP
             out_src = np.arange(self.C, dtype=np.int32)
             out_role = np.zeros(self.C, np.int32)
@@ -523,9 +590,13 @@ class BatchDecoder:
                     out_role[p] = 1
             ps_dense = PP.dense_to_dict(ctx["ps_dense"], ctx["ps_himag"],
                                         out_src, out_role)
+            if dual:
+                ps_dense["slot_is34"] = ctx["ps_mask34"]
             if mesh is not None:
-                fn = meshlib.sharded_sbr_ps_apply(
-                    mesh, out_int16 and not sticky, bool(ctx["ps_is34"]))
+                fn = (meshlib.sharded_sbr_ps_apply_dual(
+                          mesh, out_int16 and not sticky) if dual else
+                      meshlib.sharded_sbr_ps_apply(
+                          mesh, out_int16 and not sticky, modes[0]))
                 with lk:
                     # block INSIDE the lock: device_put only enqueues, and
                     # the serialized-transfer contract needs the bytes on
@@ -537,20 +608,32 @@ class BatchDecoder:
                         meshlib.shard_stream_tree(mesh, ps_dense))
                     prev_state = jax.block_until_ready(
                         meshlib.shard_stream_tree(mesh, prev_state))
-                    self._ps_dev_state = jax.block_until_ready(
-                        meshlib.shard_stream_tree(mesh, self._ps_dev_state))
+                    for m in modes:
+                        self._ps_dev_states[m] = jax.block_until_ready(
+                            meshlib.shard_stream_tree(
+                                mesh, self._ps_dev_states[m]))
             else:
-                fn = jitted_sbr_ps_apply(out_int16 and not sticky,
-                                         bool(ctx["ps_is34"]))
+                fn = (jitted_sbr_ps_apply_dual(out_int16 and not sticky)
+                      if dual else
+                      jitted_sbr_ps_apply(out_int16 and not sticky,
+                                          modes[0]))
                 with lk:
                     cfg_dev = self._cfg_planes_device()
                     dense_dict = jax.block_until_ready(
                         jax.device_put(dense_dict))
                     ps_dense = jax.block_until_ready(
                         jax.device_put(ps_dense))
-            pcm2, self._sbr_dev_state, self._ps_dev_state = fn(
-                core_pcm, dense_dict, ps_dense, prev_state,
-                self._ps_dev_state, cfg_dev)
+            if dual:
+                (pcm2, self._sbr_dev_state, self._ps_dev_states[False],
+                 self._ps_dev_states[True]) = fn(
+                    core_pcm, dense_dict, ps_dense, prev_state,
+                    self._ps_dev_states[False], self._ps_dev_states[True],
+                    cfg_dev)
+            else:
+                m = modes[0]
+                pcm2, self._sbr_dev_state, self._ps_dev_states[m] = fn(
+                    core_pcm, dense_dict, ps_dense, prev_state,
+                    self._ps_dev_states[m], cfg_dev)
         else:
             if mesh is not None:
                 fn = meshlib.sharded_sbr_apply(mesh,
@@ -720,26 +803,18 @@ class BatchDecoder:
         seeding that diverted them (SURVEY.md §5 "per-stream error
         isolation": isolation must be temporary, not a one-way door).
 
-        Two elections run first:
-        - SBR header: if every SBR-active stream's current header (and
-          derived table set) agrees, the chunk static config re-elects
-          to it — covering the whole-fleet (and single-stream) header
-          change that previously exiled streams to host numpy forever.
-        - PS band mode: if every PS-active slot's current scheme agrees,
-          the chunk kernel mode re-elects; mode-dependent decorrelator
-          state reallocates (zeros — exactly the libavcodec band-switch
-          reset the numpy replay already applied), mode-independent
-          state (QMF synthesis, hybrid FIR history) carries over.
-
-        Each sticky slot whose header+mode now match the elected chunk
-        program gets its device state rebuilt from the numpy
+        No elections are needed: SBR headers are per-slot cfg-plane
+        rows, and PS band modes are per-slot state-set membership (the
+        20- and 34-band sets coexist; mixed batches run the dual
+        program).  Each sticky slot with a live header gets its cfg row
+        re-rendered and its device state rebuilt from the numpy
         SBRChannelProc/PSProc (QMF FIFOs, X_low line, Y-carry, delay/
         allpass lines, transient trackers, dual synthesis histories)
         and its host sequential state (SBRHostState, PSPackState incl.
         the h_prev value mirror) reconstructed, then rejoins the
         batched path on the next chunk.  Returns the slots that could
-        NOT be re-adopted (genuinely mixed headers/modes across
-        concurrent streams — those stay on the isolated numpy path)."""
+        NOT be re-adopted yet (no payload seen since the divert — e.g.
+        a stream that went silent); they retry at every boundary."""
         if not hasattr(self, '_sbr_ctxs'):
             return set()
         sticky = [s for s in range(self.C) if self._sbr_np_sticky[s]]
@@ -754,31 +829,11 @@ class BatchDecoder:
         for i, st in enumerate(self.streams):
             slot_stream[st.base_slot: st.base_slot + st.n_slots] = i
 
-        # No SBR header election: headers are per-slot cfg-plane rows,
-        # so a sticky slot re-adopts by re-rendering its OWN row — any
-        # header mix across the batch stays on the device path.
-
-        # -- PS band-mode election ----------------------------------------
-        modes = set()
-        for s in range(self.C):
-            if self._ps_pair[s] < 0:
-                continue
-            m = (self._ps_np[s][0].is34_prev if self._ps_np[s] is not None
-                 else self._ps_pack_states[s].is34_prev)
-            if m is not None:
-                modes.add(bool(m))
-        if len(modes) == 1 and self._ps_is34 is not None \
-                and modes != {bool(self._ps_is34)}:
-            from aacjax.kernels.ps_batch import ps_state_init
-            old = self._ps_dev_state
-            self._ps_is34 = modes.pop()
-            new = ps_state_init(self.C, bool(self._ps_is34))
-            if old is not None:
-                for k in ("v_l", "v_r", "hist4_r", "hist4_i"):
-                    new[k] = old[k]   # mode-independent state carries
-            else:
-                new["v_l"] = self._sbr_dev_state["v_hist"].copy()
-            self._ps_dev_state = new
+        # No elections: SBR headers are per-slot cfg-plane rows and PS
+        # band modes per-slot state-set membership, so a sticky slot
+        # re-adopts by re-rendering its OWN row (and re-seeding its OWN
+        # rows of its mode's PS state set) — any header/mode mix across
+        # the batch stays on the device path.
 
         # -- per-slot adoption ----------------------------------------------
         adopt, blocked = [], set()
@@ -788,8 +843,7 @@ class BatchDecoder:
             ok = proc is not None and ctx.header is not None
             if ok and self._ps_pair[s] >= 0:
                 pnp = self._ps_np[s]
-                ok = (pnp is not None and pnp[0].is34_prev is not None
-                      and bool(pnp[0].is34_prev) == bool(self._ps_is34))
+                ok = pnp is not None and pnp[0].is34_prev is not None
             if ok:
                 adopt.append(s)
             else:
@@ -797,8 +851,7 @@ class BatchDecoder:
         if adopt:
             f32 = np.float32
             ds = {k: np.array(v) for k, v in self._sbr_dev_state.items()}
-            ps = (None if self._ps_dev_state is None else
-                  {k: np.array(v) for k, v in self._ps_dev_state.items()})
+            from aacjax.kernels.ps_batch import _NAP, _NB, _NPAR
             for s in adopt:
                 ctx = self._sbr_ctxs[int(slot_stream[s])]
                 self._set_cfg_row(
@@ -823,22 +876,26 @@ class BatchDecoder:
                 self._sbr_host_states[s] = hs
                 if self._ps_pair[s] >= 0:
                     pp, vl, vr = self._ps_np[s]
-                    ps["v_l"][s] = vl
-                    ps["v_r"][s] = vr
-                    ps["hist4_r"][s] = np.stack(
-                        [pp.in_hist[i][:4].real for i in range(5)], axis=1)
-                    ps["hist4_i"][s] = np.stack(
-                        [pp.in_hist[i][:4].imag for i in range(5)], axis=1)
-                    nb = ps["delay_r"].shape[1]
-                    nap = ps["ap_r"].shape[1]
-                    npar = ps["peak"].shape[1]
-                    ps["delay_r"][s] = pp.delay[:nb].real
-                    ps["delay_i"][s] = pp.delay[:nb].imag
-                    ps["ap_r"][s] = pp.ap_delay[:nap].real
-                    ps["ap_i"][s] = pp.ap_delay[:nap].imag
-                    ps["peak"][s] = pp.peak_decay_nrg[:npar]
-                    ps["psmooth"][s] = pp.power_smooth[:npar]
-                    ps["pdiff"][s] = pp.peak_decay_diff[:npar]
+                    m = bool(pp.is34_prev)
+                    nb, nap, npar = _NB[m], _NAP[m], _NPAR[m]
+                    # exact per-slot rows for mode m's state set, applied
+                    # by _ps_mode_begin AFTER any staleness re-seed of
+                    # that set (ordering: re-seed wholesale, then overlay
+                    # the adopted slot's true rows)
+                    self._ps_row_seeds[m][s] = dict(
+                        v_l=vl, v_r=vr,
+                        hist4_r=np.stack([pp.in_hist[i][:4].real
+                                          for i in range(5)], axis=1),
+                        hist4_i=np.stack([pp.in_hist[i][:4].imag
+                                          for i in range(5)], axis=1),
+                        delay_r=pp.delay[:nb].real,
+                        delay_i=pp.delay[:nb].imag,
+                        ap_r=pp.ap_delay[:nap].real,
+                        ap_i=pp.ap_delay[:nap].imag,
+                        peak=pp.peak_decay_nrg[:npar],
+                        psmooth=pp.power_smooth[:npar],
+                        pdiff=pp.peak_decay_diff[:npar])
+                    self._ps_slot_is34[s] = m
                     self._ps_pack_states[s] = PP.PSPackState(
                         h_prev=pp.h_prev.copy(),
                         ipd_hist=pp.ipd_hist[:17].copy(),
@@ -851,12 +908,8 @@ class BatchDecoder:
                     ds["v_hist"][s] = proc.v_hist
                 self._sbr_np_procs[s] = None
                 self._sbr_np_sticky[s] = False
-            import jax.numpy as jnp
             self._sbr_dev_state = {k: jnp.asarray(v, f32)
                                    for k, v in ds.items()}
-            if ps is not None:
-                self._ps_dev_state = {k: jnp.asarray(v, f32)
-                                      for k, v in ps.items()}
         self._readopt_blocked = blocked
         return blocked
 
@@ -1679,9 +1732,23 @@ class BatchDecoder:
                     self._ps_pair[s] = -1
             for k, v in self._sbr_dev_state.items():
                 self._sbr_dev_state[k] = v.at[lo:hi].set(0.0)
-            if self._ps_dev_state is not None:
-                for k, v in self._ps_dev_state.items():
-                    self._ps_dev_state[k] = v.at[lo:hi].set(0.0)
+            for m, d in self._ps_dev_states.items():
+                if d is not None:
+                    for k, v in d.items():
+                        d[k] = v.at[lo:hi].set(0.0)
+            from aacjax.kernels.sbr_batch import cfg_planes_zeros
+            zero_row = cfg_planes_zeros(1)
+            for s in range(lo, hi):
+                self._ps_slot_is34[s] = None
+                for m in (False, True):
+                    self._ps_row_seeds[m].pop(s, None)
+                # fresh stream: zero the slot's SBR header cfg row
+                if self._slot_sbr_key[s] is not None:
+                    for k in self._sbr_cfg_planes:
+                        self._sbr_cfg_planes[k][s] = zero_row[k][0]
+                    self._slot_sbr_key[s] = None
+                    self._slot_sbr_hdr[s] = None
+                    self._sbr_cfg_dev = None
             from aacjax.host import ps_pack as PP
             for s in range(lo, hi):
                 self._ps_pack_states[s] = PP.PSPackState()
@@ -1725,13 +1792,15 @@ class BatchDecoder:
                 sticky=list(self._sbr_np_sticky),
                 slot_hdr=copy.deepcopy(self._slot_sbr_hdr),
                 ps_enabled=self._ps_enabled,
-                ps_is34=self._ps_is34,
+                ps_slot_is34=list(self._ps_slot_is34),
+                ps_fresh=dict(self._ps_fresh),
+                ps_row_seeds=copy.deepcopy(self._ps_row_seeds),
                 ps_pair=list(self._ps_pair),
                 ps_pack=copy.deepcopy(self._ps_pack_states),
                 ps_np=copy.deepcopy(self._ps_np),
-                ps_dev=(None if self._ps_dev_state is None else
-                        {k: np.asarray(v)
-                         for k, v in self._ps_dev_state.items()}))
+                ps_dev={m: (None if d is None else
+                            {k: np.asarray(v) for k, v in d.items()})
+                        for m, d in self._ps_dev_states.items()})
         return out
 
     def restore_state(self, state: dict) -> None:
@@ -1774,12 +1843,15 @@ class BatchDecoder:
                         hdr, int(slot_rate[sl])))
             self._readopt_blocked = set()
             self._ps_enabled = s['ps_enabled']
-            self._ps_is34 = s['ps_is34']
+            self._ps_slot_is34 = list(s['ps_slot_is34'])
+            self._ps_fresh = dict(s['ps_fresh'])
+            self._ps_row_seeds = copy.deepcopy(s['ps_row_seeds'])
             self._ps_pair = list(s['ps_pair'])
             self._ps_pack_states = copy.deepcopy(s['ps_pack'])
             self._ps_np = copy.deepcopy(s['ps_np'])
-            self._ps_dev_state = (
-                None if s['ps_dev'] is None else
-                {k: jnp.asarray(v) for k, v in s['ps_dev'].items()})
+            self._ps_dev_states = {
+                m: (None if d is None else
+                    {k: jnp.asarray(v) for k, v in d.items()})
+                for m, d in s['ps_dev'].items()}
             self._ps_dense = (PP.alloc_ps_dense(self.C, self.T)
                               if self._ps_enabled else None)

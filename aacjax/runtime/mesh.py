@@ -204,6 +204,24 @@ def sharded_sbr_ps_apply(mesh: Mesh, out_int16: bool = False,
                                  kernel_modes())
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_sbr_ps_apply_dual(mesh: Mesh, out_int16: bool, modes: tuple):
+    from aacjax.kernels.ps_batch import sbr_ps_apply_dual
+
+    def fn(core_pcm, dense, ps_dense, state, ps20, ps34, cfg):
+        return sbr_ps_apply_dual(core_pcm, dense, ps_dense, state,
+                                 ps20, ps34, cfg, out_int16)
+
+    return jax.jit(fn, donate_argnums=(3, 4, 5))
+
+
+def sharded_sbr_ps_apply_dual(mesh: Mesh, out_int16: bool = False):
+    """Mixed 20/34-band SBR+PS program over a stream-only mesh (see
+    kernels.ps_batch.sbr_ps_apply_dual)."""
+    from aacjax.kernels.ps_batch import kernel_modes
+    return _sharded_sbr_ps_apply_dual(mesh, out_int16, kernel_modes())
+
+
 # -- TPU-batched encoder ------------------------------------------------------
 # Both encoder dispatches (encode_batch._analysis_fn / _quantize_fn) lead
 # with a flat channel-row axis (B = streams*channels on the analysis inputs,

@@ -105,7 +105,7 @@ def test_ps_batch_matches_numpy_reference(is34):
     for b in range(B):
         for t in range(T):
             ps = _ps_data(specs[b][t], ctxs[b])
-            assert PP.pack_ps_frame(dense, b, t, states[b], ps, is34)
+            assert PP.pack_ps_frame(dense, b, t, states[b], ps)
     Xr = np.zeros((B, S, 64), np.float32)
     Xi = np.zeros((B, S, 64), np.float32)
     Xr[:, :, :5] = low[:, :S].real

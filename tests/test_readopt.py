@@ -96,7 +96,8 @@ def test_flip_readopts_next_chunk(head, tail):
         assert not any(sticky_per_chunk[k]), f"chunk {k} still sticky"
     assert all(p is None for p in dec._sbr_np_procs)
     assert all(p is None for p in dec._ps_np)
-    assert dec._ps_is34 == (tail == 2)      # band mode re-elected
+    # the flipped slot now lives in the tail mode's state set
+    assert dec._ps_slot_is34[0] == (tail == 2)
     _assert_oracle_exact(stream, got)
 
 
@@ -285,4 +286,51 @@ def test_mixed_sbr_headers_one_batch_device_path():
         n = min(len(want), len(mine))
         scale = max(float(np.abs(want[:n]).max()), 1e-3)
         err = float(np.abs(mine[2048:n] - want[2048:n]).max()) / scale
+        assert err < 3e-4, f"stream {i}: rel err {err:.2e}"
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_mixed_ps_band_modes_one_batch_device_path():
+    """A batch mixing 20-band and 34-band Parametric Stereo streams
+    decodes entirely on the device path via the dual-mode program
+    (kernels.ps_batch.sbr_ps_apply_dual): no slot ever goes sticky, no
+    numpy replay, and every stream stays oracle-exact."""
+    from test_ps import (_ICC34, _RAMP20, _RAMP34, make_ps_stream)
+    from aacjax.testing.sbr_encoder import PSSpec
+
+    ps20 = PSSpec(iid_mode=1, num_env=2,
+                  iid_par=np.stack([_RAMP20, -_RAMP20]),
+                  icc_mode=1, icc_par=np.arange(40).reshape(2, 20) % 8)
+    ps34 = PSSpec(iid_mode=2, num_env=2,
+                  iid_par=np.stack([_RAMP34, -_RAMP34]),
+                  icc_mode=2, icc_par=np.stack([_ICC34, _ICC34[::-1]]))
+    streams = [make_ps_stream(ps20, seed=1), make_ps_stream(ps34, seed=2),
+               make_ps_stream(ps20, seed=3)]
+    frames_per = [adts.split_frames(st) for st in streams]
+    cfg = parse_asc(adts.synthesize_cookie(frames_per[0][0][0]))
+    dec = BatchDecoder([cfg] * 3, chunk_frames=2, cce_slots=1)
+    payloads_per = [[st[s:e] for _, s, e in fr]
+                    for st, fr in zip(streams, frames_per)]
+    n = min(len(p) for p in payloads_per)
+    n -= n % 2
+    outs = []
+    for lo in range(0, n, 2):
+        outs.append(np.asarray(dec.step_he_raw(
+            [p[lo:lo + 2] for p in payloads_per])))
+        assert not any(dec._sbr_np_sticky), f"chunk {lo//2} diverted"
+    assert not dec._readopt_blocked
+    assert all(p is None for p in dec._ps_np)
+    # slot band modes: stream 1 (base slot 2) is 34-band, the rest 20
+    assert [dec._ps_slot_is34[2 * i] for i in range(3)] == \
+        [False, True, False]
+    got = np.concatenate(outs, axis=1)       # [C, T, 2048]
+    for i, st in enumerate(streams):
+        want, rate = ffmpeg_oracle.decode_adts(st)
+        assert rate == 44100 and want.shape[1] == 2
+        base = 2 * i
+        mine = np.stack([got[base].reshape(-1),
+                         got[base + 1].reshape(-1)], axis=1)
+        m = min(len(want), len(mine))
+        scale = max(float(np.abs(want[:m]).max()), 1e-3)
+        err = float(np.abs(mine[2048:m] - want[2048:m]).max()) / scale
         assert err < 3e-4, f"stream {i}: rel err {err:.2e}"
