@@ -88,10 +88,18 @@ class BatchDecoder:
         # the native parser handles every frame length (1024/960/512/480)
         # and the standard + ER/LD/ELD syntaxes, incl. Main-profile
         # predictor side info (the prediction itself is a stateful device
-        # stage, decode_spec_step).  LTP streams keep the python path
-        # here (time feedback serializes the batch step; the native LTP
-        # fast path lives in host/refdec.decode_ltp_native)
+        # stage, decode_spec_step).  An all-LTP batch routes step_raw to
+        # the stream-VECTORIZED fp64 engine (host/ltp_batch.py: one
+        # native parse per chunk, frame-serial loop, [R,...] row math —
+        # LTP's time feedback serializes frames per stream, never the
+        # fleet); mixed LTP batches keep the per-frame python path
         any_ltp = any(cfg.profile == 4 for cfg in configs)
+        self._ltp_batch = None
+        if (any_ltp and native.available()
+                and all(cfg.profile == 4 and cfg.frame_length == 1024
+                        for cfg in configs)):
+            from aacjax.host.ltp_batch import LTPBatchDecoder
+            self._ltp_batch = LTPBatchDecoder(configs)
         self._any_main = any(cfg.profile == 1 for cfg in configs)
         self.use_native = ((native.available()
                             and self.F in (1024, 960, 512, 480)
@@ -222,6 +230,19 @@ class BatchDecoder:
         the H2D bytes, ~1.5e-5 relative error — below the codec's own
         quantization noise); the default f32 transfer is bit-exact.
         """
+        if self._ltp_batch is not None:
+            # all-LTP batch: stream-vectorized fp64 engine (one native
+            # parse per chunk; see host/ltp_batch.py).  The carried
+            # state lives in the engine; the decoder's own overlap is
+            # unused on this route.
+            pcm = self._ltp_batch.step_raw(payloads_per_stream)
+            for st, n in zip(self.streams,
+                             (len(p or []) for p in payloads_per_stream)):
+                st.frames_decoded += n
+            if out_int16:
+                pcm = np.clip(np.round(pcm * 32768.0),
+                              -32768, 32767).astype(np.int16)
+            return pcm
         if not self.use_native:
             return self._step_python_raw(payloads_per_stream)
         prev_snap = self.prev_shapes.copy()

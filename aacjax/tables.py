@@ -342,11 +342,13 @@ def imdct_matrix(n: int) -> np.ndarray:
 # past h fold back with a sign flip.  Verified against imdct_matrix for
 # every frame length in tests/test_tables.py.
 
-def imdct_via_dct4(X: np.ndarray) -> np.ndarray:
-    """[..., h] spectra -> [..., 2h] time; equals X @ imdct_matrix(2h)."""
+def imdct_via_dct4(X: np.ndarray, workers: int | None = None) -> np.ndarray:
+    """[..., h] spectra -> [..., 2h] time; equals X @ imdct_matrix(2h).
+    workers=-1 parallelizes across leading rows (bit-identical: pocketfft
+    splits rows, never a single transform)."""
     from scipy.fft import dct
     h = X.shape[-1]
-    D = dct(X, type=4, axis=-1) / (2.0 * h)
+    D = dct(X, type=4, axis=-1, workers=workers) / (2.0 * h)
     out = np.empty(X.shape[:-1] + (2 * h,), np.float64)
     out[..., : h // 2] = D[..., h // 2:]
     out[..., h // 2: 3 * h // 2] = -D[..., ::-1]
@@ -354,13 +356,14 @@ def imdct_via_dct4(X: np.ndarray) -> np.ndarray:
     return out
 
 
-def mdct_via_dct4(x: np.ndarray) -> np.ndarray:
+def mdct_via_dct4(x: np.ndarray, workers: int | None = None) -> np.ndarray:
     """[..., 2h] time -> [..., h] spectra; equals
-    x @ (imdct_matrix(2h).T * 2h) — the exact PR dual used by LTP."""
+    x @ (imdct_matrix(2h).T * 2h) — the exact PR dual used by LTP.
+    workers as in imdct_via_dct4."""
     from scipy.fft import dct
     h = x.shape[-1] // 2
     f = np.zeros(x.shape[:-1] + (h,), np.float64)
     f[..., h // 2:] += x[..., : h // 2]
     f -= x[..., h // 2: 3 * h // 2][..., ::-1]
     f[..., : h // 2] -= x[..., 3 * h // 2:]
-    return dct(f, type=4, axis=-1)
+    return dct(f, type=4, axis=-1, workers=workers)

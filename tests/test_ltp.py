@@ -250,3 +250,136 @@ def test_ltp_native_fast_path_stereo_ms():
         outs.append(dec.decode_frame(fr).astype(np.float32))
     ref = np.concatenate(outs, axis=0)
     assert _snr(ref.ravel(), fast.ravel()) > 110.0
+
+
+# ---------------------------------------------------------------------------
+# Stream-BATCHED LTP (host/ltp_batch.py): a fleet of profile-4 streams
+# decodes with one native parse per chunk and vectorized frame math —
+# bit-identical to the per-stream fast path, oracle-exact, and exposed
+# through BatchDecoder (the reference throws on LTP, decoder.js:258-259).
+# ---------------------------------------------------------------------------
+
+def _batch_streams(n=5):
+    """Varied per-stream content: plain, extreme lags, short-window
+    interruptions, TNS."""
+    lags = {1: 1, 2: 1024, 3: 2047, 4: 500, 5: 1500, 6: 2000, 7: 64}
+    return [
+        _stream(n_frames=8, seed=11),
+        _stream(n_frames=8, seed=12, lag_fn=lambda f, rng: lags[f]),
+        _stream(n_frames=8, seed=13, short_frames=(3, 4)),
+        _stream(n_frames=8, seed=14, tns=True),
+        _stream(n_frames=8, seed=15, short_frames=(2,), tns=True),
+    ][:n]
+
+
+def _native_ok():
+    from aacjax.host import native
+    return native.available()
+
+
+@pytest.mark.skipif(not _native_ok(), reason="native parser not built")
+def test_ltp_batched_equals_per_stream():
+    """LTPBatchDecoder (vectorized across streams, chunked) equals the
+    single-stream decode_ltp_native loop bit-for-bit on every stream."""
+    from aacjax.host import adts
+    from aacjax.host.ltp_batch import LTPBatchDecoder
+    from aacjax.host.refdec import decode_ltp_native
+
+    streams = _batch_streams()
+    payloads_per = []
+    for st in streams:
+        frames = adts.split_frames(st)
+        payloads_per.append([st[s:e] for _, s, e in frames])
+    n = min(len(p) for p in payloads_per)
+    dec = LTPBatchDecoder([CFG] * len(streams))
+    outs = []
+    for lo in range(0, n, 3):            # odd chunking crosses frames
+        outs.append(dec.step_raw([p[lo:lo + 3] for p in payloads_per]))
+    got = np.concatenate(outs, axis=1)   # [C, n, F]
+    for i in range(len(streams)):
+        fast = decode_ltp_native(payloads_per[i][:n], CFG)
+        assert fast is not None
+        np.testing.assert_array_equal(
+            got[i].reshape(-1), fast[:, 0].astype(np.float32),
+            err_msg=f"stream {i}")
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="libavcodec oracle not built")
+def test_ltp_batchdecoder_oracle_exact():
+    """BatchDecoder accepts an all-profile-4 batch and stays
+    sample-exact against libavcodec for every stream."""
+    from aacjax.host import adts
+    from aacjax.runtime.batch import BatchDecoder
+
+    streams = _batch_streams(4)
+    payloads_per = []
+    for st in streams:
+        frames = adts.split_frames(st)
+        payloads_per.append([st[s:e] for _, s, e in frames])
+    n = min(len(p) for p in payloads_per)
+    dec = BatchDecoder([CFG] * len(streams), chunk_frames=4)
+    assert dec._ltp_batch is not None
+    outs = []
+    for lo in range(0, n, 4):
+        outs.append(dec.step_raw([p[lo:lo + 4] for p in payloads_per]))
+    got = np.concatenate(outs, axis=1)
+    for i, st in enumerate(streams):
+        want, rate = ffmpeg_oracle.decode_adts(st)
+        assert rate == CFG.sample_rate
+        mine = got[i].reshape(-1)
+        m = min(len(want), len(mine))
+        for f in range(m // 1024):
+            sl = slice(f * 1024, (f + 1) * 1024)
+            snr = _snr(want[sl, 0], mine[sl])
+            assert snr > 90.0, (i, f, snr)
+
+
+@pytest.mark.skipif(not _native_ok(), reason="native parser not built")
+def test_ltp_batched_stereo_streams():
+    """CPE profile-4 streams (2 rows per stream) batch the same way —
+    including M/S content riding the host-fused f32 spectra."""
+    from aacjax.host import adts
+    from aacjax.host.ltp_batch import LTPBatchDecoder
+    from aacjax.host.refdec import decode_ltp_native
+    from aacjax.testing.encoder import CPESpec
+
+    rng = np.random.default_rng(21)
+    streams = []
+    for _s in range(3):
+        payloads = []
+        for f in range(6):
+            chs = []
+            for _ in range(2):
+                s = random_channel_spec(rng, CFG2, window_sequence=0,
+                                        max_sfb=42, allow_tns=False,
+                                        allow_noise=False,
+                                        allow_pulse=False)
+                if f >= 1:
+                    s.ltp_lag = int(rng.integers(64, 2048))
+                    s.ltp_coef_idx = int(rng.integers(8))
+                    s.ltp_used = rng.integers(0, 2, 40) > 0
+                chs.append(s)
+            cpe = CPESpec(left=chs[0], right=chs[1], common_window=True,
+                          ms_type=2)
+            w = BitWriter()
+            enc.write_cpe(w, cpe, CFG2, instance=0)
+            payloads.append(enc.end_frame(w))
+        streams.append(b"".join(enc.adts_frame(p, CFG2) for p in payloads))
+
+    payloads_per = []
+    for st in streams:
+        frames = adts.split_frames(st)
+        payloads_per.append([st[s:e] for _, s, e in frames])
+    n = min(len(p) for p in payloads_per)
+    dec = LTPBatchDecoder([CFG2] * len(streams))
+    outs = [dec.step_raw([p[lo:lo + 2] for p in payloads_per])
+            for lo in range(0, n, 2)]
+    got = np.concatenate(outs, axis=1)   # [2*n_streams, n, F]
+    for i in range(len(streams)):
+        fast = decode_ltp_native(payloads_per[i][:n], CFG2)
+        assert fast is not None
+        for ch in range(2):
+            np.testing.assert_array_equal(
+                got[2 * i + ch].reshape(-1),
+                fast[:, ch].astype(np.float32),
+                err_msg=f"stream {i} ch {ch}")
