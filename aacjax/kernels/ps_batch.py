@@ -241,48 +241,64 @@ def _allpass_assoc(xr, xi, ap_r0, ap_i0, qf_r, qf_i, ag, S):
         y[n] = q * v[n-d] - a * u[n],
 
     which splits into d independent first-order linear recurrences (one
-    per residue class mod d), each solved with an associative scan over
-    ceil(S/d) steps.  State layout is IDENTICAL to the scan form: buffer
-    index j of the [B,NAP,3,5] register holds v[n-(5-j)], so v[-k] =
-    buf[5-k]; residue r's seed v[r-d] = buf[5-d+r] and the new register
-    is v[S-5:S].  Links cascade (u_{m+1} = y_m) but each link is fully
-    parallel over slots.
-    """
+    per residue class mod d).  The coefficient a*q is a spec CONSTANT
+    per (band, link), so instead of jax.lax.associative_scan — whose
+    generic tuple machinery treats the coefficient as a second scanned
+    operand and interleaves odd/even slices at every recursion level
+    (it alone built the bulk of a ~2,200-op XLA program that ran
+    op-dispatch-bound at ~28 ms/step) — each recurrence is solved by
+    constant-coefficient Hillis-Steele doubling:
+
+        B_{j+1}[n] = B_j[n] + (aq)^(2^j) * B_j[n - 2^j]
+
+    with the per-level coefficient powers and the seed line A[n] =
+    (aq)^(n+1) precomputed in numpy float64 (tighter than the f32
+    squaring chain the scan performed).  ~6 full-width ops per level
+    instead of ~50.  qf_r/qf_i/ag arrive as NUMPY constants.
+
+    State layout is IDENTICAL to the scan form: buffer index j of the
+    [B,NAP,3,5] register holds v[n-(5-j)], so v[-k] = buf[5-k]; residue
+    r's seed v[r-d] = buf[5-d+r] and the new register is v[S-5:S].
+    Links cascade (u_{m+1} = y_m) but each link is fully parallel over
+    slots."""
     Bn, NAP = xr.shape[0], xr.shape[1]
+    aq = (np.asarray(ag, np.float64)
+          * (np.asarray(qf_r, np.float64)
+             + 1j * np.asarray(qf_i, np.float64)))            # [NAP,3]
     ur, ui = xr, xi
     new_r, new_i = [], []
     for m in range(3):
         d = m + 3
-        a = ag[:, m][None, :, None]                           # [1,NAP,1]
-        qr = qf_r[:, m][None, :, None]
-        qi = qf_i[:, m][None, :, None]
-        aqr, aqi = a * qr, a * qi
+        a = jnp.asarray(ag[:, m], jnp.float32)[None, :, None]  # [1,NAP,1]
+        qr = jnp.asarray(qf_r[:, m], jnp.float32)[None, :, None]
+        qi = jnp.asarray(qf_i[:, m], jnp.float32)[None, :, None]
         wr = (1.0 - a * a) * ur                               # [B,NAP,S]
         wi = (1.0 - a * a) * ui
         nres = -(-S // d)
         pad = nres * d - S
         wr_p = jnp.pad(wr, ((0, 0), (0, 0), (0, pad)))
         wi_p = jnp.pad(wi, ((0, 0), (0, 0), (0, pad)))
-        wr_p = wr_p.reshape(Bn, NAP, nres, d)
-        wi_p = wi_p.reshape(Bn, NAP, nres, d)
+        br = wr_p.reshape(Bn, NAP, nres, d)
+        bi = wi_p.reshape(Bn, NAP, nres, d)
 
-        def op(l, r):
-            lar, lai, lbr, lbi = l
-            rar, rai, rbr, rbi = r
-            return (lar * rar - lai * rai,
-                    lar * rai + lai * rar,
-                    rar * lbr - rai * lbi + rbr,
-                    rar * lbi + rai * lbr + rbi)
-
-        shape = wr_p.shape
-        Ar, Ai, Br, Bi = jax.lax.associative_scan(
-            op, (jnp.broadcast_to(aqr[..., None], shape),
-                 jnp.broadcast_to(aqi[..., None], shape), wr_p, wi_p),
-            axis=2)
+        g = aq[:, m]                                          # [NAP] cplx
+        j = 1
+        while j < nres:
+            gj = g ** j
+            gjr = jnp.asarray(gj.real.astype(np.float32))[None, :, None, None]
+            gji = jnp.asarray(gj.imag.astype(np.float32))[None, :, None, None]
+            sr = jnp.pad(br, ((0, 0), (0, 0), (j, 0), (0, 0)))[:, :, :nres]
+            si = jnp.pad(bi, ((0, 0), (0, 0), (j, 0), (0, 0)))[:, :, :nres]
+            br = br + gjr * sr - gji * si
+            bi = bi + gjr * si + gji * sr
+            j *= 2
+        apow = g[:, None] ** np.arange(1, nres + 1)[None, :]  # [NAP,nres]
+        Ar = jnp.asarray(apow.real.astype(np.float32))[None, :, :, None]
+        Ai = jnp.asarray(apow.imag.astype(np.float32))[None, :, :, None]
         v0r = ap_r0[:, :, m, 5 - d:][:, :, None, :]           # [B,NAP,1,d]
         v0i = ap_i0[:, :, m, 5 - d:][:, :, None, :]
-        vr = (Ar * v0r - Ai * v0i + Br).reshape(Bn, NAP, -1)[:, :, :S]
-        vi = (Ar * v0i + Ai * v0r + Bi).reshape(Bn, NAP, -1)[:, :, :S]
+        vr = (Ar * v0r - Ai * v0i + br).reshape(Bn, NAP, -1)[:, :, :S]
+        vi = (Ar * v0i + Ai * v0r + bi).reshape(Bn, NAP, -1)[:, :, :S]
         vdr = jnp.concatenate([ap_r0[:, :, m, 5 - d:], vr[:, :, :S - d]],
                               axis=2)                         # v[n-d]
         vdi = jnp.concatenate([ap_i0[:, :, m, 5 - d:], vi[:, :, :S - d]],
@@ -321,34 +337,49 @@ def _decorrelate(s_r, s_i, state, c, B, S, is34):
             jnp.moveaxis(pw, 1, 0))                           # tg [S,B,20]
         tg = jnp.moveaxis(tg, 0, 1)                           # [B,S,npar]
     else:
-        # log-depth form.  peak[n] = max(C*peak[n-1], x[n]) composes as
-        # f2(f1(p)) = max(a1*a2*p, max(a2*b1, b2)); psm/pdf are plain
-        # first-order linear recurrences y[n] = 0.75*y[n-1] + 0.25*u[n].
-        x = jnp.moveaxis(pw, 1, 0)                            # [S,B,npar]
-        decay = jnp.full_like(x, jnp.float32(0.76592833836465))
+        # log-depth DOUBLING forms.  All three recurrences have spec
+        # CONSTANT coefficients — peak[n] = max(C*peak[n-1], x[n]) and
+        # two EMAs y[n] = 0.75*y[n-1] + 0.25*u[n] — so the generic
+        # associative_scan (coefficient scanned as data, odd/even
+        # interleave slices at every level) is replaced by
+        # Hillis-Steele with numpy-precomputed coefficient powers:
+        # ~4 full-width ops per level, log2(S) levels.  Same math,
+        # reassociated (~1e-6 rel, far inside the 3e-3 path tolerance).
+        C_PEAK = 0.76592833836465
+        C_LIN = 0.75
 
-        def op_max(l, r):
-            return l[0] * r[0], jnp.maximum(r[0] * l[1], r[1])
+        def shift1(y, k):  # zero-pad shift along the slot axis of [B,S,P]
+            return jnp.pad(y, ((0, 0), (k, 0), (0, 0)))[:, :S]
 
-        Am, Bm = jax.lax.associative_scan(op_max, (decay, x))
-        peak_s = jnp.maximum(Am * state["peak"][None], Bm)    # [S,B,npar]
+        def powline(cc):  # [1,S,1] constant line c^(n+1)
+            return jnp.asarray(
+                np.power(cc, np.arange(1, S + 1, dtype=np.float64))
+                .astype(np.float32))[None, :, None]
 
-        lin = jnp.full_like(x, jnp.float32(0.75))
+        y = pw                                                # [B,S,npar]
+        j = 1
+        while j < S:
+            y = jnp.maximum(y, jnp.float32(C_PEAK ** j) * shift1(y, j))
+            j *= 2
+        peak_s = jnp.maximum(powline(C_PEAK) * state["peak"][:, None], y)
 
-        def op_lin(l, r):
-            return l[0] * r[0], r[0] * l[1] + r[1]
+        def lin_prefix(u):
+            yl = u
+            k = 1
+            while k < S:
+                yl = yl + jnp.float32(C_LIN ** k) * shift1(yl, k)
+                k *= 2
+            return yl
 
-        Al, Bp = jax.lax.associative_scan(
-            op_lin, (lin, jnp.float32(0.25) * x))
-        psm_s = Al * state["psmooth"][None] + Bp
-        _, Bd = jax.lax.associative_scan(
-            op_lin, (lin, jnp.float32(0.25) * (peak_s - x)))
-        pdf_s = Al * state["pdiff"][None] + Bd
+        al = powline(C_LIN)
+        psm_s = al * state["psmooth"][:, None] + lin_prefix(
+            jnp.float32(0.25) * pw)
+        pdf_s = al * state["pdiff"][:, None] + lin_prefix(
+            jnp.float32(0.25) * (peak_s - pw))
         denom = jnp.float32(1.5) * pdf_s
         tg = jnp.where(denom > psm_s,
                        psm_s / jnp.where(denom > 0, denom, 1.0), 1.0)
-        tg = jnp.moveaxis(tg, 0, 1)                           # [B,S,npar]
-        peak, psm, pdf = peak_s[-1], psm_s[-1], pdf_s[-1]
+        peak, psm, pdf = peak_s[:, -1], psm_s[:, -1], pdf_s[:, -1]
     # parameter-band -> hybrid-band expansion as an exact one-hot matmul
     # (constant-index lane gathers serialize on TPU; `ind` rows are
     # one-hot so HIGHEST-precision matmul reproduces the values bitwise)
@@ -378,9 +409,9 @@ def _decorrelate(s_r, s_i, state, c, B, S, is34):
     phi_i = jnp.asarray(c["phi_i"])[None, :, None]
     xr = xin_r_l * phi_r - xin_i_l * phi_i                    # [B,30,S]
     xi = xin_r_l * phi_i + xin_i_l * phi_r
-    qf_r = jnp.asarray(c["qf_r"])                             # [30,3]
-    qf_i = jnp.asarray(c["qf_i"])
-    ag = jnp.asarray(c["ag"])                                 # [30,3]
+    qf_r = np.asarray(c["qf_r"])                              # [30,3]
+    qf_i = np.asarray(c["qf_i"])
+    ag = np.asarray(c["ag"])                                  # [30,3]
 
     if _SEQ_SCAN:
         def apstep(carry, x):
