@@ -59,6 +59,28 @@ def make_corpus(n_unique: int, seconds: float, sr: int = 44100):
     return config, streams
 
 
+def _rtt_and_sync():
+    """Return (sync, rtt_s): `sync(x)` forces a REAL 1-element D2H —
+    jax.block_until_ready alone can return before the tunneled axon
+    queue drains (measured 0.13 ms/"step" for a program whose trace
+    shows 22 ms/step), silently under-reporting every chained-compute
+    stage — and rtt_s is the cost of that sync on an already-ready
+    buffer, subtracted from chain totals so the 1-element read's RPC
+    roundtrip doesn't pollute the amortized per-step figure."""
+    import jax
+
+    ready = jax.device_put(np.zeros(1, np.float32))
+    np.asarray(ready)
+
+    def sync(x):
+        np.asarray(jax.device_get(jax.numpy.ravel(x)[:1]))
+
+    t0 = time.perf_counter()
+    np.asarray(ready)
+    rtt = time.perf_counter() - t0
+    return sync, rtt
+
+
 def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
     """Decompose one chunk's decode into parse / H2D / device-compute /
     D2H wall seconds (min over reps, each stage synced) so the recorded
@@ -68,6 +90,7 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
     import jax
     from aacjax.kernels.pipeline import PipelineFlags, jitted_decode_spec_step
 
+    sync, rtt = _rtt_and_sync()
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -102,9 +125,9 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
         tc = time.perf_counter()
         for _ in range(n_chain):
             pcm2, ov = fn(dev_batch, ov)
-        jax.block_until_ready(pcm2)
+        sync(pcm2)
         dec.overlap = ov
-        compute_s = (time.perf_counter() - tc) / n_chain
+        compute_s = (time.perf_counter() - tc - rtt) / n_chain
         # A/B the fused Pallas decode tail against the XLA pipeline on the
         # same device-resident batch (VERDICT r3 #7: record the comparison
         # honestly; the faster one should be the serving default)
@@ -119,13 +142,13 @@ def measure_stages(dec, chunk, use_pallas, compact, reps: int = 3) -> dict:
         ov_snap = dec.overlap
         ov = ov_snap + 0.0                     # fresh buffer (donation-safe)
         pcm2, ov = alt_fn(dev_batch, ov)       # compile outside the timer
-        jax.block_until_ready(pcm2)
+        sync(pcm2)
         tc = time.perf_counter()
         for _ in range(n_chain):
             pcm2, ov = alt_fn(dev_batch, ov)
-        jax.block_until_ready(pcm2)
+        sync(pcm2)
         dec.overlap = ov_snap
-        alt_s = (time.perf_counter() - tc) / n_chain
+        alt_s = (time.perf_counter() - tc - rtt) / n_chain
         cur = dict(parse_s=t1 - t0, h2d_s=t2 - t1, dispatch_s=t3 - t2,
                    compute_s=compute_s,
                    d2h_s=t4 - t3)
@@ -146,6 +169,7 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
     the chip."""
     import jax
 
+    sync, rtt = _rtt_and_sync()
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -163,8 +187,8 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
         tc0 = time.perf_counter()
         for _ in range(n_core):
             pcm_c = dec._device_step(dict(core_dev), out_int16=False)
-        jax.block_until_ready(pcm_c)
-        core_amortized = (time.perf_counter() - tc0) / n_core
+        sync(pcm_c)
+        core_amortized = (time.perf_counter() - tc0 - rtt) / n_core
         t2b = time.perf_counter()  # sbr-h2d baseline: excludes the chain
         dense_dict = dense if isinstance(dense, dict) else vars(dense)
         dense_dev = jax.block_until_ready(jax.device_put(dense_dict))
@@ -209,8 +233,8 @@ def measure_stages_he(dec, chunk_payloads, ps: bool, reps: int = 2) -> dict:
         for _ in range(n_chain):
             out = step(st)
             st = unpack(out)
-        jax.block_until_ready(out[0])
-        sbr_amortized = (time.perf_counter() - tc) / n_chain
+        sync(out[0])
+        sbr_amortized = (time.perf_counter() - tc - rtt) / n_chain
         t5 = time.perf_counter()
         np.asarray(out[0])
         t6 = time.perf_counter()
@@ -237,6 +261,7 @@ def measure_stages_encode(enc, pcm_chunk, reps: int = 2) -> dict:
     h2d_analysis bucket made the encoder unoptimizable)."""
     import jax
 
+    sync, rtt = _rtt_and_sync()
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -252,8 +277,8 @@ def measure_stages_encode(enc, pcm_chunk, reps: int = 2) -> dict:
         tc = time.perf_counter()
         for _ in range(n_chain):
             outs = analysis(dev, w_idx, is_short)
-        jax.block_until_ready(outs[3])
-        analysis_compute = (time.perf_counter() - tc) / n_chain
+        sync(outs[3])
+        analysis_compute = (time.perf_counter() - tc - rtt) / n_chain
         t3b = time.perf_counter()
         est_np = np.asarray(outs[3])
         t4 = time.perf_counter()
@@ -269,8 +294,8 @@ def measure_stages_encode(enc, pcm_chunk, reps: int = 2) -> dict:
         for _ in range(n_chain):
             q_dev, sf_dev = enc._quantize(coefs, base, fit_sf, bin_band,
                                           off, short_flat)
-        jax.block_until_ready((q_dev, sf_dev))
-        quant_compute = (time.perf_counter() - tc) / n_chain
+        sync(q_dev)
+        quant_compute = (time.perf_counter() - tc - rtt) / n_chain
         t6b = time.perf_counter()
         q_packed = np.asarray(q_dev)
         sf = np.asarray(sf_dev).reshape(enc.S, enc.channels, nF, -1)

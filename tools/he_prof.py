@@ -133,16 +133,21 @@ def capture(ps: bool, n_streams=128, chunk=16, seconds=8.0):
 def time_program(ps: bool, trace: bool):
     import jax
 
+    t_load = time.time()
     d = np.load('/tmp/ps_inputs.npz' if ps else '/tmp/sbr_inputs.npz')
+    print(f'npz load: {time.time() - t_load:.1f}s', flush=True)
 
     def grp(p):
         return {k[len(p):]: jax.device_put(d[k]) for k in d.files
                 if k.startswith(p) and not k.startswith('cfg_')}
 
+    t_put = time.time()
     cfg = {k[4:]: jax.device_put(d[k]) for k in d.files
            if k.startswith('cfg_')}
     dense, state = grp('dense_'), grp('state_')
     core = jax.device_put(d['core'])
+    np.asarray(core[:1, :1])
+    print(f'device_put: {time.time() - t_put:.1f}s', flush=True)
     if ps:
         from aacjax.kernels.ps_batch import jitted_sbr_ps_apply
         fn0 = jitted_sbr_ps_apply(bool(d['out_int16']), bool(d['is34']))
@@ -161,7 +166,10 @@ def time_program(ps: bool, trace: bool):
         for _ in range(k):
             out = fn(*args)
             args = (args[0],) + tuple(out[1:])   # states are donated
-        jax.block_until_ready(out[0])
+        # block_until_ready alone does NOT drain the tunneled axon
+        # queue (measured 0.13 ms/step for a 22 ms program); a real
+        # D2H read is the only trustworthy sync on this platform
+        np.asarray(jax.device_get(out[0][:1, :1]))
 
     t0 = time.time()
     run_k(1)
