@@ -64,15 +64,16 @@ def _sync_seq_scan() -> bool:
 # AACJAX_PS_LUT=onehot replaces both with exact one-hot HIGHEST matmuls
 # (one 1.0 per row, so values reproduce bitwise; the one-hot build is
 # HBM-traffic-bound, ~0.5 GB/chunk at B=256 — cheap next to a
-# serialized gather IF the gather is hot).  Default stays 'gather'
-# pending an on-hardware A/B; folded into the jit cache key like the
-# scan mode.
-_LUT_ONEHOT = os.environ.get("AACJAX_PS_LUT", "gather") == "onehot"
+# serialized gather).  On-hardware A/B (v5e, B=256 T=16, D2H-forced
+# sync): onehot 22.2 ms/step vs gather 24.8 — onehot is the default;
+# AACJAX_PS_LUT=gather reverts.  Folded into the jit cache key like
+# the scan mode.
+_LUT_ONEHOT = os.environ.get("AACJAX_PS_LUT", "onehot") == "onehot"
 
 
 def _sync_lut_mode() -> bool:
     global _LUT_ONEHOT
-    _LUT_ONEHOT = os.environ.get("AACJAX_PS_LUT", "gather") == "onehot"
+    _LUT_ONEHOT = os.environ.get("AACJAX_PS_LUT", "onehot") == "onehot"
     return _LUT_ONEHOT
 
 
