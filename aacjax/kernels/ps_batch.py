@@ -575,12 +575,22 @@ def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
     def cmul(ar, ai, br, bi):
         return ar * br - ai * bi, ar * bi + ai * br
 
-    l_r, l_i = cmul(s_r, s_i, hk_r[..., 0], hk_i[..., 0])
-    t2_r, t2_i = cmul(d_r, d_i, hk_r[..., 2], hk_i[..., 2])
-    l_r, l_i = l_r + t2_r, l_i + t2_i
-    r_r, r_i = cmul(s_r, s_i, hk_r[..., 1], hk_i[..., 1])
-    t3_r, t3_i = cmul(d_r, d_i, hk_r[..., 3], hk_i[..., 3])
-    r_r, r_i = r_r + t3_r, r_i + t3_i
+    # The whole mix -> hybrid synthesis -> QMF synthesis tail runs ONCE
+    # on an L-stacked-on-R [2B, ...] batch: every stage is row-local,
+    # so stacking is bit-exact, halves the op count of this
+    # op-dispatch-bound program's tail, and doubles the QMF matmul row
+    # count for the MXU.  hk lane pairs (0,1)=direct, (2,3)=decorr.
+    s2_r = jnp.concatenate([s_r, s_r], axis=0)            # [2B,S,NB]
+    s2_i = jnp.concatenate([s_i, s_i], axis=0)
+    d2_r = jnp.concatenate([d_r, d_r], axis=0)
+    d2_i = jnp.concatenate([d_i, d_i], axis=0)
+    hd_r = jnp.concatenate([hk_r[..., 0], hk_r[..., 1]], axis=0)
+    hd_i = jnp.concatenate([hk_i[..., 0], hk_i[..., 1]], axis=0)
+    hx_r = jnp.concatenate([hk_r[..., 2], hk_r[..., 3]], axis=0)
+    hx_i = jnp.concatenate([hk_i[..., 2], hk_i[..., 3]], axis=0)
+    ch_r, ch_i = cmul(s2_r, s2_i, hd_r, hd_i)
+    tx_r, tx_i = cmul(d2_r, d2_i, hx_r, hx_i)
+    ch_r, ch_i = ch_r + tx_r, ch_i + tx_i                 # [2B,S,NB]
 
     if is34:
         groups = ((0, 12), (12, 20), (20, 24), (24, 28), (28, 32))
@@ -603,15 +613,18 @@ def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
             return (jnp.concatenate([b0_r, b1_r, b2_r, ch_r[..., 10:]], -1),
                     jnp.concatenate([b0_i, b1_i, b2_i, ch_i[..., 10:]], -1))
 
-    Xl_r, Xl_i = hybrid_synthesis(l_r, l_i)                   # [B,S,64]
-    Xl_r = jnp.where(has_s != 0.0, Xl_r, Xr)
-    Xl_i = jnp.where(has_s != 0.0, Xl_i, Xi)
-    Xr2_r, Xr2_i = hybrid_synthesis(r_r, r_i)
-    Xr2_r = jnp.where(has_s != 0.0, Xr2_r, Xr)
-    Xr2_i = jnp.where(has_s != 0.0, Xr2_i, Xi)
+    Xo_r, Xo_i = hybrid_synthesis(ch_r, ch_i)                 # [2B,S,64]
+    has2 = jnp.concatenate([has_s, has_s], axis=0)
+    X2_r = jnp.concatenate([Xr, Xr], axis=0)
+    X2_i = jnp.concatenate([Xi, Xi], axis=0)
+    Xo_r = jnp.where(has2 != 0.0, Xo_r, X2_r)
+    Xo_i = jnp.where(has2 != 0.0, Xo_i, X2_i)
 
-    pcm_l, v_l = qmf.synthesis(Xl_r, Xl_i, state["v_l"])
-    pcm_r, v_r = qmf.synthesis(Xr2_r, Xr2_i, state["v_r"])
+    pcm_lr, v_lr = qmf.synthesis(
+        Xo_r, Xo_i,
+        jnp.concatenate([state["v_l"], state["v_r"]], axis=0))
+    pcm_l, pcm_r = pcm_lr[:B], pcm_lr[B:]
+    v_l, v_r = v_lr[:B], v_lr[B:]
     new_state = dict(state)
     new_state.update(dec_state)
     new_state["hist4_r"] = new_hist4_r

@@ -170,14 +170,21 @@ def time_program(ps: bool, trace: bool):
         # queue (measured 0.13 ms/step for a 22 ms program); a real
         # D2H read is the only trustworthy sync on this platform
         np.asarray(jax.device_get(out[0][:1, :1]))
+        return out
 
     t0 = time.time()
-    run_k(1)
+    out = run_k(1)
     print(f'compile+first: {time.time() - t0:.1f}s', flush=True)
-    K = 10
+    # the sync read's RPC roundtrip rides the chain total once —
+    # measure it on the already-ready output and subtract
+    t0 = time.time()
+    np.asarray(jax.device_get(out[0][:1, :1]))
+    rtt = time.time() - t0
+    print(f'sync rtt: {rtt * 1e3:.1f} ms', flush=True)
+    K = 30
     t0 = time.time()
     run_k(K)
-    dt = (time.time() - t0) / K
+    dt = (time.time() - t0 - rtt) / K
     B, T, _ = d['core'].shape
     # B counts channel slots: stereo pairs (SBR) or mono source + stereo
     # output slot (PS) -> B//2 streams either way
