@@ -175,7 +175,6 @@ def _analysis_fn(sample_index: int, cutoff_bin: int, frame: int,
     coded_l = jnp.asarray(arr["coded_l"])
     coded_s = jnp.asarray(arr["coded_s"])
     lut11, radix, offs, n_tup, _, _ = _COST_LUTS[11]
-    esc_lut = jnp.asarray(lut11.astype(np.int32))
 
     def spread(e):
         def step_up(carry, x):
@@ -202,6 +201,36 @@ def _analysis_fn(sample_index: int, cutoff_bin: int, frame: int,
     cut_l = int(arr["ptr_l"][-1])
     cut_s = int(arr["cfg"].swb_offsets_short[arr["max_sfb_s"]])
     Pe = max(cut_l, 8 * cut_s)
+
+    # Static band->bin / band->coded-region expansion matrices.  Every
+    # per-bin lookup of a per-band value in this program indexes with a
+    # CONSTANT map (bb_l / bb_s are fixed per window type), so the
+    # take_along_axis gathers — ~60 M elem/s on this chip — are
+    # replaced by one-hot matmuls on the MXU (the dequant/PS idiom,
+    # kernels/pipeline.py:143).  Each output column receives exactly
+    # one 1.0 term, so Precision.HIGHEST dots are bit-identical to the
+    # gather for any f32 operand.
+    hi_p = jax.lax.Precision.HIGHEST
+
+    def _expand(bb, width):
+        E = np.zeros((nb + 1, width), np.float32)
+        E[np.asarray(bb), np.arange(width)] = 1.0
+        return jnp.asarray(E)
+
+    El_bin = _expand(arr["bb_l"], F)
+    Es_bin = _expand(arr["bb_s"], F)
+    bbe_l = np.concatenate([np.asarray(arr["bb_l"])[:cut_l],
+                            np.full(Pe - cut_l, nb, np.int64)])
+    bbe_s = np.concatenate([
+        np.asarray(arr["bb_s"]).reshape(8, S)[:, :cut_s].reshape(-1),
+        np.full(Pe - 8 * cut_s, nb, np.int64)])
+    El_reg = _expand(bbe_l, Pe)
+    Es_reg = _expand(bbe_s, Pe)
+    # pair-cost LUT as a [17,17] matrix for the bilinear one-hot
+    # contraction in est_at; values are small integers (codeword bit
+    # counts <= 2^8), exact in bf16, so the DEFAULT-precision MXU pass
+    # is exact there too
+    L17 = jnp.asarray(lut11.astype(np.float32).reshape(17, 17))
 
     def analysis(pcm_i16, w_idx, is_short):
         """pcm_i16 [B, nF*F + F] int16 (frame of history first);
@@ -286,7 +315,9 @@ def _analysis_fn(sample_index: int, cutoff_bin: int, frame: int,
         def sf_per_bin(sfb):
             ext = jnp.concatenate(
                 [sfb, jnp.full((N, 1), 255.0)], axis=1)
-            return jnp.take_along_axis(ext, bin_band, axis=1)
+            return jnp.where(sel,
+                             jnp.dot(ext, Es_bin, precision=hi_p),
+                             jnp.dot(ext, El_bin, precision=hi_p))
 
         for _ in range(2):                                     # quant trials
             sfx = sf_per_bin(base)
@@ -313,13 +344,13 @@ def _analysis_fn(sample_index: int, cutoff_bin: int, frame: int,
         # gather.
         ce = coded_region(coefs)                           # [N, Pe]
         t34 = jnp.power(jnp.abs(ce), 0.75)
-        bbe = coded_region(bin_band.astype(jnp.float32),
-                           fill=float(nb)).astype(jnp.int32)
 
         def band_to_region(v, fill):
             ext = jnp.concatenate(
                 [v, jnp.full((N, 1), fill)], axis=1)
-            return jnp.take_along_axis(ext, bbe, axis=1)
+            return jnp.where(sel,
+                             jnp.dot(ext, Es_reg, precision=hi_p),
+                             jnp.dot(ext, El_reg, precision=hi_p))
 
         b_b = band_to_region(base, 255.0)
         f_b = band_to_region(fit_sf, 255.0)
@@ -335,8 +366,15 @@ def _analysis_fn(sample_index: int, cutoff_bin: int, frame: int,
             nz = sfb < z_b
             p = jnp.minimum(a, 16.0).astype(jnp.int32).reshape(N, -1, 2)
             pair_nz = nz.reshape(N, -1, 2)[:, :, 0]
-            lut_bits = (esc_lut[p[:, :, 0] * 17 + p[:, :, 1]]
-                        * pair_nz).sum(axis=1)
+            # bilinear one-hot contraction u.L17.v == LUT[p0*17+p1]:
+            # 0/1 one-hots and <=2^8-integer LUT rows are bf16-exact,
+            # so the default-precision MXU pass reproduces the gather
+            # bit-for-bit at MXU rather than gather throughput
+            u = ((p[:, :, 0, None] == jnp.arange(17)).astype(jnp.float32)
+                 * pair_nz[:, :, None].astype(jnp.float32))
+            v = (p[:, :, 1, None] == jnp.arange(17)).astype(jnp.float32)
+            w = jnp.einsum('npi,ij->npj', u, L17)
+            lut_bits = jnp.einsum('npj,npj->n', w, v)
             signs = (a > 0).sum(axis=1)
             nbits = jnp.maximum(
                 jnp.floor(jnp.log2(jnp.maximum(a, 1.0))), 4.0)
@@ -361,17 +399,37 @@ def _jitted_analysis(sample_index: int, cutoff_bin: int, frame: int,
                                 n_frames, psy_key))
 
 
-def _quantize_fn(w8: int = FRAME // 8):
+def _quantize_fn(w8: int = FRAME // 8, sample_index: int | None = None,
+                 cutoff_bin: int | None = None, frame: int = FRAME):
     """w8: coded-region width per short sub-block; the packed D2H width
     is W = 8*w8 (<= FRAME).  Bins beyond the rate cutoff are never
     written to the bitstream, so only the coded region crosses the
     link: long rows ship their flat prefix [:W], short rows ship the
     per-128-bin-block prefixes [:, :, :w8] — the host unpacker
-    (BatchEncoder._unpack_q) re-expands using the window plan."""
+    (BatchEncoder._unpack_q) re-expands using the window plan.
+
+    With (sample_index, cutoff_bin) given, the per-bin scalefactor map
+    rides the static band->bin one-hot expansion matmul instead of a
+    take_along_axis gather (bit-identical; see _analysis_fn) — the
+    gather was the entire quantize stage's device time.  The traced
+    bin_band argument is then unused (XLA drops it)."""
+    import jax
     import jax.numpy as jnp
 
     S8 = FRAME // 8
     W = 8 * w8
+    hi_p = jax.lax.Precision.HIGHEST
+    exp_mats = None
+    if sample_index is not None:
+        arr = _arrangement(sample_index, cutoff_bin, frame)
+        nb = arr["nb"]
+
+        def _expand(bb):
+            E = np.zeros((nb + 1, frame), np.float32)
+            E[np.asarray(bb), np.arange(frame)] = 1.0
+            return jnp.asarray(E)
+
+        exp_mats = (_expand(arr["bb_l"]), _expand(arr["bb_s"]))
 
     def fn(coefs, base, fit_sf, bin_band, off, is_short_row):
         """Quantize at the chosen per-channel-frame offset -> (packed q
@@ -379,7 +437,13 @@ def _quantize_fn(w8: int = FRAME // 8):
         N = coefs.shape[0]
         sfb = jnp.clip(base + off[:, None], fit_sf, 255.0)
         ext = jnp.concatenate([sfb, jnp.full((N, 1), 255.0)], axis=1)
-        sf_bin = jnp.take_along_axis(ext, bin_band, axis=1)
+        if exp_mats is not None:
+            El_bin, Es_bin = exp_mats
+            sf_bin = jnp.where(is_short_row[:, None],
+                               jnp.dot(ext, Es_bin, precision=hi_p),
+                               jnp.dot(ext, El_bin, precision=hi_p))
+        else:
+            sf_bin = jnp.take_along_axis(ext, bin_band, axis=1)
         gain = jnp.exp2((sf_bin - 100.0) * 0.25)
         c = jnp.floor(jnp.power(jnp.abs(coefs) / gain, 0.75) + 0.4054)
         q = (jnp.sign(coefs) * jnp.minimum(c, 8191.0)).astype(jnp.int16)
@@ -394,9 +458,10 @@ def _quantize_fn(w8: int = FRAME // 8):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_quantize(w8: int = FRAME // 8):
+def _jitted_quantize(w8: int = FRAME // 8, sample_index: int | None = None,
+                     cutoff_bin: int | None = None, frame: int = FRAME):
     import jax
-    return jax.jit(_quantize_fn(w8))
+    return jax.jit(_quantize_fn(w8, sample_index, cutoff_bin, frame))
 
 
 # ---------------------------------------------------------------------------
@@ -447,9 +512,11 @@ class BatchEncoder:
                     f"{n_streams * channels} channel rows do not split "
                     f"over {n_shards} 'stream' shards")
             from aacjax.runtime.mesh import sharded_encode_quantize
-            self._quantize = sharded_encode_quantize(mesh, self._w8)
+            self._quantize = sharded_encode_quantize(
+                mesh, self._w8, self._si, self._cutoff_bin)
         else:
-            self._quantize = _jitted_quantize(self._w8)
+            self._quantize = _jitted_quantize(
+                self._w8, self._si, self._cutoff_bin)
         self._reservoir = np.zeros(n_streams)
         self._res_cap = 6.0 * bitrate * FRAME / sample_rate
         # online calibration of the device bit estimate against bits

@@ -253,7 +253,9 @@ def sharded_encode_analysis(sample_index: int, cutoff_bin: int, frame: int,
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_encode_quantize(mesh: Mesh, w8: int):
+def sharded_encode_quantize(mesh: Mesh, w8: int,
+                            sample_index: int | None = None,
+                            cutoff_bin: int | None = None):
     """jit-compiled encoder quantize with P('stream') row shardings
     (encode_batch dispatch 2); w8 as in encode_batch._quantize_fn
     (packed coded-region D2H width)."""
@@ -261,7 +263,7 @@ def sharded_encode_quantize(mesh: Mesh, w8: int):
     row2 = _row_sharding(mesh, 2)
     row1 = _row_sharding(mesh, 1)
     return jax.jit(
-        _quantize_fn(w8),
+        _quantize_fn(w8, sample_index, cutoff_bin),
         in_shardings=(row2, row2, row2, row2, row1, row1),
         out_shardings=(row2, row2),
     )

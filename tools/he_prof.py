@@ -211,10 +211,17 @@ def time_program(ps: bool, trace: bool):
                   flush=True)
 
 
+def _flag(name, default):
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
 if __name__ == '__main__':
     ps = '--ps' in sys.argv
     if len(sys.argv) > 1 and sys.argv[1] == 'capture':
-        capture(ps)
+        capture(ps, n_streams=_flag('--streams', 128),
+                chunk=_flag('--chunk', 16))
     elif len(sys.argv) > 1 and sys.argv[1] == 'time':
         time_program(ps, '--trace' in sys.argv)
     else:
