@@ -38,53 +38,84 @@ BANDS = 64
 _HI = jax.lax.Precision.HIGHEST
 
 # The only truly sequential recurrences in the whole HE+PS device program
-# are the PS transient detector and the 3-link allpass decorrelator.  By
-# default both run as log-depth associative scans (S=512 sequential VPU
-# steps -> ~9 full-width passes); AACJAX_PS_SCAN=seq keeps the original
-# lax.scan forms for on-hardware A/B.  Both forms agree to float
-# reassociation error (~1e-6 rel), far inside the 3e-3 path tolerance and
-# the >70 dB oracle bar (tests/test_ps_batch.py, test_ps_scan_modes_agree).
+# are the PS transient detector and the 3-link allpass decorrelator.
+# AACJAX_PS_SCAN selects the allpass form:
+#   matmul (default) — the constant-coefficient recurrence v[n] =
+#          w[n] + g*v[n-1] is a lower-triangular Toeplitz MATMUL
+#          (T[i,k] = g^(i-k), constants in f64): ~13 GFLOP on the MXU
+#          instead of ~4 GB of full-width HBM passes (the doubling
+#          loop was the top source line of the r5 B=1024 trace)
+#   assoc  — log-depth Hillis-Steele doubling (r4 default)
+#   seq    — the original lax.scan forms for on-hardware A/B
+# The transient detector (max-based, not linear) keeps its doubling
+# form in both parallel modes.  All forms agree to float reassociation
+# error (~1e-6 rel), far inside the 3e-3 path tolerance and the >70 dB
+# oracle bar (tests/test_ps_batch.py, test_ps_scan_modes_agree).
 # The env var is re-read and folded into the jit cache key on every
-# jitted_sbr_ps_apply call, so flipping it mid-process retraces instead of
-# silently reusing the other mode's compiled program (the module global
-# exists for the eager-path tests that monkeypatch it).
-_SEQ_SCAN = os.environ.get("AACJAX_PS_SCAN", "assoc") == "seq"
+# jitted_sbr_ps_apply call, so flipping it mid-process retraces instead
+# of silently reusing the other mode's compiled program (the module
+# globals exist for the eager-path tests that monkeypatch them).
+_SCAN_MODE = os.environ.get("AACJAX_PS_SCAN", "matmul")
+_SEQ_SCAN = _SCAN_MODE == "seq"
 
 
-def _sync_seq_scan() -> bool:
-    global _SEQ_SCAN
-    _SEQ_SCAN = os.environ.get("AACJAX_PS_SCAN", "assoc") == "seq"
-    return _SEQ_SCAN
+def _sync_seq_scan() -> str:
+    global _SEQ_SCAN, _SCAN_MODE
+    _SCAN_MODE = os.environ.get("AACJAX_PS_SCAN", "matmul")
+    _SEQ_SCAN = _SCAN_MODE == "seq"
+    return _SCAN_MODE
 
 
 # The mixing stage reads two small LUTs with DYNAMIC (host-packed)
 # indices: HA[ha, icc] ([46,8,4]) and the smoothed-phase table pd[idx]
 # ([512], re/im).  XLA:TPU lowers these to element gathers — the op
 # class that dominated the SBR program before the gather-free rewrite.
-# AACJAX_PS_LUT=onehot replaces both with exact one-hot HIGHEST matmuls
-# (one 1.0 per row, so values reproduce bitwise; the one-hot build is
-# HBM-traffic-bound, ~0.5 GB/chunk at B=256 — cheap next to a
-# serialized gather).  On-hardware A/B (v5e, B=256 T=16, D2H-forced
-# sync): onehot 22.2 ms/step vs gather 24.8 — onehot is the default;
-# AACJAX_PS_LUT=gather reverts.  Folded into the jit cache key like
-# the scan mode.
-_LUT_ONEHOT = os.environ.get("AACJAX_PS_LUT", "onehot") == "onehot"
+# AACJAX_PS_LUT selects the replacement:
+#   split  (default) — TWO-LEVEL one-hot (the dequant idiom,
+#          kernels/pipeline.py:143): idx = hi*L + lo; a [.,N/L]
+#          one-hot matmul picks the L-row block, a [.,L] one-hot
+#          selects within it.  Exact (each step has ONE nonzero
+#          term) at (N/L + L*(K+1)) one-hot/block elements per index
+#          instead of N — at B=1024 the flat 512-wide one-hot
+#          materialized 0.4-1.7 GB iota/compare tensors per chunk
+#          (the top of the r5 trace); the split cuts that ~6-10x.
+#   onehot — flat [.,N] one-hot HIGHEST matmul (r4 default; won its
+#          B=256 A/B 22.2 vs 24.8 ms against gather)
+#   gather — plain XLA element gather
+# Folded into the jit cache key like the scan mode.
+_LUT_MODE = os.environ.get("AACJAX_PS_LUT", "split")
 
 
-def _sync_lut_mode() -> bool:
-    global _LUT_ONEHOT
-    _LUT_ONEHOT = os.environ.get("AACJAX_PS_LUT", "onehot") == "onehot"
-    return _LUT_ONEHOT
+def _sync_lut_mode() -> str:
+    global _LUT_MODE
+    _LUT_MODE = os.environ.get("AACJAX_PS_LUT", "split")
+    return _LUT_MODE
 
 
 def _lut_rows(table2d, idx):
     """table2d [N, K] rows selected by integer idx [...]: exact one-hot
-    matmul (AACJAX_PS_LUT=onehot) or a plain gather."""
-    if not _LUT_ONEHOT:
+    matmul (flat or two-level split, see _LUT_MODE) or a plain gather."""
+    if _LUT_MODE == "gather":
         return table2d[idx]
-    oh = (idx[..., None] == jnp.arange(table2d.shape[0])).astype(
-        jnp.float32)
-    return jnp.einsum('...n,nk->...k', oh, table2d, precision=_HI)
+    N, K = table2d.shape
+    L = None
+    if _LUT_MODE != "onehot":
+        # cheapest legal split: minimize per-index one-hot+block traffic
+        cands = [(N // l + l * (K + 1), l) for l in (8, 16, 32)
+                 if N % l == 0]
+        if cands:
+            L = min(cands)[1]
+    if L is None:
+        oh = (idx[..., None] == jnp.arange(N)).astype(jnp.float32)
+        return jnp.einsum('...n,nk->...k', oh, table2d, precision=_HI)
+    H = N // L
+    oh_hi = ((idx // L)[..., None] == jnp.arange(H)).astype(jnp.float32)
+    blk = jnp.einsum('...h,hm->...m', oh_hi,
+                     table2d.reshape(H, L * K), precision=_HI)
+    oh_lo = ((idx % L)[..., None] == jnp.arange(L)).astype(jnp.float32)
+    return jnp.einsum('...l,...lk->...k', oh_lo,
+                      blk.reshape(blk.shape[:-1] + (L, K)),
+                      precision=_HI)
 
 # per-mode geometry (20-band / 34-band): hybrid channel count, parameter
 # bands, allpass bands, short-delay boundary, decay cutoff, phase cut
@@ -231,8 +262,10 @@ def _hybrid_analysis(Xr, Xi, lo_r, lo_i, c, B, S, is34):
             jnp.concatenate(outs_i, axis=-1))                 # [B,S,71]
 
 
-def _allpass_assoc(xr, xi, ap_r0, ap_i0, qf_r, qf_i, ag, S):
-    """3-link allpass cascade in log depth.
+def _allpass_assoc(xr, xi, ap_r0, ap_i0, qf_r, qf_i, ag, S,
+                   matmul=False):
+    """3-link allpass cascade in log depth (matmul=True: in ONE
+    Toeplitz MXU contraction per link, see _SCAN_MODE).
 
     Per link m (delay d = m+3, the lax.scan form reads buffer index 2-m
     of a 5-deep shift register): the state line obeys the first-order
@@ -283,16 +316,34 @@ def _allpass_assoc(xr, xi, ap_r0, ap_i0, qf_r, qf_i, ag, S):
         bi = wi_p.reshape(Bn, NAP, nres, d)
 
         g = aq[:, m]                                          # [NAP] cplx
-        j = 1
-        while j < nres:
-            gj = g ** j
-            gjr = jnp.asarray(gj.real.astype(np.float32))[None, :, None, None]
-            gji = jnp.asarray(gj.imag.astype(np.float32))[None, :, None, None]
-            sr = jnp.pad(br, ((0, 0), (0, 0), (j, 0), (0, 0)))[:, :, :nres]
-            si = jnp.pad(bi, ((0, 0), (0, 0), (j, 0), (0, 0)))[:, :, :nres]
-            br = br + gjr * sr - gji * si
-            bi = bi + gjr * si + gji * sr
-            j *= 2
+        if matmul:
+            # v_lin = T @ w with T[p,i,k] = g_p^(i-k) (i >= k), the
+            # closed form of the recurrence — one banded-Toeplitz MXU
+            # contraction instead of log2(nres) full-width HBM passes
+            P = np.arange(nres)[:, None] - np.arange(nres)[None, :]
+            Tm = np.where(P >= 0, g[:, None, None]
+                          ** np.clip(P, 0, None)[None], 0.0)  # [NAP,n,n]
+            Tr = jnp.asarray(Tm.real.astype(np.float32))
+            Ti = jnp.asarray(Tm.imag.astype(np.float32))
+            ein = functools.partial(jnp.einsum, 'pik,bpkd->bpid',
+                                    precision=_HI)
+            br, bi = (ein(Tr, br) - ein(Ti, bi),
+                      ein(Tr, bi) + ein(Ti, br))
+        else:
+            j = 1
+            while j < nres:
+                gj = g ** j
+                gjr = jnp.asarray(
+                    gj.real.astype(np.float32))[None, :, None, None]
+                gji = jnp.asarray(
+                    gj.imag.astype(np.float32))[None, :, None, None]
+                sr = jnp.pad(br,
+                             ((0, 0), (0, 0), (j, 0), (0, 0)))[:, :, :nres]
+                si = jnp.pad(bi,
+                             ((0, 0), (0, 0), (j, 0), (0, 0)))[:, :, :nres]
+                br = br + gjr * sr - gji * si
+                bi = bi + gjr * si + gji * sr
+                j *= 2
         apow = g[:, None] ** np.arange(1, nres + 1)[None, :]  # [NAP,nres]
         Ar = jnp.asarray(apow.real.astype(np.float32))[None, :, :, None]
         Ai = jnp.asarray(apow.imag.astype(np.float32))[None, :, :, None]
@@ -441,7 +492,8 @@ def _decorrelate(s_r, s_i, state, c, B, S, is34):
         out_i = jnp.moveaxis(out_i, 0, 2)
     else:
         out_r, out_i, ap_r, ap_i = _allpass_assoc(
-            xr, xi, state["ap_r"], state["ap_i"], qf_r, qf_i, ag, S)
+            xr, xi, state["ap_r"], state["ap_i"], qf_r, qf_i, ag, S,
+            matmul=_SCAN_MODE == "matmul")
 
     d_r = jnp.concatenate([out_r, dp_r[:, NAP:]], axis=1)     # [B,71,S]
     d_i = jnp.concatenate([out_i, dp_i[:, NAP:]], axis=1)
@@ -562,10 +614,14 @@ def ps_apply(Xr, Xi, xall_lo_r, xall_lo_i, dense: dict, state: dict,
     expand = functools.partial(
         jnp.einsum, 'btspx,kp->btskx', precision=_HI)
     hk_r = expand(h_r, kmap)                                  # [B,T,32,nb,4]
-    hk_i = expand(h_i, kmap)
-    hk_in = expand(h_imneg, kmap)
-    cmask = jnp.asarray(c["conj_mask"])[None, None, None, :, None]
-    hk_i = hk_i * (1.0 - cmask) + hk_in * cmask
+    # conj-mask folded INTO the expansion matrix: one contraction over
+    # the doubled param axis replaces two dots + a 300 MB masked
+    # combine.  Exact: conj_mask is 0/1, so each output keeps exactly
+    # one nonzero term (h_i or h_imneg), the rest exact zeros.
+    cmask_p = jnp.asarray(c["conj_mask"]).astype(jnp.float32)[:, None]
+    kmap_i = jnp.concatenate([kmap * (1.0 - cmask_p), kmap * cmask_p],
+                             axis=1)                          # [nb, 2P]
+    hk_i = expand(jnp.concatenate([h_i, h_imneg], axis=3), kmap_i)
     hk_r = hk_r.reshape(B, S, NB, 4)
     hk_i = hk_i.reshape(B, S, NB, 4)
 

@@ -22,6 +22,7 @@ extraction cross-validation in tests/test_tables.py).
 from __future__ import annotations
 
 import functools
+import os
 import pathlib
 
 import jax
@@ -29,6 +30,14 @@ import jax.numpy as jnp
 import numpy as np
 
 _SBR_NPZ = pathlib.Path(__file__).parent.parent / "host" / "sbr_tables.npz"
+
+# Synthesis-FIR form: the 10-tap windowed sum over the slot axis runs
+# as banded-Toeplitz MXU contractions by default (~35 GFLOP replacing
+# ~6 GB of sliced HBM passes — the qmf.py lines were the top traffic
+# block of the r5 B=1024 trace); AACJAX_QMF_FIR=slices restores the
+# 10-static-slice form for on-hardware A/B.  Read at import (the two
+# forms agree to float reassociation error, ~1e-7 rel).
+_FIR_MATMUL = os.environ.get("AACJAX_QMF_FIR", "matmul") == "matmul"
 
 ANA_BANDS = 32      # analysis bands (core rate)
 SYN_BANDS = 64      # synthesis bands (2x rate)
@@ -115,6 +124,31 @@ def _synthesis_consts():
             taps_j, taps_r, taps_w.astype(np.float32))
 
 
+@functools.lru_cache(maxsize=None)
+def _syn_fir_mats(S: int):
+    """Banded FIR matrices for the matmul synthesis form: tap j of
+    output slot s reads v row s-j (or history row j-s-1 when s < j) in
+    channel half j&1, weighted by the prototype window row taps_w[j]."""
+    _, _, _taps_j, _taps_r, taps_w = _synthesis_consts()
+    w = np.asarray(taps_w, np.float64)                       # [10, 64]
+    Wv = np.zeros((2, 64, S, S), np.float64)
+    Wh = np.zeros((2, 64, S, SYN_HIST), np.float64)
+    for j in range(10):
+        half = j & 1
+        for s in range(S):
+            k = s - j
+            if k >= 0:
+                Wv[half, :, s, k] += w[j]
+            else:
+                Wh[half, :, s, j - s - 1] += w[j]
+    f = np.float32
+    # numpy out (jnp constants created at the use site): a cached jnp
+    # array built inside one jit trace would leak its tracer into the
+    # next (the _consts rule, ps_batch.py)
+    return (Wv[0].astype(f), Wv[1].astype(f),
+            Wh[0].astype(f), Wh[1].astype(f))
+
+
 def analysis(x: jax.Array, hist: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """32-band complex QMF analysis.
 
@@ -160,14 +194,32 @@ def synthesis(xr: jax.Array, xi: jax.Array,
                     precision=jax.lax.Precision.HIGHEST)
          - jnp.einsum('bsk,nk->bsn', xi, jnp.asarray(mi),
                       precision=jax.lax.Precision.HIGHEST))  # [B, S, 128]
-    # prepend history so slot s can read v[s - j] for j in 0..9
+    # Tap j of slot s reads vall[:, 9 + s - j, n + 64*(j&1)] with
+    # vall = [reversed vhist; v] (the gsel block structure collapses to
+    # taps_j[j,:] == j and taps_r[j,:] == n + 64*(j odd) — asserted in
+    # _synthesis_consts' construction by tests/test_qmf.py).
+    if _FIR_MATMUL and S >= SYN_HIST:
+        # Banded-Toeplitz contraction per channel half: pcm[b,s,n] =
+        # sum_k Wv[n,s,k] v[b,k,n(+64)] + sum_h Wh[n,s,h] vhist[b,h,.]
+        # — the FIR's ~6 GB of sliced full-width HBM passes become
+        # ~35 GFLOP of MXU work reading v once.
+        Wv_e, Wv_o, Wh_e, Wh_o = (jnp.asarray(m)
+                                  for m in _syn_fir_mats(S))
+        hi = jax.lax.Precision.HIGHEST
+        pcm = (jnp.einsum('nsk,bkn->bsn', Wv_e, v[:, :, :64],
+                          precision=hi)
+               + jnp.einsum('nsk,bkn->bsn', Wv_o, v[:, :, 64:],
+                            precision=hi)
+               + jnp.einsum('nsh,bhn->bsn', Wh_e, vhist[:, :, :64],
+                            precision=hi)
+               + jnp.einsum('nsh,bhn->bsn', Wh_o, vhist[:, :, 64:],
+                            precision=hi))
+        new_vhist = v[:, S - 1: S - 10: -1, :]               # newest first
+        return pcm.reshape(B, S * 64), new_vhist
+    # 10-static-slice FIR (AACJAX_QMF_FIR=slices, and the S < 9 path):
+    # no gather — per-element gathers serialize on TPU and dominated
+    # the whole SBR program.
     vall = jnp.concatenate([vhist[:, ::-1, :], v], axis=1)   # [B, 9+S, 128]
-    # Tap j of slot s reads vall[:, 9 + s - j, n + 64*(j&1)] (the gsel
-    # block structure collapses to taps_j[j,:] == j and taps_r[j,:] ==
-    # n + 64*(j odd) — asserted in _synthesis_consts' construction by
-    # tests/test_qmf.py) — so the 640-tap FIR is 10 STATIC slices of
-    # vall FMA'd with the window, no gather (per-element gathers
-    # serialize on TPU and dominated the whole SBR program).
     pcm = None
     w = jnp.asarray(taps_w)                                  # [10, 64]
     for j in range(10):

@@ -144,9 +144,10 @@ def test_ps_batch_matches_numpy_reference(is34):
 
 @pytest.mark.parametrize("is34", [False, True])
 def test_ps_scan_modes_agree(is34):
-    """The log-depth associative-scan decorrelator (default) matches the
-    sequential lax.scan form to float-reassociation error, including the
-    carried transient/allpass state across a chunk boundary."""
+    """The parallel decorrelator forms (Toeplitz matmul — the default —
+    and log-depth doubling) match the sequential lax.scan form to float-
+    reassociation error, including the carried transient/allpass state
+    across a chunk boundary."""
     pytest.importorskip("jax")
     import jax.numpy as jnp
     from aacjax.kernels import ps_batch as PB
@@ -156,9 +157,10 @@ def test_ps_scan_modes_agree(is34):
     S = 64
     state = PB.ps_state_init(B, is34)
 
-    def run(seq):
-        old = PB._SEQ_SCAN
-        PB._SEQ_SCAN = seq
+    def run(mode):
+        old = (PB._SEQ_SCAN, PB._SCAN_MODE)
+        PB._SCAN_MODE = mode
+        PB._SEQ_SCAN = mode == "seq"
         try:
             st = {k: jnp.asarray(v) for k, v in state.items()}
             outs = []
@@ -171,29 +173,32 @@ def test_ps_scan_modes_agree(is34):
                 outs.append((np.asarray(d_r), np.asarray(d_i)))
             return outs, {k: np.asarray(v) for k, v in st.items()}
         finally:
-            PB._SEQ_SCAN = old
+            PB._SEQ_SCAN, PB._SCAN_MODE = old
 
     rng_all = [(rng.standard_normal((B, S, nb)).astype(np.float32) * 100,
                 rng.standard_normal((B, S, nb)).astype(np.float32) * 100)
                for _ in range(2)]
-    outs_a, st_a = run(False)
-    outs_s, st_s = run(True)
-    for (ar, ai), (sr, si) in zip(outs_a, outs_s):
-        sc = max(np.abs(sr).max(), 1.0)
-        np.testing.assert_allclose(ar, sr, atol=2e-4 * sc)
-        np.testing.assert_allclose(ai, si, atol=2e-4 * sc)
-    for k in ("peak", "psmooth", "pdiff", "ap_r", "ap_i",
-              "delay_r", "delay_i"):
-        sc = max(np.abs(st_s[k]).max(), 1.0)
-        np.testing.assert_allclose(st_a[k], st_s[k], atol=2e-4 * sc,
-                                   err_msg=k)
+    outs_s, st_s = run("seq")
+    for mode in ("assoc", "matmul"):
+        outs_a, st_a = run(mode)
+        for (ar, ai), (sr, si) in zip(outs_a, outs_s):
+            sc = max(np.abs(sr).max(), 1.0)
+            np.testing.assert_allclose(ar, sr, atol=2e-4 * sc,
+                                       err_msg=mode)
+            np.testing.assert_allclose(ai, si, atol=2e-4 * sc,
+                                       err_msg=mode)
+        for k in ("peak", "psmooth", "pdiff", "ap_r", "ap_i",
+                  "delay_r", "delay_i"):
+            sc = max(np.abs(st_s[k]).max(), 1.0)
+            np.testing.assert_allclose(st_a[k], st_s[k], atol=2e-4 * sc,
+                                       err_msg=f"{mode}:{k}")
 
 
 @pytest.mark.parametrize("is34", [False, True])
 def test_ps_lut_modes_bitwise_equal(is34):
-    """AACJAX_PS_LUT=onehot replaces the dynamic HA/phase-table gathers
-    with exact one-hot HIGHEST matmuls — bitwise identical (one 1.0 per
-    row; the other addends are exact zeros)."""
+    """AACJAX_PS_LUT split/onehot replace the dynamic HA/phase-table
+    gathers with exact one-hot matmuls — bitwise identical (each step
+    has one 1.0 term; the other addends are exact zeros)."""
     pytest.importorskip("jax")
     import jax.numpy as jnp
     from aacjax.kernels import ps_batch as PB
@@ -219,17 +224,19 @@ def test_ps_lut_modes_bitwise_equal(is34):
     )
     c = PB._consts(is34)
 
-    def run(onehot):
-        old = PB._LUT_ONEHOT
-        PB._LUT_ONEHOT = onehot
+    def run(mode):
+        old = PB._LUT_MODE
+        PB._LUT_MODE = mode
         try:
             return [np.asarray(x)
                     for x in PB._mixing_h(dense, c, B, T, is34)]
         finally:
-            PB._LUT_ONEHOT = old
+            PB._LUT_MODE = old
 
-    for a, g in zip(run(True), run(False)):
-        np.testing.assert_array_equal(a, g)
+    gather = run("gather")
+    for mode in ("onehot", "split"):
+        for a, g in zip(run(mode), gather):
+            np.testing.assert_array_equal(a, g)
 
 
 HAVE_ORACLE = None
